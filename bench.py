@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute) with a count-style action
+so results aren't pulled to the driver. A warmup pass on sf0.001 JITs the
+codegen paths first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kinesis2sse_spark.registry import bench_queries
+from kinesis2sse_spark.session import build_session
+
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = build_session(app_name="kinesis2sse_spark_bench")
+
+    queries = bench_queries()
+    for name, fn in queries.items():  # warmup: JIT + codegen caches
+        try:
+            _run(fn, spark, WARMUP_SF_DIR)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        timings[name] = round(_run(fn, spark, sf_dir), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Ingest-path transforms — operators S4, F1-F3, P1, P2, W1, W3.
+
+Parity map to the reference (record_processor.go):
+- S4  permissive JSON parse w/ drop ........ record_processor.go:60-65
+- F1  require string ``time`` .............. record_processor.go:67-71
+- F2  ``time`` parses as RFC3339 ........... record_processor.go:72-76
+- F3  require ``detail`` ................... record_processor.go:78-82
+- P1  envelope strip (keep detail only) .... record_processor.go:78,84
+- P2  canonical key-sorted JSON ............ record_processor.go:84-88
+- W1  contiguous offset assignment ......... record_processor.go:90-94
+- W3  bounded retention (keep last N) ...... service.go:97-101
+
+All transforms are plain DataFrame ops; P2 needs a vectorized Pandas UDF
+because Spark's ``to_json`` emits schema order, not sorted keys
+(SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.StringType())
+def _canonical_json_udf(raw: pd.Series) -> pd.Series:
+    """Re-serialize a JSON text column with sorted keys, compact separators
+    — the behavior Go's ``json.Marshal`` of a ``map[string]any`` gives the
+    reference (proven by record_processor_test.go:18 vs :60). Invalid JSON
+    → null (caller drops, matching the permissive-parse semantics)."""
+
+    def canon(s):
+        if s is None:
+            return None
+        try:
+            return json.dumps(
+                json.loads(s),
+                sort_keys=True,
+                separators=(",", ":"),
+                ensure_ascii=False,
+            )
+        except (ValueError, TypeError):
+            return None
+
+    return raw.map(canon)
+
+
+def canonical_json(col):
+    """P2: canonical (alphabetically key-sorted, compact) JSON of a JSON
+    text column."""
+    return _canonical_json_udf(col)
+
+
+def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """S4 + F1-F3 + P1 + P2: parse raw event-envelope bytes/text, drop
+    malformed records, and keep only event time + canonical detail.
+
+    Input: one string/binary column carrying ``{"time": <RFC3339>,
+    "detail": <any JSON>}``. Output columns: ``time`` (timestamp),
+    ``detail`` (canonical JSON string). Drops, exactly like the
+    reference: unparseable JSON, missing/non-string ``time``,
+    unparseable ``time``, missing ``detail``.
+    """
+    raw = F.col(value_col).cast("string")
+    # get_json_object returns null for invalid JSON (S4 drop) and for
+    # missing paths (F1/F3 drop).
+    time_str = F.get_json_object(raw, "$.time")
+    detail_raw = F.get_json_object(raw, "$.detail")
+    parsed = df.select(
+        # try_to_timestamp: malformed time → null → dropped (F2), matching
+        # the reference's drop-and-warn rather than ANSI-mode's throw.
+        F.try_to_timestamp(time_str).alias("time"),
+        canonical_json(detail_raw).alias("detail"),
+    )
+    return parsed.filter(F.col("time").isNotNull() & F.col("detail").isNotNull())
+
+
+def with_offsets(df: DataFrame, order_cols: list[str], offset_col: str = "offset") -> DataFrame:
+    """W1: assign contiguous integer offsets 0..n-1 in ``order_cols`` order.
+
+    The reference serializes all shards of a route through one mutex
+    (record_processor.go:58,102) — a global total order is inherent to
+    the semantics, so the single-partition window here is the same
+    serialization point, not an accident. For scale, offset assignment
+    should ride on an already-sorted ingest key when one exists (the
+    fixtures' ``event_id`` IS the offset); the streaming path assigns
+    offsets incrementally with tiny keyed state (streaming/state.py).
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(offset_col, F.row_number().over(w) - F.lit(1))
+
+
+def retain_last(df: DataFrame, capacity: int, offset_col: str = "event_id") -> DataFrame:
+    """W3: bounded retention — keep the newest ``capacity`` records by
+    offset. Implemented as a predicate against the max offset (a one-row
+    broadcast), not physical eviction, per SURVEY.md §7: at scale this is
+    one scan + broadcast, and parquet min/max stats prune old files."""
+    hi = df.agg(F.max(offset_col).alias("__max_off"))
+    return (
+        df.join(
+            F.broadcast(hi),
+            F.col(offset_col) > F.col("__max_off") - F.lit(capacity),
+            "inner",
+        )
+        .drop("__max_off")
+    )

@@ -1,0 +1,119 @@
+"""Event-pipeline queries over the ``events`` table — the reference's own
+semantics (SURVEY.md §2.1 operators S4/F1-F3/P1/P2/W1/W3/Q1-Q4) expressed
+as oracle-checkable batch queries. ``event_id`` is the log offset
+(contiguous from 0, FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.pipeline.asof import replay_since
+from kinesis2sse_spark.registry import register
+
+# Mid-range event-time probe; the events table spans a few days from
+# 2024-01-01 at every sf.
+SINCE = "2024-01-03 00:00:00"
+
+
+@register(
+    "asof_replay",
+    bench=True,
+    oracle=f"""
+    WITH cand AS (
+      SELECT event_id FROM events WHERE ts >= TIMESTAMP '{SINCE}'
+      ORDER BY ts, event_id LIMIT 1
+    ), fb AS (
+      SELECT event_id FROM events WHERE ts < TIMESTAMP '{SINCE}'
+      ORDER BY ts DESC, event_id DESC LIMIT 1
+    ), resolved AS (
+      SELECT coalesce((SELECT event_id FROM cand), (SELECT event_id FROM fb)) AS off
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+    FROM events e, resolved r
+    WHERE e.event_id >= r.off
+    ORDER BY e.event_id
+    """,
+)
+def asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's full serve path as one query — resolve
+    ``since`` to the nearest offset (Q2, timestamp2offset.go:58-80), then
+    replay in offset order (Q4, service.go:267-282)."""
+    events = load_table(spark, sf_dir, "events")
+    return replay_since(events, SINCE)
+
+
+@register(
+    "envelope_validate_project",
+    oracle="""
+    SELECT event_id,
+           ts,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE props IS NOT NULL
+      AND json_valid(props)
+      AND json_extract(props, '$.k') IS NOT NULL
+      AND ts IS NOT NULL
+    """,
+)
+def envelope_validate_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+F1-F3+P1 re-expressed over the fixtures: permissive JSON parse of
+    ``props`` (≡ detail), validity filters, project the parsed field
+    (record_processor.go:60-88)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.select("event_id", "ts", k.alias("k"))
+        .filter(F.col("k").isNotNull() & F.col("ts").isNotNull())
+    )
+
+
+@register(
+    "offsets_contiguous",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS offset
+    FROM events
+    """,
+)
+def offsets_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: contiguous offset assignment (record_processor.go:90-94) —
+    row_number over the arrival order; the fixtures' event_id doubles as
+    the expected offset so the oracle cross-checks contiguity."""
+    from kinesis2sse_spark.pipeline.envelope import with_offsets
+
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    return with_offsets(events, ["event_id"]).select(
+        "event_id", F.col("offset").cast("bigint").alias("offset")
+    )
+
+
+@register(
+    "retention_last_n",
+    oracle="""
+    SELECT e.event_id, e.ts, e.event_type
+    FROM events e, (SELECT max(event_id) AS max_off FROM events) m
+    WHERE e.event_id > m.max_off - 500
+    """,
+)
+def retention_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: bounded retention — keep the newest 500 records by offset
+    (service.go:97-101; predicate-not-eviction per SURVEY.md §7)."""
+    from kinesis2sse_spark.pipeline.envelope import retain_last
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    return retain_last(events, capacity=500)
+
+
+@register(
+    "tail_offset",
+    oracle="SELECT greatest(max(event_id), 0) AS off FROM events",
+)
+def tail_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: tail-position query — latest retained offset, floor 0
+    (service.go:253-258)."""
+    from kinesis2sse_spark.pipeline.asof import tail_offset
+
+    return tail_offset(load_table(spark, sf_dir, "events"))

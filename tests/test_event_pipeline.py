@@ -1,0 +1,117 @@
+"""Event-pipeline queries vs the DuckDB oracle + the reference's golden
+envelope fixtures (FIXTURES.md §A.1) and as-of vectors (§A.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_CORRECTNESS, assert_matches_oracle
+
+PIPELINE_QUERIES = [
+    "asof_replay",
+    "envelope_validate_project",
+    "offsets_contiguous",
+    "retention_last_n",
+    "tail_offset",
+]
+
+
+@pytest.mark.parametrize("name", PIPELINE_QUERIES)
+def test_matches_oracle(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECTNESS)
+
+
+# --- golden envelope fixtures: record_processor_test.go:15-20, 58-84 ---
+
+ENVELOPE_BATCH = [
+    ("bogus",),  # unparseable → drop
+    ('{"detail":{}}',),  # missing time → drop
+    ('{"time":"1970-01-01T00:00:00.000Z"}',),  # missing detail → drop
+    ('{"time":"1970-01-01T00:00:00.000Z","detail":{"good":true,"event":1}}',),
+    ('{"time":"1970-01-01T00:00:00.001Z","detail":{"good":true,"event":2}}',),
+]
+
+
+def test_parse_envelope_golden(spark):
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope, with_offsets
+
+    df = spark.createDataFrame(ENVELOPE_BATCH, ["value"])
+    out = with_offsets(parse_envelope(df), ["time"]).orderBy("offset").collect()
+    assert len(out) == 2
+    # canonical bytes: keys alphabetically sorted, compact (golden from
+    # record_processor_test.go:60-66)
+    assert out[0]["detail"] == '{"event":1,"good":true}'
+    assert out[1]["detail"] == '{"event":2,"good":true}'
+    assert [r["offset"] for r in out] == [0, 1]
+    assert out[0]["time"].isoformat().startswith("1970-01-01T00:00:00")
+
+
+def test_parse_envelope_bad_time(spark):
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+
+    df = spark.createDataFrame(
+        [('{"time":"not-a-time","detail":{}}',), ('{"time":42,"detail":{}}',)],
+        ["value"],
+    )
+    assert parse_envelope(df).count() == 0
+
+
+# --- as-of vectors: timestamp2offset_test.go:10-92 (FIXTURES.md §A.2) ---
+
+
+def _probe(spark, rows, probe_ms):
+    from kinesis2sse_spark.pipeline.asof import nearest_offset
+    from pyspark.sql import functions as F
+
+    if not rows:
+        df = spark.createDataFrame([], "offset long, ts timestamp")
+    else:
+        df = spark.createDataFrame(
+            [(o, ms / 1000.0) for o, ms in rows], "offset long, ts_s double"
+        ).select("offset", F.timestamp_seconds("ts_s").alias("ts"))
+    since = F.timestamp_seconds(F.lit(probe_ms / 1000.0))
+    row = nearest_offset(df, since, ts_col="ts", offset_col="offset").collect()[0]
+    return row["off"]
+
+
+ASOF_VECTORS = [
+    ([], 0, None),
+    ([(0, 100)], 0, 0),
+    ([(0, 100)], 100, 0),
+    ([(0, 100)], 1000, 0),
+    ([(0, 100), (1, 500)], 0, 0),
+    ([(0, 100), (1, 500)], 100, 0),
+    ([(0, 100), (1, 500)], 250, 1),
+    ([(0, 100), (1, 500)], 500, 1),
+    ([(0, 100), (1, 500)], 1000, 1),
+    # capacity-2 eviction + out-of-order timestamps: state [1→500, 2→250]
+    ([(1, 500), (2, 250)], 0, 2),
+    ([(1, 500), (2, 250)], 100, 2),
+    ([(1, 500), (2, 250)], 250, 2),
+    ([(1, 500), (2, 250)], 300, 1),
+    ([(1, 500), (2, 250)], 500, 1),
+    ([(1, 500), (2, 250)], 1000, 1),
+]
+
+
+@pytest.mark.parametrize("rows,probe,expected", ASOF_VECTORS)
+def test_nearest_offset_vectors(spark, rows, probe, expected):
+    assert _probe(spark, rows, probe) == expected
+
+
+# --- since parsing: service.go:226-242 + intended CLI semantics (§2.2) ---
+
+
+def test_parse_since():
+    from datetime import datetime, timedelta, timezone
+
+    from kinesis2sse_spark.pipeline.since import parse_since
+
+    t = parse_since("1970-01-01T00:00:00.000Z")
+    assert t == datetime(1970, 1, 1, tzinfo=timezone.utc)
+    now = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    assert parse_since("1h", now=now) == now - timedelta(hours=1)
+    assert parse_since("1h30m", now=now) == now - timedelta(hours=1, minutes=30)
+    assert parse_since("300ms", now=now) == now - timedelta(milliseconds=300)
+    with pytest.raises(ValueError):
+        parse_since("bogus")
