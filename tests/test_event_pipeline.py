@@ -5,21 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_CORRECTNESS, assert_matches_oracle
-
-PIPELINE_QUERIES = [
-    "asof_replay",
-    "envelope_validate_project",
-    "offsets_contiguous",
-    "retention_last_n",
-    "tail_offset",
-]
-
-
-@pytest.mark.parametrize("name", PIPELINE_QUERIES)
-def test_matches_oracle(spark, name):
-    assert_matches_oracle(spark, name, SF_CORRECTNESS)
-
+# oracle comparisons for pipeline queries live in test_oracle_all.py
 
 # --- golden envelope fixtures: record_processor_test.go:15-20, 58-84 ---
 
