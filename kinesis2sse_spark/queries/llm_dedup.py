@@ -1,1 +1,221 @@
-"""Placeholder — queries land in M1+."""
+"""Deduplication operators over ``documents`` / ``embeddings`` —
+exact (hash groupBy), n-gram Jaccard (exact, inverted-index join),
+SimHash (oracle-checked bit-for-bit), MinHash-LSH (approximate, the
+100 TB path), embedding-cosine near-dup (blocked exact).
+
+Scale design: the exact Jaccard pair search never cross-joins — it
+builds an inverted index (shingle → docs), equi-joins on shingle, and
+aggregates common-shingle counts, which is the MapReduce-canonical
+candidate generation. MinHash-LSH replaces the exact index when even
+the shingle join is too big.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.registry import register
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 24
+
+# Rolling polynomial token hash, identical arithmetic in Spark SQL and
+# DuckDB (same trick as text_fingerprint).
+_SPARK_TOKEN_HASHES = (
+    "transform(split(text, ' '), t -> aggregate("
+    "transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+    "cast(7 as bigint), (h, c) -> (h * 31 + c) % 1000000007))"
+)
+_DUCK_TOKEN_HASHES = (
+    "list_transform(string_split(text, ' '), t -> list_reduce("
+    "list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(h, c) -> (h * 31 + c) % 1000000007))"
+)
+
+
+def _simhash_expr(hashes_var: str, intdiv: str) -> str:
+    """Sum of 2^b over bits b where the (+1/-1) bit-vote is positive."""
+    terms = []
+    for b in range(SIMHASH_BITS):
+        p = 2**b
+        bit = f"(({hashes_var} {intdiv} {p}) % 2 = 1)"
+        cnt = f"2 * len(list_filter(hs, h -> ((h {intdiv} {p}) % 2 = 1))) - len(hs)"
+        if intdiv == "div":  # Spark dialect
+            cnt = f"2 * size(filter(hs, h -> ((h div {p}) % 2 = 1))) - size(hs)"
+        terms.append(f"(CASE WHEN {cnt} > 0 THEN CAST({p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+@register(
+    "dedup_exact",
+    bench=True,
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text, keep the lowest doc_id.
+    One shuffle on the text hash; at 100 TB, group on xxhash64(text) first
+    so the shuffle key is 8 bytes, then resolve rare collisions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).drop("text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    bench=True,
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
+    FROM inter i
+    JOIN counts na ON na.doc_id = i.doc_a
+    JOIN counts nb ON nb.doc_id = i.doc_b
+    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index: distinct
+    word-3-shingles per doc → equi-join on shingle → common-shingle count
+    → |A∩B| / (|A|+|B|-|A∩B|). No cross join anywhere; the shuffle keys
+    are shingles and (doc_a, doc_b) pairs that share at least one shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id,
+           ({_simhash_expr("h", "//")}) AS simhash
+    FROM (SELECT doc_id, {_DUCK_TOKEN_HASHES} AS hs FROM documents)
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: per-token rolling hash → per-bit +1/-1 vote →
+    sign vector packed into a 24-bit integer. Near-dup docs land on equal
+    or small-Hamming-distance fingerprints; verified bit-for-bit by the
+    oracle because the token hash is plain integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.expr(_SPARK_TOKEN_HASHES).alias("hs"))
+        .select("doc_id", F.expr(_simhash_expr("h", "div")).alias("simhash"))
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (approximate — rows-only check;
+    exact semantics are covered by dedup_ngram_jaccard). shingle →
+    binary term vector → MinHashLSH banding → approxSimilarityJoin.
+    This is the 100 TB path: candidate generation touches only hash
+    bands, never document pairs."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") >= 1)
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(shingled)
+    vecs = model.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    mh_model = mh.fit(vecs)
+    pairs = mh_model.approxSimilarityJoin(vecs, vecs, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        )
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by label: pairs only form inside
+    a block (label = cluster id), turning O(n²) into Σ O(b²) — the blocked
+    exact-verification stage that follows any ANN candidate pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withn = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    a = withn.alias("a")
+    b = withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(F.round(cos, 6) >= 0.95)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )

@@ -1,1 +1,288 @@
-"""Placeholder — queries land in M1+."""
+"""Text-analysis operators over the ``documents`` table — token counting
+(whitespace + BPE-ish regex), quality scoring, language-ID (stopword
+n-gram heuristic), document fingerprinting (rolling polynomial hash),
+TF-IDF top terms, n-gram extraction, stopword removal.
+
+All JVM-side (split / higher-order functions / window) — no Python in the
+hot path. The rolling hash uses (h*31 + ascii) mod 1e9+7 so the identical
+integer arithmetic runs on both Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.registry import register
+
+BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+ES_STOP = ("el", "la", "de", "que", "y", "en", "los", "se", "un", "una")
+DE_STOP = ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_token_count",
+    bench=True,
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters runs / single digits / punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           round(sw_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
+           round(avg_tok_len, 6) AS avg_tok_len,
+           round( least(n_tokens / 100.0, 1.0) * 0.4
+                + (sw_hits * 1.0 / n_tokens) * 0.3
+                + (alpha_chars * 1.0 / n_chars) * 0.3, 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_sql_list(EN_STOP)}))) AS sw_hits,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+             length(replace(text, ' ', '')) * 1.0
+               / len(string_split(text, ' ')) AS avg_tok_len
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, alphabetic ratio, average
+    token length, combined into a bounded score — the standard cheap
+    pre-filter for LLM training corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({_sql_list(EN_STOP)})))"
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        sw.alias("sw_hits"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * F.lit(1.0)
+            / F.size(toks)
+        ).alias("avg_tok_len"),
+    )
+    sw_ratio = F.col("sw_hits") * 1.0 / F.col("n_tokens")
+    alpha_ratio = F.col("alpha_chars") * 1.0 / F.col("n_chars")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round("avg_tok_len", 6).alias("avg_tok_len"),
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+            + sw_ratio * 0.3
+            + alpha_ratio * 0.3,
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, c_en, c_es, c_de,
+           CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                WHEN c_es >= c_de THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_sql_list(EN_STOP)}))) AS c_en,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_sql_list(ES_STOP)}))) AS c_es,
+             len(list_filter(string_split(text, ' '), t -> t IN ({_sql_list(DE_STOP)}))) AS c_de
+      FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-hit counting with a fixed precedence — the
+    n-gram-heuristic family (a real system swaps in character n-gram
+    profiles; the dataflow is identical)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def hits(words):
+        return F.expr(f"size(filter(split(text, ' '), t -> t IN ({_sql_list(words)})))")
+
+    base = d.select(
+        "doc_id",
+        hits(EN_STOP).alias("c_en"),
+        hits(ES_STOP).alias("c_es"),
+        hits(DE_STOP).alias("c_de"),
+    )
+    return base.withColumn(
+        "lang_guess",
+        F.when(
+            (F.col("c_en") >= F.col("c_es")) & (F.col("c_en") >= F.col("c_de")), "en"
+        )
+        .when(F.col("c_es") >= F.col("c_de"), "es")
+        .otherwise("de"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(7 AS BIGINT),
+                          list_transform(string_split_regex(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: rolling polynomial hash over the character
+    stream, (h*31 + code) mod 1e9+7 — identical arithmetic on the oracle
+    side, so the hash is verified bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    bench=True,
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      GROUP BY doc_id, t.term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, fully relational: explode terms → tf per (doc, term) → df
+    per term → idf = ln(N/df) → top-3 terms per doc. Two shuffles (doc,term
+    and term) and a broadcast of the tiny df table; no ML-lib dependency,
+    no fixed-dim hashing collisions."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+      WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           count(DISTINCT bigram) AS n_distinct_bigrams,
+           min(bigram) AS first_bigram
+    FROM bg GROUP BY doc_id
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram extraction (bigrams) via sequence+transform — the same
+    shingling primitive the MinHash dedup uses."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    return (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bigram").alias("n_distinct_bigrams"),
+            F.min("bigram").alias("first_bigram"),
+        )
+    )
+
+
+@register(
+    "text_stopword_removal",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+                           t -> t NOT IN ({_sql_list(EN_STOP)}))) AS n_content_tokens,
+           array_to_string(
+             list_filter(string_split(text, ' '),
+                         t -> t NOT IN ({_sql_list(EN_STOP)}))[1:5], ' ') AS head_content
+    FROM documents
+    """,
+)
+def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.expr(
+        f"filter(split(text, ' '), t -> t NOT IN ({_sql_list(EN_STOP)}))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(cleaned).alias("n_content_tokens"),
+        F.array_join(F.slice(cleaned, 1, 5), " ").alias("head_content"),
+    )

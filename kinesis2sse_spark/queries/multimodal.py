@@ -1,1 +1,153 @@
-"""Placeholder — queries land in M1+."""
+"""Multimodal-column operators: image/audio/video payloads are opaque
+``binary`` columns plus typed metadata. The container has no codec
+libraries, so the decode step is a clearly-marked deterministic stub —
+but the Spark-side plumbing (binary columns, schema, mapInPandas batch
+shape, frame-sampling explode) is real and tested.
+
+The fixtures carry no binary files, so payloads are derived from
+``documents.text`` (encode to UTF-8 bytes) — the dataflow is identical
+to reading real blobs via ``spark.read.format("binaryFile")``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.registry import register
+
+FRAME_BYTES = 16  # bytes per fake "frame"
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           CAST(octet_length(CAST(text AS BLOB)) // 16 AS BIGINT) AS n_frames,
+           upper(substr(md5(text), 1, 8)) AS content_key
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata: size, derived frame count, and a
+    content-addressed key (md5 prefix) — the manifest a multimodal
+    pipeline builds before any decode."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        (F.octet_length(payload).cast("bigint") / FRAME_BYTES)
+        .cast("bigint")
+        .alias("n_frames"),
+        F.upper(F.substring(F.md5(payload), 1, 8)).alias("content_key"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * {FRAME_BYTES} AS BIGINT) AS byte_offset
+    FROM meta, LATERAL (SELECT unnest(range(0, CAST(n_bytes // {FRAME_BYTES} AS BIGINT), {FRAME_STRIDE})) AS i) u
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a "video" payload: every FRAME_STRIDE-th
+    FRAME_BYTES block becomes a frame row (explode of a sequence — no
+    Python). Real decoders slot in at the frame_bytes projection."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    n_frames = (F.octet_length(payload) / FRAME_BYTES).cast("bigint")
+    idx = F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(FRAME_STRIDE).cast("bigint"))
+    return (
+        d.select("doc_id", idx.alias("idx"))
+        .filter(F.size("idx") > 0)
+        .select("doc_id", F.explode("idx").alias("frame_idx"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_BYTES).alias("byte_offset"),
+        )
+    )
+
+
+def extract_image_features(payload: bytes) -> list[float]:
+    """STUB decode: the container has no image/audio codecs. Deterministic
+    fake features = moments of the raw byte stream. A real deployment
+    replaces this body with PIL/torchvision decode; the Spark plumbing
+    (schema, batching, partitioning) is unchanged."""
+    if not payload:
+        return [0.0] * 4
+    n = float(len(payload))
+    s = float(sum(payload))
+    mx = float(max(payload))
+    mn = float(min(payload))
+    return [n, round(s / n, 6), mx, mn]
+
+
+@register("mm_decode_features", oracle=None)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads with mapInPandas: Arrow
+    batches in, Arrow batches out — the shape a GPU/codec UDF runs in at
+    scale (one batch per core, payloads never hit the driver). Decode
+    itself is stubbed (see extract_image_features)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: extract_image_features(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda f: int(f[0])),
+                    "feature": feats,
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches, schema="doc_id long, n_bytes long, feature array<double>"
+    )
+
+
+@register("mm_audio_windows", oracle=None)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed feature extraction: treat the byte stream as a
+    waveform, emit RMS energy per 64-sample window via mapInPandas
+    (vectorized numpy inside the Arrow batch)."""
+    import numpy as np
+
+    win = 64
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def rms_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_rms = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                n_win = len(arr) // win
+                if n_win == 0:
+                    continue
+                chunks = arr[: n_win * win].reshape(n_win, win)
+                rms = np.sqrt((chunks**2).mean(axis=1))
+                out_ids.extend([doc_id] * n_win)
+                out_idx.extend(range(n_win))
+                out_rms.extend(np.round(rms, 6))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "window_idx": out_idx, "rms": out_rms}
+            )
+
+    return d.mapInPandas(rms_windows, schema="doc_id long, window_idx int, rms double")
