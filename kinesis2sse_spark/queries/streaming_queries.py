@@ -1,1 +1,191 @@
-"""Placeholder — queries land in M1+."""
+"""Streaming operators as oracle-checkable queries: each runs a real
+Structured Streaming job (file source → transform → memory sink) to
+completion and returns the materialized result. With the fixture's
+single-file input there is exactly one micro-batch, so event-time
+results are deterministic and most of these CAN be oracle-checked;
+multi-batch arrival, late-data drops, and state carry-over are
+exercised in tests/test_streaming.py where arrival order is controlled.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.registry import register
+from kinesis2sse_spark.streaming.source import events_stream, run_to_memory
+
+
+def _qname(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@register(
+    "streaming_tumbling_window",
+    bench=True,
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate with a watermark — the
+    streaming rollup the reference never had (it only indexes). Partial
+    aggregation is incremental per micro-batch; state is bounded by the
+    watermark horizon."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    out = run_to_memory(
+        agg.select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
+        ),
+        _qname("tumbling"),
+        # complete mode: emit ALL windows (append would hold back windows
+        # the watermark hasn't passed — the tail of a finite input)
+        output_mode="complete",
+    )
+    return out
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - k.k * INTERVAL '5 minutes' AS window_start,
+             event_type
+      FROM events, LATERAL (SELECT unnest(range(0, 3)) AS k) k
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (15 min window, 5 min slide): every event lands in 3
+    overlapping windows. The oracle replays the window-assignment rule
+    relationally (event × 3 window starts)."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    return run_to_memory(
+        agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
+        _qname("sliding"),
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user. Spark merges events into
+    sessions incrementally in state; the oracle reconstructs identical
+    sessions with the lag/cumsum idiom (session end = last event + gap)."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return run_to_memory(
+        agg.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        ),
+        _qname("session"),
+        output_mode="complete",
+    )
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type, ts) — exact-once
+    delivery repair. State holds one entry per distinct key; in
+    production pair with dropDuplicatesWithinWatermark to bound it."""
+    s = events_stream(spark, sf_dir)
+    dedup = s.dropDuplicates(["user_id", "event_type", "ts"])
+    agg_input = run_to_memory(
+        dedup.select("user_id", "event_type", "ts"), _qname("dedup"), "append"
+    )
+    return agg_input.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "streaming_stateful_offsets",
+    oracle="""
+    SELECT event_id,
+           CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS offset
+    FROM events
+    """,
+)
+def streaming_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 in streaming: contiguous offsets across micro-batches via
+    single-key applyInPandasWithState (the reference's route mutex,
+    record_processor.go:58). Single-batch input ⇒ offsets ≡ event_id
+    order, which the oracle checks exactly; multi-batch carry-over is
+    covered in test_streaming.py."""
+    from kinesis2sse_spark.streaming.state import with_streaming_offsets
+
+    s = events_stream(spark, sf_dir).select("event_id")
+    out = run_to_memory(with_streaming_offsets(s), _qname("offsets"), "append")
+    return out.select("event_id", "offset")
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: streaming events enriched against the static
+    customer dim (broadcast — the dim never shuffles, the stream never
+    blocks), then aggregated."""
+    from kinesis2sse_spark.catalog import load_table
+
+    s = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    enriched = run_to_memory(
+        joined.select("c_mktsegment", "value"), _qname("ssjoin"), "append"
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )

@@ -1,0 +1,65 @@
+"""Stateful contiguous offset assignment — streaming operator W1.
+
+The reference serializes all shards of a route through one mutex and
+lets the in-memory log assign the next integer offset
+(record_processor.go:58, 90-94). The Spark equivalent: group every
+record onto ONE state key and carry a single counter across
+micro-batches with applyInPandasWithState. The state is 8 bytes; the
+serialization point is inherent to "contiguous global offsets" — same
+bottleneck the reference accepted, and the reason offsets ride an
+already-ordered ingest key (event_id) wherever one exists.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OFFSET_STATE_SCHEMA = T.StructType([T.StructField("next_offset", T.LongType())])
+
+
+def _assign_offsets_fn(order_col: str):
+    def assign(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (start,) = state.get if state.exists else (0,)
+        total = 0
+        for pdf in pdfs:
+            # within-batch order: sort by the arrival column so offsets are
+            # deterministic per batch (the reference's per-batch mutex order)
+            pdf = pdf.sort_values(order_col).reset_index(drop=True)
+            pdf["offset"] = range(start + total, start + total + len(pdf))
+            total += len(pdf)
+            yield pdf.drop(columns=["__k"])
+        state.update((start + total,))
+
+    return assign
+
+
+def with_streaming_offsets(df: DataFrame, order_col: str = "event_id") -> DataFrame:
+    """Assign contiguous offsets 0,1,2,... across micro-batches.
+
+    Output schema = input schema + ``offset: long``. All rows map to one
+    state key (the route), exactly mirroring the reference's route-wide
+    mutex; throughput of this stage is bounded by one task, so keep the
+    payload columns slim and join the rest back by event id if needed.
+    """
+    out_fields = [T.StructField(f.name, f.dataType) for f in df.schema.fields] + [
+        T.StructField("offset", T.LongType())
+    ]
+    return (
+        df.withColumn("__k", F.lit(1))
+        .groupBy("__k")
+        .applyInPandasWithState(
+            _assign_offsets_fn(order_col),
+            outputStructType=T.StructType(out_fields),
+            stateStructType=OFFSET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,126 @@
+"""Streaming behaviors that need controlled multi-batch arrival: watermark
+late-data drop, dropDuplicatesWithinWatermark, and contiguous-offset state
+carried across micro-batches (maxFilesPerTrigger=1, one file per batch)."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+from kinesis2sse_spark.streaming.source import run_to_memory, staged_batch_dir
+
+
+def _write_batch(spark, d: str, name: str, rows, schema: str):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, name)
+    )
+
+
+def _read_stream(spark, d: str, schema: str):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+
+
+def test_offsets_carry_across_batches(spark):
+    from kinesis2sse_spark.streaming.state import with_streaming_offsets
+
+    d = staged_batch_dir("offsets")
+    schema = "event_id long, v string"
+    _write_batch(spark, d, "b0", [(10, "a"), (11, "b")], schema)
+    _write_batch(spark, d, "b1", [(12, "c"), (13, "d"), (14, "e")], schema)
+    out = run_to_memory(
+        with_streaming_offsets(_read_stream(spark, d, schema)), "t_offsets", "append"
+    ).orderBy("offset")
+    rows = out.collect()
+    # offsets are contiguous 0..4 across the two micro-batches
+    # (record_processor_test.go:58-84 semantics: second batch continues at 2)
+    assert [r["offset"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["event_id"] for r in rows] in (
+        [10, 11, 12, 13, 14],  # b0 then b1
+        [12, 13, 14, 10, 11],  # b1 then b0 (file order is not guaranteed)
+    )
+
+
+def test_watermark_drops_late_rows(spark):
+    """A late event arriving after its window was evicted by the watermark
+    is dropped (Spark evicts at end-of-batch, so the drop takes effect one
+    batch after the watermark passes the window end)."""
+    import time
+
+    d = staged_batch_dir("late")
+    schema = "ts timestamp, k string"
+    # file mtime ordering drives batch order; sleep so mtimes differ
+    _write_batch(
+        spark, d, "b0",
+        [(_ts("2024-01-01 10:00:00"), "x"), (_ts("2024-01-01 13:00:00"), "x")], schema,
+    )
+    time.sleep(1.1)
+    _write_batch(spark, d, "b1", [(_ts("2024-01-01 14:00:00"), "x")], schema)
+    time.sleep(1.1)
+    _write_batch(spark, d, "b2", [(_ts("2024-01-01 10:30:00"), "x")], schema)
+    s = _read_stream(spark, d, schema)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "n"), "t_late", "append"
+    )
+    emitted = {(str(r["ws"]), r["n"]) for r in out.collect()}
+    # watermark hits 12:00 after b0 → the [10:00, 11:00) window is evicted
+    # and emitted with n=1; b2's 10:30 row arrives after eviction → dropped
+    assert ("2024-01-01 10:00:00", 1) in emitted
+    assert ("2024-01-01 10:00:00", 2) not in emitted
+
+
+def test_drop_duplicates_within_watermark(spark):
+    d = staged_batch_dir("ddw")
+    schema = "ts timestamp, id long"
+    _write_batch(
+        spark, d, "b0",
+        [(_ts("2024-01-01 10:00:00"), 1), (_ts("2024-01-01 10:00:00"), 1), (_ts("2024-01-01 11:00:00"), 2)],
+        schema,
+    )
+    _write_batch(spark, d, "b1", [(_ts("2024-01-01 11:00:01"), 2), (_ts("2024-01-01 11:30:00"), 3)], schema)
+    s = _read_stream(spark, d, schema)
+    dedup = s.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["id"])
+    out = run_to_memory(dedup, "t_ddw", "append")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2, 3]
+
+
+def test_rate_source_liveness(spark):
+    from kinesis2sse_spark.streaming.source import rate_stream
+
+    s = rate_stream(spark, rows_per_second=50)
+    q = s.writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("SELECT count(*) n FROM t_rate").collect()[0]["n"] > 0:
+                break
+            time.sleep(0.5)
+        assert spark.sql("SELECT count(*) n FROM t_rate").collect()[0]["n"] > 0
+    finally:
+        q.stop()
+
+
+def test_kinesis_stub_raises(spark):
+    import pytest
+
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    with pytest.raises(NotImplementedError):
+        kinesis_stream(spark, "my-stream", "us-east-1")
