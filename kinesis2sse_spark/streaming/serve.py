@@ -1,0 +1,252 @@
+"""SSE serving layer — the reference's HTTP surface (service.go) rebuilt
+outside Spark, fed by Structured Streaming via foreachBatch.
+
+Parity map:
+- route registry / multiplexing ......... service.go:74, 92-128 (E2)
+- /health ................................ service.go:88-90 (E3)
+- ?since= parse (RFC3339 | duration) ..... service.go:226-242 (Q1)
+- SSE headers + ":ok" preamble ........... service.go:244-252 (E1)
+- default cursor = latest offset ......... service.go:253-258 (Q3)
+- since → nearest offset ................. service.go:260-265 (Q2,
+  timestamp2offset.go:58-80 — same B-tree seek semantics, here a
+  bisect over the retained (ts, offset) keys)
+- replay + blocking live tail ............ service.go:267-282 (Q4)
+- bounded retention (capacity) ........... service.go:97-101 (W3)
+- direct-write test seam ................. service.go:34-35 (disableKCL)
+
+Design stance: SSE fan-out is a driver-side edge concern — Spark owns
+ingest/transform (executors, any scale), foreachBatch delivers each
+micro-batch's cleaned rows to the in-process route log, and each HTTP
+client gets a cursor + condition-variable tail, exactly one thread per
+connection like the reference's goroutine-per-client.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import threading
+from collections import deque
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from kinesis2sse_spark.pipeline.since import parse_since
+
+DEFAULT_CAPACITY = 100_000  # service.go:20
+
+
+class RouteLog:
+    """Bounded in-memory append-only log + event-time index for one route
+    (≡ memlog.Log + Timestamp2Offset). Offsets are contiguous from 0;
+    capacity evicts the oldest entry from both log and index
+    (timestamp2offset.go:96-112)."""
+
+    def __init__(self, capacity: int = DEFAULT_CAPACITY) -> None:
+        if capacity <= 0:
+            raise ValueError("capacity must be positive")  # service.go:94-96
+        self.capacity = capacity
+        self._entries: deque[tuple[int, datetime, str]] = deque()
+        self._keys: list[tuple[datetime, int]] = []  # sorted (ts, offset)
+        self._next_offset = 0
+        self.cond = threading.Condition()
+
+    def append(self, ts: datetime, data: str) -> int:
+        """Append one canonical-JSON event; returns its offset (W1)."""
+        with self.cond:
+            offset = self._next_offset
+            self._next_offset += 1
+            self._entries.append((offset, ts, data))
+            bisect.insort(self._keys, (ts, offset))
+            if len(self._entries) > self.capacity:
+                old_off, old_ts, _ = self._entries.popleft()
+                del self._keys[bisect.bisect_left(self._keys, (old_ts, old_off))]
+            self.cond.notify_all()
+            return offset
+
+    def nearest_offset(self, since: datetime):
+        """Q2: offset of the smallest (ts, offset) >= (since, 0); fallback
+        largest (ts, offset) < (since, 0); None if empty."""
+        with self.cond:
+            if not self._keys:
+                return None
+            i = bisect.bisect_left(self._keys, (since, 0))
+            if i < len(self._keys):
+                return self._keys[i][1]
+            return self._keys[-1][1]
+
+    def latest_offset(self) -> int:
+        """Q3: newest retained offset, floor 0 (service.go:253-258)."""
+        with self.cond:
+            return max(self._next_offset - 1, 0)
+
+    def read_from(self, offset: int):
+        """Snapshot of retained entries with offset >= requested, in offset
+        order (replay half of Q4)."""
+        with self.cond:
+            return [(o, d) for o, _, d in self._entries if o >= offset]
+
+    def wait_beyond(self, offset: int, timeout: float):
+        """Block until an entry with offset >= requested exists (tail half
+        of Q4); returns new entries or [] on timeout."""
+        with self.cond:
+            self.cond.wait_for(
+                lambda: self._next_offset > offset, timeout=timeout
+            )
+            return [(o, d) for o, _, d in self._entries if o >= offset]
+
+
+@dataclass
+class RouteOptions:
+    pattern: str
+    capacity: int = DEFAULT_CAPACITY
+
+
+@dataclass
+class SseService:
+    """Multi-route SSE server (E2). Each route owns an independent
+    RouteLog; Spark streaming queries attach via ``attach_query``; tests
+    write logs directly (the disableKCL seam)."""
+
+    routes: list[RouteOptions]
+    port: int = 0  # 0 → ephemeral (reference: -1 → random, service.go:67-72)
+    _logs: dict[str, RouteLog] = field(default_factory=dict)
+    _server: ThreadingHTTPServer | None = None
+    _thread: threading.Thread | None = None
+    _queries: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        for r in self.routes:
+            self._logs[r.pattern.rstrip("/") or "/"] = RouteLog(r.capacity)
+
+    def log(self, pattern: str) -> RouteLog:
+        return self._logs[pattern.rstrip("/") or "/"]
+
+    # -- Spark integration ------------------------------------------------
+    def attach_query(
+        self,
+        pattern: str,
+        stream_df,
+        ts_col: str = "time",
+        data_col: str = "detail",
+        order_col: str | None = None,
+        query_name: str | None = None,
+    ):
+        """Bridge a streaming DataFrame into a route log: every micro-batch
+        is sorted (per-batch total order ≡ the reference's mutex order) and
+        appended on the driver. Returns the StreamingQuery."""
+        log = self.log(pattern)
+        order = order_col or ts_col
+
+        def push(batch_df, epoch_id: int) -> None:
+            rows = batch_df.orderBy(order).collect()
+            for row in rows:
+                log.append(row[ts_col], row[data_col])
+
+        q = (
+            stream_df.writeStream.foreachBatch(push)
+            .queryName(query_name or f"sse_{pattern.strip('/') or 'root'}")
+            .start()
+        )
+        self._queries.append(q)
+        return q
+
+    # -- HTTP -------------------------------------------------------------
+    def start(self) -> None:
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+            daemon_threads = True
+
+            def log_message(self, *args) -> None:  # quiet
+                pass
+
+            def do_GET(self) -> None:  # noqa: N802 (http.server API)
+                url = urlparse(self.path)
+                path = url.path.rstrip("/") or "/"
+                if path == "/health":  # E3
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                log = service._logs.get(path)
+                if log is None:
+                    self.send_response(404)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                params = parse_qs(url.query)
+                since = None
+                if "since" in params:
+                    try:  # Q1: RFC3339, else duration, else 400
+                        since = parse_since(params["since"][0])
+                        if since.tzinfo is not None:
+                            since = since.astimezone(timezone.utc).replace(tzinfo=None)
+                    except ValueError:
+                        self.send_response(400)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+
+                # E1: SSE headers + :ok preamble (service.go:244-252)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "keep-alive")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                try:
+                    self.wfile.write(b":ok\n\n")
+                    self.wfile.flush()
+                except (BrokenPipeError, ConnectionError):
+                    return
+
+                # Q2/Q3: resolve the start offset
+                offset = log.latest_offset()
+                if since is not None:
+                    resolved = log.nearest_offset(since)
+                    if resolved is not None:
+                        offset = resolved
+
+                # Q4: replay retained history, then tail until disconnect
+                try:
+                    while True:
+                        entries = log.read_from(offset)
+                        if not entries:
+                            entries = log.wait_beyond(offset, timeout=0.5)
+                        for o, data in entries:
+                            self.wfile.write(f"data: {data}\n\n".encode())
+                            offset = o + 1
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionError, OSError):
+                    return  # client went away — same exit as service.go:273-276
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
+        self._server.daemon_threads = True
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def addr(self) -> str:
+        assert self._server is not None, "service not started"
+        host, port = self._server.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+
+def envelope_json_rows(rows: list[dict]) -> list[str]:
+    """Test helper: serialize event-envelope dicts to the wire format the
+    reference consumes from Kinesis ({"time": ..., "detail": ...})."""
+    return [json.dumps(r) for r in rows]
