@@ -105,26 +105,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
     )
+    # Single pass: distinct-shingle array once per doc, per-doc count rides
+    # along with every exploded row, and shingles shuffle as 8-byte
+    # xxhash64 keys instead of ~25-byte strings (collision odds over ~10M
+    # distinct shingles ≈ 1e-6 — far below FP noise).
     sh = (
         d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", F.array_distinct(shingles).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+        )
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # ONE shuffle on the shingle hash: build (doc, count) posting lists per
+    # shingle, emit ordered pairs from each (almost always singleton) list
+    # — replaces a self-join that would shuffle the shingle set twice, and
+    # the carried counts make the final join-back unnecessary.
+    postings = sh.groupBy("sh").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("docs")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x: F.transform(
+                        F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.filter(F.size("docs") >= 2)
+        .select(pair.alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+        )
         .agg(F.count("*").alias("c"))
     )
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return inter.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
