@@ -81,7 +81,9 @@ def _ensure_loaded() -> None:
         scalar_functions,
         setops,
         sortlimit,
+        sources,
         streaming_queries,
+        udfs,
         windows,
     )
 
