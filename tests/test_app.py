@@ -1,0 +1,91 @@
+"""Lifecycle tests for the config-driven multi-route service (L1) —
+mirrors the reference's boot path: routes config → per-route stream →
+SSE, plus `start` initial-position resolution with the INTENDED duration
+semantics (SURVEY.md §2.2 defect fixed)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from kinesis2sse_spark.app import RouteConfig, ServiceApp, resolve_start
+from kinesis2sse_spark.streaming.source import staged_batch_dir
+from tests.test_sse import read_sse
+
+
+def test_resolve_start():
+    assert resolve_start(None) == "latest"
+    assert resolve_start("LATEST") == "latest"
+    assert resolve_start("TRIM_HORIZON") == "trim_horizon"
+    assert resolve_start("2024-01-02T00:00:00Z") == datetime(
+        2024, 1, 2, tzinfo=timezone.utc
+    )
+    now = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    # a VALID duration must be applied (the reference's CLI bug silently
+    # ignored it, kinesis2sse.go:123)
+    assert resolve_start("2h", now=now) == now - timedelta(hours=2)
+    with pytest.raises(ValueError):
+        resolve_start("bogus")
+
+
+def _write_envelopes(spark, d: str, name: str, envelopes: list[dict]):
+    rows = [(json.dumps(e),) for e in envelopes]
+    spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, name))
+
+
+def test_two_route_app(spark):
+    foo_dir = staged_batch_dir("app_foo")
+    bar_dir = staged_batch_dir("app_bar")
+    _write_envelopes(
+        spark, foo_dir, "b0",
+        [{"time": "2024-01-01T00:00:00Z", "detail": {"foo": True}}],
+    )
+    _write_envelopes(
+        spark, bar_dir, "b0",
+        [{"time": "2024-01-01T00:00:00Z", "detail": {"bar": False}}],
+    )
+    app = ServiceApp(
+        spark,
+        routes=[
+            RouteConfig("/foo", os.path.join(foo_dir, "*"), start="TRIM_HORIZON"),
+            RouteConfig("/bar", os.path.join(bar_dir, "*"), start="TRIM_HORIZON"),
+        ],
+    )
+    app.start()
+    try:
+        app.process_all_available()
+        _, _, foo = read_sse(app.addr, "/foo?since=1970-01-01T00:00:00Z", 1)
+        _, _, bar = read_sse(app.addr, "/bar?since=1970-01-01T00:00:00Z", 1)
+        assert foo == ['{"foo":true}']
+        assert bar == ['{"bar":false}']
+        status, _, _ = read_sse(app.addr, "/health", 0)
+        assert status == 200
+    finally:
+        app.stop()
+
+
+def test_start_position_filters_old_events(spark):
+    d = staged_batch_dir("app_start")
+    _write_envelopes(
+        spark, d, "b0",
+        [
+            {"time": "2024-01-01T00:00:00Z", "detail": {"e": "old"}},
+            {"time": "2024-06-01T00:00:00Z", "detail": {"e": "new"}},
+        ],
+    )
+    app = ServiceApp(
+        spark,
+        routes=[RouteConfig("/", os.path.join(d, "*"), start="2024-03-01T00:00:00Z")],
+    )
+    app.start()
+    try:
+        app.process_all_available()
+        _, _, events = read_sse(app.addr, "/?since=1970-01-01T00:00:00Z", 1)
+        assert events == ['{"e":"new"}']
+    finally:
+        app.stop()

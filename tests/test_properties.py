@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) — beyond the reference's hand-written
+golden suites: the as-of rule, the serving log, and the duration parser
+are checked against brute-force models on random inputs; canonical JSON
+is checked against Python's sort_keys serialization over random documents.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import string
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis2sse_spark.pipeline.since import parse_go_duration, parse_since
+from kinesis2sse_spark.streaming.serve import RouteLog
+
+# --- as-of rule: smallest (ts, off) >= (since, 0), else largest < -------
+
+
+def brute_nearest(keys: list[tuple[int, int]], since: int):
+    """Reference model of timestamp2offset.go:58-80 over (ts, offset)."""
+    ge = sorted((ts, off) for ts, off in keys if (ts, off) >= (since, 0))
+    if ge:
+        return ge[0][1]
+    lt = sorted((ts, off) for ts, off in keys if (ts, off) < (since, 0))
+    if lt:
+        return lt[-1][1]
+    return None
+
+
+@given(
+    entries=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 50)), max_size=40
+    ),
+    probe=st.integers(-5, 1100),
+    capacity=st.integers(1, 10),
+)
+@settings(max_examples=300, deadline=None)
+def test_routelog_nearest_matches_model(entries, probe, capacity):
+    """RouteLog (bisect-based) ≡ the brute-force B-tree rule, including
+    capacity eviction and out-of-order event times."""
+    log = RouteLog(capacity=capacity)
+    base = datetime(2024, 1, 1)
+    kept: list[tuple[int, int]] = []  # (ts_sec, offset)
+    for off, (ts_sec, _) in enumerate(entries):
+        log.append(base + timedelta(seconds=ts_sec), f'{{"i":{off}}}')
+        kept.append((ts_sec, off))
+        if len(kept) > capacity:
+            # reference evicts offset (o - capacity): the oldest offset
+            kept = [(t, o) for t, o in kept if o > off - capacity]
+    got = log.nearest_offset(base + timedelta(seconds=probe))
+    expected = brute_nearest(kept, probe)
+    assert got == expected
+
+
+@given(
+    entries=st.lists(st.integers(0, 100), min_size=1, max_size=30),
+    capacity=st.integers(1, 8),
+)
+@settings(max_examples=200, deadline=None)
+def test_routelog_retention_and_order(entries, capacity):
+    log = RouteLog(capacity=capacity)
+    base = datetime(2024, 1, 1)
+    for i, ts_sec in enumerate(entries):
+        off = log.append(base + timedelta(seconds=ts_sec), f'{{"i":{i}}}')
+        assert off == i  # contiguous offsets (W1)
+    retained = log.read_from(0)
+    assert len(retained) == min(len(entries), capacity)
+    offs = [o for o, _ in retained]
+    assert offs == sorted(offs)  # offset-ordered delivery (Q4)
+    assert offs[-1] == len(entries) - 1
+
+
+# --- Go duration parsing -------------------------------------------------
+
+
+@given(
+    h=st.integers(0, 100), m=st.integers(0, 59), s=st.integers(0, 59),
+    ms=st.integers(0, 999),
+)
+@settings(max_examples=200, deadline=None)
+def test_duration_roundtrip(h, m, s, ms):
+    txt = f"{h}h{m}m{s}s{ms}ms"
+    assert parse_go_duration(txt) == timedelta(
+        hours=h, minutes=m, seconds=s, milliseconds=ms
+    )
+
+
+@given(st.text(alphabet=string.ascii_letters + string.digits + ".:-", max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_parse_since_never_crashes(s):
+    """parse_since either returns a datetime or raises ValueError (the
+    HTTP 400 path) — no other outcome on arbitrary input."""
+    try:
+        out = parse_since(s, now=datetime(2024, 1, 1, tzinfo=timezone.utc))
+        assert isinstance(out, datetime)
+    except ValueError:
+        pass
+
+
+# --- canonical JSON vs sort_keys over random documents -------------------
+
+
+def _random_json(rng: random.Random, depth: int = 0):
+    choice = rng.random()
+    if depth >= 3 or choice < 0.35:
+        return rng.choice(
+            [None, True, False, rng.randint(-1000, 1000), "x" * rng.randint(0, 4)]
+        )
+    if choice < 0.6:
+        return [_random_json(rng, depth + 1) for _ in range(rng.randint(0, 3))]
+    return {
+        "".join(rng.choices(string.ascii_letters, k=rng.randint(1, 5))): _random_json(
+            rng, depth + 1
+        )
+        for _ in range(rng.randint(0, 4))
+    }
+
+
+def test_canonical_json_random_docs(spark):
+    """The P2 UDF over 200 random nested documents equals key-sorted
+    compact serialization, and is a fixpoint (canon ∘ canon = canon)."""
+    from kinesis2sse_spark.pipeline.envelope import canonical_json
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    docs = [json.dumps(_random_json(rng)) for _ in range(200)]
+    df = spark.createDataFrame([(d,) for d in docs], "raw string")
+    out = df.select("raw", canonical_json(F.col("raw")).alias("canon")).collect()
+    for r in out:
+        expected = json.dumps(
+            json.loads(r["raw"]), sort_keys=True, separators=(",", ":"),
+            ensure_ascii=False,
+        )
+        assert r["canon"] == expected
+    canon_df = spark.createDataFrame([(r["canon"],) for r in out], "raw string")
+    twice = canon_df.select(canonical_json(F.col("raw")).alias("c2")).collect()
+    assert [r["c2"] for r in twice] == [r["canon"] for r in out]
