@@ -81,6 +81,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_binary_files",
+    oracle="""
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: stage the first 10 documents as raw files, read
+    them back with spark.read.format('binaryFile') — the ingestion path
+    for real image/audio blobs (path, modificationTime, length, content).
+    doc_id is recovered from the filename; lengths must match the source
+    table."""
+    import os
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    stage = f"/tmp/k2s_binfiles_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(stage, exist_ok=True)
+    for row in d.select("doc_id", "text").collect():
+        with open(os.path.join(stage, f"{row['doc_id']:05d}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").load(stage)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+    )
+
+
 def extract_image_features(payload: bytes) -> list[float]:
     """STUB decode: the container has no image/audio codecs. Deterministic
     fake features = moments of the raw byte stream. A real deployment

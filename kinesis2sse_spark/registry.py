@@ -84,6 +84,7 @@ def _ensure_loaded() -> None:
         sources,
         streaming_queries,
         subqueries,
+        tpch,
         udfs,
         windows,
     )
