@@ -88,6 +88,18 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch", oracle=None)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL: build mergeable sketches per group — at 100 TB
+    the sketches union across partitions/days without re-scanning, unlike
+    exact distinct. Estimate ≠ exact → rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("est_parts"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_suppkey")).alias("est_supps"),
+    )
+
+
 @register(
     "agg_min_max_by",
     oracle="""

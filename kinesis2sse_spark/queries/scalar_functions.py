@@ -186,6 +186,28 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing
+    FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): parse props once into a variant and extract
+    typed paths — the schemaless-detail storage option of SURVEY.md §1.2
+    (preference 2) with binary-encoded, pushdown-friendly access."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing"),
+    )
+
+
+@register(
     "scalar_conditional",
     oracle="""
     SELECT o_orderkey,

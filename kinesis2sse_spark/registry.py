@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
     from kinesis2sse_spark.queries import (  # noqa: F401
         aggregates,
         event_pipeline,
+        graph,
         joins,
         llm_dedup,
         llm_similarity,
