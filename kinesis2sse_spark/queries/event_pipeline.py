@@ -108,6 +108,67 @@ def retention_last_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_max_age",
+    oracle="""
+    SELECT e.event_id, e.ts
+    FROM events e, (SELECT max(ts) AS max_ts FROM events) m
+    WHERE e.ts >= m.max_ts - INTERVAL 24 HOURS
+    """,
+)
+def retention_max_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-based retention — the README.md:45-46 extension ("no older than
+    M age") the reference documents but never implemented: keep events
+    within 24h of the newest event time. Same shape as retention_last_n:
+    a predicate against a one-row broadcast aggregate, so parquet min/max
+    stats prune whole files at scale."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    hi = events.agg(F.max("ts").alias("__max_ts"))
+    return (
+        events.join(
+            F.broadcast(hi),
+            F.col("ts") >= F.col("__max_ts") - F.expr("INTERVAL 24 HOURS"),
+            "inner",
+        )
+        .drop("__max_ts")
+    )
+
+
+@register(
+    "ingest_envelope_pipeline",
+    bench=True,
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS time_str,
+           replace(props, '": ', '":') AS detail
+    FROM events
+    WHERE props IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def ingest_envelope_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE ingest path as one measurable batch query
+    (record_processor.go:52-102): build wire-format envelopes from the
+    fixtures, then parse (S4), validate (F1-F3), strip (P1) and
+    canonicalize (P2). Benchmarked — this is the per-record hot path a
+    Kinesis route would run at scale."""
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+
+    events = load_table(spark, sf_dir, "events")
+    wire = events.select(
+        F.concat(
+            F.lit('{"time":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.lit('","detail":'),
+            F.col("props"),
+            F.lit("}"),
+        ).alias("value")
+    )
+    parsed = parse_envelope(wire)
+    return parsed.select(
+        F.date_format("time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("time_str"),
+        F.col("detail"),
+    )
+
+
+@register(
     "tail_offset",
     oracle="SELECT greatest(max(event_id), 0) AS off FROM events",
 )

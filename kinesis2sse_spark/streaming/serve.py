@@ -43,10 +43,14 @@ class RouteLog:
     capacity evicts the oldest entry from both log and index
     (timestamp2offset.go:96-112)."""
 
-    def __init__(self, capacity: int = DEFAULT_CAPACITY) -> None:
+    def __init__(self, capacity: int = DEFAULT_CAPACITY, max_age=None) -> None:
         if capacity <= 0:
             raise ValueError("capacity must be positive")  # service.go:94-96
         self.capacity = capacity
+        # README.md:45-46 extension: "up to N events no older than M age" —
+        # the age bound the reference documents but never implemented
+        # (SURVEY.md §1.4); None preserves exact reference semantics.
+        self.max_age = max_age
         self._entries: deque[tuple[int, datetime, str]] = deque()
         self._keys: list[tuple[datetime, int]] = []  # sorted (ts, offset)
         self._next_offset = 0
@@ -62,6 +66,11 @@ class RouteLog:
             if len(self._entries) > self.capacity:
                 old_off, old_ts, _ = self._entries.popleft()
                 del self._keys[bisect.bisect_left(self._keys, (old_ts, old_off))]
+            if self.max_age is not None:
+                horizon = max(t for _, t, _ in self._entries) - self.max_age
+                while self._entries and self._entries[0][1] < horizon:
+                    old_off, old_ts, _ = self._entries.popleft()
+                    del self._keys[bisect.bisect_left(self._keys, (old_ts, old_off))]
             self.cond.notify_all()
             return offset
 
@@ -101,6 +110,7 @@ class RouteLog:
 class RouteOptions:
     pattern: str
     capacity: int = DEFAULT_CAPACITY
+    max_age: object = None  # optional timedelta — README age-bound extension
 
 
 @dataclass
@@ -118,7 +128,7 @@ class SseService:
 
     def __post_init__(self) -> None:
         for r in self.routes:
-            self._logs[r.pattern.rstrip("/") or "/"] = RouteLog(r.capacity)
+            self._logs[r.pattern.rstrip("/") or "/"] = RouteLog(r.capacity, r.max_age)
 
     def log(self, pattern: str) -> RouteLog:
         return self._logs[pattern.rstrip("/") or "/"]
@@ -210,12 +220,20 @@ class SseService:
                 except (BrokenPipeError, ConnectionError):
                     return
 
-                # Q2/Q3: resolve the start offset
+                # Q2/Q3: resolve the start offset. Precedence: Last-Event-ID
+                # (SSE reconnect, the README.md:47 extension the reference
+                # never implemented) > since > latest.
                 offset = log.latest_offset()
                 if since is not None:
                     resolved = log.nearest_offset(since)
                     if resolved is not None:
                         offset = resolved
+                last_id = self.headers.get("Last-Event-ID")
+                if last_id is not None:
+                    try:
+                        offset = int(last_id) + 1
+                    except ValueError:
+                        pass
 
                 # Q4: replay retained history, then tail until disconnect
                 try:
@@ -224,7 +242,7 @@ class SseService:
                         if not entries:
                             entries = log.wait_beyond(offset, timeout=0.5)
                         for o, data in entries:
-                            self.wfile.write(f"data: {data}\n\n".encode())
+                            self.wfile.write(f"id: {o}\ndata: {data}\n\n".encode())
                             offset = o + 1
                         self.wfile.flush()
                 except (BrokenPipeError, ConnectionError, OSError):

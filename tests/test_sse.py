@@ -18,11 +18,12 @@ from kinesis2sse_spark.streaming.serve import RouteLog, RouteOptions, SseService
 EPOCH = datetime(1970, 1, 1)
 
 
-def read_sse(addr: str, path: str, n_events: int, timeout: float = 10.0):
+def read_sse(addr: str, path: str, n_events: int, timeout: float = 10.0,
+             headers: dict | None = None):
     """Minimal SSE client: returns (status, headers, first n data payloads)."""
     u = urlparse(addr)
     conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
-    conn.request("GET", path)
+    conn.request("GET", path, headers=headers or {})
     resp = conn.getresponse()
     events: list[str] = []
     if resp.status == 200 and n_events > 0:
@@ -131,6 +132,35 @@ def test_capacity_eviction():
             log.append(datetime(2024, 1, 1, i), json.dumps({"i": i}))
         _, _, events = read_sse(svc.addr, "/?since=1970-01-01T00:00:00Z", 2)
         assert events == ['{"i": 3}', '{"i": 4}']
+    finally:
+        svc.stop()
+
+
+def test_last_event_id_resume(service):
+    """SSE reconnect extension (README.md:47, unimplemented in the
+    reference): Last-Event-ID resumes delivery at the NEXT offset."""
+    log = service.log("/")
+    for i in range(4):
+        log.append(datetime(2024, 1, 1, i), json.dumps({"i": i}))
+    _, _, events = read_sse(service.addr, "/", 2, headers={"Last-Event-ID": "1"})
+    assert events == ['{"i": 2}', '{"i": 3}']
+
+
+def test_age_based_eviction():
+    """README.md:45-46 extension: entries older than max_age relative to
+    the newest event time are evicted."""
+    from datetime import timedelta
+
+    svc = SseService(routes=[RouteOptions("/", capacity=100, max_age=timedelta(hours=2))])
+    svc.start()
+    try:
+        log = svc.log("/")
+        log.append(datetime(2024, 1, 1, 0), '{"old":1}')
+        log.append(datetime(2024, 1, 1, 1), '{"mid":1}')
+        log.append(datetime(2024, 1, 1, 5), '{"new":1}')  # evicts both older
+        _, _, events = read_sse(svc.addr, "/?since=1970-01-01T00:00:00Z", 1)
+        assert events == ['{"new":1}']
+        assert len(log.read_from(0)) == 1
     finally:
         svc.stop()
 
