@@ -70,13 +70,20 @@ class ServiceApp:
         stream = self.spark.readStream.schema("value string").parquet(r.source_dir)
         parsed = parse_envelope(stream)
         start = resolve_start(r.start)
+        if start == "latest":
+            # LATEST over a file directory that may already hold data:
+            # approximate the Kinesis seek with an event-time cutoff at
+            # service start (the connector seam maps this to
+            # startingPosition=latest natively).
+            start = datetime.now(timezone.utc)
         if isinstance(start, datetime):
-            cutoff = start.astimezone(timezone.utc).replace(tzinfo=None)
-            parsed = parsed.filter(F.col("time") >= F.lit(cutoff))
-        # latest/trim_horizon: a file source always replays the directory;
-        # 'latest' semantics for a file directory = start from an empty dir,
-        # so no extra filter is applied here (the Kinesis connector seam
-        # maps these to startingPosition natively).
+            # a naive datetime is already UTC by convention — only convert
+            # when an explicit offset was given (astimezone on a naive
+            # value would reinterpret it as host-local time)
+            if start.tzinfo is not None:
+                start = start.astimezone(timezone.utc).replace(tzinfo=None)
+            parsed = parsed.filter(F.col("time") >= F.lit(start))
+        # trim_horizon: full replay of the directory — no filter.
         return parsed
 
     def start(self) -> None:

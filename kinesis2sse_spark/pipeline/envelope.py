@@ -66,13 +66,18 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     """
     raw = F.col(value_col).cast("string")
     # get_json_object returns null for invalid JSON (S4 drop) and for
-    # missing paths (F1/F3 drop).
+    # missing paths (F1/F3 drop). It also stringifies non-string values
+    # ({"time": 1234} → "1234"), so F1's string-type check and F2's
+    # RFC3339 check are enforced with an explicit shape filter — Spark's
+    # loose timestamp cast would otherwise accept "1234" as year 1234 or
+    # date-only strings the Go reference rejects.
     time_str = F.get_json_object(raw, "$.time")
     detail_raw = F.get_json_object(raw, "$.detail")
+    rfc3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
     parsed = df.select(
         # try_to_timestamp: malformed time → null → dropped (F2), matching
         # the reference's drop-and-warn rather than ANSI-mode's throw.
-        F.try_to_timestamp(time_str).alias("time"),
+        F.when(time_str.rlike(rfc3339), F.try_to_timestamp(time_str)).alias("time"),
         canonical_json(detail_raw).alias("detail"),
     )
     return parsed.filter(F.col("time").isNotNull() & F.col("detail").isNotNull())

@@ -54,6 +54,7 @@ class RouteLog:
         self._entries: deque[tuple[int, datetime, str]] = deque()
         self._keys: list[tuple[datetime, int]] = []  # sorted (ts, offset)
         self._next_offset = 0
+        self._max_ts: datetime | None = None  # running max — O(1) age checks
         self.cond = threading.Condition()
 
     def append(self, ts: datetime, data: str) -> int:
@@ -63,11 +64,13 @@ class RouteLog:
             self._next_offset += 1
             self._entries.append((offset, ts, data))
             bisect.insort(self._keys, (ts, offset))
+            if self._max_ts is None or ts > self._max_ts:
+                self._max_ts = ts
             if len(self._entries) > self.capacity:
                 old_off, old_ts, _ = self._entries.popleft()
                 del self._keys[bisect.bisect_left(self._keys, (old_ts, old_off))]
             if self.max_age is not None:
-                horizon = max(t for _, t, _ in self._entries) - self.max_age
+                horizon = self._max_ts - self.max_age
                 while self._entries and self._entries[0][1] < horizon:
                     old_off, old_ts, _ = self._entries.popleft()
                     del self._keys[bisect.bisect_left(self._keys, (old_ts, old_off))]
@@ -90,11 +93,22 @@ class RouteLog:
         with self.cond:
             return max(self._next_offset - 1, 0)
 
+    def _tail_from(self, offset: int):
+        """Retained entries with offset >= requested, in offset order.
+        Offsets are contiguous (eviction is left-only), so this is an
+        index slice, not a scan — O(result), not O(capacity). Caller
+        holds the lock."""
+        if not self._entries:
+            return []
+        first = self._entries[0][0]
+        start = max(offset - first, 0)
+        return [(o, d) for o, _, d in list(self._entries)[start:]]
+
     def read_from(self, offset: int):
         """Snapshot of retained entries with offset >= requested, in offset
         order (replay half of Q4)."""
         with self.cond:
-            return [(o, d) for o, _, d in self._entries if o >= offset]
+            return self._tail_from(offset)
 
     def wait_beyond(self, offset: int, timeout: float):
         """Block until an entry with offset >= requested exists (tail half
@@ -103,7 +117,7 @@ class RouteLog:
             self.cond.wait_for(
                 lambda: self._next_offset > offset, timeout=timeout
             )
-            return [(o, d) for o, _, d in self._entries if o >= offset]
+            return self._tail_from(offset)
 
 
 @dataclass

@@ -28,15 +28,20 @@ def _assign_offsets_fn(order_col: str):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (start,) = state.get if state.exists else (0,)
-        total = 0
-        for pdf in pdfs:
-            # within-batch order: sort by the arrival column so offsets are
-            # deterministic per batch (the reference's per-batch mutex order)
-            pdf = pdf.sort_values(order_col).reset_index(drop=True)
-            pdf["offset"] = range(start + total, start + total + len(pdf))
-            total += len(pdf)
-            yield pdf.drop(columns=["__k"])
-        state.update((start + total,))
+        # The group arrives as an ITERATOR of Arrow chunks (default 10k
+        # rows each) — the whole micro-batch must be concatenated before
+        # sorting, or offsets would only be ordered within each chunk.
+        # Materializing the batch is inherent to a total order; the single
+        # state key already serializes this stage (the reference holds the
+        # whole ProcessRecords batch in memory the same way).
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(order_col).reset_index(drop=True)
+            batch["offset"] = range(start, start + len(batch))
+            start += len(batch)
+            yield batch.drop(columns=["__k"])
+        state.update((start,))
 
     return assign
 

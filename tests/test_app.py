@@ -69,6 +69,24 @@ def test_two_route_app(spark):
         app.stop()
 
 
+def test_latest_start_skips_existing_events(spark):
+    """start=None/LATEST on a directory with pre-existing data must NOT
+    replay history (event-time cutoff at service start approximates the
+    Kinesis LATEST seek for the file seam)."""
+    d = staged_batch_dir("app_latest")
+    _write_envelopes(
+        spark, d, "b0",
+        [{"time": "2024-01-01T00:00:00Z", "detail": {"e": "historical"}}],
+    )
+    app = ServiceApp(spark, routes=[RouteConfig("/", os.path.join(d, "*"))])
+    app.start()
+    try:
+        app.process_all_available()
+        assert app.service.log("/").read_from(0) == []
+    finally:
+        app.stop()
+
+
 def test_start_position_filters_old_events(spark):
     d = staged_batch_dir("app_start")
     _write_envelopes(

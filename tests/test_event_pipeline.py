@@ -36,10 +36,37 @@ def test_parse_envelope_bad_time(spark):
     from kinesis2sse_spark.pipeline.envelope import parse_envelope
 
     df = spark.createDataFrame(
-        [('{"time":"not-a-time","detail":{}}',), ('{"time":42,"detail":{}}',)],
+        [
+            ('{"time":"not-a-time","detail":{}}',),
+            # non-string time: the reference's F1 type assertion drops it
+            # (get_json_object stringifies 42 → loose cast would accept
+            # it as year 42)
+            ('{"time":42,"detail":{}}',),
+            ('{"time":1234,"detail":{}}',),
+            # not RFC3339 (date-only / missing offset): F2 drops
+            ('{"time":"2024-01-02","detail":{}}',),
+            ('{"time":"2024-01-02 10:00:00","detail":{}}',),
+        ],
         ["value"],
     )
     assert parse_envelope(df).count() == 0
+
+
+def test_parse_envelope_rfc3339_offsets(spark):
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+
+    df = spark.createDataFrame(
+        [
+            ('{"time":"2024-01-02T10:00:00Z","detail":1}',),
+            ('{"time":"2024-01-02T10:00:00+02:00","detail":2}',),
+            ('{"time":"2024-01-02T10:00:00.123456Z","detail":3}',),
+        ],
+        ["value"],
+    )
+    out = parse_envelope(df).orderBy("detail").collect()
+    assert [r["detail"] for r in out] == ["1", "2", "3"]
+    # +02:00 is normalized to UTC (session timezone)
+    assert out[1]["time"].hour == 8
 
 
 # --- as-of vectors: timestamp2offset_test.go:10-92 (FIXTURES.md §A.2) ---

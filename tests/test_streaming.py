@@ -50,6 +50,30 @@ def test_offsets_carry_across_batches(spark):
     )
 
 
+def test_offsets_follow_order_across_arrow_chunks(spark):
+    """A micro-batch larger than the Arrow chunk size must still assign
+    offsets in order_col order across chunk boundaries (the group arrives
+    as an iterator of chunks)."""
+    from kinesis2sse_spark.streaming.state import with_streaming_offsets
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        d = staged_batch_dir("chunks")
+        schema = "event_id long, v string"
+        rows = [(i, f"r{i}") for i in range(300)]
+        import random
+
+        random.Random(7).shuffle(rows)
+        _write_batch(spark, d, "b0", rows, schema)
+        out = run_to_memory(
+            with_streaming_offsets(_read_stream(spark, d, schema)), "t_chunks", "append"
+        ).orderBy("offset")
+        got = [(r["offset"], r["event_id"]) for r in out.collect()]
+        assert got == [(i, i) for i in range(300)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
 def test_watermark_drops_late_rows(spark):
     """A late event arriving after its window was evicted by the watermark
     is dropped (Spark evicts at end-of-batch, so the drop takes effect one
