@@ -1,0 +1,139 @@
+"""Time-series operators — hypertable-style rollups over the events
+stream: dense gap-filled bucket rollups (empty buckets materialized) and
+LOCF (last-observation-carried-forward) resampling.
+
+Spark has no generate_series table function, but `sequence` + `explode`
+builds the dense time spine from a one-row min/max aggregate — a
+broadcast-sized driver of the fill join, never a shuffle of the facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.registry import register
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '6 hours', min(ts)) AS lo,
+             time_bucket(INTERVAL '6 hours', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket, t.event_type
+      FROM bounds, (SELECT DISTINCT event_type FROM events) t
+    ),
+    agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+             count(*) AS n, round(sum(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.bucket, s.event_type,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.total, 0.0) AS total
+    FROM spine s LEFT JOIN agg a
+      ON s.bucket = a.bucket AND s.event_type = a.event_type
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled rollup: every (6h bucket × event_type) cell exists, empty
+    cells filled with zeros. The spine (buckets × types) comes from a
+    one-row bounds aggregate cross a tiny distinct list — both broadcast;
+    the fact table shuffles once for the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "6 hours")["start"]
+    agg = ev.groupBy(bucket.alias("bucket"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+    def floor_to(col, seconds):
+        # epoch-aligned bucket start (≡ window()/time_bucket boundaries
+        # for day-divisible intervals)
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col) / seconds).cast("long") * seconds
+        )
+
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).select(
+        floor_to(F.col("mn"), 21600).alias("lo"), floor_to(F.col("mx"), 21600).alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 6 HOURS"))).alias("bucket")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    return (
+        spine.join(agg, ["bucket", "event_type"], "left")
+        .select(
+            "bucket",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@register(
+    "timeseries_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, value AS last_value
+      FROM (
+        SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 day', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 day', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+      FROM bounds, (SELECT DISTINCT user_id FROM events) u
+    )
+    SELECT s.user_id, s.day,
+           round(last_value(d.last_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_locf
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF resampling: daily grid per user; days without an observation
+    carry the user's most recent value forward (null before the first
+    observation). The argmax-per-day uses the same (ts, offset) tiebreak
+    as the as-of operator Q2."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.window("ts", "1 day")["start"]
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("last_value")
+    )
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).select(
+        F.date_trunc("day", "mn").alias("lo"), F.date_trunc("day", "mx").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+        .crossJoin(ev.select("user_id").distinct())
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.round(F.last("last_value", ignorenulls=True).over(w), 2).alias("value_locf"),
+        )
+    )

@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
         sources,
         streaming_queries,
         subqueries,
+        timeseries,
         tpch,
         udfs,
         windows,
