@@ -167,6 +167,63 @@ def streaming_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT s.user_id,
+           s.event_id AS signup_event_id,
+           p.event_id AS purchase_event_id,
+           round(p.value, 2) AS purchase_value
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOURS
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 2 hours after a
+    signup by the same user. Both sides carry watermarks; the time-range
+    condition bounds each side's join state so it evicts as the watermark
+    advances — the only way a stream-stream join survives unbounded input."""
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    return run_to_memory(
+        joined.select(
+            F.col("s_user").alias("user_id"),
+            "signup_event_id",
+            "purchase_event_id",
+            F.round("value", 2).alias("purchase_value"),
+        ),
+        _qname("ssj"),
+        "append",
+    )
+
+
+@register(
     "streaming_stream_static_join",
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS total_value
