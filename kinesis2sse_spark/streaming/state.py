@@ -46,6 +46,11 @@ def _assign_offsets_fn(order_col: str):
     return assign
 
 
+# NOTE: a transformWithStateInPandas variant was evaluated (Spark 4's
+# typed-state successor to applyInPandasWithState) but this PySpark build's
+# TWS driver worker crashes during state-schema validation even on a
+# minimal processor with the RocksDB provider enabled — revisit when the
+# runtime supports it; the semantics here are identical.
 def with_streaming_offsets(df: DataFrame, order_col: str = "event_id") -> DataFrame:
     """Assign contiguous offsets 0,1,2,... across micro-batches.
 
