@@ -123,6 +123,48 @@ def test_drop_duplicates_within_watermark(spark):
     assert ids == [1, 2, 3]
 
 
+def test_streaming_parquet_file_sink(spark):
+    """Exactly-once file sink: writeStream → parquet with checkpoint; the
+    committed output matches the input across restarts of the same query
+    (the durable C1 path the reference deliberately lacks)."""
+    import shutil
+
+    d = staged_batch_dir("fsink_in")
+    schema = "event_id long, v string"
+    _write_batch(spark, d, "b0", [(1, "a"), (2, "b"), (3, "c")], schema)
+    out_dir = "/tmp/k2s_fsink_out"
+    ckpt = "/tmp/k2s_fsink_ckpt"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    s = _read_stream(spark, d, schema)
+    q = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out_dir)
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3]
+    # restart with the same checkpoint: no duplicates (exactly-once)
+    q2 = (
+        s.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out_dir).count() == 3
+
+
 def test_rate_source_liveness(spark):
     from kinesis2sse_spark.streaming.source import rate_stream
 
