@@ -77,6 +77,23 @@ def staged_batch_dir(name: str) -> str:
     return d
 
 
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """Kafka source through the same seam: returns the raw ``value`` bytes
+    column shape ``parse_envelope`` consumes. The kafka-sql connector jar
+    ships with Spark distributions but needs a broker; tests use the file
+    source through the identical downstream path."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select("value")
+    )
+
+
 def kinesis_stream(spark: SparkSession, stream_name: str, region: str, **options):
     """Kinesis source stub. OSS PySpark ships no Kinesis connector; wire
     one (e.g. spark-sql-kinesis) on the classpath and replace this body

@@ -186,6 +186,36 @@ def test_live_tail(service):
     assert results["events"] == ['{"first":1}', '{"second":2}']
 
 
+def test_many_concurrent_clients(service):
+    """Fan-out: N concurrent tailing clients each receive every event in
+    offset order (per-client cursors over the shared log, reference
+    service.go:267 — N readers, zero copies of history)."""
+    import threading
+
+    log = service.log("/")
+    log.append(datetime(2024, 1, 1), '{"seed":0}')
+    n_clients, n_live = 12, 5
+    results = [None] * n_clients
+
+    def client(i):
+        results[i] = read_sse(
+            service.addr, "/?since=1970-01-01T00:00:00Z", 1 + n_live, timeout=15
+        )[2]
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    time.sleep(1.0)
+    for k in range(n_live):
+        log.append(datetime(2024, 1, 2, k), json.dumps({"live": k}))
+        time.sleep(0.05)
+    for t in threads:
+        t.join(timeout=20)
+    expected = ['{"seed":0}'] + [json.dumps({"live": k}) for k in range(n_live)]
+    for i, got in enumerate(results):
+        assert got == expected, f"client {i}: {got}"
+
+
 def test_spark_fed_route(spark):
     """Full pipeline: raw JSON envelopes → file stream → parse_envelope
     (S4/F1-F3/P1/P2) → foreachBatch → SSE client sees canonical detail
