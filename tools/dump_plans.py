@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for the headline queries,
+so the scan-pushdown/broadcast/codegen structure is reviewable without
+running Spark."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinesis2sse_spark.registry import all_queries
+from kinesis2sse_spark.session import build_session
+
+SHOW = [
+    "q1_pricing_summary",
+    "asof_replay",
+    "join_broadcast_inner",
+    "q5_local_supplier_volume",
+    "join_asof",
+    "topk_per_group",
+    "dedup_ngram_jaccard",
+    "sim_topk_bruteforce",
+]
+
+
+def main() -> None:
+    spark = build_session(app_name="dump_plans", shuffle_partitions=32)
+    # static plans are clearer without the AQE wrapper
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = all_queries()
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical plans of the headline queries (sf0.1, AQE off "
+        "for readability)\n\nRegenerate with `python tools/dump_plans.py`. "
+        "What to look for: `PushedFilters`/pruned `ReadSchema` on scans, "
+        "`BroadcastHashJoin` for dims, partial→final `HashAggregate` pairs, "
+        "`WindowGroupLimit` under top-k, `*(n)` whole-stage-codegen spans.\n"
+    )
+    for name in SHOW:
+        df = qs[name](spark, "/root/testdata/sf0.1")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write(out.getvalue())
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
