@@ -31,13 +31,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as long (nanosAsLong); truncate to
         # µs exactly like the DuckDB oracle does. Integer division — a
         # double round-trip would lose precision at 1.7e18 ns.
-        from pyspark.sql import functions as F
-
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize TIMESTAMP_NTZ parquet columns to the session-TZ timestamp
+    # type: wall-clock values are identical under UTC, and output schemas
+    # stay uniform with the DuckDB oracle's TIMESTAMP
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

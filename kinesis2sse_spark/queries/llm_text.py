@@ -44,8 +44,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), 0)).cast("bigint").alias("n_bpe_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
 
@@ -85,7 +85,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.length("text").alias("n_chars"),
         sw.alias("sw_hits"),
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("alpha_chars"),
@@ -138,9 +138,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = d.select(
         "doc_id",
-        hits(EN_STOP).alias("c_en"),
-        hits(ES_STOP).alias("c_es"),
-        hits(DE_STOP).alias("c_de"),
+        hits(EN_STOP).cast("bigint").alias("c_en"),
+        hits(ES_STOP).cast("bigint").alias("c_es"),
+        hits(DE_STOP).cast("bigint").alias("c_de"),
     )
     return base.withColumn(
         "lang_guess",
@@ -283,6 +283,6 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(cleaned).alias("n_content_tokens"),
+        F.size(cleaned).cast("bigint").alias("n_content_tokens"),
         F.array_join(F.slice(cleaned, 1, 5), " ").alias("head_content"),
     )

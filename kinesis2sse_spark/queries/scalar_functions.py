@@ -39,7 +39,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
         F.concat("c_name", F.lit("#"), "c_mktsegment").alias("tagged"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("renamed"),
         F.trim(F.concat(F.lit(" "), "c_name", F.lit(" "))).alias("trimmed"),
@@ -131,7 +131,7 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         toks.getItem(0).alias("first_token"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_join(
@@ -159,7 +159,7 @@ def scalar_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"),
         F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x), 6).alias("vec_sq_sum"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )
 
 

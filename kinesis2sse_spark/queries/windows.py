@@ -33,10 +33,10 @@ def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
