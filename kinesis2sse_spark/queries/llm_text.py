@@ -265,6 +265,106 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_scrub",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, 'data', '[MASK]', 'g'),
+                          '[0-9]+', '#', 'g') AS scrubbed,
+           len(regexp_extract_all(text, 'data')) AS n_masked
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text scrubbing/masking: regexp_replace chains (the PII-redaction
+    shape — swap the patterns for email/phone/SSN in production) plus a
+    count of masked spans."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", "data", "[MASK]"), "[0-9]+", "#"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit("data"), 0))
+        .cast("bigint")
+        .alias("n_masked"),
+    )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling: key-mod bucketing — the
+    reproducible alternative to Bernoulli sample() for carving
+    train/val/test splits (in production the key is hashed first so the
+    sample is unbiased w.r.t. key order)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 10 == 3).select("doc_id", "n_chars")
+
+
+@register(
+    "pipeline_training_export",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN ({_sql_list(EN_STOP)}))) * 1.0
+               / len(string_split(text, ' ')) AS sw_ratio
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 30 AND sw_ratio >= 0.02 AND lang IN ('en', 'es', 'de')
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, text, min(n_chars) AS n_chars
+      FROM kept GROUP BY text
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(k.n_chars) AS BIGINT) AS total_chars
+    FROM deduped d JOIN kept k USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality filter (length +
+    stopword ratio) → language allowlist → exact dedup (keep lowest
+    doc_id) → per-language corpus stats. One scan, one dedup shuffle,
+    one stats shuffle — the end-to-end shape every operator above exists
+    to serve."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sw = F.expr(f"size(filter(split(text, ' '), t -> t IN ({_sql_list(EN_STOP)})))")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (sw * 1.0 / F.size(toks)).alias("sw_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("sw_ratio") >= 0.02)
+        & F.col("lang").isin("en", "es", "de")
+    )
+    deduped = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_chars").alias("n_chars")
+    )
+    return (
+        deduped.join(kept.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
     "text_stopword_removal",
     oracle=f"""
     SELECT doc_id,
