@@ -186,6 +186,29 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_encoding",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           upper(hex(encode(c_name))) AS name_hex,
+           to_base64(encode(c_name)) AS name_b64
+    FROM customer
+    """,
+)
+def scalar_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing/encoding functions — content keys, cache keys, wire formats."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5(F.encode("c_name", "utf-8")).alias("name_md5"),
+        F.sha2(F.encode("c_name", "utf-8"), 256).alias("name_sha256"),
+        F.hex(F.encode("c_name", "utf-8")).alias("name_hex"),
+        F.base64(F.encode("c_name", "utf-8")).alias("name_b64"),
+    )
+
+
+@register(
     "scalar_variant",
     oracle="""
     SELECT event_id,
