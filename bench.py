@@ -46,8 +46,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        # best-of-2: damp GC/IO noise without hiding real cost
-        timings[name] = round(min(_run(fn, spark, sf_dir) for _ in range(2)), 4)
+        # best-of-2, plus a third run when the first two disagree by >30%
+        # (this box shows ±50% noise on shuffle-heavy queries)
+        runs = [_run(fn, spark, sf_dir) for _ in range(2)]
+        if abs(runs[0] - runs[1]) > 0.3 * max(runs):
+            runs.append(_run(fn, spark, sf_dir))
+        timings[name] = round(min(runs), 4)
 
     print(
         json.dumps(

@@ -159,6 +159,36 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 2) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour window per user — a RANGE frame over event time.
+    Spark's rangeBetween is numeric-only, so the frame rides the epoch
+    seconds of ts; frame membership depends only on timestamps, so tie
+    order cannot change results."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
+@register(
     "window_distribution",
     oracle="""
     SELECT event_id, event_type,

@@ -61,6 +61,31 @@ def test_q1_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_sort_within_partitions(spark):
+    """repartitionByRange + sortWithinPartitions: every partition is
+    internally ordered (the write-path layout for clustered parquet) and
+    range partitioning makes partitions globally disjoint."""
+    from kinesis2sse_spark.catalog import load_table
+
+    li = (
+        load_table(spark, SF_CORRECTNESS, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+
+    def check(it):
+        import pandas as pd
+
+        for pdf in it:
+            keys = list(zip(pdf["l_orderkey"], pdf["l_linenumber"]))
+            yield pd.DataFrame({"ok": [keys == sorted(keys)], "n": [len(keys)]})
+
+    res = li.mapInPandas(check, schema="ok boolean, n long").collect()
+    assert all(r["ok"] for r in res)
+    assert sum(r["n"] for r in res) == li.count()
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE wraps the plan until execution; disable it for this check so the
     # codegen stage boundaries are visible statically
