@@ -35,6 +35,7 @@ class RouteConfig:
     source_dir: str  # directory of JSON-envelope parquet files (value: string)
     capacity: int = 100_000
     start: str | None = None  # LATEST | TRIM_HORIZON | RFC3339 | Go duration
+    max_age: object = None  # optional timedelta — README.md:45-46 age bound
 
 
 def resolve_start(start: str | None, now: datetime | None = None):
@@ -63,7 +64,8 @@ class ServiceApp:
         self.routes = routes
         self.checkpoint_dir = checkpoint_dir
         self.service = SseService(
-            routes=[RouteOptions(r.pattern, r.capacity) for r in routes], port=port
+            routes=[RouteOptions(r.pattern, r.capacity, r.max_age) for r in routes],
+            port=port,
         )
 
     def _route_stream(self, r: RouteConfig) -> DataFrame:

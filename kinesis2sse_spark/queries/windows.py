@@ -171,14 +171,15 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 1-hour window per user — a RANGE frame over event time.
-    Spark's rangeBetween is numeric-only, so the frame rides the epoch
-    seconds of ts; frame membership depends only on timestamps, so tie
-    order cannot change results."""
+    Spark's rangeBetween is numeric-only, so the frame rides epoch
+    MICROseconds — unix_timestamp (seconds) would truncate and admit
+    pairs whose true gap straddles the 3600s boundary; frame membership
+    depends only on timestamps, so tie order cannot change results."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -93,16 +93,23 @@ class RouteLog:
         with self.cond:
             return max(self._next_offset - 1, 0)
 
+    def next_offset(self) -> int:
+        """Offset the next append will receive."""
+        with self.cond:
+            return self._next_offset
+
     def _tail_from(self, offset: int):
         """Retained entries with offset >= requested, in offset order.
-        Offsets are contiguous (eviction is left-only), so this is an
-        index slice, not a scan — O(result), not O(capacity). Caller
-        holds the lock."""
+        Offsets are contiguous (eviction is left-only), so this seeks by
+        index and copies only the O(result) tail — islice avoids
+        materializing the whole deque. Caller holds the lock."""
+        import itertools
+
         if not self._entries:
             return []
         first = self._entries[0][0]
         start = max(offset - first, 0)
-        return [(o, d) for o, _, d in list(self._entries)[start:]]
+        return [(o, d) for o, _, d in itertools.islice(self._entries, start, None)]
 
     def read_from(self, offset: int):
         """Snapshot of retained entries with offset >= requested, in offset
@@ -245,7 +252,10 @@ class SseService:
                 last_id = self.headers.get("Last-Event-ID")
                 if last_id is not None:
                     try:
-                        offset = int(last_id) + 1
+                        # clamp to the log head: a stale id from a prior
+                        # (non-durable) incarnation must not stall the
+                        # stream waiting for offsets that may never come
+                        offset = min(int(last_id) + 1, log.next_offset())
                     except ValueError:
                         pass
 

@@ -1,0 +1,25 @@
+"""Scale-stability spot checks at sf0.1 (the bench scale) for queries
+whose correctness could plausibly be data-dependent — frame-boundary
+precision, FP rounding conventions — beyond the sf0.01 driver gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+SPOT = [
+    # µs-precision RANGE frame boundaries (regression: unix_timestamp
+    # truncation diverged at sf0.1 while passing at sf0.01)
+    "window_time_range",
+    # FP rounding conventions under 10x more summation reorder
+    "q1_pricing_summary",
+    "dedup_ngram_jaccard",
+]
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_matches_oracle_at_bench_scale(spark, name):
+    assert_matches_oracle(spark, name, SF_BENCH)

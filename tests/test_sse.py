@@ -146,6 +146,29 @@ def test_last_event_id_resume(service):
     assert events == ['{"i": 2}', '{"i": 3}']
 
 
+def test_stale_last_event_id_does_not_stall(service):
+    """A Last-Event-ID beyond the log head (e.g. from before a restart of
+    this non-durable service) is clamped — the client still receives the
+    next appended events instead of waiting forever."""
+    import threading
+
+    log = service.log("/")
+    log.append(datetime(2024, 1, 1), '{"pre":1}')
+    results = {}
+
+    def client():
+        results["events"] = read_sse(
+            service.addr, "/", 1, timeout=8, headers={"Last-Event-ID": "5000"}
+        )[2]
+
+    t = threading.Thread(target=client)
+    t.start()
+    time.sleep(0.8)
+    log.append(datetime(2024, 1, 2), '{"post":1}')
+    t.join(timeout=10)
+    assert results["events"] == ['{"post":1}']
+
+
 def test_age_based_eviction():
     """README.md:45-46 extension: entries older than max_age relative to
     the newest event time are evicted."""
