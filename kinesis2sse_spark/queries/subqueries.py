@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kinesis2sse_spark.catalog import load_table, register_views
 from kinesis2sse_spark.registry import register
@@ -99,6 +100,91 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "subquery_correlated_scalar_min",
+    oracle="""
+    SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey,
+           round(l.l_extendedprice / l.l_quantity, 6) AS unit_price
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+      AND round(l.l_extendedprice / l.l_quantity, 6) = (
+        SELECT min(round(l2.l_extendedprice / l2.l_quantity, 6))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def subquery_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar aggregate (per-part minimum unit
+    price, ties kept). The oracle states the literal correlated subquery;
+    the Spark plan uses a window min over l_partkey instead — one shuffle
+    of lineitem, no self-join, which is the plan that survives when the
+    correlated side is the 100 TB fact table. Per-row division is rounded
+    BEFORE the min on both sides so the equality is exact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_brand"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey")
+    cheapest = l.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    return (
+        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
+        .select("p_partkey", "p_brand", "l_suppkey", "unit_price")
+        .distinct()
+    )
+
+
+@register(
+    "subquery_nested_correlated_having",
+    oracle="""
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ab%')
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 0.5 * (
+        SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    )
+    """,
+)
+def subquery_nested_correlated_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped subquery whose HAVING compares
+    against a correlated scalar aggregate (suppliers that dominate >50%
+    of a part's shipped volume). The oracle nests three levels; the Spark
+    plan is two aggregates over ONE lineitem scan lineage — per
+    (suppkey, partkey) totals joined to per-partkey totals on the already
+    co-partitioned key — then a semi join into supplier. Quantities are
+    integral doubles, so the sums and the 0.5* comparison are exact."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%ab%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    per_supp_part = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    per_part = l.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
+    dominant = (
+        per_supp_part.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        dominant, s.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).distinct()
 
 
 @register(
