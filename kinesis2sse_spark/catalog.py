@@ -47,6 +47,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the scan yields fewer partitions than the
+    session's parallelism — a small single-file input otherwise pins the
+    whole map side (expensive per-row expressions like shingling) onto
+    one core. At real scale the scan already has >= cores partitions and
+    this is a no-op, so no shuffle is added where it would hurt."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register each fixture table as a temp view so SQL-form queries run
     against the same names the DuckDB oracle pre-registers."""

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, spread
 from kinesis2sse_spark.registry import register
 
 JACCARD_THRESHOLD = 0.5
@@ -98,8 +98,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index: distinct
     word-3-shingles per doc → equi-join on shingle → common-shingle count
     → |A∩B| / (|A|+|B|-|A∩B|). No cross join anywhere; the shuffle keys
-    are shingles and (doc_a, doc_b) pairs that share at least one shingle."""
-    d = load_table(spark, sf_dir, "documents")
+    are shingles and (doc_a, doc_b) pairs that share at least one shingle.
+    The scan is spread across cores first — shingling is the CPU hot spot
+    and must not run on a single small-file partition."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
