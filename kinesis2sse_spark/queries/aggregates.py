@@ -288,3 +288,52 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_value"),
         F.count("*").alias("n_total"),
     )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cv_samp,
+           round(covar_pop(l_extendedprice, l_quantity), 4) AS cv_pop,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates — corr / covar / least-squares
+    regression, all single-pass partial-aggregable (map-side combine of
+    (n, Σx, Σy, Σxy, Σx², Σy²) moments — the reduction that scales to
+    any row count with O(groups) state)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cv_samp"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("cv_pop"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+    )
+
+
+@register(
+    "agg_array_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array: deterministic array aggregation.
+    collect_list order is partition-dependent and NEVER comparable
+    across engines — the sort is what makes the result well-defined."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )

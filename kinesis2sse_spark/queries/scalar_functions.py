@@ -306,3 +306,32 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values("m").getItem(0).alias("first_val"),
         )
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS lo_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 21845) AS toggled,
+           event_id << 2 AS shl,
+           event_id >> 3 AS shr,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators — masks, xor, shifts, popcount. All JVM-side
+    whole-stage-codegen expressions; the filter pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("lo_byte"),
+        F.expr("event_id | 4096").alias("with_flag"),
+        F.expr("event_id ^ 21845").alias("toggled"),
+        F.shiftleft("event_id", 2).alias("shl"),
+        F.shiftright("event_id", 3).alias("shr"),
+        F.bit_count("event_id").cast("bigint").alias("popcount"),
+    )

@@ -137,3 +137,58 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("last_value", ignorenulls=True).over(w), 2).alias("value_locf"),
         )
     )
+
+
+@register(
+    "sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands rewrite of
+    `session_window` (30-minute inactivity gap): flag session starts with
+    lag(), number sessions with a running sum, aggregate per session.
+    One shuffle on user_id serves both windows AND the final groupBy —
+    the partitioning is reused across all three stages, which is what
+    makes this shape viable on a 100 TB event log (contrast a
+    self-join-per-gap approach). Batch counterpart of
+    `streaming_session_window` (service semantics ref: SURVEY.md S1.3 —
+    event-time, arrival-tolerant)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        # microsecond-precision gap — a seconds-truncated diff would
+        # disagree with the oracle's INTERVAL comparison on .5s gaps
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    numbered = flagged.withColumn(
+        "session_id", F.sum("new_sess").over(w).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
