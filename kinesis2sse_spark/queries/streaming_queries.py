@@ -51,6 +51,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # complete mode: emit ALL windows (append would hold back windows
         # the watermark hasn't passed — the tail of a finite input)
         output_mode="complete",
+        # state partitions sized to windowed-key cardinality, not cores
+        shuffle_partitions=8,
     )
     return out
 
@@ -79,6 +81,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
         _qname("sliding"),
         output_mode="complete",
+        shuffle_partitions=8,
     )
 
 
@@ -122,6 +125,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _qname("session"),
         output_mode="complete",
+        shuffle_partitions=8,
     )
 
 
@@ -140,7 +144,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir)
     dedup = s.dropDuplicates(["user_id", "event_type", "ts"])
     agg_input = run_to_memory(
-        dedup.select("user_id", "event_type", "ts"), _qname("dedup"), "append"
+        dedup.select("user_id", "event_type", "ts"), _qname("dedup"), "append",
+        shuffle_partitions=8,
     )
     return agg_input.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
 
@@ -162,7 +167,9 @@ def streaming_stateful_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis2sse_spark.streaming.state import with_streaming_offsets
 
     s = events_stream(spark, sf_dir).select("event_id")
-    out = run_to_memory(with_streaming_offsets(s), _qname("offsets"), "append")
+    out = run_to_memory(
+        with_streaming_offsets(s), _qname("offsets"), "append", shuffle_partitions=8
+    )
     return out.select("event_id", "offset")
 
 
@@ -220,6 +227,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _qname("ssj"),
         "append",
+        shuffle_partitions=8,
     )
 
 

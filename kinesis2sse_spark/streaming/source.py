@@ -106,17 +106,36 @@ def kinesis_stream(spark: SparkSession, stream_name: str, region: str, **options
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming DataFrame to completion into an in-memory sink
     and return the materialized result — the synchronous harness used by
-    registry queries and tests (processAllAvailable = all staged input)."""
+    registry queries and tests (processAllAvailable = all staged input).
+
+    ``shuffle_partitions`` pins the stateful-operator partition count for
+    THIS query (captured at start, restored after). Size it to the state
+    cardinality, not the core count: every state partition carries a
+    store + checkpoint per micro-batch, so a bounded-cardinality window
+    agg with 32 stores pays ~2x the per-batch overhead of 4 doing the
+    same work. At real scale (large keyspaces) leave it unset."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
