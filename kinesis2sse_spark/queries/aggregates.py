@@ -337,3 +337,25 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/some ≡ bool_and/bool_or) — quantified
+    predicates as single-pass aggregations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

@@ -243,11 +243,16 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: agg view + scalar-subquery max over the same view
-    (ties included). The revenue view is computed once and reused; the
-    max is a one-row broadcast, not a second scan of lineitem. Revenue is
-    rounded to cents BEFORE the max comparison on both sides so a
-    last-ulp summation difference cannot flip row membership."""
+    """TPC-H Q15 shape: agg view + max over the same view (ties
+    included). The oracle states a scalar subquery; the Spark plan takes
+    the max with an empty-frame window OVER the per-supplier aggregate —
+    the revenue view (tiny: one row per supplier) is computed from ONE
+    lineitem scan, where a literal scalar-subquery translation would
+    re-scan the fact table to compute the max. Revenue is rounded to
+    cents BEFORE the max comparison on both sides so a last-ulp
+    summation difference cannot flip row membership."""
+    from pyspark.sql.window import Window
+
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -257,10 +262,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        revenue.withColumn(
+            "m", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -366,3 +373,43 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar average on the same fact table
+    (small-quantity orders vs 20% of the part's mean). The oracle states
+    the literal correlated subquery; the Spark plan computes the per-part
+    threshold with a window average over one lineitem scan — the
+    correlation key (l_partkey) is the window key, so the semi-join-like
+    rescan disappears. The brand filter broadcasts into the fact scan.
+    Sum of quantities is exact (integral doubles), so the 0.2* threshold
+    comparison cannot flip between engines."""
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    # threshold must be computed over ALL lines of the part (as in the
+    # correlated subquery), so the window runs before the brand semi join
+    small = (
+        l.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+    )
+    return small.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))

@@ -97,3 +97,23 @@ def test_whole_stage_codegen_active(spark):
         assert "*(" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q15_single_fact_scan(spark):
+    # the window-max rewrite must not re-scan lineitem for the max
+    plan = _plan(spark, "q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q21_two_fact_scans(spark):
+    # double-quantified EXISTS/NOT EXISTS rewritten to one per-order
+    # aggregate: 2 lineitem scans (l1 + ostats), not the literal 3
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert plan.count("lineitem.parquet") == 2, plan
+
+
+def test_sessionize_single_exchange(spark):
+    # lag window, running-sum window, and final groupBy all reuse ONE
+    # hashpartitioning(user_id) exchange
+    plan = _plan(spark, "sessionize_batch")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
