@@ -117,3 +117,46 @@ def test_sessionize_single_exchange(spark):
     # hashpartitioning(user_id) exchange
     plan = _plan(spark, "sessionize_batch")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is scan+agg only: every predicate reaches the parquet scan and
+    no join/exchange beyond the single-row aggregation appears."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line and "l_quantity" in line
+
+
+def test_q8_single_fact_shuffle(spark):
+    """Q8's 8-table join: all dims broadcast, so lineitem ⋈ orders is the
+    ONLY sort-merge/shuffle join in the plan."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q19_broadcast_not_cross_product(spark):
+    """The OR-of-ANDs must plan as an equi-join on partkey with a
+    residual filter — never BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q11_single_fact_scan(spark):
+    """Grand-total-fraction HAVING via window over the per-part agg:
+    lineitem must be scanned exactly once."""
+    plan = _plan(spark, "q11_important_part_value")
+    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 1
+
+
+def test_q13_preserves_outer_join(spark):
+    """The priority exclusion lives in the join condition, so customers
+    with zero qualifying orders survive: the join must stay outer."""
+    plan = _plan(spark, "q13_customer_distribution")
+    assert "LeftOuter" in plan

@@ -23,6 +23,9 @@ SHOW = [
     "topk_per_group",
     "dedup_ngram_jaccard",
     "sim_topk_bruteforce",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q19_discounted_revenue",
 ]
 
 
