@@ -386,3 +386,140 @@ def text_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(cleaned).cast("bigint").alias("n_content_tokens"),
         F.array_join(F.slice(cleaned, 1, 5), " ").alias("head_content"),
     )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) u
+      WHERE len(t) >= 5
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE doc_id % 50 <> 0 AND s IN (SELECT s FROM bench)
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 50 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing any
+    5-gram with the held-out/benchmark set (docs with doc_id % 50 == 0
+    stand in for the benchmark corpus). The benchmark shingle set is
+    tiny relative to the corpus, so it BROADCASTS — candidate documents
+    explode their shingles map-side, probe the broadcast set, and
+    anti-join away hits without ever shuffling the corpus shingles. At
+    100 TB the corpus-side explode stays embarrassingly parallel; only
+    the benchmark distinct (small) exchanges."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 5),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+    )
+    sh = (
+        d.filter(F.size(toks) >= 5)
+        .select("doc_id", F.explode(shingles).alias("s"))
+    )
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn % 5 = 1
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified systematic sampling: every 5th document per language
+    stratum in doc_id order — reproducible per-stratum rates where
+    Bernoulli sample() would drift on small strata. One shuffle on the
+    stratum key; each stratum ranks independently in parallel (contrast
+    with a global row_number, which would serialize)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 5 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "select_token_budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 5000
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: take documents in quality order (n_chars
+    desc, doc_id tiebreak) until the cumulative token count reaches the
+    budget. The oracle states a single global running sum; the Spark
+    plan is the DISTRIBUTED PREFIX SUM — per-key (n_chars) partial sums
+    cumsum'd over the tiny key-summary, broadcast back as offsets, plus
+    a within-key running sum partitioned BY key — so no stage ever
+    collapses to one partition the way a global ORDER BY window would.
+    At 100 TB the only serial work is the cumsum over distinct quality
+    keys (small)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    # tiny per-key summary: one row per distinct n_chars value
+    key_sums = scored.groupBy("n_chars").agg(F.sum("n_tokens").alias("key_tokens"))
+    wk = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = key_sums.select(
+        "n_chars",
+        (F.sum("key_tokens").over(wk) - F.col("key_tokens")).alias("offset"),
+    )
+    ww = Window.partitionBy("n_chars").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.join(F.broadcast(offsets), "n_chars")
+        .withColumn("cum_tokens", F.col("offset") + F.sum("n_tokens").over(ww))
+        .filter(F.col("cum_tokens") <= 5000)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
