@@ -197,6 +197,11 @@ class SseService:
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
             daemon_threads = True
+            # per-frame flush latency: Go's net/http sets TCP_NODELAY on
+            # accepted conns (the reference relies on it for sub-ms pushes,
+            # service.go:273-277); python's http.server leaves Nagle on,
+            # which adds ~20-40ms per small flushed frame
+            disable_nagle_algorithm = True
 
             def log_message(self, *args) -> None:  # quiet
                 pass
