@@ -894,3 +894,160 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 6) AS supply_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    candidates AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+             sup.supply_cost,
+             min(sup.supply_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM supply sup
+      JOIN part p     ON p.p_partkey = sup.l_partkey
+      JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'SMALL' AND p.p_size BETWEEN 10 AND 20
+        AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supply_cost
+    FROM candidates
+    WHERE supply_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering the minimum supply cost — the correlated-scalar-min over a
+    part↔supplier relation (fixture has no partsupp, so cost is the
+    minimum observed unit price min(l_extendedprice/l_quantity) per
+    (part, supplier) pair from lineitem). Q2's correlated subquery
+    `= (SELECT min(ps_supplycost) ...)` becomes a window min over
+    p_partkey computed on the already-joined candidate set — one pass,
+    no self-join, no recomputation of the supply aggregate. Plan: ONE
+    lineitem scan with map-side partial agg, one fact-sized exchange on
+    (partkey, suppkey), broadcast joins for part and the region-filtered
+    supplier/nation dims, then a second exchange on partkey for the
+    window — sized to |part × supplier| pairs, not to lineitem, so it
+    stays negligible at scale. Cost is rounded
+    to 6 before the min comparison on both sides so double summation
+    order cannot flip membership. Reference parity: SURVEY.md §2.3
+    joins + subquery categories."""
+    from pyspark.sql.window import Window
+
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+                "supply_cost"
+            )
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_type")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_suppliers = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
+        .join(F.broadcast(euro_suppliers), supply.l_suppkey == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH qual AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS total_qty,
+             sum(l_quantity) FILTER (
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+             ) AS qty_1996
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (
+        SELECT q.l_suppkey
+        FROM qual q
+        WHERE q.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%'
+          )
+          AND q.total_qty > 2 * coalesce(q.qty_1996, 0)
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of a part family holding excess stock —
+    the doubly-nested IN subquery with a correlated aggregate threshold.
+    Fixture has no partsupp/ps_availqty, so all-time shipped quantity
+    per (part, supplier) stands in for available stock and the Q20
+    predicate `availqty > 0.5 * shipped-in-year` becomes
+    `total_qty > 2 * qty_1996` (same correlated-aggregate-vs-threshold
+    shape, kept selective). Plan: both sums come out of ONE lineitem
+    pass (conditional aggregation, no second scan), the part-family
+    filter is a broadcast semi join before the threshold filter, and
+    the supplier IN becomes a broadcast left-semi join of the tiny
+    qualifying-supplier set — no shuffle ever touches supplier.
+    Reference parity: SURVEY.md §2.3 joins (semi) + subquery
+    categories."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    bolt_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    qual = (
+        l.join(F.broadcast(bolt_parts), l.l_partkey == bolt_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.coalesce(
+                F.sum(F.when(in_1996, F.col("l_quantity"))), F.lit(0.0)
+            ).alias("qty_1996"),
+        )
+        .filter(F.col("total_qty") > 2 * F.col("qty_1996"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

@@ -160,3 +160,22 @@ def test_q13_preserves_outer_join(spark):
     with zero qualifying orders survive: the join must stay outer."""
     plan = _plan(spark, "q13_customer_distribution")
     assert "LeftOuter" in plan
+
+
+def test_q2_single_fact_scan_and_broadcasts(spark):
+    """Q2's correlated-min via window: lineitem scanned once (the
+    window min rides on the supply aggregate, never re-scans the fact),
+    and every dim (part, supplier/nation/region) broadcasts."""
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q20_single_fact_scan_semi_joins(spark):
+    """Q20's nested INs: one lineitem pass computes both the all-time and
+    in-window sums (conditional agg, no second scan); part-family and
+    supplier membership are broadcast left-semi joins."""
+    plan = _plan(spark, "q20_potential_promotion")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
