@@ -204,3 +204,146 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+@register(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    top AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label, count(*) AS votes
+      FROM top WHERE rn <= {TOP_K}
+      GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, votes
+    FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    ORDER BY query_id
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label voting over the embedding corpus: exact top-k neighbor
+    search (same broadcast + WindowGroupLimit plan as
+    sim_topk_bruteforce — corpus scanned once, never shuffled), then a
+    majority vote over neighbor labels with a deterministic tiebreak
+    (most votes, then smallest label). The training-pipeline use: label
+    propagation / quality-bucket inference for unlabeled corpora. At
+    100 TB the query set stays broadcast-sized and the vote is a
+    per-query aggregate over k rows — the corpus-side cost is identical
+    to one brute-force scan, or sub-linear via the LSH/IVF rungs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    corpus = e.select("vec_id", "label", v.alias("v")).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    queries = _with_norm(e).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= TOP_K)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+N_SEEDS = 8  # k-means cells: seed centroids = vec_id < 8
+
+
+@register(
+    "ml_kmeans_assign",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus WHERE vec_id < {N_SEEDS}
+    ),
+    scored AS (
+      SELECT c.vec_id, s.cell,
+             round(list_cosine_similarity(c.v, s.cv), 6) AS cos_sim
+      FROM corpus c CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cell, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, cell) AS rn
+      FROM scored
+    )
+    SELECT cell, count(*) AS n_members, round(avg(cos_sim), 6) AS avg_cos
+    FROM best WHERE rn = 1
+    GROUP BY cell
+    ORDER BY cell
+    """,
+)
+def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step with deterministic seed centroids
+    (vec_id < N_SEEDS): every vector joins the broadcast centroid set,
+    takes its nearest cell by cosine (tiebreak: smallest cell), and the
+    per-cell membership count + mean similarity come out of one
+    aggregate. This is the per-iteration heavy half of Lloyd's
+    algorithm at scale — centroids broadcast (k × dim doubles), the
+    corpus scans once with no shuffle before the k-row aggregate, so
+    the plan is identical at 100 TB with 1000 executors. The update
+    half is the same groupBy producing element-wise means (see
+    sim_topk_ivf for the full Spark ML KMeans path)."""
+    corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    seeds = corpus.filter(F.col("vec_id") < N_SEEDS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cell",
+        F.round(dot / (F.col("norm") * F.col("cnorm")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
+        )
+        .orderBy("cell")
+    )
