@@ -347,3 +347,75 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "ml_kmeans_update",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus WHERE vec_id < {N_SEEDS}
+    ),
+    scored AS (
+      SELECT c.vec_id, s.cell,
+             round(list_cosine_similarity(c.v, s.cv), 6) AS cos_sim
+      FROM corpus c CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, cell) AS rn
+      FROM scored
+    ),
+    members AS (
+      SELECT b.cell, c.v FROM best b JOIN corpus c USING (vec_id)
+      WHERE b.rn = 1
+    )
+    SELECT cell, dim, round(avg(comp), 6) AS centroid_comp
+    FROM (
+      SELECT cell, unnest(v) AS comp,
+             generate_subscripts(v, 1) AS dim
+      FROM members
+    )
+    GROUP BY cell, dim
+    ORDER BY cell, dim
+    """,
+)
+def ml_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid-update half of a Lloyd iteration: element-wise mean
+    of every member vector per cell, emitted as (cell, dim,
+    centroid_comp) rows. posexplode flattens vectors to components, but
+    the groupBy(cell, dim) aggregate partial-aggregates map-side, so
+    the shuffle carries at most k × dim × partitions partial sums —
+    never the exploded corpus. Paired with ml_kmeans_assign this is a
+    full distributed k-means step whose only corpus-sized costs are one
+    scan and zero shuffles before the tiny aggregates."""
+    corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    seeds = corpus.filter(F.col("vec_id") < N_SEEDS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "v",
+        "cell",
+        F.round(dot / (F.col("norm") * F.col("cnorm")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cell")
+    members = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", "v")
+    )
+    return (
+        members.select("cell", F.posexplode("v").alias("pos", "comp"))
+        .groupBy("cell", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(F.round(F.avg("comp"), 6).alias("centroid_comp"))
+        .orderBy("cell", "dim")
+    )
