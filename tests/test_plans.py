@@ -5,6 +5,8 @@ pruning keeps unused columns out of the scan."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kinesis2sse_spark.registry import all_queries
 from tests.conftest import SF_CORRECTNESS
 
@@ -179,3 +181,41 @@ def test_q20_single_fact_scan_semi_joins(spark):
     assert plan.count("lineitem.parquet") == 1, plan
     assert plan.count("LeftSemi") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketing is the shuffle-elimination lever for repeated fact-fact
+    joins at 100 TB: both sides written bucketed by the join key with the
+    same bucket count join with ZERO exchanges — the scan itself is the
+    co-partitioning. (External-path bucketed tables so nothing lands in
+    the repo's cwd warehouse.)"""
+    import shutil
+
+    from kinesis2sse_spark.catalog import load_table
+
+    shutil.rmtree("/tmp/k2s_bucketed", ignore_errors=True)
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bkt")
+        (
+            load_table(spark, SF_CORRECTNESS, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"/tmp/k2s_bucketed/{name}")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{name}_bkt")
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: the join actually runs and produces fact-side rows
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
