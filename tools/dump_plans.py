@@ -26,6 +26,9 @@ SHOW = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q19_discounted_revenue",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    "ml_kmeans_assign",
 ]
 
 
