@@ -54,7 +54,9 @@ def canonical_json(col):
     return _canonical_json_udf(col)
 
 
-def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_envelope(
+    df: DataFrame, value_col: str = "value", observe=None
+) -> DataFrame:
     """S4 + F1-F3 + P1 + P2: parse raw event-envelope bytes/text, drop
     malformed records, and keep only event time + canonical detail.
 
@@ -63,6 +65,14 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
     ``detail`` (canonical JSON string). Drops, exactly like the
     reference: unparseable JSON, missing/non-string ``time``,
     unparseable ``time``, missing ``detail``.
+
+    ``observe``: the reference warn-logs every dropped record
+    (record_processor.go:63-81); per-record driver logging can't scale,
+    so drop accounting rides the same scan as ``observe`` metrics
+    (``n_records``/``n_dropped``) — pass a ``pyspark.sql.Observation``
+    (batch: read ``obs.get`` after an action) or a metric-name string
+    (streaming: read ``progress.observedMetrics[name]``). Zero extra
+    passes either way.
     """
     # One variant parse per record replaces get_json_object×2 + a Python
     # round-trip: try_parse_json → null on invalid JSON (S4 drop), and
@@ -92,6 +102,13 @@ def parse_envelope(df: DataFrame, value_col: str = "value") -> DataFrame:
         F.when(time_str.rlike(rfc3339), F.try_to_timestamp(time_str)).alias("time"),
         F.to_json(F.variant_get(v, "$.detail", "variant")).alias("detail"),
     )
+    if observe is not None:
+        dropped = (F.col("time").isNull() | F.col("detail").isNull()).cast("long")
+        parsed = parsed.observe(
+            observe,
+            F.count(F.lit(1)).alias("n_records"),
+            F.coalesce(F.sum(dropped), F.lit(0)).alias("n_dropped"),
+        )
     return parsed.filter(F.col("time").isNotNull() & F.col("detail").isNotNull())
 
 

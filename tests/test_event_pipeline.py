@@ -146,3 +146,64 @@ def test_parse_envelope_null_detail_kept(spark):
     out = parse_envelope(df).collect()
     assert len(out) == 1
     assert out[0]["detail"] == "null"
+
+
+def test_parse_envelope_observe_batch(spark):
+    """Drop accounting rides the parse scan: Observation reports total and
+    dropped counts without a second pass (the scalable stand-in for the
+    reference's per-record warn log, record_processor.go:63-81)."""
+    from pyspark.sql import Observation
+
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+
+    rows = [
+        ('{"time":"2024-01-01T00:00:00Z","detail":{"a":1}}',),  # good
+        ("not json",),                                          # S4 drop
+        ('{"time":"nope","detail":1}',),                        # F2 drop
+        ('{"time":"2024-01-01T00:00:00Z"}',),                   # F3 drop
+        ('{"time":"2024-01-02T00:00:00Z","detail":null}',),     # kept (null detail)
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    obs = Observation()
+    out = parse_envelope(df, observe=obs)
+    assert out.count() == 2
+    m = obs.get
+    assert m["n_records"] == 5
+    assert m["n_dropped"] == 3
+
+
+def test_parse_envelope_observe_streaming(spark):
+    """The same metrics surface per micro-batch through
+    StreamingQueryProgress.observedMetrics under the given name."""
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope
+    from kinesis2sse_spark.streaming.source import staged_batch_dir
+    import os
+
+    d = staged_batch_dir("observe")
+    rows = [
+        ('{"time":"2024-01-01T00:00:00Z","detail":{"a":1}}',),
+        ("junk",),
+    ]
+    spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "b0"))
+    stream = spark.readStream.schema("value string").parquet(os.path.join(d, "*"))
+    q = (
+        parse_envelope(stream, observe="ingest")
+        .writeStream.format("memory")
+        .queryName("t_observe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metrics = None
+        for p in q.recentProgress:
+            if "ingest" in (p.get("observedMetrics") or {}):
+                metrics = p["observedMetrics"]["ingest"]
+        assert metrics is not None, "no observedMetrics in progress"
+        assert metrics["n_records"] == 2
+        assert metrics["n_dropped"] == 1
+        assert spark.table("t_observe").count() == 1
+    finally:
+        q.stop()
