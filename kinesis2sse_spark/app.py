@@ -70,7 +70,12 @@ class ServiceApp:
 
     def _route_stream(self, r: RouteConfig) -> DataFrame:
         stream = self.spark.readStream.schema("value string").parquet(r.source_dir)
-        parsed = parse_envelope(stream)
+        # observe metrics replace the reference's per-record drop warnings
+        # (record_processor.go:63-81): each micro-batch's progress carries
+        # n_records/n_dropped under "ingest_<route>" with zero extra scans
+        parsed = parse_envelope(
+            stream, observe=f"ingest_{r.pattern.strip('/') or 'root'}"
+        )
         start = resolve_start(r.start)
         if start == "latest":
             # LATEST over a file directory that may already hold data:
