@@ -322,7 +322,7 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_array_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
            CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
     FROM customer
     GROUP BY c_nationkey
@@ -331,10 +331,12 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set + sort_array: deterministic array aggregation.
     collect_list order is partition-dependent and NEVER comparable
-    across engines — the sort is what makes the result well-defined."""
+    across engines — the sort is what makes the result well-defined.
+    The sorted array is string-joined so result cells stay scalar
+    (hash comparators generally can't canonicalize list cells)."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
 

@@ -47,14 +47,91 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+# The correctness driver checks the FIRST 50 entries of queries() in
+# iteration order. Registration order is import order (alphabetical by
+# module), so without intervention the same 50 get re-checked every
+# round and the rest never earn a driver row. This list front-loads the
+# round's highest-signal window: queries whose driver rows were red last
+# round (now fixed), then families with no driver row yet. Names not
+# (yet) registered are skipped, so entries can be listed ahead of the
+# code landing.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # red in CORRECTNESS_r01 (nanos-read / array-cell) — fixed, prove it
+    "asof_replay",
+    "envelope_validate_project",
+    "offsets_contiguous",
+    "retention_last_n",
+    "retention_max_age",
+    "ingest_envelope_pipeline",
+    "tail_offset",
+    "join_asof",
+    "agg_min_max_by",
+    "agg_stats",
+    "agg_percentile",
+    "agg_filtered",
+    "agg_array_collect",
+    # new this round
+    "kpl_deaggregate",
+    "sim_recall_lsh",
+    "sim_recall_ivf",
+    "dedup_recall_minhash",
+    # TPC-H — no driver rows in round 1
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # one–three representatives per family with no round-1 driver row
+    "window_ranks",
+    "window_range_frame",
+    "topk_per_group",
+    "except_all",
+    "scalar_variant",
+    "scalar_string",
+    "subquery_correlated_exists",
+    "join_skew_salted",
+    "sort_limit_topn",
+    "envelope_canonical_json",
+    "streaming_stateful_offsets",
+    "timeseries_gapfill",
+)
+
+
+def _ordered() -> list[str]:
+    names = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
+    seen = set(names)
+    names.extend(n for n in _REGISTRY if n not in seen)
+    return names
+
+
 def all_queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return {name: rq.fn for name, rq in _REGISTRY.items()}
+    return {name: _REGISTRY[name].fn for name in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
-    return {name: rq.oracle for name, rq in _REGISTRY.items() if rq.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _ordered()
+        if _REGISTRY[name].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QueryFn]:
