@@ -20,6 +20,15 @@ from kinesis2sse_spark.registry import register
 
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 24
+# Candidate-generation document-frequency cap: a shingle shared by more
+# than MAX_DF docs is dropped from the inverted index before pair
+# emission. Without it, one stopword-ish shingle shared by 10⁶ docs
+# explodes O(df²) pairs inside a single task at corpus scale. Pairs
+# that share only ultra-frequent shingles are (by design) not
+# candidates — standard exact-Jaccard practice; intersection counts are
+# over the capped universe (a conservative lower bound on jaccard),
+# and the oracle applies the identical cap so both sides agree exactly.
+MAX_DF = 256
 
 # Rolling polynomial token hash, identical arithmetic in Spark SQL and
 # DuckDB (same trick as text_fingerprint).
@@ -81,9 +90,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(t) >= 3
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -98,7 +109,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index: distinct
     word-3-shingles per doc → equi-join on shingle → common-shingle count
     → |A∩B| / (|A|+|B|-|A∩B|). No cross join anywhere; the shuffle keys
-    are shingles and (doc_a, doc_b) pairs that share at least one shingle.
+    are shingles and (doc_a, doc_b) pairs that share at least one
+    rare (df ≤ MAX_DF) shingle — the df cap keeps a single hot shingle
+    from serializing pair generation (see MAX_DF note above).
     The scan is spread across cores first — shingling is the CPU hot spot
     and must not run on a single small-file partition."""
     d = spread(load_table(spark, sf_dir, "documents"), spark)
@@ -140,8 +153,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
         )
     )
+    # df cap: between(2, MAX_DF) bounds any single posting list's pair
+    # blow-up at MAX_DF²/2 — a stopword shingle shared by 10⁶ docs would
+    # otherwise serialize O(df²) pair generation in one task.
     inter = (
-        postings.filter(F.size("docs") >= 2)
+        postings.filter(F.size("docs").between(2, MAX_DF))
         .select(pair.alias("p"))
         .groupBy(
             F.col("p.a.doc_id").alias("doc_a"),
@@ -177,39 +193,144 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash banding parameters: H signature rows in B bands of R. A pair
+# with jaccard s collides in a band w.p. s^R; candidate w.p.
+# 1-(1-s^R)^B — s=0.7, R=2, B=12 → 0.9997.
+MINHASH_H = 24
+MINHASH_R = 2
+MINHASH_B = MINHASH_H // MINHASH_R
+
+
+def _doc_shingle_hashes(d: DataFrame) -> DataFrame:
+    """(doc_id, shs): distinct word-3-shingles per doc as xxhash64 longs
+    — the shared front end of the exact and MinHash dedup paths."""
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s))).alias("shs"),
+        )
+    )
+
+
 @register("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates (approximate — rows-only check;
-    exact semantics are covered by dedup_ngram_jaccard). shingle →
-    binary term vector → MinHashLSH banding → approxSimilarityJoin.
-    This is the 100 TB path: candidate generation touches only hash
-    bands, never document pairs."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
-
+    """MinHash-LSH near-dup pairs, fully deterministic: per-doc MinHash
+    signature (min of xxhash64(shingle, i) per hash row — plain column
+    arithmetic, no fitted vocabulary, so there is nothing to broadcast
+    or fit at 100 TB), banded into MINHASH_B keys; docs sharing a band
+    key become candidates (equi-join on band key, never all pairs);
+    candidates are verified EXACTLY by intersecting their shingle-hash
+    sets. Output = exact-jaccard pairs restricted to MinHash
+    candidates, so results are stable across sessions/partitionings —
+    the property dedup_recall_minhash contracts. The pyspark.ml
+    MinHashLSH route was rejected: CountVectorizer's frequency-tied
+    vocabulary order is partition-dependent, which makes candidates
+    nondeterministic."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    shingled = d.select(
+    docs = _doc_shingle_hashes(d).withColumn("n", F.size("shs"))
+    sig = [
+        F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh{i}")
+        for i in range(MINHASH_H)
+    ]
+    banded = docs.select("doc_id", "n", "shs", *sig).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        "n",
+        "shs",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"mh{b * MINHASH_R + r}") for r in range(MINHASH_R)],
+                    ).alias("k")
+                    for b in range(MINHASH_B)
+                ]
             )
-        ).alias("shingles"),
-    ).filter(F.size("shingles") >= 1)
-    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
-    model = cv.fit(shingled)
-    vecs = model.transform(shingled)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    mh_model = mh.fit(vecs)
-    pairs = mh_model.approxSimilarityJoin(vecs, vecs, 1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard_est"),
+        ).alias("band_key"),
+    )
+    # candidate pairs from band-key posting lists (same shape as the
+    # exact path's inverted index, incl. the df cap against degenerate
+    # bands — e.g. many empty-ish docs sharing one signature)
+    postings = banded.groupBy("band_key").agg(
+        F.collect_list(F.struct("doc_id", "n", "shs")).alias("docs")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x: F.transform(
+                        F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
         )
+    )
+    cand = (
+        postings.filter(F.size("docs").between(2, MAX_DF))
+        .select(pair.alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+            F.col("p.a.shs").alias("sa"),
+            F.col("p.b.shs").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact verification on candidates only
+    c = F.size(F.array_intersect("sa", "sb"))
+    jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
+    return cand.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_recall_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, true AS found
+    FROM inter i
+    JOIN counts na ON na.doc_id = i.doc_a
+    JOIN counts nb ON nb.doc_id = i.doc_b
+    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.7
+    """,
+)
+def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the MinHash rung: every exact pair with
+    jaccard ≥ 0.7 (well above the banding threshold, candidate
+    probability 1-(1-0.7^R)^B ≈ 0.9997) must appear among the MinHash
+    pairs. The oracle recomputes the exact ≥0.7 pair set in SQL and
+    expects found = true for each — a red row means the banding no
+    longer catches high-similarity pairs."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.7)
+    mh = dedup_minhash_lsh(spark, sf_dir).withColumnRenamed("jaccard", "mh_jaccard")
+    return (
+        exact.select("doc_a", "doc_b")
+        .join(mh, ["doc_a", "doc_b"], "left")
+        .select("doc_a", "doc_b", F.col("mh_jaccard").isNotNull().alias("found"))
     )
 
 

@@ -79,3 +79,25 @@ def test_approx_count_distinct_close(spark):
     qs = all_queries()
     rows = qs["agg_approx_count_distinct"](spark, SF_SMOKE).collect()
     assert rows and all(r["approx_parts"] > 0 for r in rows)
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark, tmp_path, monkeypatch):
+    """A shingle shared by more docs than MAX_DF must contribute zero
+    candidate pairs — the cap is what keeps one stopword shingle from
+    serializing O(df²) pair generation in a single task at scale."""
+    from kinesis2sse_spark.queries import llm_dedup
+
+    # 12 docs sharing exactly one trigram ("a b c"); every other shingle
+    # is unique to its doc.
+    rows = [(i, f"a b c x{i} y{i} z{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(llm_dedup, "JACCARD_THRESHOLD", 0.0)
+    monkeypatch.setattr(llm_dedup, "MAX_DF", 5)
+    capped = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
+    assert capped == 0, f"hot shingle (df=12 > 5) leaked {capped} pairs"
+
+    monkeypatch.setattr(llm_dedup, "MAX_DF", 256)
+    uncapped = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
+    assert uncapped == 12 * 11 // 2, f"expected all 66 pairs, got {uncapped}"
