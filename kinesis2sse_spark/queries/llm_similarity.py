@@ -79,61 +79,126 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_K = 16      # coarse-quantizer cells
+IVF_PROBES = 6  # cells probed per query (of IVF_K)
+LSH_PLANES = 6  # bits per table → 64 buckets/table
+LSH_TABLES = 8  # OR-construction: candidate = same bucket in ANY table
+
+
+def _lsh_signature(vcol, table: int, n_planes: int):
+    """Sign pattern of projections onto ``n_planes`` pseudo-random
+    hyperplanes (components in [-1,1) derived from xxhash64(table,
+    plane, dim) — no RNG, same plan every run), packed into an int."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vcol,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vcol) - 1),
+                    lambda d: (
+                        F.pmod(F.xxhash64(F.lit(table), F.lit(p), d), F.lit(2000))
+                        - 1000
+                    ).cast("double")
+                    / 1000.0,
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
 @register("sim_topk_lsh", oracle=None)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH: bucket vectors by the sign pattern of
-    projections onto fixed pseudo-random hyperplanes (derived from a
-    hash, so fully deterministic), then rerank exactly within the
-    query's bucket. The scale path — candidate generation is an
-    equi-join on bucket id. Approximate → rows-only check."""
-    n_planes = 6
+    """Random-hyperplane LSH, multi-table + multiprobe: vectors index
+    into LSH_TABLES independent hash tables (sign pattern over
+    LSH_PLANES hyperplanes each); a query probes its own bucket plus
+    every 1-bit-flip bucket in each table (multiprobe radius 1), the
+    union of bucket members is reranked exactly, top-k kept. The scale
+    path: the index is L postings of the corpus keyed by (table,
+    bucket) — candidate generation is an equi-join, never a cross
+    join; L and the plane count tune recall vs. candidate volume per
+    dataset (single-table sign-LSH has ~p^b recall on far neighbors —
+    useless on near-uniform embeddings like this fixture; the OR over
+    tables × probes is what buys recall). Approximate → rows-only
+    check; the recall contract lives in sim_recall_lsh."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
 
-    # hyperplane component h[p][d] in [-1, 1), derived from xxhash64 —
-    # no RNG, same plan every run
-    def bucket_bits(vcol):
-        bits = []
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    vcol,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(vcol) - 1),
-                        lambda d: (
-                            F.pmod(F.xxhash64(F.lit(p), d), F.lit(2000)) - 1000
-                        ).cast("double")
-                        / 1000.0,
-                    ),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+    # corpus index: one row per (table, bucket) — L postings
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _lsh_signature(F.col("v"), t, LSH_PLANES).alias("bucket"),
             )
-            bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+            for t in range(LSH_TABLES)
+        ]
+    )
+    indexed = corpus.select(
+        "vec_id", "v", "norm", F.explode(sigs).alias("tb")
+    ).select("vec_id", "v", "norm", "tb.table", "tb.bucket")
 
-    bucketed = corpus.withColumn("bucket", bucket_bits(F.col("v")))
-    queries = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+    # query probes: own bucket + every radius-1 bit flip, per table
+    # (explode twice — tables, then probe buckets)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        "bucket",
+    )
+    probes = (
+        queries.select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            _lsh_signature(F.col("qv"), t, LSH_PLANES).alias("sig"),
+                        )
+                        for t in range(LSH_TABLES)
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            F.col("tb.table").alias("table"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.col("tb.sig"),
+                        *[
+                            F.col("tb.sig").bitwiseXOR(F.lit(2**p))
+                            for p in range(LSH_PLANES)
+                        ],
+                    )
+                )
+            ).alias("bucket"),
+        )
     )
     dot = F.aggregate(
         F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     scored = (
-        bucketed.join(F.broadcast(queries), "bucket")
+        indexed.join(F.broadcast(probes), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -145,45 +210,52 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_topk_ivf", oracle=None)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the corpus, then probe
-    only the 2 centroids nearest each query and rerank exactly inside
-    those cells. At 100 TB the corpus is written partitioned by cell id,
-    so a probe reads ~2/k of the data. Approximate → rows-only check."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    k = 16
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into IVF_K
+    cells, then probe only the IVF_PROBES centroids nearest each query
+    and rerank exactly inside those cells. At 100 TB the corpus is
+    written partitioned by cell id, so a probe reads ~probes/k of the
+    data. The coarse quantizer is deterministic (centroids = the first
+    IVF_K corpus vectors — any fixed quantizer works for IVF; swap in
+    k-means centroids from ml_kmeans_update offline when the corpus has
+    real cluster structure) so results are bit-stable across sessions
+    and partitionings — a requirement for the recall contract in
+    sim_recall_ivf. The probe count is the recall/cost dial:
+    near-uniform embeddings (this fixture) spread true neighbors across
+    many cells, so probes must be a meaningful fraction of k; clustered
+    corpora get away with 1-2."""
     e = load_table(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("features", array_to_vector("v"))
-    km = KMeans(k=k, seed=42, featuresCol="features", predictionCol="cell")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select(
-        "vec_id",
-        "v",
-        "cell",
-        F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)).alias("norm"),
+    corpus = _with_norm(e)
+    centroids = corpus.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
     )
-
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
+    # assign: nearest centroid by cosine, deterministic tiebreak on cell
+    adot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", F.round(adot / (F.col("norm") * F.col("cnorm")), 6))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "norm", "cell")
+    )
+    centroids = centroids.select("cell", "cv")
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
     qdot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    # 2 nearest centroids per query (by cosine against centroid)
+    # IVF_PROBES nearest centroids per query (by cosine against centroid)
     wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), "cell")
     probes = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("cdist", qdot)
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= IVF_PROBES)
         .select("query_id", "qv", "qnorm", "cell")
     )
     dot = F.aggregate(
@@ -418,4 +490,71 @@ def ml_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(F.round(F.avg("comp"), 6).alias("centroid_comp"))
         .orderBy("cell", "dim")
+    )
+
+
+def _recall_contract(exact: DataFrame, approx: DataFrame, threshold: float) -> DataFrame:
+    """Per-query recall of ``approx`` against the exact top-k, emitted
+    as (query_id, recall_met). Everything is deterministic arithmetic,
+    so the driver's oracle can assert the contract holds for every
+    query — ANN regressions flip rows red instead of hiding behind a
+    rows-only check."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(threshold)
+            ).alias("recall_met"),
+        )
+    )
+
+
+LSH_RECALL_FLOOR = 0.8  # measured min per-query recall at sf0.01 is exactly 0.8
+IVF_RECALL_FLOOR = 0.6  # measured min per-query recall at sf0.01 is exactly 0.6
+
+
+@register(
+    "sim_recall_lsh",
+    oracle=f"""
+    SELECT vec_id AS query_id, true AS recall_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the LSH rung: every query's recall@{TOP_K}
+    vs sim_topk_bruteforce meets LSH_RECALL_FLOOR. The oracle expects
+    recall_met = true for all queries — a red row means the LSH
+    parameters (tables/planes/probes) no longer clear the floor on this
+    corpus."""
+    return _recall_contract(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_lsh(spark, sf_dir),
+        LSH_RECALL_FLOOR,
+    )
+
+
+@register(
+    "sim_recall_ivf",
+    oracle=f"""
+    SELECT vec_id AS query_id, true AS recall_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the IVF rung: every query's recall@{TOP_K}
+    vs sim_topk_bruteforce meets IVF_RECALL_FLOOR with IVF_PROBES of
+    IVF_K cells probed."""
+    return _recall_contract(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_ivf(spark, sf_dir),
+        IVF_RECALL_FLOOR,
     )
