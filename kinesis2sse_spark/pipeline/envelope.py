@@ -54,6 +54,27 @@ def canonical_json(col):
     return _canonical_json_udf(col)
 
 
+def deaggregate_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """S3: KPL de-aggregation, envelope-array form. A producer-side
+    aggregated record carries several user records in one stream record
+    (reference: KCL library de-aggregates, record_processor.go:104-106,
+    go.mod:33); the JSON-wire equivalent is a record whose payload is a
+    JSON ARRAY of envelopes. Emits one row per element, all other
+    columns preserved; non-array records pass through unchanged, and
+    junk flows on to ``parse_envelope``'s permissive drop (S4). An empty
+    aggregate ("[]") yields zero records. Entirely JVM-side: one
+    from_json + explode inside whole-stage codegen — array elements are
+    re-emitted as raw JSON text, so downstream parsing is unchanged."""
+    arr = F.from_json(F.col(value_col).cast("string"), "array<string>")
+    others = [c for c in df.columns if c != value_col]
+    return df.select(
+        *others,
+        F.explode(
+            F.when(arr.isNotNull(), arr).otherwise(F.array(F.col(value_col).cast("string")))
+        ).alias(value_col),
+    )
+
+
 def parse_envelope(
     df: DataFrame, value_col: str = "value", observe=None
 ) -> DataFrame:

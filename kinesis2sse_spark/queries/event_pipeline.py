@@ -169,6 +169,50 @@ def ingest_envelope_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kpl_deaggregate",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS time_str,
+           replace(props, '": ', '":') AS detail
+    FROM events
+    WHERE props IS NOT NULL AND ts IS NOT NULL
+    """,
+)
+def kpl_deaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: KPL de-aggregation — producer-side aggregated records (one
+    stream record = JSON array of envelopes, reference
+    record_processor.go:104-106) exploded back to user records, then run
+    through the standard parse path. Aggregates are built per user_id
+    here to exercise multi-envelope records; the oracle checks that
+    de-agg + parse is lossless — exactly one output row per valid
+    envelope, regardless of how records were batched."""
+    from kinesis2sse_spark.pipeline.envelope import deaggregate_envelopes, parse_envelope
+
+    events = load_table(spark, sf_dir, "events")
+    env = F.concat(
+        F.lit('{"time":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit('","detail":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    aggregated = (
+        events.select(F.col("user_id"), env.alias("env"))
+        .groupBy("user_id")
+        .agg(
+            F.concat(F.lit("["), F.concat_ws(",", F.collect_list("env")), F.lit("]")).alias(
+                "value"
+            )
+        )
+        .select("value")
+    )
+    parsed = parse_envelope(deaggregate_envelopes(aggregated))
+    return parsed.select(
+        F.date_format("time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("time_str"),
+        F.col("detail"),
+    )
+
+
+@register(
     "tail_offset",
     oracle="SELECT greatest(max(event_id), 0) AS off FROM events",
 )

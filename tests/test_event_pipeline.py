@@ -126,8 +126,18 @@ def test_parse_since():
     assert parse_since("1h", now=now) == now - timedelta(hours=1)
     assert parse_since("1h30m", now=now) == now - timedelta(hours=1, minutes=30)
     assert parse_since("300ms", now=now) == now - timedelta(milliseconds=300)
+    # Go-grammar corners time.ParseDuration accepts
+    assert parse_since("0", now=now) == now
+    assert parse_since(".5s", now=now) == now - timedelta(milliseconds=500)
+    assert parse_since("1.s", now=now) == now - timedelta(seconds=1)
+    assert parse_since("1μs", now=now) == now - timedelta(microseconds=1)
     with pytest.raises(ValueError):
         parse_since("bogus")
+    # Go's RFC3339 parse is strict — shapes fromisoformat would accept
+    # but the reference 400s must reject here too
+    for loose in ("2024-01-01", "2024-01-01 00:00:00Z", "2024-01-01T00:00:00"):
+        with pytest.raises(ValueError):
+            parse_since(loose)
 
 
 def test_parse_envelope_null_detail_kept(spark):
@@ -207,3 +217,35 @@ def test_parse_envelope_observe_streaming(spark):
         assert spark.table("t_observe").count() == 1
     finally:
         q.stop()
+
+
+def test_deaggregate_envelopes_golden(spark):
+    """S3: aggregated-record input (one stream record = JSON array of
+    envelopes) de-aggregates losslessly into the standard parse path;
+    scalars pass through, junk and bad elements drop permissively,
+    an empty aggregate yields nothing."""
+    from kinesis2sse_spark.pipeline.envelope import (
+        deaggregate_envelopes,
+        parse_envelope,
+        with_offsets,
+    )
+
+    batch = [
+        # KPL-aggregated: two valid + one invalid element
+        ('[{"time":"1970-01-01T00:00:00.000Z","detail":{"event":1}},'
+         '{"time":"1970-01-01T00:00:00.001Z","detail":{"event":2}},'
+         '{"detail":{"no":"time"}}]',),
+        # plain (non-aggregated) envelope passes through unchanged
+        ('{"time":"1970-01-01T00:00:00.002Z","detail":{"event":3}}',),
+        ("junk",),  # unparseable → drop
+        ("[]",),  # empty aggregate → zero records
+        ("[1, 2]",),  # array of non-envelopes → elements drop in parse
+    ]
+    df = spark.createDataFrame(batch, ["value"])
+    out = with_offsets(parse_envelope(deaggregate_envelopes(df)), ["time"]).orderBy(
+        "offset"
+    ).collect()
+    assert [r["detail"] for r in out] == [
+        '{"event":1}', '{"event":2}', '{"event":3}'
+    ]
+    assert [r["offset"] for r in out] == [0, 1, 2]
