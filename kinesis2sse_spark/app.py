@@ -25,17 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis2sse_spark.pipeline.envelope import parse_envelope
-from kinesis2sse_spark.pipeline.since import parse_go_duration
+from kinesis2sse_spark.pipeline.since import parse_go_duration, parse_rfc3339
 from kinesis2sse_spark.streaming.serve import RouteOptions, SseService
 
 
 @dataclass
 class RouteConfig:
     pattern: str
-    source_dir: str  # directory of JSON-envelope parquet files (value: string)
+    # Source: a directory of JSON-envelope parquet files (value: string),
+    # or a "kafka://host:port,host2:port2/topic" URI — the reference's
+    # stream-name flag (kinesis2sse.go:41-57) generalized to the
+    # disableKCL seam's source kinds (streaming/source.py).
+    source_dir: str
     capacity: int = 100_000
     start: str | None = None  # LATEST | TRIM_HORIZON | RFC3339 | Go duration
     max_age: object = None  # optional timedelta — README.md:45-46 age bound
+    # Ingest rate bound: files admitted per micro-batch. Without it a
+    # TRIM_HORIZON start over a large directory makes batch 1 the entire
+    # history; with it the backlog drains in bounded increments (the KCL
+    # equivalent is its per-GetRecords limit).
+    max_files_per_trigger: int = 64
 
 
 def resolve_start(start: str | None, now: datetime | None = None):
@@ -46,10 +55,9 @@ def resolve_start(start: str | None, now: datetime | None = None):
         return "latest"
     if start.upper() == "TRIM_HORIZON":
         return "trim_horizon"
-    try:
-        return datetime.fromisoformat(start.replace("Z", "+00:00"))
-    except ValueError:
-        pass
+    ts = parse_rfc3339(start)  # strict shape, like Go's time.Parse
+    if ts is not None:
+        return ts
     d = parse_go_duration(start)  # raises ValueError on junk, like HTTP 400
     return (now or datetime.now(timezone.utc)) - d
 
@@ -69,20 +77,42 @@ class ServiceApp:
         )
 
     def _route_stream(self, r: RouteConfig) -> DataFrame:
-        stream = self.spark.readStream.schema("value string").parquet(r.source_dir)
+        start = resolve_start(r.start)
+        if r.source_dir.startswith("kafka://"):
+            from kinesis2sse_spark.streaming.source import kafka_stream
+
+            servers, _, topic = r.source_dir[len("kafka://"):].partition("/")
+            if not topic:
+                raise ValueError(f"kafka source needs kafka://servers/topic, got {r.source_dir!r}")
+            # Kinesis seek → Kafka offsets: TRIM_HORIZON ≡ earliest,
+            # LATEST ≡ latest; a timestamp start keeps the event-time
+            # filter below (Kafka's per-partition startingTimestamp
+            # would be the native mapping once a broker-side seek is
+            # preferable to a scan-side filter).
+            starting = "earliest" if start == "trim_horizon" else "latest"
+            stream = kafka_stream(self.spark, servers, topic, starting_offsets=starting)
+        else:
+            stream = (
+                self.spark.readStream.schema("value string")
+                .option("maxFilesPerTrigger", r.max_files_per_trigger)
+                .parquet(r.source_dir)
+            )
         # observe metrics replace the reference's per-record drop warnings
         # (record_processor.go:63-81): each micro-batch's progress carries
         # n_records/n_dropped under "ingest_<route>" with zero extra scans
         parsed = parse_envelope(
             stream, observe=f"ingest_{r.pattern.strip('/') or 'root'}"
         )
-        start = resolve_start(r.start)
         if start == "latest":
             # LATEST over a file directory that may already hold data:
             # approximate the Kinesis seek with an event-time cutoff at
-            # service start (the connector seam maps this to
-            # startingPosition=latest natively).
-            start = datetime.now(timezone.utc)
+            # service start. Kafka already seeked broker-side
+            # (startingOffsets=latest), so no cutoff there.
+            start = (
+                None
+                if r.source_dir.startswith("kafka://")
+                else datetime.now(timezone.utc)
+            )
         if isinstance(start, datetime):
             # a naive datetime is already UTC by convention — only convert
             # when an explicit offset was given (astimezone on a naive

@@ -77,6 +77,17 @@ class RouteLog:
             self.cond.notify_all()
             return offset
 
+    def skip(self, n: int) -> None:
+        """Advance the offset counter by ``n`` without storing entries —
+        used when a micro-batch larger than capacity is trimmed before
+        reaching the driver: the dropped (oldest) rows still consume
+        offsets, exactly as if they had been appended and immediately
+        evicted, so ``next_offset`` parity with the reference holds."""
+        if n < 0:
+            raise ValueError("skip must be non-negative")
+        with self.cond:
+            self._next_offset += n
+
     def nearest_offset(self, since: datetime):
         """Q2: offset of the smallest (ts, offset) >= (since, 0); fallback
         largest (ts, offset) < (since, 0); None if empty."""
@@ -161,7 +172,7 @@ class SseService:
         stream_df,
         ts_col: str = "time",
         data_col: str = "detail",
-        order_col: str | None = None,
+        order_col: str | list[str] | None = None,
         query_name: str | None = None,
         checkpoint_location: str | None = None,
     ):
@@ -172,12 +183,43 @@ class SseService:
         checkpoint_location=None matches the reference's deliberately
         non-durable checkpointing (service.go:113-116) — restart replays
         from the source's starting position; pass a path for Spark's
-        durable exactly-once checkpoint (C1, strictly stronger)."""
+        durable exactly-once checkpoint (C1, strictly stronger).
+
+        Batches are ordered by (ts_col, data_col) by default — the data
+        column breaks equal-timestamp ties so offsets are deterministic
+        across runs/restarts (the reference gets a stable order for free
+        from its per-route mutex). A batch larger than the route's
+        capacity is trimmed executor-side to the newest ``capacity``
+        rows before ``collect()`` — a TRIM_HORIZON start over a year of
+        history must never materialize the year on the driver — and the
+        trimmed rows still advance the offset counter (append + instant
+        eviction ≡ skip)."""
         log = self.log(pattern)
-        order = order_col or ts_col
+        if order_col is None:
+            order_cols = [ts_col] + ([data_col] if data_col != ts_col else [])
+        elif isinstance(order_col, str):
+            order_cols = [order_col]
+        else:
+            order_cols = list(order_col)
 
         def push(batch_df, epoch_id: int) -> None:
-            rows = batch_df.orderBy(order).collect()
+            from pyspark.sql import functions as F
+
+            cap = log.capacity
+            n_total = batch_df.count()
+            if n_total > cap:
+                # newest `cap` rows via executor-side top-k (WindowGroupLimit
+                # prunes map-side); the count pass is far cheaper than
+                # collecting an unbounded batch.
+                rows = (
+                    batch_df.orderBy(*[F.desc(c) for c in order_cols])
+                    .limit(cap)
+                    .collect()
+                )
+                rows.reverse()
+                log.skip(n_total - cap)
+            else:
+                rows = batch_df.orderBy(*order_cols).collect()
             for row in rows:
                 log.append(row[ts_col], row[data_col])
 

@@ -270,3 +270,53 @@ def test_spark_fed_route(spark):
         q.stop()
     finally:
         svc.stop()
+
+
+def test_oversized_batch_trimmed_before_driver(spark, tmp_path):
+    """A first micro-batch larger than route capacity must reach the
+    driver already trimmed to the newest `capacity` rows — yet the
+    offset counter advances as if every row had been appended and
+    evicted (reference: TRIM_HORIZON over deep history, service.go
+    capacity semantics)."""
+    n, cap = 50, 5
+    rows = [(datetime(2024, 1, 1, 0, 0, i % 60, i), json.dumps({"i": i})) for i in range(n)]
+    src = str(tmp_path / "batch")
+    spark.createDataFrame(rows, "time timestamp, detail string").coalesce(2).write.parquet(src)
+
+    svc = SseService(routes=[RouteOptions("/e", capacity=cap)])
+    svc.start()
+    try:
+        stream = spark.readStream.schema("time timestamp, detail string").parquet(src)
+        q = svc.attach_query("/e", stream, ts_col="time", data_col="detail")
+        q.processAllAvailable()
+        q.stop()
+        log = svc.log("/e")
+        assert log.next_offset() == n, "trimmed rows must still consume offsets"
+        entries = log.read_from(0)
+        assert [o for o, _ in entries] == list(range(n - cap, n))
+        assert [json.loads(d)["i"] for _, d in entries] == list(range(n - cap, n))
+    finally:
+        svc.stop()
+
+
+def test_equal_timestamp_ties_deterministic(spark, tmp_path):
+    """Rows with identical event time get offsets in data-column order —
+    deterministic across runs (the reference's mutex order is stable;
+    a ts-only sort is not)."""
+    ts = datetime(2024, 1, 1)
+    rows = [(ts, f"payload-{c}") for c in "dbca"]
+    src = str(tmp_path / "ties")
+    spark.createDataFrame(rows, "time timestamp, detail string").coalesce(4).write.parquet(src)
+
+    svc = SseService(routes=[RouteOptions("/t", capacity=100)])
+    svc.start()
+    try:
+        stream = spark.readStream.schema("time timestamp, detail string").parquet(src)
+        q = svc.attach_query("/t", stream, ts_col="time", data_col="detail")
+        q.processAllAvailable()
+        q.stop()
+        assert [d for _, d in svc.log("/t").read_from(0)] == [
+            "payload-a", "payload-b", "payload-c", "payload-d"
+        ]
+    finally:
+        svc.stop()
