@@ -46,10 +46,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        # best-of-2, plus a third run when the first two disagree by >30%
-        # (this box shows ±50% noise on shuffle-heavy queries)
-        runs = [_run(fn, spark, sf_dir) for _ in range(2)]
-        if abs(runs[0] - runs[1]) > 0.3 * max(runs):
+        # best-of-3, plus a fourth run when the spread exceeds 30%
+        # (this box shows ±50% ambient noise on shuffle-heavy queries;
+        # min-of-n is the stable estimator under load spikes)
+        runs = [_run(fn, spark, sf_dir) for _ in range(3)]
+        if max(runs) - min(runs) > 0.3 * max(runs):
             runs.append(_run(fn, spark, sf_dir))
         timings[name] = round(min(runs), 4)
 

@@ -149,9 +149,13 @@ def ingest_envelope_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures, then parse (S4), validate (F1-F3), strip (P1) and
     canonicalize (P2). Benchmarked — this is the per-record hot path a
     Kinesis route would run at scale."""
+    from kinesis2sse_spark.catalog import spread
     from kinesis2sse_spark.pipeline.envelope import parse_envelope
 
-    events = load_table(spark, sf_dir, "events")
+    # spread: the parse is the CPU hot spot; a single-file scan would
+    # otherwise pin all of it on one core (no-op at real scale where the
+    # scan already has >= cores partitions)
+    events = spread(load_table(spark, sf_dir, "events"), spark)
     wire = events.select(
         F.concat(
             F.lit('{"time":"'),
