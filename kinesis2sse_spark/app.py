@@ -24,7 +24,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.pipeline.envelope import parse_envelope
+from kinesis2sse_spark.pipeline.envelope import deaggregate_envelopes, parse_envelope
 from kinesis2sse_spark.pipeline.since import parse_go_duration, parse_rfc3339
 from kinesis2sse_spark.streaming.serve import RouteOptions, SseService
 
@@ -97,11 +97,15 @@ class ServiceApp:
                 .option("maxFilesPerTrigger", r.max_files_per_trigger)
                 .parquet(r.source_dir)
             )
+        # KPL-aggregated records (JSON array of envelopes) de-aggregate
+        # before the parse, exactly where the reference's KCL does it
+        # (record_processor.go:104-106); scalar records pass through.
         # observe metrics replace the reference's per-record drop warnings
         # (record_processor.go:63-81): each micro-batch's progress carries
         # n_records/n_dropped under "ingest_<route>" with zero extra scans
         parsed = parse_envelope(
-            stream, observe=f"ingest_{r.pattern.strip('/') or 'root'}"
+            deaggregate_envelopes(stream),
+            observe=f"ingest_{r.pattern.strip('/') or 'root'}",
         )
         if start == "latest":
             # LATEST over a file directory that may already hold data:

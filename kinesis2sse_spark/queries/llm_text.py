@@ -523,3 +523,183 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 5000)
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+SEQ_LEN = 512  # context-window length (tokens) for training packing
+PACK_KEY_SPAN = 1000  # docs per prefix-sum key (tune ≈ corpus/partitions)
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_tok,
+           CAST((cum - n_tokens) // {SEQ_LEN} AS BIGINT) AS first_block,
+           CAST((cum - 1) // {SEQ_LEN} AS BIGINT) AS last_block
+    FROM c
+    """,
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LM training: concatenate the corpus in
+    doc_id order and chunk into SEQ_LEN-token context windows — each
+    doc's global token offset and the block range it lands in. The
+    oracle states one global running sum; the Spark plan is the same
+    DISTRIBUTED PREFIX SUM as select_token_budget — per-key partials
+    (key = contiguous doc_id span) cumsum'd over the tiny key summary
+    and broadcast back, plus a within-key window — so nothing collapses
+    to one partition. At 100 TB the serial work is one row per
+    PACK_KEY_SPAN docs; the per-doc block math is pure projection.
+    Downstream, grouping by block id materializes the training
+    batches; docs straddling a boundary continue in the next block
+    (standard concat-then-chunk semantics)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % PACK_KEY_SPAN).alias("k"),
+    )
+    key_sums = t.groupBy("k").agg(F.sum("n_tokens").alias("key_tokens"))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = key_sums.select(
+        "k", (F.sum("key_tokens").over(wk) - F.col("key_tokens")).alias("offset")
+    )
+    ww = Window.partitionBy("k").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.col("offset") + F.sum("n_tokens").over(ww)
+    start = cum - F.col("n_tokens")
+    # `div` = exact integer division — a double floor would lose
+    # precision past 2^53 global tokens, within reach at 100 TB
+    return (
+        t.join(F.broadcast(offsets), "k")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_tok"),
+            start.alias("__s"),
+            (cum - 1).alias("__e"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_tok",
+            F.expr(f"__s div {SEQ_LEN}").alias("first_block"),
+            F.expr(f"__e div {SEQ_LEN}").alias("last_block"),
+        )
+    )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              FOR i IN range(1, len(t) - 1)] AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6) AS dup_gram_ratio
+    FROM grams
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/C4-style duplicate-n-gram
+    fraction): 1 - distinct/total word-3-grams per document. High values
+    flag boilerplate and degenerate generations before training. Pure
+    per-row array arithmetic inside whole-stage codegen — no shuffle,
+    embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size("g").cast("bigint").alias("n_grams"),
+            F.round(
+                1.0 - F.size(F.array_distinct("g")) * 1.0 / F.size("g"), 6
+            ).alias("dup_gram_ratio"),
+        )
+    )
+
+
+@register(
+    "mix_domain_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS k, sum(n_docs) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           round((1.0 / k) / (n_docs * 1.0 / total), 6) AS sample_weight
+    FROM per, tot
+    """,
+)
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source sampling weight that turns
+    the corpus's natural source distribution into a uniform target mix
+    (weight = target_share / actual_share; swap the uniform target for a
+    tuned mixture vector in practice). One groupBy(source) aggregate +
+    one broadcast of the k-row summary — the corpus never shuffles
+    beyond the map-side-combined count."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.count("*").alias("k"), F.sum("n_docs").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round((1.0 / F.col("k")) / (F.col("n_docs") * 1.0 / F.col("total")), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+@register(
+    "filter_quality_percentile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    p AS (SELECT quantile_cont(n_tokens, 0.1) AS p10 FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM t, p WHERE n_tokens > p10
+    """,
+)
+def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold filtering: drop the bottom decile by token
+    count (stand-in for any scalar quality score). The exact percentile
+    is one aggregate row broadcast back as a predicate — same
+    one-scan-plus-broadcast shape as retention_last_n, so parquet
+    min/max stats can prune whole files below the cut at scale. Both
+    engines use linearly-interpolated percentile_cont semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    p = t.agg(F.percentile("n_tokens", F.lit(0.1)).alias("p10"))
+    return (
+        t.join(F.broadcast(p), F.col("n_tokens") > F.col("p10"), "inner")
+        .select("doc_id", "n_tokens")
+    )

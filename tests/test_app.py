@@ -131,3 +131,29 @@ def test_kafka_route_seam(spark):
         pytest.skip(f"kafka connector jar absent: {str(e)[:80]}")
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["time", "detail"]
+
+
+def test_kpl_aggregated_route(spark):
+    """A route fed a KPL-style aggregated record (one stream record =
+    JSON array of envelopes) serves the individual user records in
+    order — de-aggregation happens inside the route pipeline exactly
+    where the reference's KCL does it (record_processor.go:104-106)."""
+    d = staged_batch_dir("app_kpl")
+    agg = [
+        {"time": "2024-01-01T00:00:00Z", "detail": {"n": 1}},
+        {"time": "2024-01-01T00:00:01Z", "detail": {"n": 2}},
+    ]
+    rows = [(json.dumps(agg),), (json.dumps({"time": "2024-01-01T00:00:02Z", "detail": {"n": 3}}),)]
+    spark.createDataFrame(rows, "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "b0"))
+    app = ServiceApp(
+        spark, routes=[RouteConfig("/agg", os.path.join(d, "*"), start="TRIM_HORIZON")]
+    )
+    app.start()
+    try:
+        app.process_all_available()
+        _, _, events = read_sse(app.addr, "/agg?since=1970-01-01T00:00:00Z", 3)
+        assert events == ['{"n":1}', '{"n":2}', '{"n":3}']
+    finally:
+        app.stop()

@@ -219,3 +219,32 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_parse_envelope_drop_is_generator_not_filter(spark):
+    """The envelope drop must stay a Generate (explode) — a Filter gets
+    its predicate (with the whole variant parse inlined) pushed through
+    the repartition into the single-partition scan and evaluated 2-3x
+    per row single-core (PERF.md round 2). Locks in: a Generate node
+    present, and NO variant parse inside any Filter or scan DataFilters."""
+    plan = _plan(spark, "ingest_envelope_pipeline")
+    assert "Generate explode" in plan
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter")) or "DataFilters" in line:
+            assert "parseJson" not in line, line
+
+
+def test_jaccard_single_shingle_exchange(spark):
+    """The inverted-index pair search shuffles the shingle set exactly
+    once (posting lists carry doc counts, so no join-back exchanges on
+    the shingle relation)."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert plan.count("documents.parquet") == 1, plan
+
+
+def test_recall_queries_broadcast_probes(spark):
+    """ANN + recall contracts keep the corpus un-shuffled: the query/probe
+    side broadcasts; the corpus side must never hash-exchange before
+    scoring (only the small aggregates after)."""
+    plan = _plan(spark, "sim_topk_lsh")
+    assert "BroadcastExchange" in plan

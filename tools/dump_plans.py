@@ -29,6 +29,10 @@ SHOW = [
     "q2_min_cost_supplier",
     "q20_potential_promotion",
     "ml_kmeans_assign",
+    "ingest_envelope_pipeline",
+    "kpl_deaggregate",
+    "sim_topk_lsh",
+    "pipeline_sequence_packing",
 ]
 
 
