@@ -79,6 +79,64 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
+def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared inverted-index pair search: (doc_a, doc_b, na, nb, c) for
+    every ordered doc pair sharing >= 1 rare (df <= MAX_DF) word-3-
+    shingle, where c counts shared capped-universe shingles and na/nb
+    are full-universe per-doc distinct-shingle counts. ONE shuffle on
+    the shingle hash (posting lists carry doc counts, so no join-back);
+    the df cap bounds any posting list's pair blow-up at MAX_DF^2/2.
+    The scan is spread across cores first — shingling is the CPU hot
+    spot and must not run on a single small-file partition. Scoring
+    (jaccard / containment) layers on top."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    # Single pass: distinct-shingle array once per doc, per-doc count rides
+    # along with every exploded row, and shingles shuffle as 8-byte
+    # xxhash64 keys instead of ~25-byte strings (collision odds over ~10M
+    # distinct shingles ~ 1e-6 — far below FP noise).
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(shingles).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+        )
+    )
+    postings = sh.groupBy("sh").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("docs")
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("docs"),
+                    lambda x: F.transform(
+                        F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+        )
+    )
+    return (
+        postings.filter(F.size("docs").between(2, MAX_DF))
+        .select(pair.alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     bench=True,
@@ -106,67 +164,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted index: distinct
-    word-3-shingles per doc → equi-join on shingle → common-shingle count
-    → |A∩B| / (|A|+|B|-|A∩B|). No cross join anywhere; the shuffle keys
-    are shingles and (doc_a, doc_b) pairs that share at least one
-    rare (df ≤ MAX_DF) shingle — the df cap keeps a single hot shingle
-    from serializing pair generation (see MAX_DF note above).
-    The scan is spread across cores first — shingling is the CPU hot spot
-    and must not run on a single small-file partition."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
-    toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
-    # Single pass: distinct-shingle array once per doc, per-doc count rides
-    # along with every exploded row, and shingles shuffle as 8-byte
-    # xxhash64 keys instead of ~25-byte strings (collision odds over ~10M
-    # distinct shingles ≈ 1e-6 — far below FP noise).
-    sh = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.array_distinct(shingles).alias("shs"))
-        .select(
-            "doc_id",
-            F.size("shs").alias("n"),
-            F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
-        )
-    )
-    # ONE shuffle on the shingle hash: build (doc, count) posting lists per
-    # shingle, emit ordered pairs from each (almost always singleton) list
-    # — replaces a self-join that would shuffle the shingle set twice, and
-    # the carried counts make the final join-back unnecessary.
-    postings = sh.groupBy("sh").agg(
-        F.collect_list(F.struct("doc_id", "n")).alias("docs")
-    )
-    pair = F.explode(
-        F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("docs"),
-                    lambda x: F.transform(
-                        F.col("docs"), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                    ),
-                )
-            ),
-            lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
-        )
-    )
-    # df cap: between(2, MAX_DF) bounds any single posting list's pair
-    # blow-up at MAX_DF²/2 — a stopword shingle shared by 10⁶ docs would
-    # otherwise serialize O(df²) pair generation in one task.
-    inter = (
-        postings.filter(F.size("docs").between(2, MAX_DF))
-        .select(pair.alias("p"))
-        .groupBy(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.n").alias("na"),
-            F.col("p.b.n").alias("nb"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
+    """Exact n-gram Jaccard near-dup pairs via the shared inverted
+    index (_ngram_pair_counts): |A∩B| / (|A|+|B|-|A∩B|) over pairs
+    sharing >= 1 rare shingle. No cross join anywhere."""
+    inter = _ngram_pair_counts(spark, sf_dir)
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
     return inter.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
@@ -368,4 +369,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .filter(F.round(cos, 6) >= 0.95)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(i.c * 1.0 / least(na.n, nb.n), 6) AS containment
+    FROM inter i
+    JOIN counts na ON na.doc_id = i.doc_a
+    JOIN counts nb ON nb.doc_id = i.doc_b
+    WHERE i.c * 1.0 / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT pairs: |A∩B| / min(|A|,|B|) — catches a short
+    doc embedded in a long one, which symmetric Jaccard dilutes below
+    threshold (the quote/boilerplate/excerpt case every training corpus
+    has). Identical single-shuffle inverted-index plan as
+    dedup_ngram_jaccard — only the final scoring expression differs, so
+    the df cap and pair-generation bounds carry over unchanged."""
+    inter = _ngram_pair_counts(spark, sf_dir)
+    cont = F.col("c") * 1.0 / F.least("na", "nb")
+    return inter.filter(cont >= CONTAINMENT_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )

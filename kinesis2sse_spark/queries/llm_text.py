@@ -703,3 +703,37 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(p), F.col("n_tokens") > F.col("p10"), "inner")
         .select("doc_id", "n_tokens")
     )
+
+
+HIST_BUCKET = 8  # tokens per histogram bucket
+
+
+@register(
+    "hist_token_lengths",
+    oracle=f"""
+    WITH t AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // {HIST_BUCKET} AS BIGINT) AS bucket,
+           CAST(n_tokens // {HIST_BUCKET} * {HIST_BUCKET} AS BIGINT) AS lo_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+)
+def hist_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (fixed-width buckets): the length
+    distribution every packing/curriculum decision starts from. One
+    map-side-combined groupBy over bucket ids — the shuffle carries at
+    most n_buckets rows per partition regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.expr(f"size(split(text, ' ')) div {HIST_BUCKET}")
+    return (
+        d.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET).cast("bigint").alias("lo_tokens"),
+            "n_docs",
+        )
+    )
