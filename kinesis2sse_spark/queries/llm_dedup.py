@@ -421,3 +421,72 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(cont >= CONTAINMENT_THRESHOLD).select(
         "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
+
+
+SPAN_LEN = 8  # tokens per duplicate-span window
+
+
+@register(
+    "dedup_span_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    win AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(t, i, i + {SPAN_LEN} - 1), ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_LEN} + 2)) AS i) u
+      WHERE len(t) >= {SPAN_LEN}
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS ndocs FROM win GROUP BY w),
+    flag AS (
+      SELECT win.doc_id, win.i, (df.ndocs > 1) AS dup
+      FROM win JOIN df USING (w)
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE dup) AS n_dup_windows,
+           round(count(*) FILTER (WHERE dup) * 1.0 / count(*), 6) AS dup_fraction
+    FROM flag
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication coverage (the metric behind
+    suffix-array training-data dedup, Lee et al. 2022, computed at
+    token-window granularity): for every doc, the fraction of its
+    SPAN_LEN-token sliding windows that also occur verbatim in at least
+    one OTHER doc. Corpus-wide exact-substring dedup policies trim or
+    drop docs above a dup_fraction threshold.
+
+    Plan: explode per-doc windows keyed by xxhash64 of the window text
+    (windows shuffle as 8-byte longs), aggregate distinct-doc counts per
+    window hash, then roll the dup flag back up per doc. Two shuffles
+    (window hash, doc_id), both map-side-combinable; no pair emission at
+    all, so — unlike the pairwise Jaccard path — a window shared by a
+    million docs costs one counter, not O(df²) pairs, and no df cap is
+    needed. At 100 TB the window-hash agg is the big exchange; partial
+    aggregation keeps it at one (hash, count) record per distinct window
+    per map task."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    win = (
+        d.filter(F.size(toks) >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - SPAN_LEN),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, SPAN_LEN))),
+                )
+            ).alias("w"),
+        )
+    )
+    df = win.groupBy("w").agg(F.count_distinct("doc_id").alias("ndocs"))
+    return (
+        win.join(df, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count_if(F.col("ndocs") > 1).alias("n_dup_windows"),
+            F.round(F.count_if(F.col("ndocs") > 1) / F.count("*"), 6).alias("dup_fraction"),
+        )
+    )

@@ -558,3 +558,95 @@ def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_ivf(spark, sf_dir),
         IVF_RECALL_FLOOR,
     )
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS l2
+      FROM v
+    )
+    SELECT vec_id,
+           round(l2, 6) AS l2_norm,
+           round(list_reduce(list_transform(v, x -> x / l2), (a, b) -> a + b), 6)
+             AS unit_sum,
+           len(v) AS dim
+    FROM n
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the standard embedding pre-step that turns
+    cosine into plain dot product for every downstream ANN/dedup op.
+    Pure per-row higher-order-function arithmetic: no shuffle, no UDF,
+    stays inside whole-stage codegen, trivially scales to any corpus
+    size. Output is scalar-only (norm + unit-vector component sum as a
+    checksum) so the driver's hasher can canonicalize rows; the real
+    pipeline would keep `unit` as the array column."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "l2", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    unit = F.transform("v", lambda x: x / F.col("l2"))
+    return d.select(
+        "vec_id",
+        F.round("l2", 6).alias("l2_norm"),
+        F.round(F.aggregate(unit, F.lit(0.0), lambda a, x: a + x), 6).alias("unit_sum"),
+        F.size("v").cast("bigint").alias("dim"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) / 127.0
+               AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CAST(list_reduce(list_transform(v, x -> floor(x / scale + 0.5)), (a, b) -> a + b)
+                AS BIGINT) AS q_sum,
+           CAST(list_reduce(list_transform(v, x -> CASE WHEN abs(floor(x / scale + 0.5)) = 127
+                                                        THEN 1 ELSE 0 END), (a, b) -> a + b)
+                AS BIGINT) AS n_saturated
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x| / 127,
+    q = round-half-up(x / scale)) — the 4× storage/bandwidth compressor
+    a 100 TB embedding store runs before ANN. Per-row HOF arithmetic,
+    no shuffle, no UDF. floor(x/scale + 0.5) is used on BOTH sides
+    because Spark's round() is HALF_UP while DuckDB's is banker's-
+    adjacent half-away-from-zero — floor(+0.5) is the one formulation
+    whose bit pattern agrees everywhere. Output is the quantized-sum /
+    saturation-count checksum (scalar cells for the driver's hasher);
+    the real pipeline keeps the int8 array."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = e.select("vec_id", v.alias("v")).withColumn(
+        "scale",
+        F.aggregate("v", F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / 127.0,
+    )
+    q = F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5))
+    return d.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.when(F.abs(x) == 127, 1).otherwise(0),
+        ).alias("n_saturated"),
+    )

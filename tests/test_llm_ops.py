@@ -101,3 +101,41 @@ def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(llm_dedup, "MAX_DF", 256)
     uncapped = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
     assert uncapped == 12 * 11 // 2, f"expected all 66 pairs, got {uncapped}"
+
+
+def test_span_fraction_planted_duplicate(spark, tmp_path):
+    """A doc sharing an 8-token run with another doc reports exactly the
+    windows inside that run as duplicated; a fully unique doc reports 0."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_span_fraction
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"  # 9 tokens -> 2 shared windows
+    rows = [
+        (0, shared + " a1 a2 a3"),
+        (1, "b1 b2 b3 " + shared),
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in dedup_span_fraction(spark, str(tmp_path)).collect()}
+    # doc 0: 12 tokens -> 5 windows, the 2 windows fully inside the shared
+    # 9-token run also occur in doc 1
+    assert got[0]["n_windows"] == 5 and got[0]["n_dup_windows"] == 2
+    assert got[1]["n_windows"] == 5 and got[1]["n_dup_windows"] == 2
+    assert got[2]["n_windows"] == 3 and got[2]["n_dup_windows"] == 0
+    assert abs(got[0]["dup_fraction"] - 0.4) < 1e-9
+
+
+def test_emb_quantize_bounds(spark):
+    """Quantized values must stay in [-127, 127]: the max-abs component
+    maps to ±127 exactly, so every vector has >= 1 saturated value and
+    |q_sum| <= 127 * dim."""
+    from kinesis2sse_spark.queries.llm_similarity import emb_quantize_int8
+
+    rows = emb_quantize_int8(spark, SF_SMOKE).collect()
+    assert rows
+    dim = 64
+    for r in rows:
+        assert r["n_saturated"] >= 1
+        assert abs(r["q_sum"]) <= 127 * dim
+        assert r["scale"] > 0

@@ -33,6 +33,8 @@ SHOW = [
     "kpl_deaggregate",
     "sim_topk_lsh",
     "pipeline_sequence_packing",
+    "dedup_span_fraction",
+    "emb_quantize_int8",
 ]
 
 
