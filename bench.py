@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,14 +46,18 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in queries.items():
         # best-of-3, plus a fourth run when the spread exceeds 30%
         # (this box shows ±50% ambient noise on shuffle-heavy queries;
-        # min-of-n is the stable estimator under load spikes)
+        # min-of-n is the stable estimator under load spikes). The
+        # median rides along so a noisy round is distinguishable from a
+        # plan regression without rerunning.
         runs = [_run(fn, spark, sf_dir) for _ in range(3)]
         if max(runs) - min(runs) > 0.3 * max(runs):
             runs.append(_run(fn, spark, sf_dir))
         timings[name] = round(min(runs), 4)
+        medians[name] = round(statistics.median(runs), 4)
 
     print(
         json.dumps(
@@ -61,6 +66,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "total_median": round(sum(medians.values()), 4),
                 "sf": sf,
             }
         )

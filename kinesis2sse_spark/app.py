@@ -84,13 +84,14 @@ class ServiceApp:
             servers, _, topic = r.source_dir[len("kafka://"):].partition("/")
             if not topic:
                 raise ValueError(f"kafka source needs kafka://servers/topic, got {r.source_dir!r}")
-            # Kinesis seek → Kafka offsets: TRIM_HORIZON ≡ earliest,
-            # LATEST ≡ latest; a timestamp start keeps the event-time
-            # filter below (Kafka's per-partition startingTimestamp
-            # would be the native mapping once a broker-side seek is
-            # preferable to a scan-side filter).
-            starting = "earliest" if start == "trim_horizon" else "latest"
-            stream = kafka_stream(self.spark, servers, topic, starting_offsets=starting)
+            # Kinesis seek → Kafka: TRIM_HORIZON ≡ earliest, LATEST ≡
+            # latest, timestamp → native broker-side startingTimestamp
+            # (kafka_start_options). The event-time filter below still
+            # applies to timestamp starts: the broker seeks on
+            # log-append time, which can trail the envelope's event
+            # time, so the filter trims the overlap — it can only trim,
+            # never recover, which is why the seek itself must not skip.
+            stream = kafka_stream(self.spark, servers, topic, start=start)
         else:
             stream = (
                 self.spark.readStream.schema("value string")

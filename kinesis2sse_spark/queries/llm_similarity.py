@@ -518,8 +518,11 @@ def _recall_contract(exact: DataFrame, approx: DataFrame, threshold: float) -> D
     )
 
 
-LSH_RECALL_FLOOR = 0.8  # measured min per-query recall at sf0.01 is exactly 0.8
-IVF_RECALL_FLOOR = 0.6  # measured min per-query recall at sf0.01 is exactly 0.6
+# Floors sit BELOW the measured per-query minima at sf0.01 (0.8 / 0.6)
+# so the contract flags real parameter regressions, not fixture or
+# tie-break perturbations that shave one neighbor off one query.
+LSH_RECALL_FLOOR = 0.75
+IVF_RECALL_FLOOR = 0.55
 
 
 @register(

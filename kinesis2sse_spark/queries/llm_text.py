@@ -684,7 +684,7 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     ),
-    p AS (SELECT quantile_cont(n_tokens, 0.1) AS p10 FROM t)
+    p AS (SELECT round(quantile_cont(n_tokens, 0.1), 6) AS p10 FROM t)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
     FROM t, p WHERE n_tokens > p10
     """,
@@ -695,10 +695,13 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one aggregate row broadcast back as a predicate — same
     one-scan-plus-broadcast shape as retention_last_n, so parquet
     min/max stats can prune whole files below the cut at scale. Both
-    engines use linearly-interpolated percentile_cont semantics."""
+    engines use linearly-interpolated percentile_cont semantics; the
+    threshold is rounded to 6 dp on BOTH sides so a one-ULP
+    interpolation difference at an integer index can't flip boundary
+    docs between engines."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
-    p = t.agg(F.percentile("n_tokens", F.lit(0.1)).alias("p10"))
+    p = t.agg(F.round(F.percentile("n_tokens", F.lit(0.1)), 6).alias("p10"))
     return (
         t.join(F.broadcast(p), F.col("n_tokens") > F.col("p10"), "inner")
         .select("doc_id", "n_tokens")

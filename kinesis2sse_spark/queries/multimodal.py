@@ -109,31 +109,36 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def extract_image_features(payload: bytes) -> list[float]:
-    """STUB decode: the container has no image/audio codecs. Deterministic
-    fake features = moments of the raw byte stream. A real deployment
-    replaces this body with PIL/torchvision decode; the Spark plumbing
-    (schema, batching, partitioning) is unchanged."""
-    if not payload:
-        return [0.0] * 4
-    n = float(len(payload))
-    s = float(sum(payload))
-    mx = float(max(payload))
-    mn = float(min(payload))
-    return [n, round(s / n, 6), mx, mn]
-
-
 @register("mm_decode_features", oracle=None)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads with mapInPandas: Arrow
     batches in, Arrow batches out — the shape a GPU/codec UDF runs in at
     scale (one batch per core, payloads never hit the driver). Decode
-    itself is stubbed (see extract_image_features)."""
+    itself is stubbed (see extract_image_features in decode_batches)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
+    # The whole closure is self-contained (no module-global references):
+    # cloudpickle ships it by VALUE, so the UDF runs on workers that
+    # don't have kinesis2sse_spark on sys.path — a module-level helper
+    # would pickle by module reference and ModuleNotFoundError on any
+    # deploy that didn't install the package executor-side.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def extract_image_features(payload: bytes) -> list[float]:
+            # STUB decode: the container has no image/audio codecs.
+            # Deterministic fake features = moments of the raw byte
+            # stream. A real deployment replaces this body with
+            # PIL/torchvision decode; the Spark plumbing (schema,
+            # batching, partitioning) is unchanged.
+            if not payload:
+                return [0.0] * 4
+            n = float(len(payload))
+            s = float(sum(payload))
+            mx = float(max(payload))
+            mn = float(min(payload))
+            return [n, round(s / n, 6), mx, mn]
+
         for pdf in batches:
             feats = pdf["payload"].map(lambda b: extract_image_features(bytes(b)))
             yield pd.DataFrame(

@@ -50,66 +50,75 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # The correctness driver checks the FIRST 50 entries of queries() in
 # iteration order. Registration order is import order (alphabetical by
 # module), so without intervention the same 50 get re-checked every
-# round and the rest never earn a driver row. This list front-loads the
-# round's highest-signal window: queries whose driver rows were red last
-# round (now fixed), then families with no driver row yet. Names not
-# (yet) registered are skipped, so entries can be listed ahead of the
-# code landing.
+# round and the rest never earn a driver row. This list is ROTATED each
+# round to the 50 highest-signal unchecked queries. Round-4 window:
+# everything that has never had a driver row in r01–r03 (70 queries for
+# 50 slots — the ~20 left over, mostly scalar-function variants and
+# small sort/limit forms, rotate in next round), front-loaded with the
+# four streaming queries whose ts-unit wrong answers r03's window
+# missed. Names not (yet) registered are skipped, so entries can be
+# listed ahead of the code landing.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # red in CORRECTNESS_r01 (nanos-read / array-cell) — fixed, prove it
-    "asof_replay",
-    "envelope_validate_project",
-    "offsets_contiguous",
-    "retention_last_n",
-    "retention_max_age",
-    "ingest_envelope_pipeline",
-    "tail_offset",
-    "join_asof",
-    "agg_min_max_by",
-    "agg_stats",
-    "agg_percentile",
-    "agg_filtered",
-    "agg_array_collect",
-    # new this round
-    "kpl_deaggregate",
-    "sim_recall_lsh",
-    "sim_recall_ivf",
-    "dedup_recall_minhash",
-    # TPC-H — no driver rows in round 1
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # one–three representatives per family with no round-1 driver row
-    "window_ranks",
-    "window_range_frame",
-    "topk_per_group",
-    "except_all",
-    "scalar_variant",
-    "scalar_string",
-    "subquery_correlated_exists",
-    "join_skew_salted",
-    "sort_limit_topn",
-    "envelope_canonical_json",
-    "streaming_stateful_offsets",
-    "timeseries_gapfill",
+    # streaming: wrong answers in r03 (ts-unit bug, fixed this round) —
+    # prove it, plus the two streaming queries never checked at all
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_stream_stream_join",
+    "streaming_dedup",
+    "streaming_stream_static_join",
+    # text analysis / pipeline family: zero driver rows ever
+    "text_tfidf_top_terms",
+    "text_ngrams",
+    "text_scrub",
+    "text_stopword_removal",
+    "text_repetition_score",
+    "decontaminate_ngram",
+    "select_token_budget",
+    "pipeline_sequence_packing",
+    "pipeline_training_export",
+    "mix_domain_weights",
+    "filter_quality_percentile",
+    "hist_token_lengths",
+    "sample_systematic",
+    "sample_stratified",
+    # multimodal family: zero driver rows ever (two are rows-only)
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "mm_decode_features",
+    "mm_audio_windows",
+    "source_binary_files",
+    # UDF surface: zero driver rows ever
+    "udf_scalar_python",
+    "udf_pandas_vectorized",
+    "udf_grouped_zscore",
+    "udtf_tokenize",
+    # sources/sinks: zero driver rows ever
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "sink_partitioned_parquet",
+    # window-function variants: zero driver rows ever
+    "window_lag_lead",
+    "window_running_agg",
+    "window_sliding_rows",
+    "window_first_last",
+    "window_time_range",
+    "window_distribution",
+    # set ops: zero driver rows ever
+    "union_all",
+    "union_distinct",
+    "intersect_distinct",
+    "except_distinct",
+    "intersect_all",
+    # subqueries: zero driver rows ever
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_not_in_null_safe",
+    "subquery_correlated_scalar_min",
+    "subquery_nested_correlated_having",
+    # dedup: containment never checked (+ new exact-collapse semantics)
+    "dedup_ngram_containment",
 )
 
 

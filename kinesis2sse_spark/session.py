@@ -30,6 +30,19 @@ def build_session(
     - Session timezone UTC: parquet timestamps compare bit-for-bit with
       the DuckDB oracle.
     """
+    # Python workers don't inherit the driver's sys.path — a UDF closure
+    # that references any module-level helper (e.g. the canonical-JSON
+    # pandas UDF) deserializes by module reference and dies with
+    # ModuleNotFoundError unless the package is importable worker-side.
+    # Local mode: export the repo root on PYTHONPATH before the JVM (and
+    # its worker daemon) launches. Cluster mode: ship the package with
+    # --py-files / addPyFile or install it on executors as usual.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

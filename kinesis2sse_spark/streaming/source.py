@@ -10,6 +10,7 @@ provided (SURVEY.md §7 M4). Kafka would slot in the same way.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import shutil
@@ -18,16 +19,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    """FileStreamSource needs an explicit schema. The ts field's type
+    depends on the fixture's physical parquet type: TIMESTAMP(NANOS)
+    surfaces as long under spark.sql.legacy.parquet.nanosAsLong (the
+    batch catalog sets it), TIMESTAMP(MICROS) reads natively."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Read the fixture's parquet footer ONCE per sf_dir (driver-side,
+    metadata only) to learn ts's physical type — the same guard the batch
+    catalog applies via df.dtypes (catalog.py:42), so stream and batch
+    reads of the same fixture can never disagree on the time unit."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts")
+    return str(field.type) == "timestamp[ns]"
 
 
 def _staged_dir(sf_dir: str) -> str:
@@ -48,14 +67,20 @@ def _staged_dir(sf_dir: str) -> str:
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-based streaming source over the events table, with the same
-    ns→µs timestamp conversion the batch catalog applies."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    """File-based streaming source over the events table, applying the
+    same unit conversion the batch catalog does — ns→µs truncation ONLY
+    when the parquet physically stores TIMESTAMP(NANOS); a µs fixture is
+    read as a native timestamp with no arithmetic."""
+    ts_is_nanos = _events_ts_is_nanos(sf_dir)
+    reader = spark.readStream.schema(_events_schema(ts_is_nanos))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(_staged_dir(sf_dir)).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = reader.parquet(_staged_dir(sf_dir))
+    if ts_is_nanos:
+        # integer division, exactly like catalog.py:46 — a double
+        # round-trip would lose precision at 1.7e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -77,21 +102,52 @@ def staged_batch_dir(name: str) -> str:
     return d
 
 
+def kafka_start_options(start) -> dict[str, str]:
+    """Map a resolved start position (S2) to Kafka source options —
+    the reference's initial-position seek (kinesis2sse.go:117-126)
+    translated to the broker Spark can actually talk to:
+
+    - "latest" → startingOffsets=latest (only new records);
+    - "trim_horizon" → startingOffsets=earliest (full replay);
+    - datetime → native broker-side ``startingTimestamp`` (ms since
+      epoch, the AT_TIMESTAMP seek), with
+      startingOffsetsByTimestampStrategy=latest so an idle partition
+      with no record at/after the instant starts at its end instead of
+      failing the query.
+
+    A timestamp start must NEVER map to startingOffsets=latest: every
+    record between the requested instant and service start would be
+    skipped broker-side, and no scan-side event-time filter can recover
+    rows the seek never read."""
+    from datetime import datetime, timezone
+
+    if isinstance(start, datetime):
+        if start.tzinfo is None:
+            start = start.replace(tzinfo=timezone.utc)  # naive ≡ UTC by convention
+        return {
+            "startingTimestamp": str(int(start.timestamp() * 1000)),
+            "startingOffsetsByTimestampStrategy": "latest",
+        }
+    return {"startingOffsets": "earliest" if start == "trim_horizon" else "latest"}
+
+
 def kafka_stream(
-    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+    spark: SparkSession, bootstrap_servers: str, topic: str, start="latest"
 ) -> DataFrame:
     """Kafka source through the same seam: returns the raw ``value`` bytes
-    column shape ``parse_envelope`` consumes. The kafka-sql connector jar
-    ships with Spark distributions but needs a broker; tests use the file
-    source through the identical downstream path."""
-    return (
+    column shape ``parse_envelope`` consumes. ``start`` is a resolved
+    position — "latest" | "trim_horizon" | datetime (see
+    kafka_start_options). The kafka-sql connector jar ships with Spark
+    distributions but needs a broker; tests use the file source through
+    the identical downstream path."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .select("value")
     )
+    for k, v in kafka_start_options(start).items():
+        reader = reader.option(k, v)
+    return reader.load().select("value")
 
 
 def kinesis_stream(spark: SparkSession, stream_name: str, region: str, **options):

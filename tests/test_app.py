@@ -133,6 +133,61 @@ def test_kafka_route_seam(spark):
     assert [f.name for f in df.schema.fields] == ["time", "detail"]
 
 
+def test_kafka_start_options_no_data_loss():
+    """S2 for the Kafka source: a datetime/duration start must seek the
+    BROKER at that instant (native startingTimestamp) — never map to
+    startingOffsets=latest, which silently skips every record between
+    the requested timestamp and service start (records a scan-side
+    event-time filter can never recover). Reference semantics:
+    WithTimestampAtInitialPositionInStream, kinesis2sse.go:121-125."""
+    from kinesis2sse_spark.streaming.source import kafka_start_options
+
+    assert kafka_start_options("latest") == {"startingOffsets": "latest"}
+    assert kafka_start_options("trim_horizon") == {"startingOffsets": "earliest"}
+
+    at = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    opts = kafka_start_options(at)
+    assert "startingOffsets" not in opts, "timestamp start must not offset-seek"
+    assert opts["startingTimestamp"] == str(int(at.timestamp() * 1000))
+    # idle partitions (no record at/after the instant) start at their
+    # end instead of failing the query
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
+    # naive datetime ≡ UTC by convention (same rule as the event-time
+    # filter in app._route_stream)
+    naive = kafka_start_options(datetime(2024, 3, 1))
+    assert naive["startingTimestamp"] == opts["startingTimestamp"]
+    # a resolved duration start (now - d) is a datetime too — same path
+    dur = resolve_start("2h", now=at)
+    assert "startingTimestamp" in kafka_start_options(dur)
+
+
+def test_kafka_timestamp_route_builds_native_seek(spark):
+    """A kafka:// route with an RFC3339 start must plumb the native
+    broker-side timestamp seek into the reader (not latest). Without
+    the connector jar the plan fails at load(); the option mapping is
+    pinned by test_kafka_start_options_no_data_loss above, so here we
+    only require the seam dispatches the datetime to kafka_stream."""
+    from unittest.mock import patch
+
+    svc = ServiceApp(
+        spark,
+        routes=[
+            RouteConfig(
+                "/k", "kafka://localhost:9092/t", start="2024-03-01T00:00:00Z"
+            )
+        ],
+    )
+    with patch(
+        "kinesis2sse_spark.streaming.source.kafka_stream"
+    ) as ks:
+        ks.return_value = spark.readStream.format("rate").load().selectExpr(
+            "CAST(value AS STRING) AS value"
+        )
+        svc._route_stream(svc.routes[0])
+        (_, args, kwargs) = ks.mock_calls[0]
+        assert kwargs["start"] == datetime(2024, 3, 1, tzinfo=timezone.utc)
+
+
 def test_kpl_aggregated_route(spark):
     """A route fed a KPL-style aggregated record (one stream record =
     JSON array of envelopes) serves the individual user records in

@@ -103,6 +103,40 @@ def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark, tmp_path, monkeypatch):
     assert uncapped == 12 * 11 // 2, f"expected all 66 pairs, got {uncapped}"
 
 
+def test_massdup_cluster_not_blinded_by_df_cap(spark, tmp_path):
+    """A text duplicated far past MAX_DF must still dedupe: exact copies
+    collapse to one representative before shingling, so the cluster
+    contributes ONE doc to each shingle's df instead of capping its own
+    shingles out of the index. 300 exact copies (> MAX_DF=256) + 1
+    near-dup: expect all C(300,2) within-cluster pairs at jaccard 1.0
+    AND the near-dup paired with every copy — both were silently empty
+    before the collapse."""
+    from kinesis2sse_spark.queries.llm_dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and againx"
+    rows = [(i, base) for i in range(300)]
+    rows.append((300, near))
+    rows.append((301, "totally unrelated words with no overlap at all here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = dedup_ngram_jaccard(spark, str(tmp_path))
+    within = pairs.filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
+    assert within.count() == 300 * 299 // 2
+    assert within.filter(F.col("jaccard") != 1.0).count() == 0
+    cross = pairs.filter(F.col("doc_b") == 300)
+    assert cross.count() == 300, "near-dup must pair with every cluster member"
+    assert pairs.filter((F.col("doc_a") == 301) | (F.col("doc_b") == 301)).count() == 0
+
+    mh = dedup_minhash_lsh(spark, str(tmp_path))
+    assert mh.filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300)).count() == 300 * 299 // 2
+    assert mh.filter(F.col("doc_b") == 300).count() == 300
+
+
 def test_span_fraction_planted_duplicate(spark, tmp_path):
     """A doc sharing an 8-token run with another doc reports exactly the
     windows inside that run as duplicated; a fully unique doc reports 0."""

@@ -237,9 +237,19 @@ def test_parse_envelope_drop_is_generator_not_filter(spark):
 def test_jaccard_single_shingle_exchange(spark):
     """The inverted-index pair search shuffles the shingle set exactly
     once (posting lists carry doc counts, so no join-back exchanges on
-    the shingle relation)."""
+    the shingle relation), and the exact-collapse cluster relation is
+    CACHED — one physical documents scan feeds the index, both fan-out
+    joins, and the within-cluster explode (each InMemoryTableScan
+    reprints the cached plan, so counting raw scan strings would
+    overcount)."""
+    import re
+
     plan = _plan(spark, "dedup_ngram_jaccard")
-    assert plan.count("documents.parquet") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(sh#", plan)) == 1, plan
+    assert "InMemoryTableScan" in plan, plan
+    # every documents scan lives inside the (shared) cached-plan body,
+    # never as a direct input of the query itself
+    assert plan.count("documents.parquet") == plan.count("InMemoryRelation"), plan
 
 
 def test_recall_queries_broadcast_probes(spark):
