@@ -30,6 +30,45 @@ def _read_stream(spark, d: str, schema: str):
     )
 
 
+def test_events_stream_ts_units_match_batch(spark, tmp_path):
+    """events_stream must read event time identically for TIMESTAMP(MICROS)
+    and TIMESTAMP(NANOS) fixtures. Regression: a hardcoded nanos-as-long
+    schema + div-1000 applied to a µs fixture compressed event time 1000×
+    (everything landed in January 1970) and silently broke every
+    event-time streaming operator; the schema now derives from the
+    parquet footer, mirroring the batch catalog's dtype guard."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.streaming.source import events_stream
+
+    want = datetime(2024, 5, 1, 12, 30, 45)
+    for unit in ("us", "ns"):
+        d = tmp_path / f"sf_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([want], pa.timestamp(unit)),
+                "user_id": pa.array([7], pa.int64()),
+                "event_type": pa.array(["click"], pa.string()),
+                "value": pa.array([1.5], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+
+        got_batch = load_table(spark, str(d), "events").collect()[0]["ts"]
+        got_stream = run_to_memory(
+            events_stream(spark, str(d)), f"tsunit_{unit}", "append"
+        ).collect()[0]["ts"]
+        assert got_batch == want, f"{unit}: batch read {got_batch}"
+        assert got_stream == want, f"{unit}: stream read {got_stream}"
+
+
 def test_offsets_carry_across_batches(spark):
     from kinesis2sse_spark.streaming.state import with_streaming_offsets
 
