@@ -119,8 +119,10 @@ def test_massdup_cluster_not_blinded_by_df_cap(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog again and again"
     near = "the quick brown fox jumps over the lazy dog again and againx"
     rows = [(i, base) for i in range(300)]
-    rows.append((300, near))
-    rows.append((301, "totally unrelated words with no overlap at all here"))
+    # a SECOND duplicated cluster (3 copies) of the near-dup text:
+    # cluster x cluster fan-out must emit all 300x3 cross pairs
+    rows += [(300 + i, near) for i in range(3)]
+    rows.append((303, "totally unrelated words with no overlap at all here"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
 
@@ -128,13 +130,16 @@ def test_massdup_cluster_not_blinded_by_df_cap(spark, tmp_path):
     within = pairs.filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300))
     assert within.count() == 300 * 299 // 2
     assert within.filter(F.col("jaccard") != 1.0).count() == 0
-    cross = pairs.filter(F.col("doc_b") == 300)
-    assert cross.count() == 300, "near-dup must pair with every cluster member"
-    assert pairs.filter((F.col("doc_a") == 301) | (F.col("doc_b") == 301)).count() == 0
+    cross = pairs.filter((F.col("doc_a") < 300) & (F.col("doc_b").between(300, 302)))
+    assert cross.count() == 300 * 3, "every (copy, near-dup-copy) pair must appear"
+    assert cross.filter(F.col("jaccard") >= 1.0).count() == 0
+    near_within = pairs.filter((F.col("doc_a").between(300, 302)) & (F.col("doc_b").between(300, 302)))
+    assert near_within.count() == 3
+    assert pairs.filter((F.col("doc_a") == 303) | (F.col("doc_b") == 303)).count() == 0
 
     mh = dedup_minhash_lsh(spark, str(tmp_path))
     assert mh.filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300)).count() == 300 * 299 // 2
-    assert mh.filter(F.col("doc_b") == 300).count() == 300
+    assert mh.filter((F.col("doc_a") < 300) & (F.col("doc_b").between(300, 302))).count() == 300 * 3
 
 
 def test_span_fraction_planted_duplicate(spark, tmp_path):
