@@ -205,21 +205,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, fully relational: explode terms → tf per (doc, term) → df
-    per term → idf = ln(N/df) → top-3 terms per doc. Two shuffles (doc,term
-    and term) and a broadcast of the tiny df table; no ML-lib dependency,
-    no fixed-dim hashing collisions."""
+    per term → idf = ln(N/df) → top-3 terms per doc. ONE explode +
+    (doc,term) shuffle: the tf relation is persisted because both the
+    df aggregate and the scoring join consume it (uncached, Spark
+    instantiates the explode+shuffle subtree twice). N comes from a
+    1-row aggregate broadcast into the scoring join — NOT an eager
+    .count() at plan-build time, which would run a separate full-scan
+    job before the query even starts (and again per bench rep). No
+    ML-lib dependency, no fixed-dim hashing collisions."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
