@@ -583,7 +583,12 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     million docs costs one counter, not O(df²) pairs, and no df cap is
     needed. At 100 TB the window-hash agg is the big exchange; partial
     aggregation keeps it at one (hash, count) record per distinct window
-    per map task."""
+    per map task. The exploded window relation is persisted — the df
+    aggregate and the roll-up join both consume it, and uncached each
+    would re-run the scan + shingle-hash explode (16-byte rows cache
+    far cheaper than the explode recomputes)."""
+    from pyspark import StorageLevel
+
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     win = (
@@ -597,6 +602,7 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = win.groupBy("w").agg(F.count_distinct("doc_id").alias("ndocs"))
     return (

@@ -508,7 +508,10 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     a within-key running sum partitioned BY key — so no stage ever
     collapses to one partition the way a global ORDER BY window would.
     At 100 TB the only serial work is the cumsum over distinct quality
-    keys (small)."""
+    keys (small). The scored relation is persisted: it feeds both the
+    key summary and the final join, and uncached each consumer would
+    re-scan and re-split the full text column."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -516,7 +519,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # tiny per-key summary: one row per distinct n_chars value
     key_sums = scored.groupBy("n_chars").agg(F.sum("n_tokens").alias("key_tokens"))
     wk = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
@@ -572,7 +575,10 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_KEY_SPAN docs; the per-doc block math is pure projection.
     Downstream, grouping by block id materializes the training
     batches; docs straddling a boundary continue in the next block
-    (standard concat-then-chunk semantics)."""
+    (standard concat-then-chunk semantics). The token-count relation is
+    persisted: the key summary and the final join both consume it, and
+    uncached each would re-scan and re-split the full text column."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -580,7 +586,7 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") - F.col("doc_id") % PACK_KEY_SPAN).alias("k"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     key_sums = t.groupBy("k").agg(F.sum("n_tokens").alias("key_tokens"))
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = key_sums.select(
@@ -673,12 +679,16 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (weight = target_share / actual_share; swap the uniform target for a
     tuned mixture vector in practice). One groupBy(source) aggregate +
     one broadcast of the k-row summary — the corpus never shuffles
-    beyond the map-side-combined count."""
+    beyond the map-side-combined count. The k-row per-source summary is
+    persisted — it feeds both the total and the final projection, and
+    uncached each consumer re-runs the full scan-and-split aggregate."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = per.agg(F.count("*").alias("k"), F.sum("n_docs").alias("total"))
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -710,9 +720,15 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines use linearly-interpolated percentile_cont semantics; the
     threshold is rounded to 6 dp on BOTH sides so a one-ULP
     interpolation difference at an integer index can't flip boundary
-    docs between engines."""
+    docs between engines. The token-count relation is persisted: the
+    percentile aggregate and the filter join both consume it, and
+    uncached each would re-scan and re-split the full text column."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     p = t.agg(F.round(F.percentile("n_tokens", F.lit(0.1)), 6).alias("p10"))
     return (
         t.join(F.broadcast(p), F.col("n_tokens") > F.col("p10"), "inner")
