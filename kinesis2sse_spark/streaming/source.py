@@ -150,16 +150,70 @@ def kafka_stream(
     return reader.load().select("value")
 
 
-def kinesis_stream(spark: SparkSession, stream_name: str, region: str, **options):
-    """Kinesis source stub. OSS PySpark ships no Kinesis connector; wire
-    one (e.g. spark-sql-kinesis) on the classpath and replace this body
-    with spark.readStream.format("aws-kinesis")... — reference operator
-    S1/S2 (kinesis2sse.go:110-126) maps to the connector's
-    startingPosition option (latest / trim_horizon / at_timestamp)."""
-    raise NotImplementedError(
-        "No Kinesis connector jar on the classpath; use events_stream() "
-        "(file source) or a Kafka source via the same seam."
-    )
+def kinesis_start_options(start) -> dict[str, str]:
+    """Resolve a start position (S2) to the Kinesis connector's
+    starting-position option — the reference's seek verbatim
+    (kinesis2sse.go:117-126: LATEST | TRIM_HORIZON |
+    AT_TIMESTAMP via WithTimestampAtInitialPositionInStream):
+
+    - "latest" → LATEST (only records appended after start);
+    - "trim_horizon" → TRIM_HORIZON (full retained replay);
+    - datetime → AT_TIMESTAMP with the instant in ms since epoch.
+
+    Returned under the canonical keys ``startingPosition`` /
+    ``startingTimestamp``; connectors that spell them differently
+    (lowercase, ``kinesis.``-prefixed) remap via the ``option_names``
+    parameter of kinesis_stream. Like the Kafka mapping, a timestamp
+    start must never degrade to LATEST — the records between the
+    requested instant and service start exist only broker-side."""
+    from datetime import datetime, timezone
+
+    if isinstance(start, datetime):
+        if start.tzinfo is None:
+            start = start.replace(tzinfo=timezone.utc)  # naive ≡ UTC by convention
+        return {
+            "startingPosition": "AT_TIMESTAMP",
+            "startingTimestamp": str(int(start.timestamp() * 1000)),
+        }
+    return {
+        "startingPosition": "TRIM_HORIZON" if start == "trim_horizon" else "LATEST"
+    }
+
+
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    start="latest",
+    source_format: str | None = None,
+    option_names: dict[str, str] | None = None,
+    **options,
+):
+    """Kinesis source through the same seam as events_stream/kafka_stream
+    — reference operators S1/S2 (kinesis2sse.go:110-126). OSS PySpark
+    ships no Kinesis connector jar, so this builds the full reader spec
+    (format, streamName, region, resolved starting position) and only
+    then requires a connector: pass ``source_format`` (e.g.
+    "aws-kinesis") once a connector jar is on the classpath, plus
+    ``option_names`` to remap canonical option keys to that connector's
+    spelling. Without a format it raises, and tests pin the option
+    mapping via kinesis_start_options."""
+    opts = {"streamName": stream_name, "region": region}
+    opts.update(kinesis_start_options(start))
+    opts.update(options)
+    if option_names:
+        opts = {option_names.get(k, k): v for k, v in opts.items()}
+    if source_format is None:
+        raise NotImplementedError(
+            "No Kinesis connector jar on the classpath; pass source_format= "
+            "for an installed connector, or use events_stream() (file "
+            "source) / kafka_stream() through the same seam. Resolved "
+            f"options: {opts}"
+        )
+    reader = spark.readStream.format(source_format)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def run_to_memory(

@@ -229,3 +229,42 @@ def test_kinesis_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         kinesis_stream(spark, "my-stream", "us-east-1")
+
+
+def test_kinesis_start_option_mapping():
+    """S2 parity for the Kinesis seam: LATEST / TRIM_HORIZON / datetime
+    map to the reference's seek kinds (kinesis2sse.go:117-126), and a
+    timestamp start becomes AT_TIMESTAMP — never LATEST, which would
+    skip every record between the instant and service start."""
+    from kinesis2sse_spark.streaming.source import kinesis_start_options
+
+    assert kinesis_start_options("latest") == {"startingPosition": "LATEST"}
+    assert kinesis_start_options("trim_horizon") == {
+        "startingPosition": "TRIM_HORIZON"
+    }
+    at = datetime(2024, 3, 1)
+    opts = kinesis_start_options(at)
+    assert opts["startingPosition"] == "AT_TIMESTAMP"
+    assert opts["startingTimestamp"] == "1709251200000"
+
+
+def test_kinesis_reader_spec_includes_resolved_options(spark):
+    """Without a connector jar the seam still resolves the FULL reader
+    spec (stream, region, seek) before raising, and option_names remaps
+    canonical keys to a connector's spelling — so wiring a jar is
+    configuration, not code."""
+    import pytest
+
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    with pytest.raises(NotImplementedError) as e:
+        kinesis_stream(
+            spark,
+            "my-stream",
+            "us-east-1",
+            start=datetime(2024, 3, 1),
+            option_names={"streamName": "kinesis.streamName"},
+        )
+    msg = str(e.value)
+    assert "kinesis.streamName" in msg
+    assert "AT_TIMESTAMP" in msg
