@@ -146,6 +146,48 @@ def test_watermark_drops_late_rows(spark):
     assert ("2024-01-01 10:00:00", 2) not in emitted
 
 
+def test_session_window_merges_across_batches(spark):
+    """Session state must carry across micro-batches: events within the
+    gap arriving in DIFFERENT batches merge into one session, events
+    past the gap open a new one. This is the behavior the single-batch
+    oracle query can't see — it pins the stateful merge itself (the
+    r03 ts-unit bug class: correct per-batch math, wrong event-time
+    state)."""
+    import time
+
+    d = staged_batch_dir("sess_merge")
+    schema = "ts timestamp, user string"
+    _write_batch(spark, d, "b0", [(_ts("2024-01-01 10:00:00"), "u")], schema)
+    time.sleep(1.1)
+    # within the 30-min gap of b0's event → must MERGE, not open a session
+    _write_batch(spark, d, "b1", [(_ts("2024-01-01 10:20:00"), "u")], schema)
+    time.sleep(1.1)
+    # past the gap → second session
+    _write_batch(spark, d, "b2", [(_ts("2024-01-01 12:00:00"), "u")], schema)
+    s = _read_stream(spark, d, schema)
+    agg = (
+        s.withWatermark("ts", "10 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(
+        agg.select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "n",
+        ),
+        "t_sess_merge",
+        "complete",
+        shuffle_partitions=4,
+    )
+    rows = {(str(r["ss"]), str(r["se"]), r["n"]) for r in out.collect()}
+    assert rows == {
+        # one merged session: 10:00 start, last event 10:20 + 30 min gap
+        ("2024-01-01 10:00:00", "2024-01-01 10:50:00", 2),
+        ("2024-01-01 12:00:00", "2024-01-01 12:30:00", 1),
+    }
+
+
 def test_drop_duplicates_within_watermark(spark):
     d = staged_batch_dir("ddw")
     schema = "ts timestamp, id long"
