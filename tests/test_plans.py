@@ -247,9 +247,12 @@ def test_jaccard_single_shingle_exchange(spark):
     plan = _plan(spark, "dedup_ngram_jaccard")
     assert len(re.findall(r"Exchange hashpartitioning\(sh#", plan)) == 1, plan
     assert "InMemoryTableScan" in plan, plan
-    # every documents scan lives inside the (shared) cached-plan body,
-    # never as a direct input of the query itself
-    assert plan.count("documents.parquet") == plan.count("InMemoryRelation"), plan
+    # all 4 consumers of the cluster relation (index, both fan-out
+    # sides, within-pairs) read the cache; if any fell back to a direct
+    # parquet scan there would be at most 3 cache reads. (Counting raw
+    # "documents.parquet" mentions is unstable: the InMemoryRelation
+    # description prints its scan 1-2x depending on materialization.)
+    assert plan.count("InMemoryTableScan") >= 4, plan
 
 
 def test_recall_queries_broadcast_probes(spark):
