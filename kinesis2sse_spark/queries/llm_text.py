@@ -768,3 +768,37 @@ def hist_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# Multiplicative id hash for the split: exact BIGINT arithmetic on both
+# engines (doc_id * Knuth's 2654435761 stays < 2^63 for any realistic
+# id), mod a large prime, bucketed 0-99. 80/10/10 by bucket range.
+SPLIT_HASH = "(doc_id * 2654435761) % 1000000007 % 100"
+
+
+@register(
+    "pipeline_dataset_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {SPLIT_HASH} < 80 THEN 'train'
+                WHEN {SPLIT_HASH} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10): every doc's split
+    is a pure function of its stable id — reproducible across runs,
+    machines, and corpus growth (a new doc never moves an old one, the
+    property random splits and modulo-on-row-number both lack). Pure
+    projection, zero shuffles; at 100 TB the split is computable at
+    write time and usable as a partition column so each split prunes to
+    its own files. Content-keyed variants swap the id hash for a text
+    fingerprint (see text_fingerprint) to keep exact duplicates in the
+    same split."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(SPLIT_HASH)
+    return d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
