@@ -204,6 +204,42 @@ def test_drop_duplicates_within_watermark(spark):
     assert ids == [1, 2, 3]
 
 
+def test_stream_stream_join_matches_across_batches(spark):
+    """Stream-stream interval-join state must hold one side until the
+    other arrives in a LATER micro-batch: a purchase in batch 2 joins a
+    signup buffered from batch 1; a purchase outside the interval never
+    matches. Single-batch oracle runs can't observe the buffering."""
+    import time
+
+    d_s = staged_batch_dir("ssj_s")
+    d_p = staged_batch_dir("ssj_p")
+    s_schema = "s_ts timestamp, s_user long"
+    p_schema = "p_ts timestamp, p_user long, amount double"
+    _write_batch(spark, d_s, "b0", [(_ts("2024-01-01 10:00:00"), 1)], s_schema)
+    # purchases arrive in a later batch: in-window for user 1 (+30 min),
+    # out-of-window for user 1 (+3 h)
+    time.sleep(1.1)
+    _write_batch(
+        spark, d_p, "b1",
+        [(_ts("2024-01-01 10:30:00"), 1, 9.5), (_ts("2024-01-01 13:00:00"), 1, 1.0)],
+        p_schema,
+    )
+    signups = _read_stream(spark, d_s, s_schema).withWatermark("s_ts", "4 hours")
+    purchases = _read_stream(spark, d_p, p_schema).withWatermark("p_ts", "4 hours")
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    out = run_to_memory(
+        joined.select("s_user", "p_ts", "amount"), "t_ssj_state", "append",
+        shuffle_partitions=4,
+    )
+    rows = [(r["s_user"], r["amount"]) for r in out.collect()]
+    assert rows == [(1, 9.5)], rows
+
+
 def test_streaming_parquet_file_sink(spark):
     """Exactly-once file sink: writeStream → parquet with checkpoint; the
     committed output matches the input across restarts of the same query
