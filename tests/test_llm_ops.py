@@ -165,6 +165,22 @@ def test_span_fraction_planted_duplicate(spark, tmp_path):
     assert abs(got[0]["dup_fraction"] - 0.4) < 1e-9
 
 
+def test_dataset_split_deterministic_and_balanced(spark):
+    """The id-hash split must be (a) deterministic across runs and (b)
+    roughly 80/10/10 — a skewed multiplicative hash would starve val or
+    test of data silently."""
+    from kinesis2sse_spark.queries.llm_text import pipeline_dataset_split
+
+    a = {r["doc_id"]: r["split"] for r in pipeline_dataset_split(spark, SF_SMOKE).collect()}
+    b = {r["doc_id"]: r["split"] for r in pipeline_dataset_split(spark, SF_SMOKE).collect()}
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.7 <= frac["train"] <= 0.9, frac
+    assert 0.05 <= frac["val"] <= 0.15, frac
+    assert 0.05 <= frac["test"] <= 0.15, frac
+
+
 def test_emb_quantize_bounds(spark):
     """Quantized values must stay in [-127, 127]: the max-abs component
     maps to ±127 exactly, so every vector has >= 1 saturated value and
