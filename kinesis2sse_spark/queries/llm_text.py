@@ -52,15 +52,20 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): both engines derive
+    # the same IEEE double for x, but their round() differs in MODE at
+    # exact half-way points (Spark HALF_UP vs DuckDB's nearest), which
+    # flipped one sf0.1 doc whose composite score is exactly 0.5046875.
+    # floor on the identical double is deterministic on both.
     oracle=f"""
     SELECT doc_id,
            n_tokens,
-           round(sw_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
-           round(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
-           round(avg_tok_len, 6) AS avg_tok_len,
-           round( least(n_tokens / 100.0, 1.0) * 0.4
-                + (sw_hits * 1.0 / n_tokens) * 0.3
-                + (alpha_chars * 1.0 / n_chars) * 0.3, 6) AS quality
+           floor((sw_hits * 1.0 / n_tokens) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           floor((alpha_chars * 1.0 / n_chars) * 1000000 + 0.5) / 1000000 AS alpha_ratio,
+           floor(avg_tok_len * 1000000 + 0.5) / 1000000 AS avg_tok_len,
+           floor(( least(n_tokens / 100.0, 1.0) * 0.4
+                 + (sw_hits * 1.0 / n_tokens) * 0.3
+                 + (alpha_chars * 1.0 / n_chars) * 0.3) * 1000000 + 0.5) / 1000000 AS quality
     FROM (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
@@ -96,17 +101,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sw_ratio = F.col("sw_hits") * 1.0 / F.col("n_tokens")
     alpha_ratio = F.col("alpha_chars") * 1.0 / F.col("n_chars")
+
+    def r6(c):
+        # explicit half-up on the shared double — engine round() modes
+        # disagree at exact half-way points (see oracle comment)
+        return F.floor(c * 1000000 + F.lit(0.5)) / 1000000
+
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round(sw_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round("avg_tok_len", 6).alias("avg_tok_len"),
-        F.round(
+        r6(sw_ratio).alias("stopword_ratio"),
+        r6(alpha_ratio).alias("alpha_ratio"),
+        r6(F.col("avg_tok_len")).alias("avg_tok_len"),
+        r6(
             F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
             + sw_ratio * 0.3
-            + alpha_ratio * 0.3,
-            6,
+            + alpha_ratio * 0.3
         ).alias("quality"),
     )
 

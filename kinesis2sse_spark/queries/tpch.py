@@ -579,8 +579,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_product_type_profit",
+    # the per-row amount casts to DECIMAL(18,4) before the SUM: decimal
+    # summation is exact and order-independent, where a double SUM's
+    # last bits depend on partial-aggregation order and flipped one
+    # sf0.1 cell across a half-cent rounding boundary (…77.695)
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount)
@@ -621,7 +626,12 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        # decimal sum: exact, order-independent (see oracle comment)
+        .agg(
+            F.round(F.sum(amount.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 

@@ -17,6 +17,11 @@ SPOT = [
     # FP rounding conventions under 10x more summation reorder
     "q1_pricing_summary",
     "dedup_ngram_jaccard",
+    # engine round() modes disagree at exact half-way points — fixed
+    # with explicit floor-based half-up (llm_text) and exact decimal
+    # summation (q9); both first diverged ONLY at sf0.1
+    "text_quality_score",
+    "q9_product_type_profit",
 ]
 
 
