@@ -12,6 +12,19 @@ value hash, columns sorted by name):
   summation order cannot flip the hash;
 - deterministic output sets only: any LIMIT is preceded by a total
   order with a unique tiebreaker.
+
+FP determinism ladder (escalate when a query flips at some SF — found
+via tools/sweep_oracles.py; the flip class is invisible at other SFs):
+1. round(x, k) both sides — sufficient while x stays clear of exact
+   half-way points at scale k;
+2. floor(x*10^k + 0.5)/10^k both sides — engine round() MODES disagree
+   at exact half-way doubles (Spark HALF_UP vs DuckDB); floor on the
+   identical IEEE double is deterministic (see text_quality_score);
+3. per-row CAST to DECIMAL(18,m) before SUM — a double SUM's last bits
+   depend on partial-aggregation order, so a total sitting on a
+   rounding boundary can flip; decimal summation is exact and
+   order-independent (see q9_product_type_profit). Don't blanket-apply:
+   decimal avg/division scale rules differ between engines.
 """
 
 from __future__ import annotations
