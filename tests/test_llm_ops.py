@@ -165,6 +165,53 @@ def test_span_fraction_planted_duplicate(spark, tmp_path):
     assert abs(got[0]["dup_fraction"] - 0.4) < 1e-9
 
 
+def test_dedup_edge_corpora(spark, tmp_path):
+    """Degenerate corpora the fixtures never contain: empty strings,
+    sub-shingle docs, unicode, a corpus that is ONE giant exact-dup
+    cluster, and fully-distinct docs. The pair search must neither
+    crash nor fabricate pairs."""
+    from kinesis2sse_spark.queries.llm_dedup import (
+        dedup_exact,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    # 1) empties + short docs: no shingles anywhere → no pairs, but
+    # exact dedup still groups the three empties
+    def write_docs(d, rows):
+        d.mkdir()
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "n_chars", F.length("text").cast("long")
+        ).write.parquet(str(d / "documents.parquet"))
+
+    d1 = tmp_path / "short"
+    write_docs(
+        d1,
+        [(0, ""), (1, ""), (2, ""), (3, "one"), (4, "two words"), (5, "unicode ünïcødé 😀")],
+    )
+    assert dedup_ngram_jaccard(spark, str(d1)).count() == 0
+    assert dedup_minhash_lsh(spark, str(d1)).count() == 0
+    ex = {r["keep_id"]: r["n_copies"] for r in dedup_exact(spark, str(d1)).collect()}
+    assert ex[0] == 3  # empties collapse to doc 0
+
+    # 2) whole corpus = one exact-dup cluster (with shingles): every
+    # pair, all at jaccard 1.0, from both the exact and MinHash paths
+    d2 = tmp_path / "alldup"
+    write_docs(
+        d2,
+        [(i, "exactly the same ten token sentence repeated again here now") for i in range(20)],
+    )
+    for fn in (dedup_ngram_jaccard, dedup_minhash_lsh):
+        got = fn(spark, str(d2)).collect()
+        assert len(got) == 20 * 19 // 2
+        assert all(r["jaccard"] == 1.0 for r in got)
+
+    # 3) fully distinct docs with no shared trigram: zero pairs
+    d3 = tmp_path / "distinct"
+    write_docs(d3, [(i, f"a{i} b{i} c{i} d{i} e{i}") for i in range(10)])
+    assert dedup_ngram_jaccard(spark, str(d3)).count() == 0
+
+
 def test_dataset_split_deterministic_and_balanced(spark):
     """The id-hash split must be (a) deterministic across runs and (b)
     roughly 80/10/10 — a skewed multiplicative hash would starve val or
