@@ -537,7 +537,14 @@ def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs sim_topk_bruteforce meets LSH_RECALL_FLOOR. The oracle expects
     recall_met = true for all queries — a red row means the LSH
     parameters (tables/planes/probes) no longer clear the floor on this
-    corpus."""
+    corpus.
+
+    Calibration domain: the fixed table/plane/probe budget is tuned for
+    the driver (sf0.01, 5k vectors) and bench (sf0.1, 50k) corpora,
+    where all queries clear 0.8. At the sf0.001 smoke corpus (500
+    vectors) bucket occupancy is so low that one query dips to 0.6 —
+    expected hash-partition granularity, not a regression; below ~1k
+    vectors use sim_topk_bruteforce (cheaper there anyway)."""
     return _recall_contract(
         sim_topk_bruteforce(spark, sf_dir),
         sim_topk_lsh(spark, sf_dir),
