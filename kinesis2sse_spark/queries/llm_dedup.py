@@ -20,14 +20,19 @@ from kinesis2sse_spark.registry import register
 
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 24
-# Candidate-generation document-frequency cap: a shingle shared by more
-# than MAX_DF docs is dropped from the inverted index before pair
-# emission. Without it, one stopword-ish shingle shared by 10⁶ docs
-# explodes O(df²) pairs inside a single task at corpus scale. Pairs
-# that share only ultra-frequent shingles are (by design) not
-# candidates — standard exact-Jaccard practice; intersection counts are
-# over the capped universe (a conservative lower bound on jaccard),
-# and the oracle applies the identical cap so both sides agree exactly.
+# Candidate-generation document-frequency cap: a posting list longer
+# than MAX_DF is SLICED to its MAX_DF lowest-doc_id entries (not
+# dropped) before pair emission. The slice bounds any posting's pair
+# blow-up at MAX_DF²/2 — without it one stopword-ish shingle shared by
+# 10⁶ distinct texts explodes O(df²) pairs inside a single task — while
+# keeping a deterministic representative sample connected, so a cluster
+# of >MAX_DF distinct NEAR-duplicate texts (whose shared shingles all
+# exceed the cap) still reports pairs among its lowest-id members
+# instead of going silently blind; connected components stitch the rest.
+# Intersection counts are over the sliced universe (a conservative
+# lower bound on jaccard), and the oracle applies the identical slice
+# so both sides agree exactly. (Exact-duplicate mass clusters never
+# reach this path — they collapse to one representative first.)
 MAX_DF = 256
 
 # Rolling polynomial token hash, identical arithmetic in Spark SQL and
@@ -179,8 +184,13 @@ _ORACLE_CLUSTER_CTE = f"""
       WHERE len(t) >= 3
     ),
     counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {MAX_DF}),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    shc AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+        FROM sh
+      ) WHERE rn <= {MAX_DF}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
       FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -218,14 +228,16 @@ def _oracle_fan_out(score_expr: str, score_name: str, threshold: float) -> str:
 def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared inverted-index pair search over exact-duplicate-collapsed
     representatives: returns (inter, clusters) where inter is
-    (doc_a, doc_b, na, nb, c) for every ordered REP pair sharing >= 1
-    rare (df <= MAX_DF) word-3-shingle — c counts shared capped-universe
+    (doc_a, doc_b, na, nb, c) for every ordered REP pair co-occurring in
+    >= 1 sliced word-3-shingle posting — c counts shared sliced-universe
     shingles, na/nb are full-universe per-rep distinct-shingle counts —
     and clusters is the membership table for fan-out. ONE shuffle on
     the shingle hash (posting lists carry doc counts, so no join-back);
-    the df cap bounds any posting list's pair blow-up at MAX_DF^2/2,
-    and since df now counts distinct TEXTS, only genuinely corpus-wide
-    boilerplate shingles hit it. Scoring layers on top."""
+    the MAX_DF slice bounds any posting list's pair blow-up at
+    MAX_DF^2/2 while keeping heavy postings' lowest-id members
+    connected, and since postings hold distinct TEXTS, only genuinely
+    corpus-wide boilerplate shingles get sliced. Scoring layers on
+    top."""
     clusters = _exact_clusters(spark, sf_dir)
     d = clusters.select(F.col("rep_id").alias("doc_id"), "text")
     toks = F.split("text", " ")
@@ -271,7 +283,11 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     # shingles before array_distinct was also tried: slower — xxhash64
     # then runs per occurrence instead of per distinct shingle.)
     inter = (
-        postings.filter(F.size("docs").between(2, MAX_DF))
+        # slice heavy postings to the MAX_DF lowest-doc_id entries
+        # (sort_array on the struct array orders by doc_id, the first
+        # field) — bounded pair blow-up, no silent cluster blindness
+        postings.filter(F.size("docs") >= 2)
+        .withColumn("docs", F.slice(F.sort_array("docs"), 1, MAX_DF))
         .repartition(spark.sparkContext.defaultParallelism)
         .select(pair.alias("p"))
         .groupBy(
@@ -416,7 +432,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        postings.filter(F.size("docs").between(2, MAX_DF))
+        # same slice-not-drop rule as the exact path's inverted index
+        postings.filter(F.size("docs") >= 2)
+        .withColumn("docs", F.slice(F.sort_array("docs"), 1, MAX_DF))
         .select(pair.alias("p"))
         .select(
             F.col("p.a.doc_id").alias("doc_a"),

@@ -82,9 +82,11 @@ def test_approx_count_distinct_close(spark):
 
 
 def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark, tmp_path, monkeypatch):
-    """A shingle shared by more docs than MAX_DF must contribute zero
-    candidate pairs — the cap is what keeps one stopword shingle from
-    serializing O(df²) pair generation in a single task at scale."""
+    """A posting list longer than MAX_DF is sliced to its MAX_DF
+    lowest-doc_id entries: pair generation stays bounded at MAX_DF²/2
+    per shingle (one stopword shingle can't serialize O(df²) work in a
+    single task), but the lowest-id members remain connected instead of
+    the whole posting going dark."""
     from kinesis2sse_spark.queries import llm_dedup
 
     # 12 docs sharing exactly one trigram ("a b c"); every other shingle
@@ -95,12 +97,14 @@ def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(llm_dedup, "JACCARD_THRESHOLD", 0.0)
     monkeypatch.setattr(llm_dedup, "MAX_DF", 5)
-    capped = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
-    assert capped == 0, f"hot shingle (df=12 > 5) leaked {capped} pairs"
+    sliced = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in sliced.collect()}
+    # exactly the C(5,2) pairs among the 5 lowest doc_ids survive
+    assert pairs == {(a, b) for a in range(5) for b in range(5) if a < b}, pairs
 
     monkeypatch.setattr(llm_dedup, "MAX_DF", 256)
-    uncapped = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
-    assert uncapped == 12 * 11 // 2, f"expected all 66 pairs, got {uncapped}"
+    unsliced = llm_dedup.dedup_ngram_jaccard(spark, str(tmp_path)).count()
+    assert unsliced == 12 * 11 // 2, f"expected all 66 pairs, got {unsliced}"
 
 
 def test_massdup_cluster_not_blinded_by_df_cap(spark, tmp_path):
@@ -140,6 +144,30 @@ def test_massdup_cluster_not_blinded_by_df_cap(spark, tmp_path):
     mh = dedup_minhash_lsh(spark, str(tmp_path))
     assert mh.filter((F.col("doc_a") < 300) & (F.col("doc_b") < 300)).count() == 300 * 299 // 2
     assert mh.filter((F.col("doc_a") < 300) & (F.col("doc_b").between(300, 302))).count() == 300 * 3
+
+
+def test_neardup_mass_cluster_reports_sliced_pairs(spark, tmp_path):
+    """A cluster of >MAX_DF DISTINCT near-duplicate texts (every shared
+    shingle's df exceeds the cap) must still report pairs among its
+    MAX_DF lowest-id members — under the old drop-the-posting rule this
+    corpus produced ZERO pairs. Members outside the slice stay dark by
+    design (bounded work); connected components stitch them via the
+    reported core."""
+    from kinesis2sse_spark.queries.llm_dedup import MAX_DF, dedup_minhash_lsh, dedup_ngram_jaccard
+
+    base = " ".join(f"t{j}" for j in range(12))
+    rows = [(i, f"{base} unique{i}") for i in range(300)]  # 300 distinct texts
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    expect = {(a, b) for a in range(MAX_DF) for b in range(MAX_DF) if a < b}
+    assert pairs == expect, f"got {len(pairs)} pairs, expected C({MAX_DF},2)"
+
+    mh = dedup_minhash_lsh(spark, str(tmp_path)).count()
+    assert mh > 0, "MinHash path must also keep the sliced core connected"
 
 
 def test_span_fraction_planted_duplicate(spark, tmp_path):
