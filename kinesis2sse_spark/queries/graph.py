@@ -14,34 +14,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis2sse_spark.queries.llm_dedup import _ORACLE_CLUSTER_CTE, JACCARD_THRESHOLD
 from kinesis2sse_spark.registry import register
 
-# near-dup pairs (the dedup_ngram_jaccard oracle) as an embeddable subquery
-_PAIRS_SQL = """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-      WHERE len(t) >= 3
+# Near-dup pairs with EXACTLY dedup_ngram_jaccard's oracle semantics
+# (exact-duplicate collapse + sliced postings + fan-out) — built from
+# the same CTE fragments so the edge definition can never drift from
+# the pair operator it consumes.
+_PAIRS_CTES = f"""
+    {_ORACLE_CLUSTER_CTE},
+    repscore AS (
+      SELECT doc_a, doc_b
+      FROM inter i
+      JOIN counts na ON na.doc_id = i.doc_a
+      JOIN counts nb ON nb.doc_id = i.doc_b
+      WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= {JACCARD_THRESHOLD}
     ),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+    pairs AS (
+      SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+             greatest(ma.doc_id, mb.doc_id) AS doc_b
+      FROM repscore r
+      JOIN mem ma ON ma.rep_id = r.doc_a
+      JOIN mem mb ON mb.rep_id = r.doc_b
+      UNION ALL
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mem a
+      JOIN mem b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+      JOIN toks t ON t.doc_id = a.rep_id
+      WHERE len(t.t) >= 3
     )
-    SELECT doc_a, doc_b
-    FROM inter i
-    JOIN counts na ON na.doc_id = i.doc_a
-    JOIN counts nb ON nb.doc_id = i.doc_b
-    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= 0.5
 """
 
 
 @register(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    WITH RECURSIVE {_PAIRS_CTES},
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT a AS x FROM edges),
