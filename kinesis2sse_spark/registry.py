@@ -135,11 +135,40 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _checked_names() -> set[str]:
+    """Union of query names across all recorded driver rounds
+    (CORRECTNESS_r*.json in the repo root). Missing/garbled files are
+    ignored — worst case the ordering degrades to registration order."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                out |= set(json.load(f))
+        except Exception:
+            continue
+    return out
+
+
 def _ordered() -> list[str]:
-    names = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
-    seen = set(names)
-    names.extend(n for n in _REGISTRY if n not in seen)
-    return names
+    """Driver window ordering, SELF-ROTATING: within both the manual
+    DRIVER_PRIORITY list and the remaining registry, names with no
+    CORRECTNESS row in any past round sort first. So even if a round
+    forgets to update DRIVER_PRIORITY, the never-checked backlog flows
+    into the driver's 50-query window automatically; the manual list
+    still fronts this round's must-prove queries (e.g. fixed-red rows,
+    which HAVE past rows and would otherwise rotate to the back)."""
+    checked = _checked_names()
+    pri = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
+    seen = set(pri)
+    ordered = pri + [n for n in _REGISTRY if n not in seen]
+    return [n for n in ordered if n not in checked] + [
+        n for n in ordered if n in checked
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:
