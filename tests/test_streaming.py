@@ -204,6 +204,39 @@ def test_drop_duplicates_within_watermark(spark):
     assert ids == [1, 2, 3]
 
 
+def test_sliding_window_accumulates_across_batches(spark):
+    """Overlapping-window counts must accumulate across micro-batches:
+    two events 5 minutes apart arriving in DIFFERENT batches share two
+    of their three 15-min/5-min-slide windows — per-batch math alone
+    would report singleton counts everywhere."""
+    import time
+
+    d = staged_batch_dir("slide_acc")
+    schema = "ts timestamp, k string"
+    _write_batch(spark, d, "b0", [(_ts("2024-01-01 10:00:00"), "x")], schema)
+    time.sleep(1.1)
+    _write_batch(spark, d, "b1", [(_ts("2024-01-01 10:05:00"), "x")], schema)
+    s = _read_stream(spark, d, schema)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes", "5 minutes"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "n"),
+        "t_slide_acc",
+        "complete",
+        shuffle_partitions=4,
+    )
+    got = {str(r["ws"]): r["n"] for r in out.collect()}
+    assert got == {
+        "2024-01-01 09:50:00": 1,  # only the 10:00 event
+        "2024-01-01 09:55:00": 2,  # both — merged across batches
+        "2024-01-01 10:00:00": 2,  # both — merged across batches
+        "2024-01-01 10:05:00": 1,  # only the 10:05 event
+    }, got
+
+
 def test_stream_stream_join_matches_across_batches(spark):
     """Stream-stream interval-join state must hold one side until the
     other arrives in a LATER micro-batch: a purchase in batch 2 joins a
