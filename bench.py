@@ -19,10 +19,49 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kinesis2sse_spark.registry import bench_queries
+from kinesis2sse_spark.registry import all_oracles, bench_queries
 from kinesis2sse_spark.session import build_session
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _duckdb_timings(names, sf_dir) -> dict[str, float]:
+    """Run each headline query's oracle SQL in DuckDB on the same
+    parquet — the same-SQL single-node yardstick that separates Spark's
+    fixed per-query overhead (JVM job launch, ~constant) from scaling
+    cost (it grows with data). Median of 3; queries without an oracle
+    are skipped."""
+    import statistics as _stats
+
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    from kinesis2sse_spark.catalog import TABLES
+
+    oracles = all_oracles()
+    out: dict[str, float] = {}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        runs = []
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                runs.append(time.perf_counter() - t0)
+            out[name] = round(_stats.median(runs), 4)
+        except Exception:
+            continue
+    con.close()
+    return out
 
 
 def _run(fn, spark, sf_dir) -> float:
@@ -30,7 +69,16 @@ def _run(fn, spark, sf_dir) -> float:
     df = fn(spark, sf_dir)
     n = df.count()
     assert n >= 0
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Several queries persist() intermediate relations (tf matrices,
+    # exact-dup clusters) and intentionally never unpersist inside the
+    # query — the caller owns relation lifetime. Drop them here so a
+    # full sweep doesn't accumulate cached relations whose eviction
+    # pressure would skew later queries' timings. Clearing is OUTSIDE
+    # the timed span: relation lifetime management is the harness's
+    # job, not part of any query's cost.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:
@@ -68,6 +116,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "total_median": round(sum(medians.values()), 4),
+                "queries_duckdb": _duckdb_timings(list(queries), sf_dir),
                 "sf": sf,
             }
         )

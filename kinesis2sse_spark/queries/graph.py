@@ -46,6 +46,88 @@ _PAIRS_CTES = f"""
 """
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Min-label connected components over an undirected edge list
+    (columns ``a``, ``b``; both directions need not be present).
+
+    Each round does (1) a neighbor-min propagation and (2) a pointer
+    jump (``label <- label(label)``), so chain depth HALVES per round:
+    convergence is O(log diameter) shuffles, not the O(diameter) of
+    plain label propagation — the difference between ~40 rounds and an
+    unbounded loop on a pathological 100 TB path graph. ``max_rounds``
+    defaults to 64, enough for any graph with < 2**64 nodes under
+    doubling; a non-converged loop raises instead of running forever.
+    The driver holds only a per-round convergence count; labels stay
+    distributed (cached per round, unpersisted after use)."""
+    und = (
+        edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).cache()
+    for _ in range(max_rounds):
+        # (1) propagate: each node adopts the min label among itself
+        # and its neighbors
+        neighbor_min = (
+            und.join(labels, und.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.node2, "left"
+        ).select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+        )
+        # (2) shortcut: follow one hop up the label tree. Labels only
+        # ever decrease, so label(label(n)) <= label(n); combined with
+        # (1) this is pointer doubling and depth halves every round.
+        #
+        # localCheckpoint, not cache: the self-join references
+        # `propagated` TWICE, so the logical plan would double per
+        # round — cache() truncates execution but Catalyst still
+        # re-analyzes the full lineage, and analysis time goes
+        # exponential by ~round 4. Eager localCheckpoint materializes
+        # AND truncates the plan, keeping every round O(1) to analyze.
+        # (On a real cluster prefer sc.setCheckpointDir + .checkpoint()
+        # for fault tolerance; localCheckpoint trades that for speed.)
+        new_labels = (
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ),
+                F.col("x.label") == F.col("lnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.coalesce("llabel", F.col("x.label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            und.unpersist()
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    und.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -65,45 +147,12 @@ _PAIRS_CTES = f"""
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the Jaccard>=0.5 near-dup graph: every doc
     in a duplicate cluster gets the cluster's minimum doc_id as its
-    canonical id (keep-one policy = keep cluster_id). Min-label
-    propagation converges in O(diameter) shuffles."""
+    canonical id (keep-one policy = keep cluster_id). Pointer-doubling
+    min-label propagation — O(log diameter) shuffles, capped (see
+    connected_components)."""
     from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
-        .cache()
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels = (
-        edges.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).cache()
-    while True:
-        # one propagation round: each node adopts the min label among
-        # itself and its neighbors
-        neighbor_min = (
-            edges.join(labels, edges.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return connected_components(pairs)

@@ -781,9 +781,14 @@ def hist_token_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Multiplicative id hash for the split: exact BIGINT arithmetic on both
-# engines (doc_id * Knuth's 2654435761 stays < 2^63 for any realistic
-# id), mod a large prime, bucketed 0-99. 80/10/10 by bucket range.
-SPLIT_HASH = "(doc_id * 2654435761) % 1000000007 % 100"
+# engines, mod a large prime, bucketed 0-99. 80/10/10 by bucket range.
+# doc_id is reduced mod the prime BEFORE multiplying by Knuth's
+# 2654435761 so the product stays < 2.66e18 < 2^63 for ANY int64 id —
+# a raw doc_id*2654435761 overflows past id ~3.5e9, where Spark
+# (non-ANSI) wraps silently but DuckDB raises, i.e. the engines would
+# diverge exactly at the scale this split targets. Mod distributes over
+# multiplication, so buckets are unchanged for in-range ids.
+SPLIT_HASH = "((doc_id % 1000000007) * 2654435761) % 1000000007 % 100"
 
 
 @register(

@@ -109,12 +109,37 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None)
+@register(
+    "mm_decode_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS byte
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bytes,
+           floor((CAST(sum(byte) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+             AS mean_byte,
+           CAST(max(byte) AS DOUBLE) AS max_byte,
+           CAST(min(byte) AS DOUBLE) AS min_byte
+    FROM b GROUP BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads with mapInPandas: Arrow
     batches in, Arrow batches out — the shape a GPU/codec UDF runs in at
     scale (one batch per core, payloads never hit the driver). Decode
-    itself is stubbed (see extract_image_features in decode_batches)."""
+    itself is stubbed (see extract_image_features in decode_batches).
+
+    Features are projected as SCALAR columns (one moment per column),
+    not array<double> — the r04 driver canonicalizer cannot hash list
+    cells, and scalars make the contract DuckDB-expressible (the oracle
+    recomputes the same moments from the byte stream, mirroring the
+    reference's golden-bytes tests, record_processor_test.go:14-85).
+    The mean uses floor(x*1e6+0.5)/1e6 on both sides — step 2 of the
+    registry's FP-determinism ladder — so engine round() modes can't
+    flip the hash at half-way points."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -125,40 +150,70 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would pickle by module reference and ModuleNotFoundError on any
     # deploy that didn't install the package executor-side.
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def extract_image_features(payload: bytes) -> list[float]:
+        import math
+
+        def extract_image_features(payload: bytes) -> tuple:
             # STUB decode: the container has no image/audio codecs.
             # Deterministic fake features = moments of the raw byte
             # stream. A real deployment replaces this body with
             # PIL/torchvision decode; the Spark plumbing (schema,
             # batching, partitioning) is unchanged.
             if not payload:
-                return [0.0] * 4
-            n = float(len(payload))
-            s = float(sum(payload))
-            mx = float(max(payload))
-            mn = float(min(payload))
-            return [n, round(s / n, 6), mx, mn]
+                return (0, 0.0, 0.0, 0.0)
+            n = len(payload)
+            mean = math.floor((float(sum(payload)) / n) * 1e6 + 0.5) / 1e6
+            return (n, mean, float(max(payload)), float(min(payload)))
 
         for pdf in batches:
-            feats = pdf["payload"].map(lambda b: extract_image_features(bytes(b)))
+            feats = [extract_image_features(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": feats.map(lambda f: int(f[0])),
-                    "feature": feats,
+                    "n_bytes": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "max_byte": [f[2] for f in feats],
+                    "min_byte": [f[3] for f in feats],
                 }
             )
 
     return d.mapInPandas(
-        decode_batches, schema="doc_id long, n_bytes long, feature array<double>"
+        decode_batches,
+        schema="doc_id long, n_bytes long, mean_byte double,"
+        " max_byte double, min_byte double",
     )
 
 
-@register("mm_audio_windows", oracle=None)
+@register(
+    "mm_audio_windows",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST((i - 1) // 64 AS INT) AS window_idx,
+             ascii(substring(text, CAST(i AS INT), 1)) AS byte,
+             length(text) AS n
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    )
+    SELECT doc_id, window_idx,
+           floor(sqrt(CAST(sum(byte * byte) AS DOUBLE) / 64) * 1e6 + 0.5)
+             / 1e6 AS rms
+    FROM b
+    WHERE (window_idx + 1) * 64 <= n
+    GROUP BY doc_id, window_idx
+    """,
+)
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style windowed feature extraction: treat the byte stream as a
-    waveform, emit RMS energy per 64-sample window via mapInPandas
-    (vectorized numpy inside the Arrow batch)."""
+    waveform, emit RMS energy per complete 64-sample window via
+    mapInPandas (vectorized numpy inside the Arrow batch).
+
+    Numerics are oracle-exact by construction: the 64 squared bytes sum
+    to an integer < 2^53 (order-independent, exact in doubles), /64 is a
+    power-of-two divide, IEEE sqrt is correctly rounded, and the final
+    floor(x*1e6+0.5)/1e6 is step 2 of the registry's FP ladder — so the
+    DuckDB oracle recomputing the same windows from the byte stream
+    hashes identically (golden-bytes rigor per
+    record_processor_test.go:14-85)."""
     import numpy as np
 
     win = 64
@@ -178,7 +233,7 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rms = np.sqrt((chunks**2).mean(axis=1))
                 out_ids.extend([doc_id] * n_win)
                 out_idx.extend(range(n_win))
-                out_rms.extend(np.round(rms, 6))
+                out_rms.extend(np.floor(rms * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame(
                 {"doc_id": out_ids, "window_idx": out_idx, "rms": out_rms}
             )

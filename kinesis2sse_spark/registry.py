@@ -64,74 +64,74 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # iteration order. Registration order is import order (alphabetical by
 # module), so without intervention the same 50 get re-checked every
 # round and the rest never earn a driver row. This list is ROTATED each
-# round to the 50 highest-signal unchecked queries. Round-4 window:
-# everything that has never had a driver row in r01–r03 (70 queries for
-# 50 slots — the ~20 left over, mostly scalar-function variants and
-# small sort/limit forms, rotate in next round), front-loaded with the
-# four streaming queries whose ts-unit wrong answers r03's window
-# missed. Names not (yet) registered are skipped, so entries can be
-# listed ahead of the code landing.
+# round to the 50 highest-signal queries; entries here are EXEMPT from
+# the rotate-to-back rule in _ordered(), so fixed-red queries (which
+# have past rows) can still re-earn a driver row. Round-5 window: the
+# final 21 queries with no driver row in r01–r04 (after this round,
+# every registered query has ≥1 row ever), then the two repaired
+# multimodal contracts (mm_decode_features crashed the r04
+# canonicalizer; both now emit scalars and carry real DuckDB oracles),
+# then the recall contracts (r02 rows only, floors recalibrated), then
+# high-value re-proofs whose single green row predates newer code (q1,
+# join family, agg rollup/cube/pivot, connected components after this
+# round's scale-hardening). Names not (yet) registered are skipped, so
+# entries can be listed ahead of the code landing.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # streaming: wrong answers in r03 (ts-unit bug, fixed this round) —
-    # prove it, plus the two streaming queries never checked at all
-    "streaming_tumbling_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_stream_stream_join",
-    "streaming_dedup",
-    "streaming_stream_static_join",
-    # text analysis / pipeline family: zero driver rows ever
-    "text_tfidf_top_terms",
-    "text_ngrams",
-    "text_scrub",
-    "text_stopword_removal",
-    "text_repetition_score",
-    "decontaminate_ngram",
-    "select_token_budget",
-    "pipeline_sequence_packing",
-    "pipeline_training_export",
-    "mix_domain_weights",
-    "filter_quality_percentile",
-    "hist_token_lengths",
-    "sample_systematic",
-    "sample_stratified",
-    # multimodal family: zero driver rows ever (two are rows-only)
-    "mm_binary_meta",
-    "mm_frame_sample",
+    # final never-checked backlog (21): zero driver rows in r01–r04
+    "dedup_span_fraction",
+    "emb_normalize",
+    "emb_quantize_int8",
+    "pipeline_dataset_split",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_array",
+    "scalar_array_lambda",
+    "scalar_json",
+    "scalar_encoding",
+    "scalar_conditional",
+    "predicate_forms",
+    "scalar_map",
+    "scalar_bitwise",
+    "sort_multicol",
+    "limit_offset",
+    "distinct_values",
+    "lateral_posexplode",
+    "unpivot_stack",
+    "timeseries_locf",
+    "sessionize_batch",
+    # repaired multimodal contracts: r04 driver crash (array<double>
+    # canonicalizer) / no_oracle — both now scalar-shaped with oracles
     "mm_decode_features",
     "mm_audio_windows",
-    "source_binary_files",
-    # UDF surface: zero driver rows ever
-    "udf_scalar_python",
-    "udf_pandas_vectorized",
-    "udf_grouped_zscore",
-    "udtf_tokenize",
-    # sources/sinks: zero driver rows ever
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "sink_partitioned_parquet",
-    # window-function variants: zero driver rows ever
-    "window_lag_lead",
-    "window_running_agg",
-    "window_sliding_rows",
-    "window_first_last",
-    "window_time_range",
-    "window_distribution",
-    # set ops: zero driver rows ever
-    "union_all",
-    "union_distinct",
-    "intersect_distinct",
-    "except_distinct",
-    "intersect_all",
-    # subqueries: zero driver rows ever
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_not_in_null_safe",
-    "subquery_correlated_scalar_min",
-    "subquery_nested_correlated_having",
-    # dedup: containment never checked (+ new exact-collapse semantics)
-    "dedup_ngram_containment",
+    # recall contracts: r02 rows at sf0.01 only, floors since hardened
+    "sim_recall_lsh",
+    "sim_recall_ivf",
+    "dedup_recall_minhash",
+    # re-proofs: single green row from old code (r01/r02)
+    "q1_pricing_summary",
+    "dedup_connected_components",
+    "join_broadcast_inner",
+    "join_sort_merge",
+    "join_shuffle_hash",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_cross",
+    "join_range",
+    "join_asof",
+    "join_skew_salted",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+    "agg_pivot",
+    "agg_min_max_by",
+    "agg_hll_sketch",
+    "agg_percentile",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 )
 
 
@@ -155,20 +155,22 @@ def _checked_names() -> set[str]:
 
 
 def _ordered() -> list[str]:
-    """Driver window ordering, SELF-ROTATING: within both the manual
-    DRIVER_PRIORITY list and the remaining registry, names with no
-    CORRECTNESS row in any past round sort first. So even if a round
-    forgets to update DRIVER_PRIORITY, the never-checked backlog flows
-    into the driver's 50-query window automatically; the manual list
-    still fronts this round's must-prove queries (e.g. fixed-red rows,
-    which HAVE past rows and would otherwise rotate to the back)."""
+    """Driver window ordering, SELF-ROTATING: DRIVER_PRIORITY entries
+    always lead, in manual order, EXEMPT from rotate-to-back — that is
+    how a fixed-red query (which has a past row) re-earns a driver row.
+    Behind them, the rest of the registry splits never-checked-first
+    (no CORRECTNESS row in any past round), so even if a round forgets
+    to update DRIVER_PRIORITY, the unchecked backlog still flows into
+    the driver's 50-query window automatically."""
     checked = _checked_names()
     pri = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
     seen = set(pri)
-    ordered = pri + [n for n in _REGISTRY if n not in seen]
-    return [n for n in ordered if n not in checked] + [
-        n for n in ordered if n in checked
-    ]
+    rest = [n for n in _REGISTRY if n not in seen]
+    return (
+        pri
+        + [n for n in rest if n not in checked]
+        + [n for n in rest if n in checked]
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

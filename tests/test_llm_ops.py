@@ -52,14 +52,17 @@ def test_mm_decode_features(spark):
     qs = all_queries()
     df = qs["mm_decode_features"](spark, SF_SMOKE)
     rows = df.orderBy("doc_id").limit(5).collect()
+    # scalar moment columns (NOT array<double>): the driver's pandas
+    # canonicalizer can't hash list cells (r04 crash) and scalars keep
+    # the contract DuckDB-expressible
     assert df.schema.simpleString() == (
-        "struct<doc_id:bigint,n_bytes:bigint,feature:array<double>>"
+        "struct<doc_id:bigint,n_bytes:bigint,mean_byte:double,"
+        "max_byte:double,min_byte:double>"
     )
     for r in rows:
-        assert len(r["feature"]) == 4
-        assert r["n_bytes"] == r["feature"][0]
+        assert r["n_bytes"] > 0
         # deterministic stub: mean byte must be within [min, max]
-        assert r["feature"][3] <= r["feature"][1] <= r["feature"][2]
+        assert r["min_byte"] <= r["mean_byte"] <= r["max_byte"]
 
 
 def test_mm_audio_windows(spark):

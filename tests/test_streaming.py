@@ -379,3 +379,68 @@ def test_kinesis_reader_spec_includes_resolved_options(spark):
     msg = str(e.value)
     assert "kinesis.streamName" in msg
     assert "AT_TIMESTAMP" in msg
+
+
+# ---- Kinesis seam end-to-end (fake in-process connector, S1/S2) ------------
+
+
+def _fake_stream_file(tmp_path, rows):
+    import json
+
+    p = tmp_path / "stream.jsonl"
+    p.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    return str(p)
+
+
+def _consume_kinesis(spark, path, start, name):
+    """Full seam path: kinesis_start_options → reader spec →
+    format('fake_kinesis').load() → micro-batches → memory sink."""
+    from kinesis2sse_spark.streaming import fake_kinesis
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    fake_kinesis.register(spark)
+    df = kinesis_stream(
+        spark,
+        "my-stream",
+        "us-east-1",
+        start=start,
+        source_format="fake_kinesis",
+        recordsPath=path,
+    )
+    return run_to_memory(df.selectExpr("CAST(data AS STRING) AS data"), name)
+
+
+def test_kinesis_seam_trim_horizon_replays_everything(spark, tmp_path):
+    """TRIM_HORIZON through the real load() path consumes ≥1 micro-batch
+    containing the full retained stream (kinesis2sse.go:117-126)."""
+    path = _fake_stream_file(
+        tmp_path,
+        [{"ts": 1000 * i, "data": f"e{i}"} for i in range(5)],
+    )
+    got = _consume_kinesis(spark, path, "trim_horizon", "fk_trim")
+    assert sorted(r["data"] for r in got.collect()) == [f"e{i}" for i in range(5)]
+
+
+def test_kinesis_seam_at_timestamp_seeks_source_side(spark, tmp_path):
+    """AT_TIMESTAMP must seek in the SOURCE: records before the instant
+    are never read (no downstream filter can recover a skipped seek —
+    the same invariant the round-3 Kafka fix locked broker-side)."""
+    base = int(datetime(2024, 3, 1).timestamp() * 1000)
+    path = _fake_stream_file(
+        tmp_path,
+        [{"ts": base + 60_000 * i, "data": f"e{i}"} for i in range(6)],
+    )
+    got = _consume_kinesis(
+        spark, path, datetime(2024, 3, 1, 0, 3), "fk_at_ts"
+    )
+    assert sorted(r["data"] for r in got.collect()) == ["e3", "e4", "e5"]
+
+
+def test_kinesis_seam_latest_skips_history(spark, tmp_path):
+    """LATEST starts past the retained records: replaying the same file
+    yields zero rows (only post-start appends would arrive)."""
+    path = _fake_stream_file(
+        tmp_path, [{"ts": 1000 * i, "data": f"e{i}"} for i in range(4)]
+    )
+    got = _consume_kinesis(spark, path, "latest", "fk_latest")
+    assert got.count() == 0

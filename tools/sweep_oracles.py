@@ -68,6 +68,11 @@ def main() -> None:
         except Exception as e:  # keep sweeping; report at the end
             print(f"[{i + 1}/{len(names)}] {name}: ERROR {str(e)[:150]}", flush=True)
             fails.append(name)
+        finally:
+            # queries that persist() intermediates leave them cached;
+            # a 150-query sweep would accumulate them for the session
+            # lifetime and skew later queries under eviction pressure
+            spark.catalog.clearCache()
     print("FAILED:", fails)
     sys.exit(1 if fails else 0)
 
