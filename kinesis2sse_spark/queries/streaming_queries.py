@@ -254,3 +254,81 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
+
+
+@register(
+    "streaming_keyed_running_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_keyed_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running (count, sum) via MULTI-key applyInPandasWithState
+    — state shards by user_id across executors (unlike the route-mutex
+    offset counter's single key), so this is the shape long-lived
+    per-entity state takes at scale: 16 bytes per key, no per-event
+    retention. The memory sink sees every per-batch update row; the
+    LATEST row per key (max n_events) is the final state, which must
+    equal the batch groupBy exactly — that equivalence is the oracle.
+    Cross-batch accumulation and per-batch emission cadence are
+    pytest-covered (test_keyed_running_stats_accumulate_across_batches).
+    """
+    from pyspark.sql.window import Window
+
+    from kinesis2sse_spark.streaming.state import with_keyed_running_stats
+
+    s = events_stream(spark, sf_dir).select("user_id", "value")
+    out = run_to_memory(
+        with_keyed_running_stats(s, "user_id", "value"),
+        _qname("keyed_stats"),
+        output_mode="update",
+        shuffle_partitions=8,
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+        )
+    )
+
+
+@register(
+    "streaming_archive_parquet",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def streaming_archive_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming archive sink roundtrip: stream → date-partitioned
+    parquet lake (file-sink transaction log = exactly-once) → batch
+    read-back must be the identity on the archived columns. The durable
+    record the reference lacks (memlog evicts at capacity); at 100 TB
+    this lake, not the stream, is what every batch query scans — so the
+    read-back stays lazy (no driver materialization); the lake is
+    staged fresh per call at a content-keyed path. Restart/no-replay
+    semantics are pytest-covered
+    (test_archive_sink_exactly_once_across_restart)."""
+    import os
+    import shutil
+
+    from kinesis2sse_spark.streaming.archive import archive_stream
+
+    s = events_stream(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    root = f"/tmp/k2s_archive_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    q = archive_stream(
+        s, f"{root}/lake", f"{root}/ckpt", query_name=_qname("archive")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/lake").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )

@@ -130,8 +130,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_min_max_by",
     "agg_hll_sketch",
     "agg_percentile",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # new in round 5: never-checked, oracle-backed
+    "streaming_keyed_running_stats",
+    "streaming_archive_parquet",
 )
 
 

@@ -47,3 +47,41 @@ def test_non_convergence_raises_instead_of_spinning(spark):
     edges = _chain_edges(spark, 64)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_rounds=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Pointer doubling must agree with a driver-side union-find model on
+    arbitrary graph shapes (stars, cycles, bridges, singletons), not
+    just the chain fixture — seeded RNG, three graph densities."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    for n_nodes, n_edges in [(30, 15), (40, 60), (25, 5)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        # union-find model
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = sorted({v for e in edges for v in e})
+        want = {}
+        for v in touched:
+            root = find(v)
+            want[v] = min(u for u in touched if find(u) == root)
+
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "a long, b long")
+            ).collect()
+        }
+        assert got == want, f"divergence on graph ({n_nodes},{n_edges})"

@@ -444,3 +444,89 @@ def test_kinesis_seam_latest_skips_history(spark, tmp_path):
     )
     got = _consume_kinesis(spark, path, "latest", "fk_latest")
     assert got.count() == 0
+
+
+# ---- archive sink (exactly-once partitioned parquet) -----------------------
+
+
+def test_archive_sink_exactly_once_across_restart(spark, tmp_path):
+    """The streaming archive: date-partitioned parquet with the file
+    sink's transactional metadata log. Restarting from the same
+    checkpoint after new data arrives appends ONLY the new epoch — no
+    replay, no duplicates — and the lake is partition-prunable."""
+    import os
+
+    from kinesis2sse_spark.streaming.archive import archive_stream
+
+    d = staged_batch_dir("archive_src")
+    schema = "event_id long, ts timestamp, value double"
+    _write_batch(
+        spark, d, "b0",
+        [(1, _ts("2024-01-01 10:00:00"), 1.0), (2, _ts("2024-01-02 10:00:00"), 2.0)],
+        schema,
+    )
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = archive_stream(_read_stream(spark, d, schema), lake, ckpt)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    first = spark.read.parquet(lake)
+    assert first.count() == 2
+    assert {"event_date=2024-01-01", "event_date=2024-01-02"} <= set(
+        os.listdir(lake)
+    )  # partition dirs exist
+
+    # restart from the SAME checkpoint with one more file staged
+    _write_batch(
+        spark, d, "b1", [(3, _ts("2024-01-02 11:00:00"), 3.0)], schema
+    )
+    q2 = archive_stream(_read_stream(spark, d, schema), lake, ckpt)
+    q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+    rows = spark.read.parquet(lake).select("event_id").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]  # no b0 replay
+
+    # partition pruning: a single-day read lists one directory
+    one_day = spark.read.parquet(lake).filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    assert sorted(r["event_id"] for r in one_day.collect()) == [2, 3]
+
+
+# ---- keyed stateful running stats ------------------------------------------
+
+
+def test_keyed_running_stats_accumulate_across_batches(spark):
+    """Per-key state must carry across micro-batches and shard by key:
+    two batches, interleaved keys — totals accumulate per key, and each
+    key emits a row only in batches where it appears."""
+    from kinesis2sse_spark.streaming.source import run_to_memory
+    from kinesis2sse_spark.streaming.state import with_keyed_running_stats
+
+    d = staged_batch_dir("keyed_stats")
+    schema = "user_id long, ts timestamp, value double"
+    _write_batch(
+        spark, d, "b0",
+        [(1, _ts("2024-01-01 00:00:00"), 10.0), (2, _ts("2024-01-01 00:00:01"), 5.0)],
+        schema,
+    )
+    _write_batch(
+        spark, d, "b1",
+        [(1, _ts("2024-01-01 00:00:02"), 30.0)],
+        schema,
+    )
+    out = run_to_memory(
+        with_keyed_running_stats(_read_stream(spark, d, schema)),
+        "keyed_stats_out",
+        output_mode="update",
+        shuffle_partitions=4,
+    )
+    rows = [(r["user_id"], r["n_events"], r["total_value"]) for r in out.collect()]
+    # final state per key: user 1 saw 2 events totaling 40, user 2 one event
+    latest = {}
+    for uid, n, tot in rows:
+        latest[uid] = max(latest.get(uid, (0, 0.0)), (n, tot))
+    assert latest[1] == (2, 40.0)
+    assert latest[2] == (1, 5.0)
+    # user 1 appeared in both batches → two update rows; user 2 in one
+    assert sum(1 for uid, *_ in rows if uid == 1) == 2
+    assert sum(1 for uid, *_ in rows if uid == 2) == 1
