@@ -332,3 +332,38 @@ def streaming_archive_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/lake").select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+@register(
+    "pipeline_lake_compaction",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value
+    FROM events
+    """,
+)
+def pipeline_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction of a retired streaming lake: archive the
+    stream (one file per task per epoch), compact to size-targeted
+    files (maintenance.py::compact_lake — log-committed read, dynamic
+    partition overwrite, sink-log retirement), and the compacted lake
+    must still read back as the identity. File-count reduction and
+    untouched-partition preservation are pytest-covered
+    (test_compact_lake_reduces_files_preserves_rows)."""
+    import os
+    import shutil
+
+    from kinesis2sse_spark.maintenance import compact_lake
+    from kinesis2sse_spark.streaming.archive import archive_stream
+
+    s = events_stream(spark, sf_dir).select("event_id", "event_type", "ts", "value")
+    root = f"/tmp/k2s_compact_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(root, ignore_errors=True)
+    q = archive_stream(
+        s, f"{root}/lake", f"{root}/ckpt", query_name=_qname("compact_src")
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return compact_lake(spark, f"{root}/lake").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )

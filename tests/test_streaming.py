@@ -530,3 +530,37 @@ def test_keyed_running_stats_accumulate_across_batches(spark):
     # user 1 appeared in both batches → two update rows; user 2 in one
     assert sum(1 for uid, *_ in rows if uid == 1) == 2
     assert sum(1 for uid, *_ in rows if uid == 2) == 1
+
+
+def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-file compaction: three single-row epochs leave ≥3 files;
+    compaction rewrites them into size-targeted files (here 1), with
+    identical rows, intact partition dirs, and untouched partitions
+    preserved by dynamic overwrite."""
+    import glob as g
+
+    from kinesis2sse_spark.maintenance import compact_lake
+    from kinesis2sse_spark.streaming.archive import archive_stream
+
+    d = staged_batch_dir("compact_src")
+    schema = "event_id long, ts timestamp, value double"
+    lake, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_batch(
+            spark, d, f"b{i}",
+            [(i, _ts(f"2024-01-0{1 + (i % 2)} 10:00:00"), float(i))],
+            schema,
+        )
+        q = archive_stream(_read_stream(spark, d, schema), lake, ckpt)
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+
+    day1 = f"{lake}/event_date=2024-01-01"
+    n_before = len(g.glob(f"{day1}/*.parquet"))
+    assert n_before >= 2  # two epochs hit day 1 → one file each
+
+    before = {(r["event_id"], str(r["event_date"])) for r in spark.read.parquet(lake).collect()}
+    compacted = compact_lake(spark, lake, partitions=["2024-01-01"])
+    after = {(r["event_id"], str(r["event_date"])) for r in compacted.collect()}
+    assert after == before  # rows identical, day-2 partition untouched
+    assert len(g.glob(f"{day1}/*.parquet")) == 1  # coalesced
+    assert len(g.glob(f"{lake}/event_date=2024-01-02/*.parquet")) >= 1
