@@ -632,3 +632,93 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count_if(F.col("ndocs") > 1) / F.count("*"), 6).alias("dup_fraction"),
         )
     )
+
+
+@register(
+    "dedup_incremental_probe",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cidx AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               row_number() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+        FROM sh WHERE doc_id % 10 <> 0
+      ) WHERE rn <= {MAX_DF}
+    ),
+    probe AS (
+      SELECT i.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS c
+      FROM sh i JOIN cidx c ON i.shingle = c.shingle
+      WHERE i.doc_id % 10 = 0
+      GROUP BY 1, 2
+    )
+    SELECT p.new_id AS doc_id, p.corpus_id AS dup_of,
+           round(p.c * 1.0 / (ni.n + nc.n - p.c), 6) AS jaccard
+    FROM probe p
+    JOIN counts ni ON ni.doc_id = p.new_id
+    JOIN counts nc ON nc.doc_id = p.corpus_id
+    WHERE p.c * 1.0 / (ni.n + nc.n - p.c) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the workflow that actually runs at 100 TB:
+    nobody re-clusters the archived corpus per ingest batch; the NEW
+    batch probes a prebuilt shingle index and only near-dups OF THE
+    CORPUS come back. Here the fixture splits deterministically
+    (doc_id % 10 == 0 → incoming, rest → corpus); production persists
+    the index bucketed by shingle hash, so the probe shuffles ONLY the
+    incoming batch — corpus-side data never moves again.
+
+    Same primitives as dedup_ngram_jaccard: distinct word-3-shingles,
+    xxhash64 join keys, corpus postings sliced to the MAX_DF lowest
+    doc_ids (bounded blow-up per boilerplate shingle; the oracle
+    applies the identical slice). Asymmetric by construction —
+    incoming×incoming pairs are out of scope (they are next batch's
+    corpus). Compose with _exact_clusters upstream when the corpus
+    carries mass exact-duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.array_distinct(shingles).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n"),
+            F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
+        )
+    )
+    incoming = F.col("doc_id") % 10 == 0
+    index = (
+        sh.filter(~incoming)
+        .groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("docs"))
+        .withColumn("docs", F.slice(F.sort_array("docs"), 1, MAX_DF))
+    )
+    hits = (
+        sh.filter(incoming)
+        .withColumnsRenamed({"doc_id": "new_id", "n": "ni"})
+        .join(index, "sh")
+        .select("new_id", "ni", F.explode("docs").alias("cdoc"))
+        .groupBy(
+            "new_id",
+            "ni",
+            F.col("cdoc.doc_id").alias("dup_of"),
+            F.col("cdoc.n").alias("nc"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("ni") + F.col("nc") - F.col("c"))
+    return hits.filter(jac >= JACCARD_THRESHOLD).select(
+        F.col("new_id").alias("doc_id"),
+        "dup_of",
+        F.round(jac, 6).alias("jaccard"),
+    )
