@@ -118,7 +118,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
-    "join_theta_cross",
     "join_range",
     "join_asof",
     "join_skew_salted",
@@ -128,11 +127,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_grouping_id",
     "agg_pivot",
     "agg_min_max_by",
-    "agg_hll_sketch",
     "agg_percentile",
-    # new in round 5: never-checked, oracle-backed
+    # new in round 5: never-checked, oracle-backed — windowing all four
+    # (over two already-green join/sketch re-proofs) makes coverage
+    # airtight THIS round: after r05 every registered query has ≥1
+    # driver row ever
     "streaming_keyed_running_stats",
     "streaming_archive_parquet",
+    "pipeline_lake_compaction",
+    "dedup_incremental_probe",
 )
 
 

@@ -261,3 +261,25 @@ def test_recall_queries_broadcast_probes(spark):
     scoring (only the small aggregates after)."""
     plan = _plan(spark, "sim_topk_lsh")
     assert "BroadcastExchange" in plan
+
+
+def test_incremental_probe_single_index_exchange(spark):
+    """The incremental probe builds the corpus index with exactly ONE
+    shingle-hash exchange and joins the incoming batch to it with the
+    posting explode AFTER the join (map-side fan-out, no pre-join
+    explosion). At fixture scale the index broadcasts; at 100 TB the
+    persisted index is bucketed by sh so the corpus still never
+    reshuffles — either way the incoming side must not hash-exchange
+    before the join."""
+    import re
+
+    plan = _plan(spark, "dedup_incremental_probe")
+    assert len(re.findall(r"Exchange hashpartitioning\(sh#", plan)) == 1, plan
+    join_pos = plan.find("HashJoin")  # Broadcast- here; SortMerge- at scale
+    explode_pos = plan.find("Generate explode(docs")
+    assert explode_pos != -1 and join_pos != -1
+    # tree prints downstream-first: the explode must sit ABOVE (after)
+    # the join — postings fan out map-side, never before the join
+    assert explode_pos < join_pos, plan
+    # the incoming-vs-corpus split reaches the scan as a data filter
+    assert "(doc_id#" in plan and "% 10)" in plan, plan
