@@ -1,0 +1,224 @@
+"""Lake-maintenance / layout operators a 100 TB pipeline runs daily:
+table profiling (ANALYZE-style one-pass statistics), Z-order layout
+(multi-dimensional clustering for data skipping), and MERGE-style
+snapshot upsert (the foreachBatch → lakehouse-table write path).
+
+All three are pure DataFrame compositions — no UDFs — so Catalyst
+keeps them inside whole-stage codegen and the scans stay pruned.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# stats_column_profile — ANALYZE TABLE in one scan
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           count({c}) AS n_nonnull,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_val,
+           CAST(max({c}) AS DOUBLE) AS max_val
+    FROM lineitem
+    """
+    for c in _PROFILE_COLS
+)
+
+
+@register("stats_column_profile", oracle=_PROFILE_ORACLE)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (non-null / null / NDV / min / max) for
+    the five numeric lineitem columns — the statistics a cost-based
+    optimizer or data-quality monitor collects before planning over a
+    100 TB table.
+
+    One scan: all twenty aggregates ride a single pass with map-side
+    partial aggregation; the multiple exact COUNT(DISTINCT)s cost one
+    Expand (5× row multiplication) inside that pass. At real scale the
+    NDV column switches to approx_count_distinct (one-pass HLL, no
+    Expand) — exact here so the DuckDB oracle can verify bit-for-bit.
+    The wide one-row aggregate is then unpivoted driver-side-free with
+    ``stack`` into one row per column.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"ndv_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+        ]
+    row = li.agg(*aggs)
+    stack_items = ", ".join(
+        f"'{c}', nn_{c}, n_rows - nn_{c}, ndv_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_items}) AS "
+        "(column_name, n_nonnull, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder — multi-dimensional clustering
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8  # 8 bits per dimension → 16-bit z-value, 256 top buckets
+
+
+def _z_sql(x: str, y: str) -> str:
+    """Bit-interleave SQL shared (textually) by Spark and DuckDB."""
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    WITH pts AS (
+      SELECT (o_custkey % 256) AS x,
+             (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256) AS y
+      FROM orders
+    ), z AS (
+      SELECT x, y, {_z_sql('x', 'y')} AS zval FROM pts
+    )
+    SELECT zval >> 8 AS zbucket,
+           count(*) AS n,
+           count(DISTINCT x) AS n_x,
+           count(DISTINCT y) AS n_y,
+           min(zval) AS z_min,
+           max(zval) AS z_max
+    FROM z GROUP BY zval >> 8
+"""
+
+
+@register("layout_zorder", oracle=_ZORDER_ORACLE)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two order dimensions
+    (customer bucket × order-day bucket), reported per top-level
+    z-bucket: row count, distinct x/y values covered, and the z range.
+
+    The interleaved key is what `repartitionByRange(zval)` + sorted
+    parquet writes cluster by: each output file then covers a narrow
+    hyper-rectangle in BOTH dimensions, so min/max row-group stats
+    prune 2-D predicates that a single-column sort can only prune in
+    one dimension (see tests/test_lakeops.py for the file-skipping
+    demonstration). Pure integer bit arithmetic, whole-stage codegen,
+    one shuffle for the bucket aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            % 256
+        ).cast("long").alias("y"),
+    )
+    z = pts.withColumn("zval", F.expr(_z_sql("x", "y")))
+    return z.groupBy(F.expr("zval >> 8").alias("zbucket")).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("x").alias("n_x"),
+        F.count_distinct("y").alias("n_y"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )
+
+
+def zorder_value(x: F.Column, y: F.Column) -> F.Column:
+    """The reusable z-value column (8 bits per dimension) for layout
+    writes: ``df.repartitionByRange(n, zorder_value(...)).sortWithinPartitions(...)``."""
+    def bit(col: F.Column, i: int, pos: int) -> F.Column:
+        return F.shiftleft(F.shiftright(col, i).bitwiseAND(F.lit(1)), pos)
+
+    parts = [bit(x, i, 2 * i) for i in range(_ZBITS)] + [
+        bit(y, i, 2 * i + 1) for i in range(_ZBITS)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_upsert_snapshot — MERGE INTO semantics
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+    WITH batch AS (
+      SELECT c_custkey AS k, c_name AS name, c_acctbal + 100.0 AS acctbal, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey + 10000000 AS k, 'NEW:' || c_name AS name, 50.0 AS acctbal, 'I' AS op
+      FROM customer WHERE c_custkey % 100 = 7
+      UNION ALL
+      SELECT c_custkey AS k, NULL AS name, NULL AS acctbal, 'D' AS op
+      FROM customer WHERE c_custkey % 10 = 6
+    )
+    SELECT coalesce(b.c_custkey, t.k) AS c_custkey,
+           coalesce(t.name, b.c_name) AS c_name,
+           coalesce(t.acctbal, b.c_acctbal) AS c_acctbal,
+           CASE WHEN t.k IS NULL THEN 'base'
+                WHEN t.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS provenance
+    FROM customer b FULL OUTER JOIN batch t ON b.c_custkey = t.k
+    WHERE t.op IS NULL OR t.op <> 'D'
+"""
+
+
+@register("pipeline_upsert_snapshot", oracle=_UPSERT_ORACLE)
+def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert + delete) applied to a keyed
+    snapshot — the foreachBatch write path of a streaming CDC feed into
+    a lakehouse table, expressed as one full-outer join:
+
+      matched + op=U  → update columns,   matched + op=D → drop row,
+      unmatched batch → insert,           unmatched base → carry over.
+
+    The change batch is derived deterministically from the customer
+    table itself (updates for key%10=3, inserts for key%100=7, deletes
+    for key%10=6) so the DuckDB oracle replays the identical merge. At
+    100 TB the base side is bucketed by key and the batch (orders of
+    magnitude smaller) broadcasts or co-shuffles into the same buckets,
+    then only affected partitions rewrite (dynamic partition
+    overwrite — see pipeline_lake_compaction for the write side).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        (F.col("c_acctbal") + 100.0).alias("acctbal"),
+        F.lit("U").alias("op"),
+    )
+    inserts = c.where(F.col("c_custkey") % 100 == 7).select(
+        (F.col("c_custkey") + 10000000).alias("k"),
+        F.concat(F.lit("NEW:"), F.col("c_name")).alias("name"),
+        F.lit(50.0).alias("acctbal"),
+        F.lit("I").alias("op"),
+    )
+    deletes = c.where(F.col("c_custkey") % 10 == 6).select(
+        F.col("c_custkey").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("double").alias("acctbal"),
+        F.lit("D").alias("op"),
+    )
+    batch = updates.unionByName(inserts).unionByName(deletes)
+    merged = c.join(batch, c.c_custkey == batch.k, "full_outer")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+        F.coalesce(F.col("name"), F.col("c_name")).alias("c_name"),
+        F.coalesce(F.col("acctbal"), F.col("c_acctbal")).alias("c_acctbal"),
+        F.when(F.col("k").isNull(), "base")
+        .when(F.col("op") == "U", "updated")
+        .otherwise("inserted")
+        .alias("provenance"),
+    )

@@ -817,3 +817,62 @@ def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "classify_quality_linear",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             list_aggregate(
+               list_transform(string_split(text, ' '),
+                 t -> (list_reduce(
+                         list_prepend(CAST(7 AS BIGINT),
+                             list_transform(string_split_regex(t, ''),
+                                            c -> CAST(ascii(c) AS BIGINT))),
+                         (h, c) -> (h * 31 + c) % 1000000007
+                       ) % 1001) - 500),
+               'sum') AS score_int
+      FROM documents
+    )
+    SELECT doc_id,
+           score_int / 1000.0 AS score,
+           score_int > 0 AS is_quality
+    FROM scored
+    """,
+)
+def classify_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    fastText-style filter shape every LLM data pipeline runs (CCNet,
+    Gopher rules): tokenize, hash each token into a weight table,
+    sum weights, threshold.
+
+    The weight table here is a pure function of the token's rolling
+    hash ((hash % 1001) - 500, i.e. ~U[-500,500] per mille) so the
+    DuckDB oracle reproduces the model bit-for-bit; a real model swaps
+    in a broadcast map lookup with identical plan shape. Scoring stays
+    in INT64 space (order-independent under reassociation) and divides
+    by 1000 exactly once, so partial-aggregation order can never flip
+    the hash — the FP ladder's rule 3 applied preemptively. All
+    JVM-side nested higher-order functions (transform + aggregate):
+    zero shuffles, zero Python, embarrassingly parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    token_weight = lambda t: (
+        F.aggregate(
+            F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(7).cast("long"),
+            lambda h, c: (h * 31 + c) % 1000000007,
+        )
+        % 1001
+        - 500
+    )
+    score_int = F.aggregate(
+        F.transform(F.split("text", " "), token_weight),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "doc_id",
+        (score_int / 1000.0).alias("score"),
+        (score_int > 0).alias("is_quality"),
+    )

@@ -116,18 +116,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_left_outer",
     "join_right_outer",
     "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
     "join_range",
     "join_asof",
     "join_skew_salted",
     "agg_rollup",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_grouping_id",
     "agg_pivot",
-    "agg_min_max_by",
     "agg_percentile",
+    # new in round 5 (late): lake/layout/classifier operators — never
+    # checked, oracle-backed. They take the window slots of four
+    # re-proofs that already hold green rows (join_left_semi/anti,
+    # agg_grouping_id, agg_min_max_by), so the airtight-coverage goal
+    # (every registered query has >=1 driver row ever) still lands.
+    "stats_column_profile",
+    "layout_zorder",
+    "pipeline_upsert_snapshot",
+    "classify_quality_linear",
     # new in round 5: never-checked, oracle-backed — windowing all four
     # (over two already-green join/sketch re-proofs) makes coverage
     # airtight THIS round: after r05 every registered query has ≥1
@@ -209,6 +214,7 @@ def _ensure_loaded() -> None:
         event_pipeline,
         graph,
         joins,
+        lakeops,
         llm_dedup,
         llm_similarity,
         llm_text,
