@@ -222,3 +222,46 @@ def pipeline_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("inserted")
         .alias("provenance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_key_skew — the diagnostic you run BEFORE choosing a join strategy
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT rank() OVER (ORDER BY cnt DESC, user_id) AS rnk,
+             user_id, cnt,
+             CAST((cnt * 1000000) // (SELECT sum(cnt) FROM c) AS BIGINT) AS share_ppm
+      FROM c
+    )
+    SELECT rnk, user_id, cnt, share_ppm FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("stats_key_skew", oracle=_SKEW_ORACLE)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 20 heaviest event keys with their
+    exact frequency and parts-per-million share — the report that
+    decides between a plain shuffle join, AQE skew splitting, and
+    explicit salting (see join_skew_salted) before a 100 TB join runs.
+
+    Cost shape: one map-side-combined groupBy on the key (the only
+    full-data shuffle), after which the per-key relation is |distinct
+    keys| rows; the unpartitioned rank/total windows run over THAT
+    small relation on a single post-agg partition, never over the raw
+    events. Share stays in integer ppm (x*1000000 DIV total) so the
+    two engines can never disagree on FP division."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    ranked = counts.select(
+        F.rank().over(Window.partitionBy().orderBy(F.desc("cnt"), F.asc("user_id"))).alias("rnk"),
+        "user_id",
+        "cnt",
+        F.expr("CAST((cnt * 1000000) DIV sum(cnt) OVER () AS BIGINT)").alias("share_ppm"),
+    )
+    return ranked.where(F.col("rnk") <= 20)

@@ -123,13 +123,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_grouping_sets",
     "agg_pivot",
-    "agg_percentile",
     # new in round 5 (late): lake/layout/classifier operators — never
     # checked, oracle-backed. They take the window slots of four
     # re-proofs that already hold green rows (join_left_semi/anti,
     # agg_grouping_id, agg_min_max_by), so the airtight-coverage goal
     # (every registered query has >=1 driver row ever) still lands.
     "stats_column_profile",
+    "stats_key_skew",
     "layout_zorder",
     "pipeline_upsert_snapshot",
     "classify_quality_linear",

@@ -4,7 +4,6 @@ partition-layout joins."""
 
 from __future__ import annotations
 
-import glob
 import shutil
 
 from pyspark.sql import functions as F
@@ -119,3 +118,41 @@ def test_partition_join_uses_dynamic_partition_pruning(spark):
     assert sorted((r.month, r["count"]) for r in got) == sorted(
         (r.month, r["count"]) for r in expect
     )
+
+
+def test_shuffle_join_injects_bloom_runtime_filter(spark):
+    """Plan-lock: when a selective dim side feeds a shuffle join, Spark
+    injects a bloom_filter_agg on the dim keys and semi-filters the fact
+    scan BEFORE the shuffle — at 100 TB this drops most of the shuffle
+    write for a 1%-selective dim filter. The injection is gated by size
+    thresholds meant for cluster scale (application side >= 10 GB), so
+    the test lowers them to exercise the rule on sf0.01; production
+    keeps the defaults and the rule fires exactly when it pays off."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_CORRECTNESS, "lineitem")
+        o = load_table(spark, SF_CORRECTNESS, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloomfilter" in plan.lower().replace("_", ""), plan[:2000]
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["count"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
