@@ -226,3 +226,107 @@ def tail_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis2sse_spark.pipeline.asof import tail_offset
 
     return tail_offset(load_table(spark, sf_dir, "events"))
+
+
+_RFC3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+
+_REJECT_ORACLE = r"""
+    WITH src AS (
+      SELECT event_id, ts, props,
+             '{"time":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z","detail":' || props || '}' AS good
+      FROM events
+      WHERE props IS NOT NULL AND ts IS NOT NULL AND json_valid(props)
+    ), wire AS (
+      SELECT event_id,
+             CASE event_id % 10
+               WHEN 0 THEN substr(good, 1, length(good) - 1)
+               WHEN 1 THEN '{"detail":' || props || '}'
+               WHEN 2 THEN '{"time":"13:45 on Friday","detail":' || props || '}'
+               WHEN 3 THEN '{"time":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z"}'
+               ELSE good
+             END AS raw
+      FROM src
+    ), classified AS (
+      SELECT event_id,
+             CASE
+               WHEN NOT json_valid(raw) THEN 'invalid_json'
+               WHEN json_extract_string(raw, '$.time') IS NULL THEN 'missing_time'
+               WHEN NOT regexp_matches(json_extract_string(raw, '$.time'),
+                 '^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$')
+                 THEN 'bad_time'
+               WHEN json_extract(raw, '$.detail') IS NULL THEN 'missing_detail'
+               ELSE 'valid'
+             END AS reason
+      FROM wire
+    )
+    SELECT reason, count(*) AS n, min(event_id) AS first_event_id
+    FROM classified GROUP BY reason
+"""
+
+
+@register("ingest_reject_channel", oracle=_REJECT_ORACLE)
+def ingest_reject_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the ingest path: classify every wire
+    record the permissive parse would DROP by its reject reason
+    (invalid JSON / missing time / unparseable time / missing detail —
+    the reference warn-logs and skips these, record_processor.go:60-88)
+    plus the 'valid' passthrough, with counts and the first offending
+    id per reason. In production the same classification column routes
+    rejects to a quarantine sink (the DLQ) instead of silently
+    vanishing — at 100 TB "0.3% of records dropped, all missing_time,
+    starting at id X" is the observability difference between a schema
+    regression caught in minutes and a silent data hole.
+
+    Corruption is injected deterministically by event_id % 10 so the
+    DuckDB oracle can rebuild the identical wire batch and replay the
+    identical classification. The classifier reuses parse_envelope's
+    exact expressions (one variant parse per record, RFC3339 shape
+    gate before try_to_timestamp); one groupBy on a 5-value key is the
+    only shuffle."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("props").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.try_parse_json("props").isNotNull()
+    )
+    events = events.withColumn(
+        "good",
+        F.concat(
+            F.lit('{"time":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.lit('","detail":'),
+            F.col("props"),
+            F.lit("}"),
+        ),
+    )
+    wire = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.expr(
+            "substr(good, 1, length(good) - 1)"
+        ))
+        .when(F.col("event_id") % 10 == 1, F.concat(F.lit('{"detail":'), F.col("props"), F.lit("}")))
+        .when(F.col("event_id") % 10 == 2, F.concat(
+            F.lit('{"time":"13:45 on Friday","detail":'), F.col("props"), F.lit("}")
+        ))
+        .when(F.col("event_id") % 10 == 3, F.concat(
+            F.lit('{"time":"'),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+            F.lit('"}'),
+        ))
+        .otherwise(F.col("good"))
+        .alias("raw"),
+    )
+    v = F.try_parse_json("raw")
+    time_str = F.variant_get(v, "$.time", "string")
+    detail = F.to_json(F.variant_get(v, "$.detail", "variant"))
+    classified = wire.select(
+        "event_id",
+        F.when(v.isNull(), "invalid_json")
+        .when(time_str.isNull(), "missing_time")
+        .when(~time_str.rlike(_RFC3339), "bad_time")
+        .when(detail.isNull(), "missing_detail")
+        .otherwise("valid")
+        .alias("reason"),
+    )
+    return classified.groupBy("reason").agg(
+        F.count("*").alias("n"), F.min("event_id").alias("first_event_id")
+    )

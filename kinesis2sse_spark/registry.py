@@ -115,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_shuffle_hash",
     "join_left_outer",
     "join_right_outer",
-    "join_full_outer",
     "join_range",
     "join_asof",
     "join_skew_salted",
@@ -123,11 +122,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_grouping_sets",
     "agg_pivot",
-    # new in round 5 (late): lake/layout/classifier operators — never
-    # checked, oracle-backed. They take the window slots of four
-    # re-proofs that already hold green rows (join_left_semi/anti,
-    # agg_grouping_id, agg_min_max_by), so the airtight-coverage goal
-    # (every registered query has >=1 driver row ever) still lands.
+    # new in round 5 (late): reject-channel / lake / layout / classifier
+    # operators — never checked, oracle-backed. They take the window
+    # slots of six re-proofs that already hold green rows
+    # (join_left_semi/anti/full_outer, agg_grouping_id, agg_min_max_by,
+    # agg_percentile), so the airtight-coverage goal (every registered
+    # query has >=1 driver row ever) still lands.
+    "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",
     "layout_zorder",
