@@ -75,6 +75,32 @@ def deaggregate_envelopes(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+RFC3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
+
+
+def reject_reason(raw) -> "F.Column":
+    """Classify a wire record by WHY the permissive parse would drop it
+    ('valid' when it wouldn't) — the DLQ routing column. Applies
+    ``parse_envelope``'s exact acceptance rules in order (S4, F1, F2,
+    F3 — record_processor.go:60-88), so routing on this column and
+    then running parse_envelope on the 'valid' slice drops nothing:
+    the two are the same predicate, split by reason."""
+    raw = F.col(raw) if isinstance(raw, str) else raw
+    v = F.try_parse_json(raw.cast("string"))
+    time_str = F.variant_get(v, "$.time", "string")
+    detail = F.to_json(F.variant_get(v, "$.detail", "variant"))
+    return (
+        F.when(v.isNull(), "invalid_json")
+        .when(time_str.isNull(), "missing_time")
+        .when(
+            ~time_str.rlike(RFC3339) | F.try_to_timestamp(time_str).isNull(),
+            "bad_time",
+        )
+        .when(detail.isNull(), "missing_detail")
+        .otherwise("valid")
+    )
+
+
 def parse_envelope(
     df: DataFrame, value_col: str = "value", observe=None
 ) -> DataFrame:

@@ -228,8 +228,6 @@ def tail_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tail_offset(load_table(spark, sf_dir, "events"))
 
 
-_RFC3339 = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})$"
-
 _REJECT_ORACLE = r"""
     WITH src AS (
       SELECT event_id, ts, props,
@@ -315,18 +313,9 @@ def ingest_reject_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("good"))
         .alias("raw"),
     )
-    v = F.try_parse_json("raw")
-    time_str = F.variant_get(v, "$.time", "string")
-    detail = F.to_json(F.variant_get(v, "$.detail", "variant"))
-    classified = wire.select(
-        "event_id",
-        F.when(v.isNull(), "invalid_json")
-        .when(time_str.isNull(), "missing_time")
-        .when(~time_str.rlike(_RFC3339), "bad_time")
-        .when(detail.isNull(), "missing_detail")
-        .otherwise("valid")
-        .alias("reason"),
-    )
+    from kinesis2sse_spark.pipeline.envelope import reject_reason
+
+    classified = wire.select("event_id", reject_reason("raw").alias("reason"))
     return classified.groupBy("reason").agg(
         F.count("*").alias("n"), F.min("event_id").alias("first_event_id")
     )

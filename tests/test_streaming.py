@@ -564,3 +564,88 @@ def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before  # rows identical, day-2 partition untouched
     assert len(g.glob(f"{day1}/*.parquet")) == 1  # coalesced
     assert len(g.glob(f"{lake}/event_date=2024-01-02/*.parquet")) >= 1
+
+
+# ---- streaming dead-letter routing (DLQ) -----------------------------------
+
+
+def test_streaming_reject_channel_routes_to_quarantine(spark, tmp_path):
+    """End-to-end DLQ: wire records flow through the Kinesis seam; each
+    micro-batch splits on reject_reason() — valid rows continue through
+    parse_envelope, rejects land in a quarantine parquet WITH their
+    reason and raw payload. Because reject_reason is parse_envelope's
+    own acceptance predicate split by reason (envelope.py), nothing is
+    lost between the two sinks: |valid| + |quarantine| = |input|."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope, reject_reason
+    from kinesis2sse_spark.streaming import fake_kinesis
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    wires = [
+        '{"time":"2024-03-01T00:00:01.000000Z","detail":{"k":1}}',   # valid
+        '{"time":"2024-03-01T00:00:02.000000Z","detail":{"k":2}}',   # valid
+        '{"time":"2024-03-01T00:00:03.000000Z","detail":{"k":3}',    # invalid_json
+        '{"detail":{"k":4}}',                                         # missing_time
+        '{"time":"13:45 on Friday","detail":{"k":5}}',               # bad_time
+        '{"time":"2024-03-01T00:00:06.000000Z"}',                    # missing_detail
+    ]
+    path = tmp_path / "dlq_stream.jsonl"
+    path.write_text(
+        "".join(
+            _json.dumps({"ts": 1000 * i, "data": w}) + "\n"
+            for i, w in enumerate(wires)
+        )
+    )
+    fake_kinesis.register(spark)
+    stream = kinesis_stream(
+        spark,
+        "my-stream",
+        "us-east-1",
+        start="trim_horizon",
+        source_format="fake_kinesis",
+        recordsPath=str(path),
+    )
+    quarantine = str(tmp_path / "quarantine")
+    accepted = str(tmp_path / "accepted")
+
+    def route(batch, _epoch):
+        classified = batch.select(
+            F.col("data").cast("string").alias("raw"),
+            reject_reason("data").alias("reason"),
+        )
+        # CACHE before splitting: both sinks consume one classification
+        # pass instead of re-reading (and re-parsing) the source twice.
+        classified.persist()
+        try:
+            (
+                classified.where(F.col("reason") != "valid")
+                .write.mode("append")
+                .parquet(quarantine)
+            )
+            (
+                parse_envelope(
+                    classified.where(F.col("reason") == "valid"), "raw"
+                )
+                .write.mode("append")
+                .parquet(accepted)
+            )
+        finally:
+            classified.unpersist()
+
+    q = stream.writeStream.foreachBatch(route).queryName("dlq_route").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rejects = spark.read.parquet(quarantine)
+    got_reasons = sorted(r.reason for r in rejects.select("reason").collect())
+    assert got_reasons == ["bad_time", "invalid_json", "missing_detail", "missing_time"]
+    ok = spark.read.parquet(accepted)
+    assert ok.count() == 2
+    assert rejects.count() + ok.count() == len(wires)
+    # the quarantine keeps the raw payload for replay-after-fix
+    assert all(r.raw for r in rejects.collect())
