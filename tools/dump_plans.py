@@ -35,6 +35,14 @@ SHOW = [
     "pipeline_sequence_packing",
     "dedup_span_fraction",
     "emb_quantize_int8",
+    # round-5 lake/ingest additions
+    "stats_column_profile",
+    "stats_key_skew",
+    "layout_zorder",
+    "pipeline_upsert_snapshot",
+    "classify_quality_linear",
+    "ingest_reject_channel",
+    "dedup_incremental_probe",
 ]
 
 
