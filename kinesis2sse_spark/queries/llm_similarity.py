@@ -570,6 +570,163 @@ def sim_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8        # subspaces (64-dim → 8 × 8-dim subvectors)
+PQ_SUB = 8      # dims per subspace
+PQ_K = 32       # codes per subspace (deterministic: seed vectors vec_id < PQ_K)
+PQ_RERANK = 200  # ADC shortlist fed to the exact re-rank (0.4% of sf0.1 corpus)
+
+
+def _pq_parts(sf_dir, spark):
+    """Shared PQ machinery: (codebook 1-row relation, encoded corpus,
+    queries with ADC lookup tables). Everything is JVM higher-order
+    functions over a deterministic codebook — no RNG, no training jobs,
+    no Python."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    # unit-normalize so ADC's L2 ranking is exactly cosine ranking
+    corpus = (
+        e.select("vec_id", v.alias("v"))
+        .withColumn("norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
+        .select(
+            "vec_id",
+            F.zip_with("v", F.array_repeat("norm", PQ_M * PQ_SUB), lambda x, n: x / n).alias("vn"),
+        )
+    )
+    seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    seq_k = F.sequence(F.lit(0), F.lit(PQ_K - 1))
+
+    def sub(vcol, m):
+        return F.slice(vcol, m * F.lit(PQ_SUB) + F.lit(1), F.lit(PQ_SUB))
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    # Codebook: subvectors of the first PQ_K corpus vectors, packed into
+    # ONE row (cb[m][k] = 8-dim centroid) — same deterministic-seed
+    # convention as the IVF coarse quantizer; a production build swaps
+    # in per-subspace k-means centroids with an identical plan shape.
+    cbrow = (
+        corpus.filter(F.col("vec_id") < PQ_K)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "vn"))).alias("s"))
+        .select(
+            F.transform(seq_m, lambda m: F.transform(F.col("s"), lambda st: sub(st["vn"], m))).alias("cb")
+        )
+    )
+    # Encode: per-row argmin over the broadcast codebook (array_sort on
+    # (dist, k) structs → deterministic low-k tie-break). 64 doubles
+    # become PQ_M small ints — the 32x compression that lets a 100 TB
+    # embedding corpus's scan table live in memory.
+    encoded = corpus.crossJoin(F.broadcast(cbrow)).select(
+        "vec_id",
+        "vn",
+        F.transform(
+            seq_m,
+            lambda m: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        seq_k,
+                        lambda k: F.struct(
+                            sqdist(sub(F.col("vn"), m), F.element_at(F.element_at("cb", m + 1), k + 1)).alias("d"),
+                            k.alias("k"),
+                        ),
+                    )
+                ),
+                1,
+            )["k"],
+        ).alias("code"),
+    )
+    # Per-query lookup table: lut[m][k] = ||sub_m(q) - cb[m][k]||², so
+    # scoring a corpus vector is PQ_M array lookups instead of a 64-dim
+    # dot product (asymmetric distance computation).
+    queries = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vn").alias("qv"),
+            F.transform(
+                seq_m,
+                lambda m: F.transform(
+                    seq_k,
+                    lambda k: sqdist(sub(F.col("vn"), m), F.element_at(F.element_at("cb", m + 1), k + 1)),
+                ),
+            ).alias("lut"),
+        )
+    )
+    return encoded, queries
+
+
+@register("sim_topk_pq", oracle=None)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (PQ + exact re-rank), the fourth rung of
+    the ladder: encode each unit-normalized vector as PQ_M codebook ids
+    (32x smaller than the raw floats), score candidates with ADC table
+    lookups (PQ_M adds per pair vs a 64-dim dot), keep the per-query
+    top-PQ_RERANK shortlist, then exact-cosine re-rank only the
+    shortlist. At 100 TB the codes table IS the index: it fits where
+    the float corpus cannot, the ADC scan is memory-bandwidth-bound,
+    and the exact re-rank touches 0.1-1% of rows; compose with IVF
+    cells (sim_topk_ivf) to prune the ADC scan itself. Rows-only like
+    the other approximate rungs — sim_recall_pq carries the
+    driver-checked contract."""
+    encoded, queries = _pq_parts(sf_dir, spark)
+    seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
+    scored = encoded.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "vn",
+        "qv",
+        F.aggregate(
+            seq_m,
+            F.lit(0.0),
+            lambda acc, m: acc + F.element_at(F.element_at("lut", m + 1), F.element_at("code", m + 1) + 1),
+        ).alias("adc"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "neighbor_id")
+    shortlist = scored.withColumn("rn", F.row_number().over(w_adc)).filter(
+        F.col("rn") <= PQ_RERANK
+    )
+    cos = F.round(
+        F.aggregate(F.zip_with("qv", "vn", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+        6,
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        shortlist.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+# Below the measured per-query minima (1.0 / 0.8 / 0.6 at sf0.001 /
+# 0.01 / 0.1): recall falls with corpus size because PQ_RERANK is a
+# fixed shortlist over a growing corpus — at production scale the
+# shortlist budget scales with the IVF cell size, not the corpus.
+PQ_RECALL_FLOOR = 0.55
+
+
+@register(
+    "sim_recall_pq",
+    oracle=f"""
+    SELECT vec_id AS query_id, true AS recall_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the PQ rung: every query's recall@{TOP_K} vs
+    sim_topk_bruteforce meets PQ_RECALL_FLOOR. A red row means the
+    codebook/shortlist budget (PQ_K, PQ_RERANK) no longer clears the
+    floor on this corpus."""
+    return _recall_contract(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_pq(spark, sf_dir),
+        PQ_RECALL_FLOOR,
+    )
+
+
 @register(
     "emb_normalize",
     oracle="""

@@ -106,6 +106,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # recall contracts: r02 rows at sf0.01 only, floors since hardened
     "sim_recall_lsh",
     "sim_recall_ivf",
+    "sim_recall_pq",
+    "sim_topk_pq",
     "dedup_recall_minhash",
     # re-proofs: single green row from old code (r01/r02)
     "q1_pricing_summary",
@@ -113,8 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_broadcast_inner",
     "join_sort_merge",
     "join_shuffle_hash",
-    "join_left_outer",
-    "join_right_outer",
     "join_range",
     "join_asof",
     "join_skew_salted",
@@ -124,10 +124,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of six re-proofs that already hold green rows
-    # (join_left_semi/anti/full_outer, agg_grouping_id, agg_min_max_by,
-    # agg_percentile), so the airtight-coverage goal (every registered
-    # query has >=1 driver row ever) still lands.
+    # slots of eight re-proofs that already hold green rows
+    # (join_left_semi/anti/full_outer/left_outer/right_outer,
+    # agg_grouping_id, agg_min_max_by, agg_percentile), so the
+    # airtight-coverage goal (every registered query has >=1 driver row
+    # ever) still lands. The PQ rung's two queries sit with the other
+    # recall contracts above.
     "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",

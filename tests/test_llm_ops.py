@@ -272,3 +272,33 @@ def test_emb_quantize_bounds(spark):
         assert r["n_saturated"] >= 1
         assert abs(r["q_sum"]) <= 127 * dim
         assert r["scale"] > 0
+
+
+def test_pq_codes_compress_and_recall(spark):
+    """PQ rung sanity at the smoke corpus: every code id is in
+    [0, PQ_K), the code vector is PQ_M long (the 32x compression
+    artifact), and the rerank output keeps the (query_id, neighbor_id,
+    cos_sim) ladder schema with full recall at this corpus size."""
+    from kinesis2sse_spark.queries.llm_similarity import (
+        PQ_K,
+        PQ_M,
+        TOP_K,
+        _pq_parts,
+        sim_recall_pq,
+        sim_topk_pq,
+    )
+
+    encoded, _ = _pq_parts(SF_SMOKE, spark)
+    codes = encoded.select("vec_id", "code").collect()
+    assert all(len(r.code) == PQ_M for r in codes)
+    assert all(0 <= c < PQ_K for r in codes for c in r.code)
+
+    topk = sim_topk_pq(spark, SF_SMOKE)
+    assert topk.columns == ["query_id", "neighbor_id", "cos_sim"]
+    per_q = {}
+    for r in topk.collect():
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(len(v) == TOP_K for v in per_q.values())
+
+    rec = sim_recall_pq(spark, SF_SMOKE)
+    assert all(r.recall_met for r in rec.collect())
