@@ -265,3 +265,139 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((cnt * 1000000) DIV sum(cnt) OVER () AS BIGINT)").alias("share_ppm"),
     )
     return ranked.where(F.col("rnk") <= 20)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_snapshot_diff — changelog extraction (inverse of the upsert)
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+    WITH new_snap AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 6
+      UNION ALL
+      SELECT c_custkey + 10000000 AS c_custkey, 'NEW:' || c_name AS c_name, 50.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           n.c_acctbal AS new_acctbal,
+           b.c_acctbal AS old_acctbal
+    FROM customer b FULL OUTER JOIN new_snap n USING (c_custkey)
+    WHERE b.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR b.c_name <> n.c_name OR b.c_acctbal <> n.c_acctbal
+"""
+
+
+@register("pipeline_snapshot_diff", oracle=_DIFF_ORACLE)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog extraction — the inverse of pipeline_upsert_snapshot:
+    given two snapshots of a keyed table, emit the I/U/D batch that
+    transforms old into new (the diff a CDC-less source needs before it
+    can feed a MERGE). One full-outer join on the key; unchanged rows
+    (the overwhelming majority at 100 TB) are filtered out by column
+    comparison, so only the changed slice flows downstream. The 'new'
+    snapshot is derived deterministically from the base (same mutation
+    rules as the upsert query) so the DuckDB oracle rebuilds it
+    identically. At scale both snapshots are bucketed by key → the
+    join is exchange-free, and a row-hash column (xxhash64 of the
+    compared fields, stored at write time) replaces the per-column
+    comparison with one long compare."""
+    c = load_table(spark, sf_dir, "customer")
+    new_snap = (
+        c.where(F.col("c_custkey") % 10 != 6)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 100 == 7).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(F.lit("NEW:"), F.col("c_name")).alias("c_name"),
+                F.lit(50.0).alias("c_acctbal"),
+            )
+        )
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("old_name"),
+        F.col("c_acctbal").alias("old_acctbal"),
+    )
+    n = new_snap.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("new_name"),
+        F.col("c_acctbal").alias("new_acctbal"),
+    )
+    joined = b.join(n, b.k == n.k2, "full_outer")
+    changed = joined.where(
+        F.col("k").isNull()
+        | F.col("k2").isNull()
+        | (F.col("old_name") != F.col("new_name"))
+        | (F.col("old_acctbal") != F.col("new_acctbal"))
+    )
+    return changed.select(
+        F.coalesce(F.col("k"), F.col("k2")).alias("c_custkey"),
+        F.when(F.col("k").isNull(), "I")
+        .when(F.col("k2").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("new_acctbal"),
+        F.col("old_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_scd2_intervals — slowly-changing-dimension history build
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH chg AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ), starts AS (
+      SELECT user_id, ts, value, event_id FROM chg
+      WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BOOLEAN) AS is_current
+    FROM starts
+"""
+
+
+@register("pipeline_scd2_intervals", oracle=_SCD2_ORACLE)
+def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: collapse a per-key changelog into
+    validity intervals — consecutive equal values merge, each retained
+    version carries [valid_from, valid_to) and the open interval is
+    flagged current. Two windows over the same (user_id, ts) sort order
+    (lag to drop no-op updates, lead to close intervals), so Spark
+    sorts each key's partition ONCE and both windows ride it — one
+    shuffle total. This is how a point-in-time dimension join (as-of
+    semantics at rest) gets its table; pair with join_asof for the
+    probe side."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.select(
+        "user_id", "ts", "value", "event_id", F.lag("value").over(w).alias("prev_value")
+    )
+    starts = chg.where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

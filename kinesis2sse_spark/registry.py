@@ -114,27 +114,27 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "join_broadcast_inner",
     "join_sort_merge",
-    "join_shuffle_hash",
     "join_range",
     "join_asof",
     "join_skew_salted",
     "agg_rollup",
     "agg_cube",
-    "agg_grouping_sets",
     "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of eight re-proofs that already hold green rows
-    # (join_left_semi/anti/full_outer/left_outer/right_outer,
-    # agg_grouping_id, agg_min_max_by, agg_percentile), so the
-    # airtight-coverage goal (every registered query has >=1 driver row
-    # ever) still lands. The PQ rung's two queries sit with the other
-    # recall contracts above.
+    # slots of ten re-proofs that already hold green rows
+    # (join_left_semi/anti/full_outer/left_outer/right_outer/
+    # shuffle_hash, agg_grouping_id/grouping_sets, agg_min_max_by,
+    # agg_percentile), so the airtight-coverage goal (every registered
+    # query has >=1 driver row ever) still lands. The PQ rung's two
+    # queries sit with the other recall contracts above.
     "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",
     "layout_zorder",
     "pipeline_upsert_snapshot",
+    "pipeline_snapshot_diff",
+    "pipeline_scd2_intervals",
     "classify_quality_linear",
     # new in round 5: never-checked, oracle-backed — windowing all four
     # (over two already-green join/sketch re-proofs) makes coverage

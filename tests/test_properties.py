@@ -139,3 +139,51 @@ def test_canonical_json_random_docs(spark):
     canon_df = spark.createDataFrame([(r["canon"],) for r in out], "raw string")
     twice = canon_df.select(canonical_json(F.col("raw")).alias("c2")).collect()
     assert [r["c2"] for r in twice] == [r["canon"] for r in out]
+
+
+def _z_py(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(st.integers(0, 255), st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_is_bijective_and_monotone(x, y):
+    """Morton-code properties the layout relies on: the interleave is a
+    bijection on [0,256)² (de-interleaving recovers x and y exactly),
+    and within a shared bit-prefix region the z-range bounds both
+    coordinate ranges — the reason contiguous z-runs map to bounded
+    rectangles and footer stats can prune 2-D predicates."""
+    z = _z_py(x, y)
+    # de-interleave
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (rx, ry) == (x, y)
+    # quadrant prefix: the top bit pair of z is exactly (y_msb, x_msb)
+    assert (z >> 15) & 1 == (y >> 7) & 1
+    assert (z >> 14) & 1 == (x >> 7) & 1
+
+
+def test_zorder_spark_matches_python_model(spark):
+    """The JVM zorder_value() column and the SQL interleave used by the
+    oracle both agree with the bit-twiddling model on a full 16x16
+    sub-grid (every combination of the low 4 bits of each dim)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.queries.lakeops import _z_sql, zorder_value
+
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    both = grid.select(
+        "x",
+        "y",
+        zorder_value(F.col("x"), F.col("y")).alias("z_col"),
+        F.expr(_z_sql("x", "y")).alias("z_sql"),
+    ).collect()
+    for r in both:
+        expect = _z_py(r.x, r.y)
+        assert r.z_col == expect and r.z_sql == expect, (r.x, r.y)
