@@ -401,3 +401,52 @@ def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic merge/diff helpers — the reusable API behind the two queries
+# ---------------------------------------------------------------------------
+
+def merge_snapshot(base: DataFrame, batch: DataFrame, key: str) -> DataFrame:
+    """Apply an I/U/D change batch to a keyed snapshot (MERGE INTO).
+    ``batch`` carries the base's columns plus ``op`` ('I'/'U'/'D');
+    non-key columns are taken from the batch when present (coalesce),
+    so an update cannot set a column to NULL — CDC feeds that need
+    explicit NULL writes carry per-column change structs instead. One
+    full-outer join; with both sides bucketed by ``key`` it is
+    exchange-free."""
+    cols = [c for c in base.columns if c != key]
+    t = batch.select(
+        F.col(key).alias("__k"),
+        F.col("op").alias("__op"),
+        *[F.col(c).alias(f"__{c}") for c in cols],
+    )
+    j = base.join(t, F.col(key) == F.col("__k"), "full_outer")
+    return j.where(F.col("__op").isNull() | (F.col("__op") != "D")).select(
+        F.coalesce(F.col(key), F.col("__k")).alias(key),
+        *[F.coalesce(F.col(f"__{c}"), F.col(c)).alias(c) for c in cols],
+    )
+
+
+def snapshot_diff(base: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Extract the minimal I/U/D batch that transforms ``base`` into
+    ``new`` (the inverse of merge_snapshot — see
+    tests/test_lakeops.py::test_merge_diff_round_trip). Null-safe
+    column comparison; the emitted batch carries the NEW values (NULL
+    for deletes), matching merge_snapshot's input contract."""
+    cols = [c for c in base.columns if c != key]
+    n = new.select(
+        F.col(key).alias("__k"), *[F.col(c).alias(f"__{c}") for c in cols]
+    )
+    j = base.join(n, F.col(key) == F.col("__k"), "full_outer")
+    changed_pred = F.col(key).isNull() | F.col("__k").isNull()
+    for c in cols:
+        changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"__{c}"))
+    return j.where(changed_pred).select(
+        F.coalesce(F.col(key), F.col("__k")).alias(key),
+        F.when(F.col(key).isNull(), "I")
+        .when(F.col("__k").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        *[F.col(f"__{c}").alias(c) for c in cols],
+    )

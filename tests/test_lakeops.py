@@ -156,3 +156,42 @@ def test_shuffle_join_injects_bloom_runtime_filter(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_merge_diff_round_trip(spark):
+    """merge_snapshot and snapshot_diff are inverses: applying the
+    extracted diff to the base reproduces the new snapshot exactly
+    (row-for-row, checked with exceptAll both ways), and the diff is
+    MINIMAL — every emitted row differs (re-diffing the merged result
+    against new yields zero rows)."""
+    from kinesis2sse_spark.queries.lakeops import merge_snapshot, snapshot_diff
+
+    base = load_table(spark, SF_CORRECTNESS, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = (
+        base.where(F.col("c_custkey") % 10 != 6)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            base.where(F.col("c_custkey") % 100 == 7).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(F.lit("NEW:"), F.col("c_name")).alias("c_name"),
+                F.lit(50.0).alias("c_acctbal"),
+            )
+        )
+    )
+    batch = snapshot_diff(base, new, "c_custkey")
+    merged = merge_snapshot(base, batch, "c_custkey")
+    assert merged.exceptAll(new).count() == 0
+    assert new.exceptAll(merged).count() == 0
+    # minimality: nothing left to diff, and the batch only holds changes
+    assert snapshot_diff(merged, new, "c_custkey").count() == 0
+    n_mut = base.where((F.col("c_custkey") % 10).isin(3, 6)).count()
+    n_ins = base.where(F.col("c_custkey") % 100 == 7).count()
+    assert batch.count() == n_mut + n_ins
