@@ -1,10 +1,12 @@
 """Lake-maintenance / layout operators a 100 TB pipeline runs daily:
-table profiling (ANALYZE-style one-pass statistics), Z-order layout
-(multi-dimensional clustering for data skipping), and MERGE-style
-snapshot upsert (the foreachBatch → lakehouse-table write path).
+table profiling (ANALYZE-style one-pass statistics), join-key skew
+diagnostics, Z-order layout (multi-dimensional clustering for data
+skipping), MERGE-style snapshot upsert + its inverse snapshot diff
+(the CDC round-trip, proven inverse in tests/test_lakeops.py), and
+SCD type-2 history builds.
 
-All three are pure DataFrame compositions — no UDFs — so Catalyst
-keeps them inside whole-stage codegen and the scans stay pruned.
+All pure DataFrame compositions — no UDFs — so Catalyst keeps them
+inside whole-stage codegen and the scans stay pruned.
 """
 
 from __future__ import annotations
