@@ -876,3 +876,74 @@ def classify_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score_int / 1000.0).alias("score"),
         (score_int > 0).alias("is_quality"),
     )
+
+
+@register(
+    "pipeline_split_leakage",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                            list_transform(string_split_regex(text, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007
+             ) AS fingerprint,
+             CASE WHEN {SPLIT_HASH} < 80 THEN 'train'
+                  WHEN {SPLIT_HASH} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT fingerprint,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits,
+           CAST(count(DISTINCT split) > 1 AS BOOLEAN) AS leaked,
+           min(doc_id) AS first_doc_id
+    FROM keyed
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    """,
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: exact-duplicate documents (same
+    content fingerprint) whose copies landed in DIFFERENT dataset
+    splits — the leakage an id-hash split permits and a content-keyed
+    split prevents. Emits one row per leaking fingerprint with its copy
+    count, distinct-split count, and first doc id; an empty result is
+    the clean bill of health a release gate asserts before training.
+
+    One map-side-combined groupBy on the 8-byte fingerprint is the only
+    shuffle — no self-join, no pair explosion, so a fingerprint with a
+    million copies costs one group, not 10^12 pairs. At 100 TB both
+    fingerprint and split are computed at ingest and stored, making
+    this a pure aggregate over two thin columns; extend to NEAR-dup
+    leakage by swapping the fingerprint for the MinHash band keys
+    (dedup_minhash_lsh)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+    bucket = F.expr(SPLIT_HASH)
+    keyed = d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return (
+        keyed.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "fingerprint",
+            "n_docs",
+            "n_splits",
+            (F.col("n_splits") > 1).alias("leaked"),
+            "first_doc_id",
+        )
+    )

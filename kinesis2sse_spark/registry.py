@@ -114,7 +114,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "join_broadcast_inner",
     "join_sort_merge",
-    "join_range",
     "join_asof",
     "join_skew_salted",
     "agg_rollup",
@@ -122,12 +121,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of ten re-proofs that already hold green rows
+    # slots of eleven re-proofs that already hold green rows
     # (join_left_semi/anti/full_outer/left_outer/right_outer/
-    # shuffle_hash, agg_grouping_id/grouping_sets, agg_min_max_by,
-    # agg_percentile), so the airtight-coverage goal (every registered
-    # query has >=1 driver row ever) still lands. The PQ rung's two
-    # queries sit with the other recall contracts above.
+    # shuffle_hash/range, agg_grouping_id/grouping_sets,
+    # agg_min_max_by, agg_percentile), so the airtight-coverage goal
+    # (every registered query has >=1 driver row ever) still lands. The
+    # PQ rung's two queries sit with the other recall contracts above.
+    # pipeline_split_leakage matches a 0-row result at the driver's
+    # sf0.01 (that corpus has no exact duplicates — schema still
+    # checked); the non-degenerate evidence is the sf0.1 sweep row
+    # (8 duplicate groups, 5 leaked).
     "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",
@@ -136,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_snapshot_diff",
     "pipeline_scd2_intervals",
     "classify_quality_linear",
+    "pipeline_split_leakage",
     # new in round 5: never-checked, oracle-backed — windowing all four
     # (over two already-green join/sketch re-proofs) makes coverage
     # airtight THIS round: after r05 every registered query has ≥1
