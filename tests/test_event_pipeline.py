@@ -249,3 +249,34 @@ def test_deaggregate_envelopes_golden(spark):
         '{"event":1}', '{"event":2}', '{"event":3}'
     ]
     assert [r["offset"] for r in out] == [0, 1, 2]
+
+
+def test_reject_reason_partitions_exactly_like_parse(spark):
+    """reject_reason is parse_envelope's acceptance predicate split by
+    reason: over every corruption class — including a time that PASSES
+    the RFC3339 shape gate but fails to parse (month 13) — a record is
+    classified 'valid' IFF parse_envelope keeps it."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.pipeline.envelope import parse_envelope, reject_reason
+
+    cases = [
+        ('{"time":"2024-03-01T00:00:01.000000Z","detail":{"k":1}}', "valid"),
+        ('{"time":"2024-03-01T00:00:01Z","detail":null}', "valid"),  # null detail kept
+        ('{"time":"2024-03-01T00:00:03.000000Z","detail":{"k":3}', "invalid_json"),
+        ("not json at all", "invalid_json"),
+        ('{"detail":{"k":4}}', "missing_time"),
+        ('{"time":"13:45 on Friday","detail":{"k":5}}', "bad_time"),
+        ('{"time":"2024-13-01T00:00:00Z","detail":{"k":6}}', "bad_time"),  # regex OK, parse fails
+        ('{"time":"2024-03-01","detail":{"k":7}}', "bad_time"),  # date-only, Go ref rejects
+        ('{"time":"2024-03-01T00:00:06.000000Z"}', "missing_detail"),
+    ]
+    df = spark.createDataFrame([(i, raw) for i, (raw, _) in enumerate(cases)], "i long, raw string")
+    got = {
+        r.i: r.reason
+        for r in df.select("i", reject_reason("raw").alias("reason")).collect()
+    }
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+    kept = parse_envelope(df.select(F.col("raw").alias("value")), "value").count()
+    assert kept == sum(1 for _, want in cases if want == "valid")

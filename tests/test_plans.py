@@ -283,3 +283,32 @@ def test_incremental_probe_single_index_exchange(spark):
     assert explode_pos < join_pos, plan
     # the incoming-vs-corpus split reaches the scan as a data filter
     assert "(doc_id#" in plan and "% 10)" in plan, plan
+
+
+def test_classifier_is_zero_exchange_pruned_scan(spark):
+    """classify_quality_linear must stay a pure per-row projection:
+    no Exchange anywhere (embarrassingly parallel at 100 TB) and the
+    scan pruned to exactly the two consumed columns."""
+    plan = _plan(spark, "classify_quality_linear")
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_column_profile_is_one_scan_with_expand(spark):
+    """stats_column_profile computes all 21 aggregates in ONE pass:
+    exactly one parquet scan (the exact-NDV Expand multiplies rows
+    inside it, never re-reads), pruned to the five profiled columns."""
+    plan = _plan(spark, "stats_column_profile")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan
+    assert "l_shipdate" not in plan  # unprofiled columns stay out of the scan
+
+
+def test_scd2_windows_share_one_sort(spark):
+    """pipeline_scd2_intervals runs lag + lead over the same key/order:
+    the plan must contain exactly ONE exchange (the per-key partition)
+    — the two WindowExecs ride the same sort rather than re-shuffling."""
+    plan = _plan(spark, "pipeline_scd2_intervals")
+    # AQE wraps the plan; count shuffle exchanges only
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
