@@ -947,3 +947,59 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_doc_id",
         )
     )
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), chars AS (
+      SELECT string_split_regex(w, '') AS cs FROM words WHERE length(w) >= 2
+    ), pairs AS (
+      SELECT cs[i] AS a, cs[i + 1] AS b
+      FROM chars, LATERAL (SELECT unnest(range(1, len(cs))) AS i) t
+    ), counted AS (
+      SELECT a, b, count(*) AS cnt FROM pairs GROUP BY a, b
+    )
+    SELECT a, b, cnt, rnk FROM (
+      SELECT a, b, cnt,
+             row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+      FROM counted
+    ) WHERE rnk <= 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training step: count adjacent symbol pairs across every
+    word occurrence in the corpus and rank the top-20 merge candidates
+    — the inner loop of byte-pair-encoding vocabulary induction (the
+    highest-count pair becomes the next merge rule; re-tokenize and
+    repeat). Pair extraction is a per-row higher-order function (no
+    Python), counting is ONE map-side-combined shuffle on the pair key,
+    and the global rank runs over the tiny distinct-pair relation — at
+    100 TB each merge iteration costs exactly one aggregate pass, and
+    the re-tokenization between iterations is a broadcast map of the
+    accumulated merge rules."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    chars = F.split("w", "")
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(chars) - 2),
+                lambda i: F.struct(
+                    F.element_at(chars, i + 1).alias("a"),
+                    F.element_at(chars, i + 2).alias("b"),
+                ),
+            )
+        ).alias("p")
+    )
+    counted = pairs.select("p.a", "p.b").groupBy("a", "b").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy().orderBy(F.col("cnt").desc(), "a", "b")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("a", "b", "cnt", "rnk")
+    )
