@@ -1003,3 +1003,58 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("a", "b", "cnt", "rnk")
     )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> list[tuple[str, str]]:
+    """Full BPE vocabulary induction, distributed: repeat
+    ``text_bpe_pair_counts``'s aggregate to pick the highest-count
+    adjacent pair (ties broken lexicographically), then re-tokenize
+    every word with a greedy left-to-right merge expressed as a JVM
+    fold (F.aggregate) — no Python touches the corpus; the driver only
+    pulls ONE row per iteration (the merge rule). Each iteration
+    localCheckpoints the symbol relation so the logical plan stays O(1)
+    across merges (the dedup_connected_components lesson: break lineage
+    in every driver-looped iterative operator or Catalyst analysis,
+    not the data, becomes the bottleneck). Returns the learned merge
+    rules in order."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.length("w") >= 2)
+    syms = words.select(F.split("w", "").alias("s"))
+    empty_pairs = F.array().cast("array<struct<a:string,b:string>>")
+    rules: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_col = F.when(
+            F.size("s") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("s") - 2),
+                lambda i: F.struct(
+                    F.element_at("s", i + 1).alias("a"),
+                    F.element_at("s", i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(empty_pairs)
+        top = (
+            syms.select(F.explode(pair_col).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top["a"], top["b"]
+        rules.append((a, b))
+        merged = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select(merged.alias("s")).localCheckpoint(eager=True)
+    return rules

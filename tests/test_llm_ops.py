@@ -302,3 +302,53 @@ def test_pq_codes_compress_and_recall(spark):
 
     rec = sim_recall_pq(spark, SF_SMOKE)
     assert all(r.recall_met for r in rec.collect())
+
+
+def test_bpe_training_matches_python_model(spark):
+    """Distributed BPE induction equals a pure-Python reference on the
+    smoke corpus: 4 merge rules learned in the same order (greedy
+    left-to-right application, count-desc/lexicographic tie-break)."""
+    import collections
+
+    import duckdb
+
+    from kinesis2sse_spark.queries.llm_text import bpe_train_merges
+
+    texts = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"SELECT text FROM read_parquet('{SF_SMOKE}/documents.parquet')")
+        .fetchall()
+    ]
+    words = [w for t in texts for w in t.split(" ") if len(w) >= 2]
+    model_words = [list(w) for w in words]
+
+    def model_step(ws):
+        counts = collections.Counter()
+        for s in ws:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            return None
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for s in ws:
+            ns = []
+            for x in s:
+                if ns and ns[-1] == a and x == b:
+                    ns[-1] = a + b
+                else:
+                    ns.append(x)
+            out.append(ns)
+        ws[:] = out
+        return (a, b)
+
+    expect = []
+    for _ in range(4):
+        r = model_step(model_words)
+        if r is None:
+            break
+        expect.append(r)
+
+    got = bpe_train_merges(spark, SF_SMOKE, n_merges=4)
+    assert got == expect, (got, expect)
