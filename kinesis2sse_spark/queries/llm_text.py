@@ -1058,3 +1058,38 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
         )
         syms = syms.select(merged.alias("s")).localCheckpoint(eager=True)
     return rules
+
+
+# Same overflow-safe multiplicative hash as SPLIT_HASH, mapped to a
+# uniform draw in [0, 1e6) — integer arithmetic end to end, so the
+# include/exclude decision can never diverge between engines by a ulp
+# (a pow/log-based priority key could).
+_PPS_DRAW = "((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000"
+
+
+@register(
+    "sample_weighted_pps",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(least(n_chars * 800, 1000000) AS BIGINT) AS inclusion_ppm
+    FROM documents
+    WHERE {_PPS_DRAW} < least(n_chars * 800, 1000000)
+    """,
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling: each document's
+    inclusion probability scales with its weight (length here; quality
+    score in production), decided by comparing a deterministic per-id
+    uniform draw against the weight — the reproducible counterpart of
+    weighted reservoir sampling for building size-biased training
+    mixes. Pure integer arithmetic on both engines (a pow-based
+    priority key would hang the decision on libm's last ulp), zero
+    shuffles, and like the dataset split it is computable at write
+    time: a stored inclusion_ppm column turns any later re-sample into
+    a pushed-down filter."""
+    d = load_table(spark, sf_dir, "documents")
+    draw = F.expr(_PPS_DRAW)
+    ppm = F.least(F.col("n_chars") * 800, F.lit(1000000)).cast("bigint")
+    return d.select("doc_id", "n_chars", ppm.alias("inclusion_ppm")).where(
+        draw < F.col("inclusion_ppm")
+    )

@@ -115,14 +115,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_broadcast_inner",
     "join_asof",
     "join_skew_salted",
-    "agg_rollup",
     "agg_cube",
     "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of twelve re-proofs that already hold green rows
+    # slots of thirteen re-proofs that already hold green rows
     # (join_left_semi/anti/full_outer/left_outer/right_outer/
-    # shuffle_hash/range/sort_merge, agg_grouping_id/grouping_sets,
+    # shuffle_hash/range/sort_merge, agg_rollup/grouping_id/grouping_sets,
     # agg_min_max_by, agg_percentile), so the airtight-coverage goal
     # (every registered query has >=1 driver row ever) still lands. The
     # PQ rung's two queries sit with the other recall contracts above.
@@ -140,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "classify_quality_linear",
     "pipeline_split_leakage",
     "text_bpe_pair_counts",
+    "sample_weighted_pps",
     # new in round 5: never-checked, oracle-backed — windowing all four
     # (over two already-green join/sketch re-proofs) makes coverage
     # airtight THIS round: after r05 every registered query has ≥1
