@@ -43,6 +43,11 @@ SHOW = [
     "classify_quality_linear",
     "ingest_reject_channel",
     "dedup_incremental_probe",
+    "pipeline_snapshot_diff",
+    "pipeline_scd2_intervals",
+    "pipeline_split_leakage",
+    "text_bpe_pair_counts",
+    "sample_weighted_pps",
 ]
 
 
