@@ -649,3 +649,64 @@ def test_streaming_reject_channel_routes_to_quarantine(spark, tmp_path):
     assert rejects.count() + ok.count() == len(wires)
     # the quarantine keeps the raw payload for replay-after-fix
     assert all(r.raw for r in rejects.collect())
+
+
+# ---- streaming metrics recorder --------------------------------------------
+
+
+def test_progress_recorder_audits_rows_end_to_end(spark, tmp_path):
+    """The ProgressRecorder hears every committed micro-batch and its
+    row counts sum to exactly what the sink received — the driver-side
+    half of the exactly-once audit ("rows in == rows archived")."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming import fake_kinesis
+    from kinesis2sse_spark.streaming.metrics import ProgressRecorder
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    path = tmp_path / "m_stream.jsonl"
+    path.write_text(
+        "".join(_json.dumps({"ts": 1000 * i, "data": f"r{i}"}) + "\n" for i in range(7))
+    )
+    fake_kinesis.register(spark)
+    rec = ProgressRecorder(capacity=100)
+    spark.streams.addListener(rec)
+    out = str(tmp_path / "m_out")
+    try:
+        stream = kinesis_stream(
+            spark,
+            "my-stream",
+            "us-east-1",
+            start="trim_horizon",
+            source_format="fake_kinesis",
+            recordsPath=str(path),
+        )
+        q = (
+            stream.select(F.col("data").cast("string"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "m_ckpt"))
+            .queryName("metrics_probe")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events are delivered asynchronously; drain briefly
+        import time
+
+        sunk = spark.read.parquet(out).count()
+        for _ in range(50):
+            if rec.total_input_rows("metrics_probe") >= sunk:
+                break
+            time.sleep(0.2)
+        assert rec.total_input_rows("metrics_probe") == sunk == 7
+        df = rec.progress_df(spark)
+        batches = df.where(F.col("query_name") == "metrics_probe").collect()
+        assert len(batches) >= 1
+        assert all(b.trigger_ms >= 0 and b.batch_id >= 0 for b in batches)
+    finally:
+        spark.streams.removeListener(rec)
