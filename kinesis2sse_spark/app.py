@@ -160,7 +160,14 @@ class ServiceApp:
 
     def start(self) -> None:
         """Start every route's query, rolling back on first failure
-        (service.go:136-151), then serve HTTP."""
+        (service.go:136-151), then serve HTTP. A ProgressRecorder is
+        attached for the /metrics extension endpoint (per-route batch
+        and row totals — the HTTP face of the ingest audit)."""
+        from kinesis2sse_spark.streaming.metrics import ProgressRecorder
+
+        self._recorder = ProgressRecorder()
+        self.spark.streams.addListener(self._recorder)
+        self.service.recorder = self._recorder
         self.service.start()
         started = []
         try:
@@ -195,3 +202,9 @@ class ServiceApp:
 
     def stop(self) -> None:
         self.service.stop()
+        rec = getattr(self, "_recorder", None)
+        if rec is not None:
+            try:
+                self.spark.streams.removeListener(rec)
+            except Exception:
+                pass

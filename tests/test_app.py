@@ -308,3 +308,40 @@ def test_kinesis_route_end_to_end(spark, tmp_path):
         assert [_json.loads(e)["seq"] for e in events] == [0, 1, 2]
     finally:
         app.stop()
+
+
+def test_metrics_endpoint_reports_route_rows(spark, tmp_path):
+    """/metrics (extension beyond the reference's bare /health) reports
+    per-route-query batch and row totals from the ProgressRecorder."""
+    import json as _json
+    import time
+    import urllib.request
+
+    src = staged_batch_dir("app_metrics")
+    _write_envelopes(
+        spark,
+        src,
+        "b0",
+        [
+            {"time": f"2024-01-01T00:00:0{i}Z", "detail": {"i": i}}
+            for i in range(4)
+        ],
+    )
+    app = ServiceApp(
+        spark,
+        routes=[RouteConfig("/m", os.path.join(src, "*"), start="TRIM_HORIZON")],
+    )
+    app.start()
+    try:
+        app.process_all_available()
+        got = {}
+        for _ in range(50):
+            with urllib.request.urlopen(f"{app.addr}/metrics", timeout=5) as r:
+                got = _json.loads(r.read())
+            if got.get("route_m", {}).get("rows", 0) >= 4:
+                break
+            time.sleep(0.2)
+        assert got["route_m"]["rows"] == 4
+        assert got["route_m"]["batches"] >= 1
+    finally:
+        app.stop()
