@@ -221,3 +221,44 @@ def test_merge_and_diff_degenerate_cases(spark):
     wiped = merge_snapshot(base, drop_all, "c_custkey")
     assert wiped.count() == 0
     assert wiped.columns == ["c_custkey", "c_name", "c_acctbal"]
+
+
+def test_merge_diff_round_trip_with_nulls(spark):
+    """NULL semantics of the CDC pair: snapshot_diff's null-safe compare
+    treats NULL==NULL as unchanged (no spurious U rows), and a NULL→
+    value transition IS detected. The documented merge limitation holds:
+    a value→NULL update cannot round-trip through the coalesce-based
+    merge, so diff batches carrying one are flagged by re-diffing."""
+    from kinesis2sse_spark.queries.lakeops import merge_snapshot, snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    same = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    assert snapshot_diff(base, same, "k").count() == 0  # NULL==NULL: unchanged
+
+    new = spark.createDataFrame(
+        [(1, "now-set", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    batch = snapshot_diff(base, new, "k")
+    got = batch.collect()
+    assert len(got) == 1 and got[0].k == 1 and got[0].op == "U"
+    merged = merge_snapshot(base, batch, "k")
+    assert merged.exceptAll(new).count() == 0 and new.exceptAll(merged).count() == 0
+
+    # value -> NULL: detected by the diff, NOT round-trippable via
+    # coalesce-merge — re-diff surfaces the residue instead of silently
+    # claiming convergence.
+    to_null = spark.createDataFrame(
+        [(1, None, 10.0), (2, "b", None), (3, None, 30.0)],
+        "k long, name string, bal double",
+    )
+    b2 = snapshot_diff(base, to_null, "k")
+    assert b2.count() == 1  # k=3 name c -> NULL detected
+    residue = snapshot_diff(merge_snapshot(base, b2, "k"), to_null, "k")
+    assert residue.count() == 1  # merge couldn't apply it; audit sees it
