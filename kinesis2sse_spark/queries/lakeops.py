@@ -452,3 +452,82 @@ def snapshot_diff(base: DataFrame, new: DataFrame, key: str) -> DataFrame:
         .alias("op"),
         *[F.col(f"__{c}").alias(c) for c in cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_dq_report — declarative data-quality constraint checks
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+    SELECT 'customer_key_unique' AS check_name,
+           count(*) - count(DISTINCT c_custkey) AS n_violations,
+           CAST(count(*) = count(DISTINCT c_custkey) AS BOOLEAN) AS passed
+    FROM customer
+    UNION ALL
+    SELECT 'orders_customer_fk' AS check_name,
+           count(*) AS n_violations,
+           CAST(count(*) = 0 AS BOOLEAN) AS passed
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_quantity_range' AS check_name,
+           count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 100) AS n_violations,
+           CAST(count(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 100) = 0 AS BOOLEAN) AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_not_null' AS check_name,
+           count(*) - count(ts) AS n_violations,
+           CAST(count(*) = count(ts) AS BOOLEAN) AS passed
+    FROM events
+"""
+
+
+@register("stats_dq_report", oracle=_DQ_ORACLE)
+def stats_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (the dbt-tests / Deequ shape): one
+    row per constraint — key uniqueness, referential integrity,
+    value-range, non-null — with the violation count and a pass flag.
+    The report a 100 TB ingest runs before publishing a partition.
+
+    Each check is an aggregate over only the columns it reads (pruned
+    scans); the FK check is a broadcast-able anti join that counts
+    orphans without materializing them. Checks over the same table can
+    fuse into one pass at scale (the stats_column_profile pattern);
+    they stay separate here so each row's provenance is one
+    self-contained query."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    uniq = c.agg(
+        (F.count("*") - F.count_distinct("c_custkey")).alias("n_violations")
+    ).select(
+        F.lit("customer_key_unique").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    orphans = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .select(
+            F.lit("orders_customer_fk").alias("check_name"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+    qty = li.agg(
+        F.count(F.when((F.col("l_quantity") < 0) | (F.col("l_quantity") > 100), 1)).alias(
+            "n_violations"
+        )
+    ).select(
+        F.lit("lineitem_quantity_range").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    ts_nn = e.agg((F.count("*") - F.count("ts")).alias("n_violations")).select(
+        F.lit("events_ts_not_null").alias("check_name"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+    return uniq.unionByName(orphans).unionByName(qty).unionByName(ts_nn)

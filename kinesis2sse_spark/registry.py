@@ -115,13 +115,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_broadcast_inner",
     "join_asof",
     "join_skew_salted",
-    "agg_cube",
     "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of thirteen re-proofs that already hold green rows
+    # slots of fourteen re-proofs that already hold green rows
     # (join_left_semi/anti/full_outer/left_outer/right_outer/
-    # shuffle_hash/range/sort_merge, agg_rollup/grouping_id/grouping_sets,
+    # shuffle_hash/range/sort_merge, agg_rollup/cube/grouping_id/
+    # grouping_sets,
     # agg_min_max_by, agg_percentile), so the airtight-coverage goal
     # (every registered query has >=1 driver row ever) still lands. The
     # PQ rung's two queries sit with the other recall contracts above.
@@ -132,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",
+    "stats_dq_report",
     "layout_zorder",
     "pipeline_upsert_snapshot",
     "pipeline_snapshot_diff",
