@@ -192,3 +192,49 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n,
+           floor(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc) * 1000000 + 0.5)
+             / 1000000 AS ewma
+    FROM ordered
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponentially weighted moving average (alpha = 1/4 — an
+    exact binary fraction, so every fold step is the same IEEE double on
+    both engines; the floor ladder guards the final rounding). EWMA is
+    inherently sequential per key, so it is expressed as an ordered
+    fold: one groupBy shuffle gathers each key's series, sort_array
+    orders it by (ts, event_id), and a JVM aggregate folds it — no
+    window, no Python.
+
+    Scale note: this materializes each key's history in one task, fine
+    while per-key cardinality is bounded (50 events/user here; metrics
+    series, device histories). For unbounded keys the same recurrence
+    runs INCREMENTALLY as keyed streaming state — one double per key,
+    see streaming_keyed_running_stats — because EWMA's fold needs only
+    the previous value, never the series."""
+    e = load_table(spark, sf_dir, "events")
+    series = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    vs = F.transform("s", lambda st: st["value"])
+    ewma = F.aggregate(
+        vs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(0.25 * x + 0.75 * acc),
+    )
+    return series.select(
+        "user_id",
+        F.size("s").cast("bigint").alias("n"),
+        (F.floor(ewma * 1000000 + F.lit(0.5)) / 1000000).alias("ewma"),
+    )

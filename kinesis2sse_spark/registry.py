@@ -98,6 +98,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lateral_posexplode",
     "unpivot_stack",
     "timeseries_locf",
+    "timeseries_ewma",
     "sessionize_batch",
     # repaired multimodal contracts: r04 driver crash (array<double>
     # canonicalizer) / no_oracle — both now scalar-shaped with oracles
@@ -115,13 +116,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_broadcast_inner",
     "join_asof",
     "join_skew_salted",
-    "agg_pivot",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of fourteen re-proofs that already hold green rows
+    # slots of fifteen re-proofs that already hold green rows
     # (join_left_semi/anti/full_outer/left_outer/right_outer/
-    # shuffle_hash/range/sort_merge, agg_rollup/cube/grouping_id/
-    # grouping_sets,
+    # shuffle_hash/range/sort_merge, agg_rollup/cube/pivot/
+    # grouping_id/grouping_sets,
     # agg_min_max_by, agg_percentile), so the airtight-coverage goal
     # (every registered query has >=1 driver row ever) still lands. The
     # PQ rung's two queries sit with the other recall contracts above.
