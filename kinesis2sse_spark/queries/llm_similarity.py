@@ -658,7 +658,72 @@ def _pq_parts(sf_dir, spark):
     return encoded, queries
 
 
-@register("sim_topk_pq", oracle=None)
+# The PQ pipeline is deterministic arithmetic end to end, so unlike the
+# hash-bucketed LSH/IVF rungs it carries a FULL byte-exact oracle: both
+# engines run the identical left-fold summations (list_prepend(0.0) in
+# DuckDB ≡ F.aggregate's 0.0 init in Spark — IEEE 0.0+x is exact), the
+# same argmin tie-break (struct sort on (d, k)), and the same
+# (adc, neighbor_id) / (cos, neighbor_id) rankings.
+_PQ_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+                      (a, b) -> a + b))) AS vn
+      FROM embeddings
+    ), cb1 AS (
+      SELECT list_transform(range(0, {PQ_M}), m ->
+               list_transform(seeds, s -> list_slice(s, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB}))) AS cb
+      FROM (SELECT list(vn ORDER BY vec_id) AS seeds FROM corpus WHERE vec_id < {PQ_K})
+    ), encoded AS (
+      SELECT vec_id, vn,
+             list_transform(range(0, {PQ_M}), m ->
+               list_sort(list_transform(range(0, {PQ_K}), k ->
+                 {{'d': list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(0, {PQ_SUB}), i ->
+                           (vn[m * {PQ_SUB} + i + 1] - cb[m + 1][k + 1][i + 1])
+                           * (vn[m * {PQ_SUB} + i + 1] - cb[m + 1][k + 1][i + 1]))),
+                         (a, b) -> a + b),
+                  'k': k}}))[1].k) AS code
+      FROM corpus, cb1
+    ), queries AS (
+      SELECT vec_id AS query_id, vn AS qv,
+             list_transform(range(0, {PQ_M}), m ->
+               list_transform(range(0, {PQ_K}), k ->
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(0, {PQ_SUB}), i ->
+                     (vn[m * {PQ_SUB} + i + 1] - cb[m + 1][k + 1][i + 1])
+                     * (vn[m * {PQ_SUB} + i + 1] - cb[m + 1][k + 1][i + 1]))),
+                   (a, b) -> a + b))) AS lut
+      FROM corpus, cb1
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.vn, q.qv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, {PQ_M}), m -> q.lut[m + 1][e.code[m + 1] + 1])),
+               (a, b) -> a + b) AS adc
+      FROM encoded e JOIN queries q ON q.query_id <> e.vec_id
+    ), shortlist AS (
+      SELECT query_id, neighbor_id, vn, qv,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, {PQ_M} * {PQ_SUB}), i -> qv[i + 1] * vn[i + 1])),
+               (a, b) -> a + b), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(range(0, {PQ_M} * {PQ_SUB}), i -> qv[i + 1] * vn[i + 1])),
+                                  (a, b) -> a + b), 6) DESC, neighbor_id) AS rn2
+      FROM shortlist WHERE rn <= {PQ_RERANK}
+    ) WHERE rn2 <= {TOP_K}
+"""
+
+
+@register("sim_topk_pq", oracle=_PQ_ORACLE)
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (PQ + exact re-rank), the fourth rung of
     the ladder: encode each unit-normalized vector as PQ_M codebook ids
@@ -668,9 +733,11 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist. At 100 TB the codes table IS the index: it fits where
     the float corpus cannot, the ADC scan is memory-bandwidth-bound,
     and the exact re-rank touches 0.1-1% of rows; compose with IVF
-    cells (sim_topk_ivf) to prune the ADC scan itself. Rows-only like
-    the other approximate rungs — sim_recall_pq carries the
-    driver-checked contract."""
+    cells (sim_topk_ivf) to prune the ADC scan itself. Unlike the
+    hash-bucketed rungs this one is deterministic arithmetic end to
+    end, so it carries a FULL byte-exact DuckDB oracle (identical
+    fold orders and tie-breaks); sim_recall_pq additionally holds the
+    recall floor vs exact."""
     encoded, queries = _pq_parts(sf_dir, spark)
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
     scored = encoded.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
