@@ -109,17 +109,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_recall_ivf",
     "sim_recall_pq",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_recall_ivfpq",
     "dedup_recall_minhash",
     # re-proofs: single green row from old code (r01/r02)
     "q1_pricing_summary",
     "dedup_connected_components",
-    "join_broadcast_inner",
     "join_asof",
-    "join_skew_salted",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
-    # slots of fifteen re-proofs that already hold green rows
-    # (join_left_semi/anti/full_outer/left_outer/right_outer/
+    # slots of seventeen re-proofs that already hold green rows
+    # (join_broadcast_inner/skew_salted/left_semi/anti/full_outer/
+    # left_outer/right_outer/
     # shuffle_hash/range/sort_merge, agg_rollup/cube/pivot/
     # grouping_id/grouping_sets,
     # agg_min_max_by, agg_percentile), so the airtight-coverage goal
