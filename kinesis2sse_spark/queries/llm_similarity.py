@@ -1,7 +1,9 @@
 """Similarity search over ``embeddings.embedding`` (array<float>, 64-dim):
-brute-force cosine top-k (exact baseline, oracle-checked), random-projection
-LSH (approximate), and IVF (cluster-probe) — the three rungs of the ANN
-ladder for a 100 TB corpus.
+brute-force cosine top-k (exact baseline, oracle-checked),
+random-projection LSH, IVF (cluster-probe), PQ (product quantization,
+byte-exact oracle), and the composed IVF+PQ — the rungs of the ANN
+ladder for a 100 TB corpus, each with a driver-checked recall
+contract.
 
 Determinism: ranking is always on (round(cos, 6) DESC, vec_id) so FP
 summation-order noise below 1e-6 can't reorder results between Spark and
