@@ -66,16 +66,19 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # round and the rest never earn a driver row. This list is ROTATED each
 # round to the 50 highest-signal queries; entries here are EXEMPT from
 # the rotate-to-back rule in _ordered(), so fixed-red queries (which
-# have past rows) can still re-earn a driver row. Round-5 window: the
-# final 21 queries with no driver row in r01–r04 (after this round,
-# every registered query has ≥1 row ever), then the two repaired
-# multimodal contracts (mm_decode_features crashed the r04
-# canonicalizer; both now emit scalars and carry real DuckDB oracles),
-# then the recall contracts (r02 rows only, floors recalibrated), then
-# high-value re-proofs whose single green row predates newer code (q1,
-# join family, agg rollup/cube/pivot, connected components after this
-# round's scale-hardening). Names not (yet) registered are skipped, so
-# entries can be listed ahead of the code landing.
+# have past rows) can still re-earn a driver row. Round-5 window (final
+# composition): the 21 queries with no driver row in r01–r04, the two
+# repaired multimodal contracts (now scalar-shaped with byte-exact
+# oracles), the recall contracts including the new PQ and IVF+PQ rungs,
+# every operator ADDED in round 5 (reject channel, lake/layout family,
+# CDC round-trip, SCD2, EWMA, classifier, DQ gate, split-leakage audit,
+# BPE step, PPS sampler, streaming archive/compaction/keyed-stats/
+# incremental-probe), and three re-proofs whose single green row
+# predates newer code (q1, join_asof, connected components after the
+# pointer-doubling rewrite). Every displaced re-proof holds a green
+# r01–r04 row, so after this round every registered query has ≥1 driver
+# row ever. Names not (yet) registered are skipped, so entries can be
+# listed ahead of the code landing.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # final never-checked backlog (21): zero driver rows in r01–r04
     "dedup_span_fraction",
