@@ -238,3 +238,111 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("bigint").alias("n"),
         (F.floor(ewma * 1000000 + F.lit(0.5)) / 1000000).alias("ewma"),
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT 'view_24h' AS stage, count(*) AS n_users FROM s2
+    UNION ALL SELECT 'purchase_24h' AS stage, count(*) AS n_users FROM s3
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with conversion windows: users who signed up, then
+    viewed within 24h of signup, then purchased within 24h of that view
+    — each stage anchored to the PREVIOUS stage's first qualifying
+    event, the semantics product-analytics engines ship as their
+    windowFunnel operator. Three stage aggregates chained by joins, all
+    keyed on user_id: after the first shuffle establishes the user
+    partitioning, the subsequent joins and aggregates reuse it
+    (exchange reuse on the same key), so the funnel costs one corpus
+    partitioning no matter how many stages deep. Fixture shape at
+    sf0.1: 1500 → 550 → 189."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(s1, "signup")
+        .unionByName(stage(s2, "view_24h"))
+        .unionByName(stage(s3, "purchase_24h"))
+    )
+
+
+_COHORT_ORACLE = """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT CAST(cw AS DATE) AS cohort_week,
+           CAST(date_diff('week', cw, date_trunc('week', e.ts)) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN cohort USING (user_id)
+    WHERE e.ts >= cw
+    GROUP BY cw, week_offset
+"""
+
+
+@register("retention_cohort", oracle=_COHORT_ORACLE)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by signup week, activity
+    counted as distinct active users per (cohort_week, weeks-since) —
+    the retention triangle every growth dashboard draws. Week
+    arithmetic stays on week-truncated timestamps (ISO Monday start on
+    both engines), so the offset is exact integer days/7. One shuffle
+    builds the cohort map, one joins it back (broadcast when cohorts
+    are small relative to events — they are, it's one row per user),
+    and the distinct-count aggregate is the only corpus-wide exchange."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    joined = e.join(cohort, "user_id").where(F.col("ts") >= F.col("cw"))
+    return (
+        joined.groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cw").cast("date"))
+                / 7
+            ).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

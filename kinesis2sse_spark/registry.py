@@ -75,7 +75,8 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # BPE step, PPS sampler, streaming archive/compaction/keyed-stats/
 # incremental-probe), and three re-proofs whose single green row
 # predates newer code (q1, join_asof, connected components after the
-# pointer-doubling rewrite). Every displaced re-proof holds a green
+# pointer-doubling rewrite; q1 and join_asof rotated out last for
+# the behavioral-analytics pair). Every displaced re-proof holds a green
 # r01–r04 row, so after this round every registered query has ≥1 driver
 # row ever. Names not (yet) registered are skipped, so entries can be
 # listed ahead of the code landing.
@@ -102,6 +103,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_stack",
     "timeseries_locf",
     "timeseries_ewma",
+    "funnel_conversion",
+    "retention_cohort",
     "sessionize_batch",
     # repaired multimodal contracts: r04 driver crash (array<double>
     # canonicalizer) / no_oracle — both now scalar-shaped with oracles
@@ -116,9 +119,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_recall_ivfpq",
     "dedup_recall_minhash",
     # re-proofs: single green row from old code (r01/r02)
-    "q1_pricing_summary",
     "dedup_connected_components",
-    "join_asof",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
     # slots of seventeen re-proofs that already hold green rows
