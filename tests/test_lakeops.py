@@ -262,3 +262,39 @@ def test_merge_diff_round_trip_with_nulls(spark):
     assert b2.count() == 1  # k=3 name c -> NULL detected
     residue = snapshot_diff(merge_snapshot(base, b2, "k"), to_null, "k")
     assert residue.count() == 1  # merge couldn't apply it; audit sees it
+
+
+def test_schema_evolution_merge_and_pruning(spark, tmp_path):
+    """Lake schema evolution: a table whose later files carry an added
+    column reads with mergeSchema into the unified schema (old files
+    yield NULLs), aggregates over the new column skip the old files'
+    rows naturally, and predicate pushdown still reaches both file
+    generations. This is the append-only evolution path a 100 TB lake
+    actually takes — no rewrite of historical files."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("tagged").alias("source_tag"),
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"k", "v", "source_tag"}
+    assert merged.count() == 150
+    # old-generation rows surface the new column as NULL
+    assert merged.where(F.col("source_tag").isNull()).count() == 100
+    assert merged.where(F.col("source_tag") == "tagged").count() == 50
+    # pushdown still reaches the scan across both generations
+    plan = (
+        merged.where(F.col("k") >= 120)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,120)" in plan, plan[:1500]
+    assert merged.where(F.col("k") >= 120).count() == 30
