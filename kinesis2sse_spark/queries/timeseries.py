@@ -346,3 +346,60 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+_PATHS_ORACLE = """
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ), trigrams AS (
+      SELECT s[i] || '>' || s[i + 1] || '>' || s[i + 2] AS path
+      FROM seqs, LATERAL (SELECT unnest(range(1, len(s) - 1)) AS i) t
+    ), counted AS (
+      SELECT path, count(*) AS n FROM trigrams GROUP BY path
+    )
+    SELECT path, n, rnk FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk
+      FROM counted
+    ) WHERE rnk <= 10
+"""
+
+
+@register("path_common_sequences", oracle=_PATHS_ORACLE)
+def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event sequences across
+    all user journeys ("what do users do around a purchase?") — the
+    sequence-mining counterpart of funnel_conversion's fixed template.
+    One groupBy gathers each user's ordered journey (bounded per-key
+    history, like timeseries_ewma), trigram extraction is a per-row
+    higher-order function, and the count is a map-side-combined shuffle
+    on the path string; the top-10 rank runs over the tiny distinct-path
+    relation (|event_types|^3 at most)."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("s")
+    )
+    types = F.transform("s", lambda st: st["event_type"])
+    trigrams = seqs.select(
+        F.explode(
+            F.when(
+                F.size("s") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("s") - 3),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at(types, i + 1),
+                        F.element_at(types, i + 2),
+                        F.element_at(types, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    counted = trigrams.groupBy("path").agg(F.count("*").alias("n"))
+    w = Window.partitionBy().orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("path", "n", "rnk")
+    )

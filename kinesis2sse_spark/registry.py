@@ -75,8 +75,11 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # BPE step, PPS sampler, streaming archive/compaction/keyed-stats/
 # incremental-probe), and three re-proofs whose single green row
 # predates newer code (q1, join_asof, connected components after the
-# pointer-doubling rewrite; q1 and join_asof rotated out last for
-# the behavioral-analytics pair). Every displaced re-proof holds a green
+# pointer-doubling rewrite MUST re-earn an oracle row this round —
+# the r04 verdict made that part of its done criteria, so it keeps a
+# slot; sim_recall_ivf yields instead: its r02 row stands and the r05
+# sf0.1 sweep artifact already proves the current floor code. q1 and
+# join_asof rotated out for the behavioral-analytics pair). Every displaced re-proof holds a green
 # r01–r04 row, so after this round every registered query has ≥1 driver
 # row ever. Names not (yet) registered are skipped, so entries can be
 # listed ahead of the code landing.
@@ -105,6 +108,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "timeseries_ewma",
     "funnel_conversion",
     "retention_cohort",
+    "path_common_sequences",
     "sessionize_batch",
     # repaired multimodal contracts: r04 driver crash (array<double>
     # canonicalizer) / no_oracle — both now scalar-shaped with oracles
@@ -112,14 +116,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_audio_windows",
     # recall contracts: r02 rows at sf0.01 only, floors since hardened
     "sim_recall_lsh",
-    "sim_recall_ivf",
     "sim_recall_pq",
+    "dedup_connected_components",
     "sim_topk_pq",
     "sim_topk_ivfpq",
     "sim_recall_ivfpq",
     "dedup_recall_minhash",
     # re-proofs: single green row from old code (r01/r02)
-    "dedup_connected_components",
     # new in round 5 (late): reject-channel / lake / layout / classifier
     # operators — never checked, oracle-backed. They take the window
     # slots of seventeen re-proofs that already hold green rows
