@@ -710,3 +710,61 @@ def test_progress_recorder_audits_rows_end_to_end(spark, tmp_path):
         assert all(b.trigger_ms >= 0 and b.batch_id >= 0 for b in batches)
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_available_now_backfill_processes_in_bounded_batches(spark, tmp_path):
+    """Trigger.AvailableNow is the backfill pattern: process everything
+    currently in the source in rate-limited micro-batches
+    (maxFilesPerTrigger bounds each), then STOP — unlike processAll
+    on a live query, the query terminates itself, so a scheduled
+    backfill job has a natural exit. Three staged files with
+    maxFilesPerTrigger=1 must yield >=3 batches, all rows, then
+    self-termination."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming.metrics import ProgressRecorder
+
+    src = tmp_path / "an_src"
+    src.mkdir()
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id").alias("event_id")
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"f{i}"))
+    paths = [str(p) for p in src.glob("f*/*.parquet")]
+    flat = tmp_path / "an_flat"
+    flat.mkdir()
+    for i, p in enumerate(paths):
+        (flat / f"part{i}.parquet").write_bytes(open(p, "rb").read())
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    out = str(tmp_path / "an_out")
+    try:
+        stream = (
+            spark.readStream.schema("event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(flat))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "an_ckpt"))
+            .queryName("an_backfill")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "availableNow query did not self-terminate"
+        assert spark.read.parquet(out).count() == 30
+        for _ in range(50):
+            if rec.total_input_rows("an_backfill") >= 30:
+                break
+            time.sleep(0.2)
+        batches = [
+            b for b in rec._rows if b.query_name == "an_backfill" and b.num_input_rows > 0
+        ]
+        assert len(batches) >= 3, batches
+        assert all(b.num_input_rows == 10 for b in batches), batches
+    finally:
+        spark.streams.removeListener(rec)
