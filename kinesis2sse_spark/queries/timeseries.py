@@ -266,17 +266,22 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewed within 24h of signup, then purchased within 24h of that view
     — each stage anchored to the PREVIOUS stage's first qualifying
     event, the semantics product-analytics engines ship as their
-    windowFunnel operator. Three stage aggregates chained by joins, all
-    keyed on user_id: after the first shuffle establishes the user
-    partitioning, the subsequent joins and aggregates reuse it
-    (exchange reuse on the same key), so the funnel costs one corpus
-    partitioning no matter how many stages deep. Fixture shape at
-    sf0.1: 1500 → 550 → 189."""
+    windowFunnel operator. Each stage is a filtered scan + per-user
+    min-aggregate; the previous stage's relation (one row per
+    converting user) BROADCASTS into the next stage's join, so the
+    corpus never shuffles for the chain. Stage relations are persisted:
+    the 3-way union consumes s1 three times and s2 twice, and without a
+    cache Spark re-instantiates each subtree per consumer (the round-4
+    repeated-subtree rule) — six filtered corpus scans where three
+    suffice. Fixture shape at sf0.1: 1500 → 550 → 189."""
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "events")
     s1 = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     s2 = (
         e.where(F.col("event_type") == "view")
@@ -284,6 +289,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     s3 = (
         e.where(F.col("event_type") == "purchase")
