@@ -48,6 +48,13 @@ SHOW = [
     "pipeline_split_leakage",
     "text_bpe_pair_counts",
     "sample_weighted_pps",
+    "timeseries_ewma",
+    "funnel_conversion",
+    "retention_cohort",
+    "path_common_sequences",
+    "stats_dq_report",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
 ]
 
 
