@@ -583,9 +583,17 @@ def _pq_parts(sf_dir, spark):
     queries with ADC lookup tables). Everything is JVM higher-order
     functions over a deterministic codebook — no RNG, no training jobs,
     no Python."""
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
-    # unit-normalize so ADC's L2 ranking is exactly cosine ranking
+    # unit-normalize so ADC's L2 ranking is exactly cosine ranking.
+    # Persisted: the codebook build, the corpus encode, and the query
+    # LUTs all consume this relation (and the recall contracts consume
+    # the whole pipeline twice) — the round-4 repeated-subtree rule. In
+    # production the encode happens ONCE at write time and the codes
+    # table is the stored artifact; the rebuild-per-call here is what
+    # keeps the oracle able to replay the identical pipeline.
     corpus = (
         e.select("vec_id", v.alias("v"))
         .withColumn("norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
@@ -593,6 +601,7 @@ def _pq_parts(sf_dir, spark):
             "vec_id",
             F.zip_with("v", F.array_repeat("norm", PQ_M * PQ_SUB), lambda x, n: x / n).alias("vn"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
     seq_k = F.sequence(F.lit(0), F.lit(PQ_K - 1))
