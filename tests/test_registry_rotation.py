@@ -77,3 +77,19 @@ def test_checked_names_survives_garbage_files(tmp_path, monkeypatch):
         ],
     )
     assert reg._checked_names() == {"q_a", "q_b"}
+
+
+def test_driver_priority_names_all_registered():
+    """Unregistered DRIVER_PRIORITY names are skipped by design (so a
+    name can be listed before its code lands) — but at round end every
+    entry must resolve, or a typo silently drops a must-check query
+    from the driver window."""
+    from kinesis2sse_spark.registry import DRIVER_PRIORITY, all_queries
+
+    registered = set(all_queries())
+    missing = [n for n in DRIVER_PRIORITY if n not in registered]
+    assert not missing, missing
+    # NOT asserted: window length or exact prefix — those encode a
+    # per-round policy snapshot (the r04 rotation-test trap); this
+    # test only fails at edit time, from code alone, never from a
+    # driver-written file appearing on disk.
