@@ -240,6 +240,218 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "timeseries_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, value AS obs
+      FROM (
+        SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL '1 day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 day', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 day', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT u.user_id, unnest(generate_series(lo, hi, INTERVAL '1 day')) AS day
+      FROM bounds, (SELECT DISTINCT user_id FROM events) u
+    ),
+    ctx AS (
+      SELECT s.user_id, s.day, d.obs,
+             last_value(d.obs IGNORE NULLS) OVER wb AS pv,
+             last_value(d.day IGNORE NULLS) OVER wb AS pd,
+             first_value(d.obs IGNORE NULLS) OVER wf AS nv,
+             first_value(d.day IGNORE NULLS) OVER wf AS nd
+      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      WINDOW
+        wb AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           floor((CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                 / CAST(date_diff('day', pd, nd) AS DOUBLE))
+             ELSE NULL END) * 1000000 + 0.5) / 1000000 AS value_interp
+    FROM ctx
+    """,
+)
+def timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the daily grid: days between two
+    observations get the straight-line value, days outside the user's
+    observed range stay null (contrast timeseries_locf, which carries
+    the last value). Same spine/shuffle shape as LOCF — ONE exchange on
+    user_id feeds both direction windows (backward last-non-null,
+    forward first-non-null), so interpolation costs no more than carry
+    -forward. Determinism: the interpolation fraction is an integer-day
+    ratio and both engines evaluate the identical IEEE expression
+    ``pv + (nv-pv)*(num/den)``; the floor ladder (registry step 2)
+    guards the final rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.window("ts", "1 day")["start"]
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.expr("max_by(value, struct(ts, event_id))").alias("obs")
+    )
+    bounds = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).select(
+        F.date_trunc("day", "mn").alias("lo"), F.date_trunc("day", "mx").alias("hi")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+        )
+        .crossJoin(ev.select("user_id").distinct())
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "obs",
+            F.last("obs", ignorenulls=True).over(wb).alias("pv"),
+            F.last(F.when(F.col("obs").isNotNull(), F.col("day")), ignorenulls=True)
+            .over(wb)
+            .alias("pd"),
+            F.first("obs", ignorenulls=True).over(wf).alias("nv"),
+            F.first(F.when(F.col("obs").isNotNull(), F.col("day")), ignorenulls=True)
+            .over(wf)
+            .alias("nd"),
+        )
+    )
+    frac = F.datediff(F.col("day").cast("date"), F.col("pd").cast("date")).cast(
+        "double"
+    ) / F.datediff(F.col("nd").cast("date"), F.col("pd").cast("date")).cast("double")
+    interp = (
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.lit(None))
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        (F.floor(interp * 1000000 + F.lit(0.5)) / 1000000).alias("value_interp"),
+    )
+
+
+@register(
+    "timeseries_rollup_hierarchy",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS n_hours,
+           CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup reuse: the daily rollup is
+    computed FROM the hourly rollup, never from raw events — counts and
+    decimal sums are decomposable, so the coarser aggregate folds the
+    finer one. The oracle computes daily directly from raw events;
+    equality IS the rollup-reuse identity. At 100 TB this is the
+    continuous-aggregate pattern: materialize the finest rollup once
+    (24x-8760x smaller than raw), derive every coarser grain from it —
+    the daily pass shuffles |hours x types| rows, not the corpus.
+    Per-row DECIMAL casts (registry ladder step 3) make the two-level
+    sum exact, hence order- and topology-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.window("ts", "1 hour")["start"]
+    hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,10)")).alias("total"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("total").cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "timeseries_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(value * value AS DECIMAL(27,10))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s1 / n)
+               / sqrt((s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n))
+                      / CAST(n - 1 AS DOUBLE)) AS z
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+      WHERE n > 1 AND (s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n)) > 0
+    )
+    SELECT event_id, event_type, value,
+           floor(z * 10000 + 0.5) / 10000 AS z
+    FROM scored WHERE abs(z) > 2.5
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits more than
+    2.5 sample standard deviations from their event_type's mean. The
+    per-type stats aggregate map-side-combines to |types| rows and then
+    BROADCASTS back onto the corpus scan — the corpus itself never
+    shuffles, which is the only viable shape when the corpus is 100 TB
+    and the dimension is five rows. Mean/variance derive from exact
+    per-row-DECIMAL sums (registry ladder step 3), so both engines
+    score the identical IEEE z and the 2.5 cut can never straddle an
+    engine-rounding boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,10)")).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("n").cast("double") * mean * mean) / (
+        F.col("n") - 1
+    ).cast("double")
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where((F.col("n") > 1) & (F.col("s2") - F.col("n").cast("double") * mean * mean > 0))
+        .where(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
+        )
+    )
+
+
 _FUNNEL_ORACLE = """
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
