@@ -1,12 +1,15 @@
-"""Iterative/graph operators: connected components over the near-dup pair
-graph — the canonical "collapse duplicate clusters" step after pair
-generation in an LLM dedup pipeline.
+"""Iterative/graph operators over the near-dup pair graph: connected
+components (the canonical "collapse duplicate clusters" step after pair
+generation), exact triangle counting (cluster-quality signal), and
+fixed-iteration PageRank (cluster ranking by duplication mass).
 
-Spark side: label propagation to a fixpoint (driver-controlled loop over
-DataFrame joins — each iteration is one shuffle; iteration count is
-O(graph diameter), tiny for near-dup clusters). The oracle replays the
-same closure with a recursive CTE, so even this iterative operator is
-value-checked, not just rows-checked.
+Spark side: driver-controlled loops over DataFrame joins — each
+iteration is one shuffle; the CC loop is O(log diameter) via pointer
+doubling, PageRank unrolls a fixed iteration count lazily into one
+plan, and triangles use degree-ordered orientation for the O(m^1.5)
+wedge bound. The oracles replay the same computations with (recursive)
+CTEs, so even these iterative operators are value-checked, not just
+rows-checked.
 """
 
 from __future__ import annotations
@@ -126,6 +129,204 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
+
+
+_UND_CTE = """
+    und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS d FROM und GROUP BY src)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    {_UND_CTE},
+    oriented AS (
+      SELECT u.src AS u, u.dst AS v
+      FROM und u
+      JOIN deg da ON da.node = u.src
+      JOIN deg db ON db.node = u.dst
+      WHERE da.d < db.d OR (da.d = db.d AND u.src < u.dst)
+    ),
+    tri AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM oriented o1
+      JOIN oriented o2 ON o2.u = o1.u AND o1.v <> o2.v
+      JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS doc_id, count(*) AS n_triangles
+    FROM corners GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph (triangle
+    density separates tight duplicate cliques from chains of borderline
+    matches — a standard cluster-quality signal before collapsing).
+    Algorithm + scale notes: see triangle_counts."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list
+    (columns ``a``, ``b``; both directions need not be present).
+
+    Degree-ordered orientation: each undirected edge points from the
+    (degree, id)-smaller endpoint to the larger, so every node's
+    out-degree is O(sqrt(m)) and the wedge self-join materializes at
+    most m^1.5 candidate wedges — the classic bound that makes exact
+    triangle counting feasible on skewed 100 TB graphs, where the
+    naive three-way edge join explodes on hub nodes. Each triangle is
+    emitted exactly once, at its orientation-minimal corner; the
+    corner unnest then spreads the count to all three vertices. The
+    oriented relation is persisted: the wedge join consumes it twice
+    and the closing-edge probe a third time."""
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
+        .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))
+    oriented = (
+        und.join(da, "src")
+        .join(db, "dst")
+        .where(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    o1 = oriented
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    o3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        o1.join(o2, (F.col("u") == F.col("u2")) & (F.col("v") != F.col("w")))
+        .join(o3, (F.col("u3") == F.col("v")) & (F.col("v3") == F.col("w")))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("w").alias("z"))
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+PAGERANK_ITERS = 3
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    {_UND_CTE},
+    ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+    pr(iter, node, rank) AS (
+      SELECT 0, node, CAST(1.0 AS DOUBLE) / nn FROM deg, ncnt
+      UNION ALL
+      SELECT pr.iter + 1, e.dst,
+             0.15 / max(ncnt.nn)
+               + 0.85 * CAST(sum(CAST(pr.rank / deg.d AS DECIMAL(27,15))) AS DOUBLE)
+      FROM pr
+      JOIN und e ON e.src = pr.node
+      JOIN deg ON deg.node = pr.node
+      CROSS JOIN ncnt
+      WHERE pr.iter < {PAGERANK_ITERS}
+      GROUP BY pr.iter + 1, e.dst
+    )
+    SELECT node AS doc_id,
+           floor(rank * 1000000000 + 0.5) / 1000000000 AS rank
+    FROM pr WHERE iter = {PAGERANK_ITERS}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph, damping 0.85, a FIXED 3
+    iterations — fixed so the oracle's recursive CTE replays the exact
+    same computation (a convergence-tolerance loop is not value-
+    checkable). On the symmetric near-dup graph rank concentrates in
+    the big duplicate cliques, ranking clusters by "duplication mass".
+    Algorithm + scale notes: see pagerank."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return pagerank(pairs, PAGERANK_ITERS).select(
+        F.col("node").alias("doc_id"),
+        (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000).alias("rank"),
+    )
+
+
+def pagerank(edges: DataFrame, iters: int) -> DataFrame:
+    """PageRank (damping 0.85) over an undirected edge list (columns
+    ``a``, ``b``), run for a fixed ``iters`` iterations; returns
+    (node, rank) with the raw double rank.
+
+    Shape per iteration: one shuffle (contributions grouped by target)
+    against a PERSISTED degree-annotated edge relation — the loop is
+    unrolled lazily into a single plan, no driver action, no
+    checkpoint needed at a handful of linear iterations (contrast the
+    pointer-doubling CC loop whose self-join doubles the plan per
+    round). Every node of the symmetric graph has degree >= 1, so
+    there is no dangling-mass term. Determinism: per-edge
+    contributions are cast to DECIMAL(27,15) before the sum (registry
+    ladder step 3), so partial-aggregation order cannot move the ranks
+    between engines; the scalar recombination 0.15/N + 0.85*s is the
+    identical IEEE expression on both sides."""
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
+        .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    edges_deg = (
+        und.join(deg.select(F.col("node").alias("src"), "d"), "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
+    ranks = deg.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("nn")).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = edges_deg.join(
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("d")).cast("decimal(27,15)").alias("contrib"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("contrib").alias("s"))
+            .crossJoin(F.broadcast(ncnt))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(0.85) * F.col("s").cast("double")
+                ).alias("rank"),
+            )
+        )
+    return ranks
 
 
 @register(
