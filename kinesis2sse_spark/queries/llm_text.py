@@ -251,6 +251,112 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERY_TERMS = ("hash", "join", "merge", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH q(term) AS (VALUES {", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)}),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT d.doc_id, t.term, count(*) AS tf
+      FROM documents d, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      WHERE t.term IN (SELECT term FROM q)
+      GROUP BY d.doc_id, t.term
+    ),
+    df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(
+               ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * ({BM25_K1} + 1.0))
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl.dl / avgdl)))
+               AS DECIMAL(27,15)) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, floor(CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75): top-10 documents for a
+    fixed multi-term query — the scoring function behind every lexical
+    search engine, expressed fully relationally. Term frequencies come
+    from ONE explode filtered to the query terms BEFORE the shuffle
+    (the (doc,term) exchange carries |Q| terms per doc, not the whole
+    vocabulary — at 100 TB this is the difference between shuffling a
+    posting-list slice and shuffling the corpus); document frequencies
+    aggregate from the tf relation (persisted — df and the scoring
+    join both consume it) and BROADCAST back with the 1-row
+    corpus-stats aggregate. Per-term contributions are quantized to
+    DECIMAL(27,15) before the per-doc sum (registry ladder step 3), so
+    the |Q|-term summation order cannot move a score between engines;
+    the top-10 ranks over floor-rounded scores with a doc_id tiebreak.
+    idf uses the +1 ("Lucene") form, always positive."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms = list(BM25_QUERY_TERMS)
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    k1, b = BM25_K1, BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * (F.col("tf") * (k1 + 1.0)) / norm).cast("decimal(27,15)").alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        (F.floor(F.sum("c").cast("double") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "score"
+        )
+    )
+    w = Window.partitionBy().orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "score", "rnk")
+    )
+
+
 @register(
     "text_ngrams",
     oracle="""
