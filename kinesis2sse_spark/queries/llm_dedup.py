@@ -762,10 +762,13 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook one; production runs multiple passes with different
     blocking keys and unions the pair sets. Match = levenshtein <= 3,
     exact integer on both engines."""
-    p = load_table(spark, sf_dir, "part")
+    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
+    p = load_table(spark, sf_dir, "part")
     blk = F.split("p_name", " ")[0]
+    # persisted: both legs of the neighbor self-join consume the same
+    # windowed relation — uncached, Spark would scan + sort twice
     recs = p.select(
         "p_partkey",
         "p_name",
@@ -773,7 +776,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy(blk).orderBy("p_name", "p_partkey"))
         .alias("rn"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = recs.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),

@@ -270,7 +270,8 @@ BM25_B = 0.75
       FROM dl
     ),
     tf AS (
-      SELECT d.doc_id, t.term, count(*) AS tf
+      SELECT d.doc_id, t.term, count(*) AS tf,
+             max(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS dl
       FROM documents d, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
       WHERE t.term IN (SELECT term FROM q)
       GROUP BY d.doc_id, t.term
@@ -281,11 +282,10 @@ BM25_B = 0.75
              CAST(
                ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                  * (tf.tf * ({BM25_K1} + 1.0))
-                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl.dl / avgdl)))
+                 / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (tf.dl / avgdl)))
                AS DECIMAL(27,15)) AS c
       FROM tf
       JOIN df USING (term)
-      JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN stats
     ),
     scored AS (
@@ -324,11 +324,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     terms = list(BM25_QUERY_TERMS)
+    # dl rides through the tf aggregation (functionally dependent on
+    # doc_id), so scoring needs NO join back to a per-doc length
+    # relation — one less corpus scan and one less doc-keyed join
     tf = (
-        d.select("doc_id", F.explode(toks).alias("term"))
+        d.select("doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
@@ -337,7 +340,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     contrib = (
         tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -312,3 +312,74 @@ def test_scd2_windows_share_one_sort(spark):
     # AQE wraps the plan; count shuffle exchanges only
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_anomaly_stats_broadcast_corpus_unshuffled(spark):
+    """Z-score anomaly detection: the per-type stats relation is the
+    ONLY hash exchange (a |types|-row aggregate); it broadcasts back
+    onto the corpus scan, which must never shuffle."""
+    plan = _plan(spark, "timeseries_anomaly_zscore")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rollup_hierarchy_two_level_exchanges(spark):
+    """Hierarchical rollup: exactly two exchanges — the corpus-wide
+    hourly aggregation, then the tiny hourly->daily fold. No joins."""
+    plan = _plan(spark, "timeseries_rollup_hierarchy")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_interpolate_single_window_node(spark):
+    """Both interpolation direction windows (backward last-non-null,
+    forward first-non-null) share one partitioning+ordering, so Spark
+    must plan them in a single Window node over a single sort."""
+    import re
+
+    plan = _plan(spark, "timeseries_interpolate")
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+
+
+def test_bm25_posting_slice_before_shuffle(spark):
+    """BM25: the query-term filter runs in the explode stage BELOW the
+    (doc,term) exchange (the shuffle carries a posting slice, not the
+    vocabulary); tf is cached for its two consumers; df + corpus stats
+    broadcast — no doc-keyed join back for document length."""
+    import re
+
+    plan = _plan(spark, "text_bm25_search")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the only non-broadcast join inputs are term-keyed: no SortMergeJoin
+    assert "SortMergeJoin" not in plan, plan
+    # the IN-list filter sits in the explode stage, printed DEEPER than
+    # (i.e. after) the (doc_id, term) exchange it feeds
+    ex = re.search(r"Exchange hashpartitioning\(doc_id#\d+L, term#", plan)
+    flt = re.search(r"Filter term#\d+ IN \(", plan)
+    assert ex and flt and flt.start() > ex.start(), plan
+
+
+def test_er_windows_are_block_partitioned(spark):
+    """Sorted-neighborhood ER: every window partitions by the blocking
+    key — a global single-partition sort must never appear — and the
+    windowed relation is cached for both self-join legs."""
+    plan = _plan(spark, "er_sorted_neighborhood")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_pagerank_edges_cached_across_iterations(spark):
+    """PageRank: the degree-annotated edge relation is cached and read
+    once per unrolled iteration instead of rebuilding the near-dup
+    pair pipeline three times."""
+    plan = _plan(spark, "graph_pagerank")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_triangles_oriented_cached_three_reads(spark):
+    """Triangle counting: the degree-oriented edge relation is cached —
+    the wedge self-join reads it twice and the closing-edge probe a
+    third time."""
+    plan = _plan(spark, "graph_triangle_count")
+    assert plan.count("InMemoryTableScan") >= 3, plan
