@@ -10,7 +10,7 @@ scan order in DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis2sse_spark.catalog import load_table
@@ -360,4 +360,60 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )
+
+
+@register(
+    "hist_equi_depth",
+    oracle="""
+    WITH counts AS (SELECT value, count(*) AS c FROM events GROUP BY value),
+    cum AS (
+      SELECT value, c,
+             coalesce(sum(c) OVER (ORDER BY value
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM counts
+    ),
+    total AS (SELECT count(*) AS n FROM events)
+    SELECT CAST(least(9, cb * 10 // n) AS BIGINT) AS bucket,
+           min(value) AS lo, max(value) AS hi,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM cum, total
+    GROUP BY 1
+    """,
+)
+def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (10-quantile) histogram over event values —
+    the histogram-of-histograms rewrite: aggregate per-VALUE counts
+    first (one corpus shuffle down to the value domain), run the
+    cumulative window over that tiny relation, and assign each whole
+    value-group the bucket its preceding mass lands in (ties never
+    split across buckets, so bucket populations wobble around n/10 by
+    at most one value-group — the standard exact-histogram contract).
+    The unpartitioned window is BOUNDED BY THE VALUE DOMAIN (2-decimal
+    readings here), not the corpus: at 100 TB the windowed relation is
+    still |distinct values| rows, which is what makes this exact plan
+    viable where a global row_number/ntile over raw rows would
+    single-partition the corpus. All-integer bucket arithmetic — no FP
+    rounding surface."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("value").agg(F.count("*").alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "value", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
+    )
+    total = ev.agg(F.count("*").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.expr("CAST(least(9, (cb * 10) div n) AS BIGINT)").alias("bucket"),
+            "value",
+            "c",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+        )
     )

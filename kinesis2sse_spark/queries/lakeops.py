@@ -531,3 +531,80 @@ def stats_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_violations") == 0).alias("passed"),
     )
     return uniq.unionByName(orphans).unionByName(qty).unionByName(ts_nn)
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_point_in_time — as-of probe against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+    WITH chg AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+             event_id
+      FROM events WHERE event_type = 'purchase'
+    ), starts AS (
+      SELECT user_id, ts, value, event_id FROM chg
+      WHERE prev_value IS NULL OR value <> prev_value
+    ), dim AS (
+      SELECT user_id, value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM starts
+    ), probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.value AS dim_value
+    FROM probes p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
+@register("join_scd2_point_in_time", oracle=_PIT_ORACLE)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join of a probe stream against the SCD2
+    dimension pipeline_scd2_intervals builds: each 'view' event picks
+    the purchase-value version valid AT its timestamp. The oracle
+    states the declarative form — an interval-containment join — but
+    the engine executes the UNION-SORT rewrite: tag versions and
+    probes, union them, ONE window per user ordered by
+    (ts, versions-first, event_id), and carry the last version value
+    forward onto each probe row. Zero join operators, one shuffle of
+    probes+versions together — the interval join's per-key O(V·P)
+    blow-up (and its banding workarounds) never exists. Version rows
+    sort BEFORE probes at equal ts, so a version taking effect exactly
+    at the probe instant applies, matching valid_from <= ts; a
+    same-instant version pair collapses to the later event_id, exactly
+    the zero-length interval the declarative form produces."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", F.lag("value").over(w).alias("prev_value"), "value"
+        )
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select("user_id", "ts", "event_id", F.lit(0).alias("pri"), F.col("value").alias("dim_value"))
+    )
+    probes = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("pri"),
+        F.lit(None).cast("double").alias("dim_value"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        versions.unionByName(probes)
+        .withColumn("carried", F.last("dim_value", ignorenulls=True).over(wc))
+    )
+    return (
+        carried.where((F.col("pri") == 1) & F.col("carried").isNotNull())
+        .select("event_id", "user_id", "ts", F.col("carried").alias("dim_value"))
+    )

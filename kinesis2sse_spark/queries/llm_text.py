@@ -1201,3 +1201,58 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars", ppm.alias("inclusion_ppm")).where(
         draw < F.col("inclusion_ppm")
     )
+
+
+NEG_SAMPLES_K = 4
+# Overflow-safe multiplicative hash (same family as SPLIT_HASH): the
+# reduced anchor stays < 1e9+7, times 2654435761 stays < 2.66e18 < 2^63.
+_NEG_HASH = (
+    f"(((doc_id % 1000000007) * {NEG_SAMPLES_K} + k + 1) % 1000000007 "
+    "* 2654435761) % 1000000007"
+)
+
+
+@register(
+    "pipeline_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    ks AS (SELECT CAST(unnest(range({NEG_SAMPLES_K})) AS BIGINT) AS k),
+    sampled AS (
+      SELECT d.doc_id, ks.k,
+             (d.doc_id + 1 + ({_NEG_HASH}) % (n.n_docs - 1)) % n.n_docs AS neg_id
+      FROM documents d, ks, n
+    )
+    SELECT doc_id AS anchor_id, k, neg_id FROM sampled
+    """,
+)
+def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws K pseudo-random negatives via a multiplicative hash
+    mapped into the id space with a nonzero modular SHIFT, so a
+    negative can never equal its anchor and every anchor gets exactly
+    K distinct-by-k draws. Pair with dedup_ngram_jaccard's near-dup
+    pairs as positives for a full contrastive set.
+
+    Scale shape: ZERO shuffles beyond the 1-row corpus count that
+    broadcasts into the map stage — no global rank, no join, no RNG
+    state; reruns and retried tasks produce identical pairs (the
+    seeded-hash property every reproducible training pipeline needs).
+    Precondition: doc_ids dense 0..N-1 (the fixtures' layout, asserted
+    in tests; sparse id spaces need one rank pass first)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    ks = F.explode(F.sequence(F.lit(0), F.lit(NEG_SAMPLES_K - 1))).alias("k0")
+    return (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_docs", ks)
+        .select("doc_id", "n_docs", F.col("k0").cast("bigint").alias("k"))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "k",
+            (
+                (F.col("doc_id") + 1 + F.expr(_NEG_HASH) % (F.col("n_docs") - 1))
+                % F.col("n_docs")
+            ).alias("neg_id"),
+        )
+    )

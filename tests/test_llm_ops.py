@@ -381,3 +381,26 @@ def test_classifier_and_pps_degenerate_inputs(spark):
     again = {r.doc_id: r for r in llm_text.sample_weighted_pps(spark, SF_SMOKE).collect()}
     assert qs.keys() == again.keys()
     assert all(0 < r.inclusion_ppm <= 1_000_000 for r in qs.values())
+
+
+def test_negative_sampling_preconditions(spark):
+    """The modular-shift sampler requires dense 0..N-1 doc_ids (its
+    documented precondition — true of every fixture SF) and must never
+    emit a negative equal to its anchor or outside the id space."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        lo, hi, n = duckdb.connect().execute(
+            f"SELECT min(doc_id), max(doc_id), count(*) FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()
+        assert (lo, hi) == (0, n - 1), (sf, lo, hi, n)
+    from kinesis2sse_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_negative_sampling"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_docs = 500
+    assert len(rows) == n_docs * 4
+    for r in rows:
+        assert 0 <= r["neg_id"] < n_docs
+        assert r["neg_id"] != r["anchor_id"]

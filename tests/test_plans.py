@@ -383,3 +383,32 @@ def test_triangles_oriented_cached_three_reads(spark):
     third time."""
     plan = _plan(spark, "graph_triangle_count")
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_pit_join_has_no_join_operator(spark):
+    """The point-in-time SCD2 join executes as the union-sort rewrite:
+    zero Join operators anywhere in the plan — versions and probes
+    shuffle together once per the window partitioning."""
+    plan = _plan(spark, "join_scd2_point_in_time")
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_negative_sampling_zero_shuffle(spark):
+    """Negative sampling is a pure map stage: the only exchange is the
+    1-row corpus count that broadcasts in; the corpus itself never
+    hash-partitions and nothing joins beyond that broadcast."""
+    plan = _plan(spark, "pipeline_negative_sampling")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_equi_depth_window_is_value_domain_sized(spark):
+    """The equi-depth histogram's unpartitioned cumulative window runs
+    over the per-value count relation (below it sits the corpus-wide
+    value aggregation), never over raw rows: the SinglePartition
+    exchange must consume the HashAggregate output."""
+    plan = _plan(spark, "hist_equi_depth")
+    i_single = plan.index("Exchange SinglePartition")
+    rest = plan[i_single:]
+    assert "HashAggregate" in rest, plan
