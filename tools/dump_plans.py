@@ -55,6 +55,17 @@ SHOW = [
     "stats_dq_report",
     "sim_topk_pq",
     "sim_topk_ivfpq",
+    # round-5 (cont.): analytics/graph/retrieval additions
+    "timeseries_interpolate",
+    "timeseries_rollup_hierarchy",
+    "timeseries_anomaly_zscore",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "text_bm25_search",
+    "er_sorted_neighborhood",
+    "join_scd2_point_in_time",
+    "pipeline_negative_sampling",
+    "hist_equi_depth",
 ]
 
 
