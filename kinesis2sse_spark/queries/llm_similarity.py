@@ -992,3 +992,61 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + F.when(F.abs(x) == 127, 1).otherwise(0),
         ).alias("n_saturated"),
     )
+
+
+@register(
+    "emb_gram_matrix",
+    oracle="""
+    SELECT i.i AS i, j.j AS j,
+           CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                               * CAST(embedding[j.j + 1] AS DOUBLE)
+                               * 1000000000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000000 AS g
+    FROM embeddings,
+         LATERAL (SELECT unnest(range(len(embedding))) AS i) i,
+         LATERAL (SELECT unnest(range(len(embedding))) AS j) j
+    WHERE j.j >= i.i
+    GROUP BY i.i, j.j
+    """,
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram matrix X'X over the embedding corpus (upper
+    triangle; the matrix is symmetric) — the one-pass reduction behind
+    PCA/whitening/linear probes on embedding tables: each row
+    contributes its d(d+1)/2 upper-triangle products, the map-side
+    combiner collapses every partition to at most 2080 partial cells
+    (d=64), and the shuffle moves |partitions| x d^2/2 TINY rows no
+    matter how many vectors the corpus holds — the classic outer-
+    product-partial-sum shape that makes second-moment statistics
+    O(d^2) per partition instead of per row at 100 TB. (The d x d
+    eigensolve that follows is a driver-side numpy call on 32 KB —
+    deliberately out of engine scope.) Products are computed in DOUBLE
+    (float inputs cast exactly) and FLOOR-quantized per-row to exact
+    1e-12-scaled integers pre-sum — integer summation is order-exact,
+    and the floor ladder (not a decimal CAST, whose half-way rounding
+    MODE differs between engines — three sf0.1 cells flipped by 1e-12
+    under the cast form) pins the quantization itself. Int64 headroom:
+    |product|<=1e1 keeps per-row terms <=1e13, safe to ~1e5 rows per
+    cell at this scale; at larger corpora lower the quantization scale
+    or sum per-partition into DECIMAL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = e.select(
+        F.posexplode(F.col("embedding")).alias("i", "vi"), F.col("embedding").alias("v")
+    )
+    pairs = d.select(
+        "i",
+        F.col("vi").cast("double").alias("vid"),
+        # slice from element i+1 (1-based) to the end: j ranges over i..d-1
+        F.posexplode(F.expr("slice(v, i + 1, size(v) - i)")).alias("dj", "vj"),
+    )
+    return (
+        pairs.select(
+            F.col("i").cast("bigint").alias("i"),
+            (F.col("i") + F.col("dj")).cast("bigint").alias("j"),
+            F.floor(
+                F.col("vid") * F.col("vj").cast("double") * 1000000000000 + F.lit(0.5)
+            ).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg((F.sum("p").cast("double") / 1000000000000).alias("g"))
+    )

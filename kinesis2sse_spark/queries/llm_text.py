@@ -1256,3 +1256,103 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_id"),
         )
     )
+
+
+# support floor: low enough that the driver-scale corpus (sf0.01,
+# ~47k adjacent pairs) clears it non-degenerately, high enough that
+# rare-pair PMI noise never reaches the top-20 at bench scale
+PMI_MIN_COUNT = 20
+
+
+@register(
+    "text_cooccurrence_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+      WHERE len(t) >= 2
+    ),
+    cab AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    uni AS (
+      SELECT term, count(*) AS n_t
+      FROM toks, LATERAL (SELECT unnest(t) AS term) v
+      GROUP BY term
+    ),
+    totals AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS tp,
+             (SELECT CAST(sum(n_t) AS DOUBLE) FROM uni) AS tu
+    ),
+    scored AS (
+      SELECT cab.a, cab.b, cab.n_ab,
+             floor(ln((cab.n_ab / tp) / ((ua.n_t / tu) * (ub.n_t / tu)))
+                   * 1000000 + 0.5) / 1000000 AS pmi
+      FROM cab
+      JOIN uni ua ON ua.term = cab.a
+      JOIN uni ub ON ub.term = cab.b
+      CROSS JOIN totals
+      WHERE cab.n_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT a, b, n_ab, pmi, rnk FROM (
+      SELECT a, b, n_ab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, a, b) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs: the
+    top-20 most-associated bigrams with support >= PMI_MIN_COUNT — the
+    collocation statistic behind phrase detection and embedding-corpus
+    prep (word2vec-style pair weighting). One explode builds the
+    ordered-pair relation, one the unigram relation; both aggregate
+    with map-side combine down to vocabulary-bounded sizes, so the two
+    count joins BROADCAST (a vocabulary fits in a broadcast at any
+    corpus scale — the relation sizes are bounded by |V| and |V|^2
+    observed, not by rows). Corpus totals ride in as 1-row broadcasts;
+    PMI evaluates the identical IEEE expression both sides under the
+    floor ladder, and the support threshold filters on exact integer
+    counts, so the cut cannot drift."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            F.posexplode(F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")).alias("i", "a"),
+            toks.alias("t"),
+        )
+        .select("a", F.expr("t[i + 1]").alias("b"))
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t"))
+    )
+    totals = pairs.agg(F.count("*").cast("double").alias("tp")).crossJoin(
+        uni.agg(F.sum("n_t").cast("double").alias("tu"))
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n_t").alias("na"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n_t").alias("nb"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("tp"))
+        / ((F.col("na") / F.col("tu")) * (F.col("nb") / F.col("tu")))
+    )
+    scored = (
+        cab.where(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            (F.floor(pmi * 1000000 + F.lit(0.5)) / 1000000).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy().orderBy(F.col("pmi").desc(), "a", "b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("a", "b", "n_ab", "pmi", "rnk")
+    )
