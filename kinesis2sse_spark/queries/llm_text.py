@@ -1356,3 +1356,92 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("a", "b", "n_ab", "pmi", "rnk")
     )
+
+
+# Frozen BPE merge table (in application order), as trained offline by
+# bpe_train_merges — tokenizer APPLICATION takes a given vocab; freezing
+# it keeps the operator SF-independent and oracle-replayable.
+BPE_APPLY_RULES = (
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+)
+
+
+def _bpe_oracle_expr() -> str:
+    """Unrolled merge passes over the rule table (DuckDB list_reduce has
+    no separate-init form, so the accumulator is a list-of-symbols and
+    each element rides in as a single-symbol list)."""
+    expr = "string_split_regex(w, '')"
+    for a, b in BPE_APPLY_RULES:
+        expr = f"""list_reduce(
+          list_transform({expr}, s -> [s]),
+          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '{a}' AND x[1] = '{b}'
+                           THEN list_append(acc[1:len(acc)-1], '{a}{b}')
+                           ELSE list_concat(acc, x) END)"""
+    return expr
+
+
+@register(
+    "pipeline_bpe_encode",
+    oracle=f"""
+    WITH encs AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> {_bpe_oracle_expr()}) AS e
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(e, x -> len(x))) AS BIGINT) AS n_syms,
+           CAST(len(e) AS BIGINT) AS n_words,
+           array_to_string(e[1], '|') AS first_enc
+    FROM encs
+    """,
+)
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every word of every
+    document with a frozen BPE merge table (the output of
+    bpe_train_merges), greedy left-to-right, one pass per rule in
+    training order — the exact fold the trainer used, now applied with
+    the rules as broadcast-constant expressions. Pure JVM higher-order
+    functions: no Python, no shuffle, no join — the whole operator is
+    a map stage over the corpus scan, which is what tokenization must
+    be at 100 TB (it runs over every byte of the corpus; anything
+    beyond a scan-projection would dominate the pipeline). The oracle
+    replays the identical fold per rule (unrolled), so the encoding is
+    verified token-for-token via first_enc and count-exactly via
+    n_syms."""
+    d = load_table(spark, sf_dir, "documents")
+    empty = F.array().cast("array<string>")
+
+    def merge_pass(sym_col, a: str, b: str):
+        return F.aggregate(
+            sym_col,
+            empty,
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    def encode(w):
+        col = F.split(w, "")
+        for a, b in BPE_APPLY_RULES:
+            col = merge_pass(col, a, b)
+        return col
+
+    encs = d.select(
+        "doc_id", F.transform(F.split("text", " "), encode).alias("e")
+    )
+    return encs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("e", F.size), F.lit(0), lambda acc, x: acc + x
+        ).cast("bigint").alias("n_syms"),
+        F.size("e").cast("bigint").alias("n_words"),
+        F.concat_ws("|", F.element_at("e", 1)).alias("first_enc"),
+    )
