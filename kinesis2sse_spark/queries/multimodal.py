@@ -239,3 +239,75 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(rms_windows, schema="doc_id long, window_idx int, rms double")
+
+
+PATCH_ROW_BYTES = 32  # fake "image" width: bytes per raster row
+PATCH_SIZE = 8  # patch side length (8x8 = 64 bytes per patch)
+
+
+@register(
+    "mm_image_patches",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             ((i - 1) % {PATCH_ROW_BYTES}) // {PATCH_SIZE} AS px,
+             ((i - 1) // {PATCH_ROW_BYTES}) // {PATCH_SIZE} AS py,
+             (i - 1) // {PATCH_ROW_BYTES} AS r,
+             ascii(substring(text, CAST(i AS INT), 1)) AS byte,
+             (length(text) // {PATCH_ROW_BYTES}) // {PATCH_SIZE} * {PATCH_SIZE} AS full_rows
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    )
+    SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+           CAST(sum(byte) AS DOUBLE) / {PATCH_SIZE * PATCH_SIZE} AS mean_byte
+    FROM b
+    WHERE r < full_rows
+    GROUP BY doc_id, px, py
+    """,
+)
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch tiling over an "image" payload — the ViT-style
+    preprocessing step: the byte stream rasterizes to PATCH_ROW_BYTES-
+    wide rows, complete PATCH_SIZE x PATCH_SIZE tiles each reduce to a
+    mean intensity (a real deployment swaps the mean for a patch
+    embedding; schema and batch shape are unchanged). Vectorized numpy
+    inside mapInPandas — one reshape + axis-sum per Arrow batch, no
+    per-pixel Python — which is the only acceptable Python shape when
+    every byte of a 100 TB corpus flows through the stage. Partial
+    patches (right/bottom edges) are dropped, as tilers do. The mean
+    divides an exact integer sum by the power-of-two patch area, so
+    both engines produce the identical double with no rounding ladder
+    needed; the DuckDB oracle replays the tiling byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    # self-contained closure: pickled by value, runs without the package
+    # installed executor-side (same rationale as decode_batches above)
+    def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        W, P = 32, 8
+        out_doc, out_px, out_py, out_mean = [], [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_rows = (len(arr) // W) // P * P
+                if n_rows == 0:
+                    continue
+                grid = arr[: n_rows * W].astype(np.int64).reshape(n_rows // P, P, W // P, P)
+                means = grid.sum(axis=(1, 3)) / float(P * P)
+                for py in range(means.shape[0]):
+                    for px in range(means.shape[1]):
+                        out_doc.append(doc_id)
+                        out_px.append(px)
+                        out_py.append(py)
+                        out_mean.append(means[py, px])
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "px": out_px, "py": out_py, "mean_byte": out_mean}
+            )
+            out_doc, out_px, out_py, out_mean = [], [], [], []
+
+    return d.mapInPandas(
+        patch_batches, schema="doc_id long, px long, py long, mean_byte double"
+    )

@@ -241,3 +241,39 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           floor(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 * 1000000 + 0.5) / 1000000 AS med5
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the last 5 observations per user — the
+    robust-smoothing counterpart of window_running_agg's mean family
+    (a median shrugs off the spikes timeseries_anomaly_zscore flags).
+    An exact percentile as a FRAMED window aggregate: each frame holds
+    at most 5 values, so the per-row sort inside the frame is O(1) and
+    the whole operator costs one user_id exchange + one per-key sort,
+    identical to any other framed window. Both engines interpolate the
+    even-count frames (the first 4 rows per key) as the mean of the two
+    middle values — the same IEEE expression — and the floor ladder
+    pins the rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(med * 1000000 + F.lit(0.5)) / 1000000).alias("med5"),
+    )
