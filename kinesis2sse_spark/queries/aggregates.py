@@ -417,3 +417,70 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             -- explicit floor: DuckDB's // does not floor doubles and
+             -- CAST(double AS BIGINT) rounds, unlike Spark's floor()
+             least(5, CAST(floor(value / 100) AS BIGINT)) AS y,
+             count(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(nxy) AS DOUBLE) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS DOUBLE) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(nxy) AS DOUBLE) AS n FROM cells),
+    contrib AS (
+      SELECT CAST(floor((nxy / n) * ln((nxy / n) / ((nx / n) * (ny / n)))
+                        * 1000000000000 + 0.5) AS BIGINT) AS c
+      FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c) AS DOUBLE) / 1000000000000 AS mi
+    FROM contrib
+    """,
+)
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value band (nats) —
+    the dependence statistic feature selection and drift monitoring
+    run over column pairs. The contingency table aggregates the corpus
+    down to |X| x |Y| cells with map-side combine (30 cells here —
+    bounded by the category domains, never the corpus); the marginals
+    fold FROM the cells (rollup reuse, same identity as
+    timeseries_rollup_hierarchy), so the corpus is scanned and
+    shuffled exactly once. Per-cell contributions floor-quantize to
+    1e-12-scaled integers before the final sum (the emb_gram_matrix
+    lesson: an exact integer sum is order-independent and immune to
+    engine decimal-rounding modes), and the cell joins broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("y"),
+        )
+        .agg(F.count("*").alias("nxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("double").alias("n"))
+    pxy = F.col("nxy") / F.col("n")
+    contrib = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                pxy
+                * F.log(pxy / ((F.col("nx") / F.col("n")) * (F.col("ny") / F.col("n"))))
+                * 1000000000000
+                + F.lit(0.5)
+            ).alias("c")
+        )
+    )
+    return contrib.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        (F.sum("c").cast("double") / 1000000000000).alias("mi"),
+    )
