@@ -454,7 +454,13 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled exactly once. Per-cell contributions floor-quantize to
     1e-12-scaled integers before the final sum (the emb_gram_matrix
     lesson: an exact integer sum is order-independent and immune to
-    engine decimal-rounding modes), and the cell joins broadcast."""
+    engine decimal-rounding modes), and the cell joins broadcast. The
+    cell relation is PERSISTED: marginals, total, and the scoring join
+    all consume it — uncached, Spark re-instantiates the corpus
+    aggregation once per consumer (four corpus scans where one
+    suffices; the round-4 repeated-subtree rule)."""
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
     cells = (
         ev.groupBy(
@@ -462,6 +468,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("y"),
         )
         .agg(F.count("*").alias("nxy"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     mx = cells.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))

@@ -1280,7 +1280,7 @@ PMI_MIN_COUNT = 20
       GROUP BY term
     ),
     totals AS (
-      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS tp,
+      SELECT (SELECT CAST(sum(n_ab) AS DOUBLE) FROM cab) AS tp,
              (SELECT CAST(sum(n_t) AS DOUBLE) FROM uni) AS tu
     ),
     scored AS (
@@ -1323,13 +1323,24 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", F.expr("t[i + 1]").alias("b"))
     )
-    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    from pyspark import StorageLevel
+
+    # cab and uni are each multi-consumer (scoring join + totals fold);
+    # persisted so the corpus explodes exactly twice total, and the
+    # corpus-wide totals FOLD from the count relations (rollup reuse)
+    # instead of re-scanning the corpus
+    cab = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     uni = (
         d.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    totals = pairs.agg(F.count("*").cast("double").alias("tp")).crossJoin(
+    totals = cab.agg(F.sum("n_ab").cast("double").alias("tp")).crossJoin(
         uni.agg(F.sum("n_t").cast("double").alias("tu"))
     )
     ua = uni.select(F.col("term").alias("a"), F.col("n_t").alias("na"))

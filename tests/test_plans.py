@@ -412,3 +412,54 @@ def test_equi_depth_window_is_value_domain_sized(spark):
     i_single = plan.index("Exchange SinglePartition")
     rest = plan[i_single:]
     assert "HashAggregate" in rest, plan
+
+
+def test_bpe_encode_is_pure_map(spark):
+    """Tokenizer application must be a scan+project map stage: zero
+    exchanges, zero joins, zero aggregates, no Python in the plan."""
+    plan = _plan(spark, "pipeline_bpe_encode")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_patches_single_python_stage_no_shuffle(spark):
+    """Patch tiling: exactly one Arrow-batched Python stage directly
+    over the scan — the corpus never shuffles before or after."""
+    plan = _plan(spark, "mm_image_patches")
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_rolling_median_one_exchange_one_window(spark):
+    import re
+
+    plan = _plan(spark, "window_rolling_median")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert len(re.findall(r"\bWindow \[", plan)) == 1, plan
+
+
+def test_gram_matrix_partial_agg_single_exchange(spark):
+    """The X'X reduction must partial-aggregate map-side (pairs collapse
+    to <= d(d+1)/2 cells per partition) and shuffle once."""
+    plan = _plan(spark, "emb_gram_matrix")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_mi_cells_cached_for_all_consumers(spark):
+    """Mutual information: the contingency-cell relation is cached —
+    marginals, total, and the scoring join must all read the cache
+    instead of re-aggregating the corpus (4 consumers)."""
+    plan = _plan(spark, "stats_mutual_information")
+    # (raw parquet-mention counts are unstable: each InMemoryTableScan
+    # re-prints its cached plan's scan — the jaccard-lock lesson)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_pmi_counts_cached_totals_fold(spark):
+    """PMI: pair and unigram count relations are cached and the corpus
+    totals fold from them — the corpus explodes exactly twice (pairs +
+    unigrams), never again for totals."""
+    plan = _plan(spark, "text_cooccurrence_pmi")
+    assert plan.count("InMemoryTableScan") >= 4, plan
