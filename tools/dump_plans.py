@@ -66,6 +66,13 @@ SHOW = [
     "join_scd2_point_in_time",
     "pipeline_negative_sampling",
     "hist_equi_depth",
+    "streaming_anomaly_alert",
+    "emb_gram_matrix",
+    "text_cooccurrence_pmi",
+    "pipeline_bpe_encode",
+    "window_rolling_median",
+    "mm_image_patches",
+    "stats_mutual_information",
 ]
 
 
