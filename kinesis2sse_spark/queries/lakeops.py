@@ -589,22 +589,37 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "ts", "event_id", F.lag("value").over(w).alias("prev_value"), "value"
         )
         .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
-        .select("user_id", "ts", "event_id", F.lit(0).alias("pri"), F.col("value").alias("dim_value"))
+        .select("user_id", "ts", "event_id", F.col("value").alias("dim_value"))
     )
-    probes = e.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("pri"),
+    probes = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return point_in_time_join(versions, probes, key="user_id")
+
+
+def point_in_time_join(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Union-sort as-of join: annotate each probe row (columns ``key``,
+    ``ts``, ``event_id``) with ``dim_value`` from the latest version row
+    (same columns plus ``dim_value``) whose ts <= the probe's ts —
+    version rows win ties at equal ts (inclusive valid_from), later
+    event_id wins among same-instant versions. Probes with no preceding
+    version are dropped (inner semantics). One window, zero joins."""
+    from pyspark.sql import Window
+
+    v = versions.select(
+        key, "ts", "event_id", F.lit(0).alias("pri"), "dim_value"
+    )
+    p = probes.select(
+        key, "ts", "event_id", F.lit(1).alias("pri"),
         F.lit(None).cast("double").alias("dim_value"),
     )
     wc = (
-        Window.partitionBy("user_id")
+        Window.partitionBy(key)
         .orderBy("ts", "pri", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        versions.unionByName(probes)
-        .withColumn("carried", F.last("dim_value", ignorenulls=True).over(wc))
+    carried = v.unionByName(p).withColumn(
+        "carried", F.last("dim_value", ignorenulls=True).over(wc)
     )
     return (
         carried.where((F.col("pri") == 1) & F.col("carried").isNotNull())
-        .select("event_id", "user_id", "ts", F.col("carried").alias("dim_value"))
+        .select("event_id", key, "ts", F.col("carried").alias("dim_value"))
     )

@@ -298,3 +298,41 @@ def test_schema_evolution_merge_and_pruning(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,120)" in plan, plan[:1500]
     assert merged.where(F.col("k") >= 120).count() == 30
+
+
+def test_point_in_time_join_boundary_semantics(spark):
+    """The union-sort PIT join's tie rules, pinned on crafted frames:
+    a version taking effect AT the probe instant applies (inclusive
+    valid_from); among same-instant versions the later event_id wins
+    (zero-length interval semantics); probes before any version drop."""
+    from datetime import datetime
+
+    from kinesis2sse_spark.queries.lakeops import point_in_time_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    versions = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00:00"), 100, 10.0),
+            (1, t("2024-01-01T12:00:00"), 101, 20.0),
+            # same-instant pair: event_id 103 must shadow 102
+            (2, t("2024-01-01T09:00:00"), 102, 1.0),
+            (2, t("2024-01-01T09:00:00"), 103, 2.0),
+        ],
+        "user_id long, ts timestamp, event_id long, dim_value double",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T09:59:59"), 200),  # before first version -> dropped
+            (1, t("2024-01-01T10:00:00"), 201),  # AT version instant -> 10.0
+            (1, t("2024-01-01T11:59:59"), 202),  # between versions -> 10.0
+            (1, t("2024-01-01T12:00:00"), 203),  # at second version -> 20.0
+            (2, t("2024-01-01T09:00:00"), 204),  # same-instant pair -> later id: 2.0
+            (2, t("2024-01-02T00:00:00"), 205),  # long after -> 2.0
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        r["event_id"]: r["dim_value"]
+        for r in point_in_time_join(versions, probes, key="user_id").collect()
+    }
+    assert got == {201: 10.0, 202: 10.0, 203: 20.0, 204: 2.0, 205: 2.0}, got

@@ -404,3 +404,43 @@ def test_negative_sampling_preconditions(spark):
     for r in rows:
         assert 0 <= r["neg_id"] < n_docs
         assert r["neg_id"] != r["anchor_id"]
+
+
+def test_bpe_encode_matches_python_model(spark):
+    """The nested JVM fold must agree with a literal Python replay of
+    the same greedy one-pass-per-rule merge on every fixture document
+    (first word verified token-for-token, totals exactly)."""
+    import duckdb
+
+    from kinesis2sse_spark.queries.llm_text import BPE_APPLY_RULES
+    from kinesis2sse_spark.registry import all_queries
+
+    def merge_pass(syms, a, b):
+        out = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    def encode(word):
+        syms = list(word)
+        for a, b in BPE_APPLY_RULES:
+            syms = merge_pass(syms, a, b)
+        return syms
+
+    sf = "/root/testdata/sf0.001"
+    texts = dict(
+        duckdb.connect()
+        .execute(f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')")
+        .fetchall()
+    )
+    rows = all_queries()["pipeline_bpe_encode"](spark, sf).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        words = texts[r["doc_id"]].split(" ")
+        encs = [encode(w) for w in words]
+        assert r["n_words"] == len(words)
+        assert r["n_syms"] == sum(len(e) for e in encs), r["doc_id"]
+        assert r["first_enc"] == "|".join(encs[0]), (r["doc_id"], r["first_enc"])
