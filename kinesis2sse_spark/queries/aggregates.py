@@ -374,7 +374,7 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
                       0) AS cb
       FROM counts
     ),
-    total AS (SELECT count(*) AS n FROM events)
+    total AS (SELECT sum(c) AS n FROM counts)
     SELECT CAST(least(9, cb * 10 // n) AS BIGINT) AS bucket,
            min(value) AS lo, max(value) AS hi,
            CAST(sum(c) AS BIGINT) AS n_rows
@@ -396,13 +396,21 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     viable where a global row_number/ntile over raw rows would
     single-partition the corpus. All-integer bucket arithmetic — no FP
     rounding surface."""
+    from pyspark import StorageLevel
+
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("value").agg(F.count("*").alias("c"))
+    # counts is persisted and the grand total FOLDS from it (sum of
+    # counts) — an un-cached total would re-scan the corpus, doubling
+    # I/O at the design scale (the MI/PMI fold-totals rule)
+    counts = (
+        ev.groupBy("value").agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.select(
         "value", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
     )
-    total = ev.agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("c").alias("n"))
     return (
         cum.crossJoin(F.broadcast(total))
         .select(

@@ -191,17 +191,24 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     triangle counting feasible on skewed 100 TB graphs, where the
     naive three-way edge join explodes on hub nodes. Each triangle is
     emitted exactly once, at its orientation-minimal corner; the
-    corner unnest then spreads the count to all three vertices. The
-    oriented relation is persisted: the wedge join consumes it twice
-    and the closing-edge probe a third time."""
+    corner unnest then spreads the count to all three vertices. und,
+    deg, and the oriented relation are all persisted — each has 2-3
+    consumers and und's lineage is the whole upstream pair pipeline
+    (the round-4 repeated-subtree rule: every un-cached consumer
+    re-instantiates it)."""
     from pyspark import StorageLevel
 
     und = (
         edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
         .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))
     oriented = (
@@ -293,12 +300,21 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
     identical IEEE expression on both sides."""
     from pyspark import StorageLevel
 
+    # und and deg are persisted alongside edges_deg: deg feeds the
+    # edge annotation, the 1-row ncnt aggregate, AND the initial rank
+    # relation — un-cached, each consumer re-instantiates the whole
+    # upstream pair pipeline (round-4 repeated-subtree rule)
     und = (
         edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
         .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     edges_deg = (
         und.join(deg.select(F.col("node").alias("src"), "d"), "src")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -796,12 +796,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rn_b") > F.col("rn_a"))
             & (F.col("rn_b") <= F.col("rn_a") + ER_WINDOW),
         )
-        .where(F.levenshtein("name_a", "name_b") <= ER_MAX_DIST)
-        .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
-        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= ER_MAX_DIST)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
     )

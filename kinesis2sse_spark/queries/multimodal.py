@@ -284,10 +284,12 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # self-contained closure: pickled by value, runs without the package
     # installed executor-side (same rationale as decode_batches above)
-    def patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def patch_batches(
+        batches: Iterator[pd.DataFrame], W: int = PATCH_ROW_BYTES, P: int = PATCH_SIZE
+    ) -> Iterator[pd.DataFrame]:
+        # W/P bound as default args: the closure stays pickled by value
+        # AND tracks the module constants the oracle interpolates
         import numpy as np
-
-        W, P = 32, 8
         out_doc, out_px, out_py, out_mean = [], [], [], []
         for pdf in batches:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):

@@ -369,64 +369,26 @@ def pipeline_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_anomaly_alert",
-    oracle="""
-    WITH stats AS (
-      SELECT event_type,
-             count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(27,10))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(value * value AS DECIMAL(27,10))) AS DOUBLE) AS s2
-      FROM events GROUP BY event_type
-    ),
-    scored AS (
-      SELECT e.event_id, e.event_type, e.value,
-             (e.value - s1 / n)
-               / sqrt((s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n))
-                      / CAST(n - 1 AS DOUBLE)) AS z
-      FROM events e JOIN stats s ON e.event_type = s.event_type
-      WHERE n > 1 AND (s2 - CAST(n AS DOUBLE) * (s1 / n) * (s1 / n)) > 0
-    )
-    SELECT event_id, event_type, value,
-           floor(z * 10000 + 0.5) / 10000 AS z
-    FROM scored WHERE abs(z) > 2.5
-    """,
+from kinesis2sse_spark.queries.timeseries import (  # noqa: E402
+    ANOMALY_ZSCORE_ORACLE,
+    zscore_anomalies,
 )
+
+
+@register("streaming_anomaly_alert", oracle=ANOMALY_ZSCORE_ORACLE)
 def streaming_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online anomaly alerting — the model-broadcast scoring shape: a
-    per-type stats model is fit BATCH-side (decimal-exact sums, as in
-    timeseries_anomaly_zscore), broadcast onto the live stream as a
-    stream-static join, and each event is scored and filtered in-flight
-    with NO streaming state at all. This is how online inference runs
-    at 100 TB/day: the model is a broadcast variable refreshed between
-    restarts, the stream never shuffles and never blocks, and alert
-    latency is the micro-batch floor. The oracle is the batch replay of
-    the identical scoring — streaming and batch agree row-for-row."""
+    per-type stats model is fit BATCH-side, broadcast onto the live
+    stream as a stream-static join, and each event is scored and
+    filtered in-flight with NO streaming state at all. This is how
+    online inference runs at 100 TB/day: the model is a broadcast
+    variable refreshed between restarts, the stream never shuffles and
+    never blocks, and alert latency is the micro-batch floor. Scoring
+    math AND oracle are shared verbatim with timeseries_anomaly_zscore
+    (one helper, one SQL constant), so batch and streaming replay the
+    identical computation by construction."""
     from kinesis2sse_spark.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(27,10)")).cast("double").alias("s1"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(27,10)"))
-        .cast("double")
-        .alias("s2"),
-    )
-    s = events_stream(spark, sf_dir)
-    mean = F.col("s1") / F.col("n")
-    var = (F.col("s2") - F.col("n").cast("double") * mean * mean) / (
-        F.col("n") - 1
-    ).cast("double")
-    z = (F.col("value") - mean) / F.sqrt(var)
-    scored = (
-        s.join(F.broadcast(stats), "event_type")
-        .where((F.col("n") > 1) & (F.col("s2") - F.col("n").cast("double") * mean * mean > 0))
-        .where(F.abs(z) > 2.5)
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
-        )
-    )
+    scored = zscore_anomalies(ev, events_stream(spark, sf_dir))
     return run_to_memory(scored, _qname("alert"), "append")

@@ -393,9 +393,10 @@ def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "timeseries_anomaly_zscore",
-    oracle="""
+# Shared by the batch operator and streaming_anomaly_alert — the scoring
+# is identical by construction (one helper, one oracle), so batch and
+# streaming can never diverge.
+ANOMALY_ZSCORE_ORACLE = """
     WITH stats AS (
       SELECT event_type,
              count(*) AS n,
@@ -414,20 +415,16 @@ def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type, value,
            floor(z * 10000 + 0.5) / 10000 AS z
     FROM scored WHERE abs(z) > 2.5
-    """,
-)
-def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-score anomaly detection: events whose value sits more than
-    2.5 sample standard deviations from their event_type's mean. The
-    per-type stats aggregate map-side-combines to |types| rows and then
-    BROADCASTS back onto the corpus scan — the corpus itself never
-    shuffles, which is the only viable shape when the corpus is 100 TB
-    and the dimension is five rows. Mean/variance derive from exact
-    per-row-DECIMAL sums (registry ladder step 3), so both engines
-    score the identical IEEE z and the 2.5 cut can never straddle an
-    engine-rounding boundary."""
-    ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
+"""
+
+
+def zscore_anomalies(stats_source: DataFrame, scored_source: DataFrame) -> DataFrame:
+    """Per-type z-score anomaly filter: fit decimal-exact stats on
+    ``stats_source`` (batch), broadcast them onto ``scored_source``
+    (batch or stream), keep |z| > 2.5. One helper serves both the
+    batch operator and the streaming alert, so the scoring math exists
+    exactly once."""
+    stats = stats_source.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(27,10)")).cast("double").alias("s1"),
         F.sum((F.col("value") * F.col("value")).cast("decimal(27,10)"))
@@ -440,7 +437,7 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     z = (F.col("value") - mean) / F.sqrt(var)
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        scored_source.join(F.broadcast(stats), "event_type")
         .where((F.col("n") > 1) & (F.col("s2") - F.col("n").cast("double") * mean * mean > 0))
         .where(F.abs(z) > 2.5)
         .select(
@@ -450,6 +447,22 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 10000 + F.lit(0.5)) / 10000).alias("z"),
         )
     )
+
+
+@register("timeseries_anomaly_zscore", oracle=ANOMALY_ZSCORE_ORACLE)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits more than
+    2.5 sample standard deviations from their event_type's mean. The
+    per-type stats aggregate map-side-combines to |types| rows and then
+    BROADCASTS back onto the corpus scan — the corpus itself never
+    shuffles, which is the only viable shape when the corpus is 100 TB
+    and the dimension is five rows. Mean/variance derive from exact
+    per-row-DECIMAL sums (registry ladder step 3), so both engines
+    score the identical IEEE z and the 2.5 cut can never straddle an
+    engine-rounding boundary. Scoring lives in zscore_anomalies, shared
+    with streaming_anomaly_alert."""
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_anomalies(ev, ev)
 
 
 _FUNNEL_ORACLE = """
