@@ -602,24 +602,83 @@ def point_in_time_join(versions: DataFrame, probes: DataFrame, key: str) -> Data
     version rows win ties at equal ts (inclusive valid_from), later
     event_id wins among same-instant versions. Probes with no preceding
     version are dropped (inner semantics). One window, zero joins."""
+    return _pit_carried(versions, probes, key).select(
+        "event_id", key, "ts", F.col("carried").alias("dim_value")
+    )
+
+
+def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Shared union-sort core: probe rows annotated with the carried
+    version value AND the carrying version's ts (for tolerance
+    variants)."""
     from pyspark.sql import Window
 
     v = versions.select(
-        key, "ts", "event_id", F.lit(0).alias("pri"), "dim_value"
+        key, "ts", "event_id", F.lit(0).alias("pri"), "dim_value",
+        F.col("ts").alias("vts"),
     )
     p = probes.select(
         key, "ts", "event_id", F.lit(1).alias("pri"),
         F.lit(None).cast("double").alias("dim_value"),
+        F.lit(None).cast("timestamp").alias("vts"),
     )
     wc = (
         Window.partitionBy(key)
         .orderBy("ts", "pri", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = v.unionByName(p).withColumn(
-        "carried", F.last("dim_value", ignorenulls=True).over(wc)
-    )
     return (
-        carried.where((F.col("pri") == 1) & F.col("carried").isNotNull())
-        .select("event_id", key, "ts", F.col("carried").alias("dim_value"))
+        v.unionByName(p)
+        .withColumn("carried", F.last("dim_value", ignorenulls=True).over(wc))
+        .withColumn("carried_ts", F.last("vts", ignorenulls=True).over(wc))
+        .where((F.col("pri") == 1) & F.col("carried").isNotNull())
     )
+
+
+_ASOF_TOL_ORACLE = """
+    WITH versions AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), probes AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ), matched AS (
+      -- argmax via row_number: DuckDB's max_by lacks struct keys (same
+      -- rewrite as the agg_min_max_by oracle)
+      SELECT event_id, user_id, ts, dim_value, vts FROM (
+        SELECT p.event_id, p.user_id, p.ts, v.value AS dim_value, v.ts AS vts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        FROM probes p
+        JOIN versions v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+      ) WHERE rn = 1
+    )
+    SELECT event_id, user_id, ts, dim_value
+    FROM matched
+    WHERE ts - vts <= INTERVAL 2 DAY
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas merge_asof(tolerance=)
+    semantics): each view event takes the latest preceding purchase
+    value, but only if that version is at most 2 days old — stale
+    matches drop rather than silently serving outdated state, the
+    contract feature stores enforce at serving time. Same union-sort
+    core as the PIT join (the carried version's OWN timestamp rides
+    along in the window), so the tolerance costs one extra carried
+    column, not a join: still zero join operators, one shuffle. The
+    oracle states the declarative per-probe-argmax + staleness filter;
+    here ties at equal ts go to the version (ts - vts = 0 <= tol), and
+    among same-instant versions the later event_id wins — matching the
+    oracle's (ts, event_id) argmax exactly."""
+    e = load_table(spark, sf_dir, "events")
+    versions = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("dim_value")
+    )
+    probes = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    carried = _pit_carried(versions, probes, key="user_id")
+    return carried.where(
+        F.col("ts") - F.col("carried_ts") <= F.expr("INTERVAL 2 DAY")
+    ).select("event_id", "user_id", "ts", F.col("carried").alias("dim_value"))

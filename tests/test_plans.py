@@ -463,3 +463,11 @@ def test_pmi_counts_cached_totals_fold(spark):
     unigrams), never again for totals."""
     plan = _plan(spark, "text_cooccurrence_pmi")
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_asof_tolerance_has_no_join_operator(spark):
+    """The tolerance-bounded as-of join rides the same union-sort core
+    as the PIT join: the staleness bound is a carried column filter,
+    never a join."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "Join" not in plan, plan
