@@ -1050,3 +1050,99 @@ def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg((F.sum("p").cast("double") / 1000000000000).alias("g"))
     )
+
+
+MMR_LAMBDA = 0.7
+MMR_SELECT = 5
+MMR_SHORTLIST = 20
+
+
+@register("sim_mmr_rerank", oracle=None)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: from each query's exact
+    top-MMR_SHORTLIST cosine shortlist, greedily select MMR_SELECT
+    results balancing relevance against redundancy
+    (score = 0.7*rel - 0.3*max_sim_to_selected) — the diversification
+    pass retrieval stacks run between ANN candidate generation and
+    serving. Two-tier shape: the shortlist comes from the broadcast
+    brute-force scan (corpus never shuffles, WindowGroupLimit prunes
+    map-side — sim_topk_bruteforce's plan), then the greedy selection
+    runs per-query in applyInPandas over 20-row groups: O(s^2 d) per
+    query on a shortlist, embarrassingly parallel across queries, and
+    the only Python in the operator touches 20 rows per query, never
+    the corpus. Deterministic: exact argmax with (score desc, id asc)
+    tie-break on IEEE doubles, no RNG — pytest replays it against an
+    independent pure-Python model (greedy selection is inherently
+    sequential, so no SQL oracle; the driver applies its rows-only
+    check)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (F.col("qnorm") * F.col("norm"))).alias("rel"),
+            "v",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "rel", "v")
+    )
+
+    # self-contained closure (pickled by value; see multimodal.py)
+    def mmr_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        lam, k = 0.7, 5
+        pdf = pdf.sort_values(["rel", "neighbor_id"], ascending=[False, True])
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        selected: list[int] = []
+        out_rows = []
+        remaining = list(range(len(ids)))
+        for rank in range(min(k, len(ids))):
+            best_i, best_score = None, None
+            for i in remaining:
+                red = max((sims[i, j] for j in selected), default=0.0)
+                score = lam * rel[i] - (1 - lam) * red
+                # strict > plus id tie-break: deterministic argmax
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and ids[i] < ids[best_i])
+                ):
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            remaining.remove(best_i)
+            out_rows.append(
+                (
+                    int(pdf["query_id"].iloc[0]),
+                    rank + 1,
+                    int(ids[best_i]),
+                    __import__("math").floor(best_score * 1e6 + 0.5) / 1e6,
+                )
+            )
+        return pd.DataFrame(
+            out_rows, columns=["query_id", "rank", "neighbor_id", "mmr_score"]
+        )
+
+    return shortlist.groupBy("query_id").applyInPandas(
+        mmr_group,
+        schema="query_id long, rank long, neighbor_id long, mmr_score double",
+    )

@@ -444,3 +444,62 @@ def test_bpe_encode_matches_python_model(spark):
         assert r["n_words"] == len(words)
         assert r["n_syms"] == sum(len(e) for e in encs), r["doc_id"]
         assert r["first_enc"] == "|".join(encs[0]), (r["doc_id"], r["first_enc"])
+
+
+def test_mmr_rerank_matches_python_model(spark):
+    """The applyInPandas greedy MMR must agree with an independent pure-
+    Python replay (shortlist build + greedy selection) — ids exactly,
+    scores to 1e-6 (the implementations sum dot products in different
+    orders, so only sub-ulp divergence is tolerated)."""
+    import math
+
+    import duckdb
+
+    from kinesis2sse_spark.queries.llm_similarity import (
+        MMR_LAMBDA,
+        MMR_SELECT,
+        MMR_SHORTLIST,
+        N_QUERIES,
+    )
+    from kinesis2sse_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {
+        vid: [float(x) for x in emb]
+        for vid, emb in duckdb.connect()
+        .execute(f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')")
+        .fetchall()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {}
+    for q in range(N_QUERIES):
+        scored = sorted(
+            ((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q), reverse=True
+        )
+        short = [(-ni, rel) for rel, ni in scored[:MMR_SHORTLIST]]
+        selected, remaining = [], list(short)
+        for rank in range(MMR_SELECT):
+            best = None
+            for i, rel in remaining:
+                red = max((cos(vecs[i], vecs[j]) for j, _ in selected), default=0.0)
+                score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * red
+                if best is None or score > best[0] or (score == best[0] and i < best[1]):
+                    best = (score, i, rel)
+            selected.append((best[1], best[2]))
+            remaining = [(i, r) for i, r in remaining if i != best[1]]
+            want[(q, rank + 1)] = (best[1], math.floor(best[0] * 1e6 + 0.5) / 1e6)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in all_queries()["sim_mmr_rerank"](spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) <= 1e-6, (k, got[k], want[k])
