@@ -499,3 +499,73 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_cells"),
         (F.sum("c").cast("double") / 1000000000000).alias("mi"),
     )
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH counts AS (
+      SELECT value,
+             count(*) FILTER (event_type = 'click') AS a,
+             count(*) FILTER (event_type = 'view') AS b
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             sum(a) OVER w AS ca, sum(b) OVER w AS cb
+      FROM counts
+      WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    tot AS (SELECT sum(a) AS na, sum(b) AS nb FROM counts)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           floor(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb))
+                 * 1000000 + 0.5) / 1000000 AS ks_d
+    FROM cum, tot
+    GROUP BY na, nb
+    """,
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions — the nonparametric drift test monitoring
+    stacks run next to PSI/MI: D = max |F_a(v) - F_b(v)| over the
+    merged support. Same histogram-of-histograms shape as
+    hist_equi_depth: the corpus aggregates once down to per-value
+    (a,b) counts, the CDF window runs over the VALUE DOMAIN (bounded,
+    never the corpus), and the sample totals fold from the cached
+    counts. The CDF fractions are exact-integer/exact-integer IEEE
+    divisions — identical on both engines — and max() over identical
+    doubles is order-free, so only the final D needs the floor
+    ladder."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    counts = (
+        ev.groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("b"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.select(
+        F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    tot = counts.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg((F.floor(F.max(diff) * 1000000 + F.lit(0.5)) / 1000000).alias("ks_d"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_d",
+        )
+    )

@@ -139,10 +139,9 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize_batch",
-    oracle="""
-    WITH flagged AS (
+# Shared by sessionize_batch and sessions_max_concurrency (the sweep
+# consumes the session intervals the final CTE defines).
+_SESSIONS_CTES = """flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
@@ -154,15 +153,17 @@ def timeseries_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(new_sess) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS BIGINT) AS session_id
       FROM flagged
-    )
-    SELECT user_id, session_id,
-           count(*) AS n_events,
-           min(ts) AS session_start,
-           max(ts) AS session_end
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-)
+    ), sess AS (
+      SELECT user_id, session_id,
+             count(*) AS n_events,
+             min(ts) AS session_start,
+             max(ts) AS session_end
+      FROM numbered
+      GROUP BY user_id, session_id
+    )"""
+
+
+@register("sessionize_batch", oracle=f"WITH {_SESSIONS_CTES} SELECT * FROM sess")
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization — the gaps-and-islands rewrite of
     `session_window` (30-minute inactivity gap): flag session starts with
@@ -633,4 +634,68 @@ def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 10)
         .select("path", "n", "rnk")
+    )
+
+
+CONC_KEY = "day"  # prefix-sum bucket = calendar day
+
+
+@register(
+    "sessions_max_concurrency",
+    oracle=f"""
+    WITH {_SESSIONS_CTES},
+    deltas AS (
+      SELECT session_start AS ts, 1 AS d, user_id, session_id FROM sess
+      UNION ALL
+      SELECT session_end, -1, user_id, session_id FROM sess
+    ),
+    run AS (
+      SELECT ts, d,
+             sum(d) OVER (ORDER BY ts, d, user_id, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM deltas
+    )
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+           CAST(max(conc) AS BIGINT) AS max_concurrent,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+    FROM run GROUP BY 1
+    """,
+)
+def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line (interval
+    stabbing) rewrite: each session contributes +1 at its start and -1
+    at its end (end exclusive: at equal ts the -1 sorts first), and
+    concurrency is the GLOBAL running sum over the merged delta
+    stream, sampled at delta instants. The global prefix sum uses the
+    two-level pattern pipeline_sequence_packing proved out: per-day
+    delta subtotals roll up in a tiny window (|days| rows), broadcast
+    back as day offsets, and the within-day running sum rides a
+    day-partitioned window — no single-partition pass over the deltas,
+    so the sweep scales to any event volume while sessions crossing
+    midnight are carried exactly by the offset chain. Max/count per
+    day then reuse the same day partitioning."""
+    sessions = sessionize_batch(spark, sf_dir)
+    starts = sessions.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("d"), "user_id", "session_id"
+    )
+    ends = sessions.select(
+        F.col("session_end").alias("ts"), F.lit(-1).alias("d"), "user_id", "session_id"
+    )
+    deltas = starts.unionByName(ends).withColumn("k", F.date_trunc("day", "ts"))
+    key_sums = deltas.groupBy("k").agg(F.sum("d").alias("kd"))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = key_sums.select(
+        "k", (F.sum("kd").over(wk) - F.col("kd")).alias("offset")
+    )
+    ww = (
+        Window.partitionBy("k")
+        .orderBy("ts", "d", "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.join(F.broadcast(offsets), "k").select(
+        "k", "d", (F.col("offset") + F.sum("d").over(ww)).alias("conc")
+    )
+    return run.groupBy(F.col("k").alias("day")).agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_starts"),
     )

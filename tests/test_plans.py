@@ -471,3 +471,12 @@ def test_asof_tolerance_has_no_join_operator(spark):
     never a join."""
     plan = _plan(spark, "join_asof_tolerance")
     assert "Join" not in plan, plan
+
+
+def test_concurrency_prefix_sum_is_two_level(spark):
+    """The sweep-line's global running sum must use the two-level
+    prefix pattern: the only SinglePartition window input is the
+    per-day subtotal aggregate, never the raw delta stream."""
+    plan = _plan(spark, "sessions_max_concurrency")
+    i_single = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[i_single:], plan
