@@ -699,3 +699,147 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("bigint").alias("max_concurrent"),
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint").alias("n_starts"),
     )
+
+
+@register(
+    "pipeline_winsorize",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           least(greatest(e.value, p.lo), p.hi) AS value_winsorized
+    FROM events e JOIN p USING (event_type)
+    """,
+)
+def pipeline_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's [p05, p95]
+    band — the outlier-taming step that precedes any mean-based
+    aggregate a spike could poison (complement of
+    timeseries_anomaly_zscore, which REPORTS the outliers). The exact
+    per-type percentile pair is a |types|-row aggregate broadcast back
+    onto the corpus scan — the filter_quality_percentile shape — so
+    the corpus never shuffles; both engines use interpolated
+    percentile_cont semantics and the thresholds round to 6 dp on both
+    sides (one-ULP interpolation differences cannot move a clip
+    boundary). The clipped value is exact arithmetic on the rounded
+    thresholds — no further ladder needed."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(p), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_winsorized"
+            ),
+        )
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "stats_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    dn AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS d,
+             n
+      FROM daily
+    ),
+    pairs AS (
+      SELECT CAST(k.k AS BIGINT) AS lag, x.n AS x, y.n AS y
+      FROM dn x, LATERAL (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS k) k
+      JOIN dn y ON y.d = x.d + k.k
+    ),
+    m AS (
+      SELECT lag, count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag,
+           CAST(np AS BIGINT) AS n_pairs,
+           floor((np * sxy - sx * sy)
+                 / sqrt((np * sxx - sx * sx) * (np * syy - sy * sy))
+                 * 1000000 + 0.5) / 1000000 AS acf
+    FROM m
+    WHERE (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+    """,
+)
+def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality probe (a weekly cycle shows as a lag-7 peak) run
+    before any forecasting or anomaly model. Two-tier shape: the
+    corpus reduces ONCE to the daily-count series (map-side combine to
+    |days| rows), and everything after — the lag alignment (an
+    integer day-number equi-join; Spark's lead() needs a foldable
+    offset), the Pearson moments, the correlation — runs on
+    that bounded relation, so the operator costs one corpus aggregate
+    regardless of event volume. Counts are exact integers in doubles
+    (< 2^53), every moment sum is over identical IEEE products in a
+    |days|-bounded window partition... with the daily relation this
+    small the cross-engine summation-order risk is confined to the
+    floor ladder on the final coefficient."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # lag alignment as an integer day-number equi-join on the tiny
+    # daily relation (Spark's lead() needs a foldable offset, so a
+    # per-lag variable lead is inexpressible as a window)
+    dn = daily.select(
+        F.datediff(F.col("day").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        "n",
+    )
+    ks = dn.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(1, ACF_MAX_LAG + 1).select(
+                F.col("id").cast("bigint").alias("lag")
+            )
+        )
+    )
+    y = dn.select(F.col("d").alias("d2"), F.col("n").alias("y"))
+    pairs = ks.join(y, F.col("d2") == F.col("d") + F.col("lag")).select(
+        "lag", F.col("n").alias("x"), "y"
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            "lag",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            (F.floor(num / F.sqrt(vx * vy) * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "acf"
+            ),
+        )
+    )
