@@ -569,3 +569,83 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d",
         )
     )
+
+
+PSI_BUCKETS = 6  # least(5, floor(value/100)) -> 6 value bands
+
+
+@register(
+    "stats_psi_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events
+    ),
+    cells AS (
+      SELECT least(5, CAST(floor(value / 100) AS BIGINT)) AS b,
+             count(*) FILTER (epoch_us(ts) < mid) AS ca,
+             count(*) FILTER (epoch_us(ts) >= mid) AS cb
+      FROM events, bounds
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    contrib AS (
+      SELECT CAST(floor(
+               ((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5)
+                - (cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5))
+               * ln(((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5))
+                    / ((cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5)))
+               * 1000000000000 + 0.5) AS BIGINT) AS c,
+             na, nb
+      FROM cells, tot
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_first,
+           CAST(max(nb) AS BIGINT) AS n_second,
+           CAST(sum(c) AS DOUBLE) / 1000000000000 AS psi
+    FROM contrib
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the time range — the third leg of the drift-monitoring trio (MI:
+    dependence, KS: distribution distance, PSI: the banded score risk
+    teams alert on, with the usual reading 0.1/0.25 thresholds). The
+    corpus aggregates ONCE into per-band (first, second) counts — the
+    time midpoint is a 1-row bounds aggregate in exact integer
+    microseconds, broadcast into the banding pass — and the PSI
+    arithmetic runs on the |bands|-row relation with Laplace-smoothed
+    fractions (empty bands contribute smoothly instead of exploding
+    the log). Contributions floor-quantize to scaled integers before
+    the sum (the gram-matrix rule)."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("bigint")
+        .alias("mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("b")
+        )
+        .agg(
+            F.count(F.when(F.unix_micros("ts") < F.col("mid"), 1)).alias("ca"),
+            F.count(F.when(F.unix_micros("ts") >= F.col("mid"), 1)).alias("cb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    sm = PSI_BUCKETS * 0.5
+    p = (F.col("ca") + 0.5) / (F.col("na") + sm)
+    q = (F.col("cb") + 0.5) / (F.col("nb") + sm)
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        F.floor((p - q) * F.log(p / q) * 1000000000000 + F.lit(0.5)).alias("c"),
+        "na",
+        "nb",
+    )
+    return contrib.agg(
+        F.max("na").cast("bigint").alias("n_first"),
+        F.max("nb").cast("bigint").alias("n_second"),
+        (F.sum("c").cast("double") / 1000000000000).alias("psi"),
+    )

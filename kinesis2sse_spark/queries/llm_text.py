@@ -1456,3 +1456,69 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("e").cast("bigint").alias("n_words"),
         F.concat_ws("|", F.element_at("e", 1)).alias("first_enc"),
     )
+
+
+@register(
+    "stats_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    wide AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+             round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+             1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS dup_fraction,
+             CAST(count(*) FILTER (lang = 'en') AS DOUBLE) / count(*) AS frac_en
+      FROM base
+    )
+    SELECT metric, floor(value * 1000000 + 0.5) / 1000000 AS value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM wide
+      UNION ALL SELECT 'total_tokens', total_tokens FROM wide
+      UNION ALL SELECT 'mean_tokens', mean_tokens FROM wide
+      UNION ALL SELECT 'p50_tokens', p50_tokens FROM wide
+      UNION ALL SELECT 'dup_fraction', dup_fraction FROM wide
+      UNION ALL SELECT 'frac_en', frac_en FROM wide
+    )
+    """,
+)
+def stats_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-page summary a training-data release ships
+    (size, token budget, central tendency, exact-duplicate rate,
+    language mix) — six metrics from ONE corpus scan: a single wide
+    aggregate row (map-side combined; the duplicate rate's exact
+    count-distinct is the only expensive term, swapped for HLL at real
+    scale) stacked into (metric, value) rows, the stats_column_profile
+    unpivot pattern. Integer-over-integer ratios and an interpolated
+    median, all under the floor ladder."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    wide = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("text").cast("double") / F.count("*")
+        ).alias("dup_fraction"),
+        (
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*")
+        ).alias("frac_en"),
+    )
+    stacked = wide.selectExpr(
+        "stack(6, 'n_docs', n_docs, 'total_tokens', total_tokens,"
+        " 'mean_tokens', mean_tokens, 'p50_tokens', p50_tokens,"
+        " 'dup_fraction', dup_fraction, 'frac_en', frac_en) AS (metric, value)"
+    )
+    return stacked.select(
+        "metric", (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value")
+    )
