@@ -1522,3 +1522,96 @@ def stats_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked.select(
         "metric", (F.floor(F.col("value") * 1000000 + F.lit(0.5)) / 1000000).alias("value")
     )
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+      WHERE len(t) >= 2
+    ),
+    cab AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    uni AS (
+      SELECT term, count(*) AS n_t
+      FROM toks, LATERAL (SELECT unnest(t) AS term) v
+      GROUP BY term
+    ),
+    vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(floor(-ln((cab.n_ab + 1.0) / (ua.n_t + v))
+                        * 1000000000000 + 0.5) AS BIGINT) AS c
+      FROM pairs p
+      JOIN cab ON cab.a = p.a AND cab.b = p.b
+      JOIN uni ua ON ua.term = p.a
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(c) AS DOUBLE) / 1000000000000 / count(*)
+                 * 1000000 + 0.5) / 1000000 AS nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the CCNet-style perplexity
+    filter: train Laplace-smoothed bigram probabilities ON the corpus,
+    score every document by its mean negative log-likelihood (low =
+    fluent/typical, high = noise — the standard cheap fluency signal
+    for LLM corpus filtering, usually thresholded downstream with
+    filter_quality_percentile). One explode builds the per-doc bigram
+    stream; the model tables (bigram counts, unigram counts, vocab
+    size) aggregate to vocabulary-bounded relations that BROADCAST
+    back onto it — at 100 TB the model is megabytes while the corpus
+    is the 100 TB, so scoring is one map-side join pass. Per-bigram
+    NLL terms floor-quantize to scaled integers before the per-doc sum
+    (the gram-matrix rule), so within-doc summation order is exact."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
+            ).alias("i", "a"),
+            toks.alias("t"),
+        )
+        .select("doc_id", "a", F.expr("t[i + 1]").alias("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    nll_term = -F.log(
+        (F.col("n_ab") + 1.0) / (F.col("n_t") + F.col("v"))
+    )
+    scored = (
+        pairs.join(F.broadcast(cab), ["a", "b"])
+        .join(F.broadcast(uni.select(F.col("term").alias("a"), "n_t")), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(nll_term * 1000000000000 + F.lit(0.5)).alias("c"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("c").cast("double") / 1000000000000 / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("nll"),
+    )
