@@ -480,3 +480,21 @@ def test_concurrency_prefix_sum_is_two_level(spark):
     plan = _plan(spark, "sessions_max_concurrency")
     i_single = plan.index("Exchange SinglePartition")
     assert "HashAggregate" in plan[i_single:], plan
+
+
+def test_psi_cells_cached(spark):
+    """PSI: the banded half-count relation is cached — totals and the
+    contribution pass both read the cache, one corpus aggregate."""
+    plan = _plan(spark, "stats_psi_drift")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_perplexity_model_broadcasts_onto_cached_stream(spark):
+    """Bigram-LM scoring: the bigram stream and unigram table are
+    cached (model build + scoring both consume each), and every model
+    join is a broadcast — the corpus-sized stream never shuffles for
+    scoring."""
+    plan = _plan(spark, "text_perplexity_bigram")
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -73,6 +73,15 @@ SHOW = [
     "window_rolling_median",
     "mm_image_patches",
     "stats_mutual_information",
+    "join_asof_tolerance",
+    "stats_ks_test",
+    "sessions_max_concurrency",
+    "pipeline_winsorize",
+    "stats_autocorrelation",
+    "stats_psi_drift",
+    "stats_dataset_card",
+    "text_perplexity_bigram",
+    "sim_mmr_rerank",
 ]
 
 
