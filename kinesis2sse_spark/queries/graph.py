@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis2sse_spark.catalog import load_table
 from kinesis2sse_spark.queries.llm_dedup import _ORACLE_CLUSTER_CTE, JACCARD_THRESHOLD
 from kinesis2sse_spark.registry import register
 
@@ -373,3 +374,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return connected_components(pairs)
+
+
+@register(
+    "dedup_select_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    cc(node, label) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rn,
+             count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+      FROM labeled l JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS canonical_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           n_chars AS canonical_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection — the LAST step of the dedup pipeline
+    (pairs -> clusters -> keep ONE): each near-dup cluster keeps its
+    longest member (ties to the lowest doc_id), the keep-best policy
+    real pipelines use instead of keep-min-id (the longest variant
+    usually dominates its truncated near-duplicates). One broadcast-
+    joinable label relation from connected components, one join to the
+    documents metadata, one per-cluster argmax window — the window
+    partitions by cluster_id, so selection parallelizes across
+    clusters and no relation bigger than the cluster membership table
+    ever shuffles."""
+    from pyspark.sql import Window
+
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_id"),
+            "n_members",
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )

@@ -157,7 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_archive_parquet",
     "pipeline_lake_compaction",
     "dedup_incremental_probe",
-    # The 26 operators added AFTER the round-5 window was finalized
+    # The 27 operators added AFTER the round-5 window was finalized
     # (timeseries interpolate/rollup-hierarchy/anomaly, graph triangles
     # + pagerank, BM25, sorted-neighborhood ER, PIT SCD2 join, negative
     # sampling, equi-depth histogram, streaming anomaly alert, gram
