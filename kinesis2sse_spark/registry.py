@@ -158,15 +158,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_lake_compaction",
     "dedup_incremental_probe",
     # The 27 operators added AFTER the round-5 window was finalized
-    # (timeseries interpolate/rollup-hierarchy/anomaly, graph triangles
-    # + pagerank, BM25, sorted-neighborhood ER, PIT SCD2 join, negative
-    # sampling, equi-depth histogram, streaming anomaly alert, gram
-    # matrix, PMI, BPE encode, rolling median, patch tiling, mutual
+    # (timeseries interpolate/rollup-hierarchy/anomaly/winsorize/ACF,
+    # graph triangles + pagerank + canonical selection, BM25, PMI, BPE
+    # encode, bigram-LM perplexity, dataset card, sorted-neighborhood
+    # ER, PIT SCD2 join + tolerance as-of, negative sampling,
+    # equi-depth histogram, KS + PSI drift, sweep-line concurrency,
+    # gram matrix, MMR, patch tiling, streaming anomaly alert, mutual
     # information) are NOT listed: the window is full at 50 and every
-    # listed entry is needed for the every-query-has-a-row goal. Being
-    # never-checked, _ordered() fronts them automatically in round 6;
-    # interim evidence is the repo's identical sf0.01 gate plus the
-    # committed sf0.1 sweep artifact.
+    # listed entry is needed for the every-query-has-a-row goal.
+    # Round-6 handoff is AUTOMATIC: once the r05 CORRECTNESS file
+    # lands, every name below is checked, the list is SPENT, and
+    # _ordered() fronts the never-checked 27 without any edit (see
+    # _ordered's spent-list rule). Interim evidence for the 27 is the
+    # repo's identical sf0.01 gate plus the committed sf0.1 sweep
+    # artifact.
 )
 
 
@@ -190,19 +195,26 @@ def _checked_names() -> set[str]:
 
 
 def _ordered() -> list[str]:
-    """Driver window ordering, SELF-ROTATING: DRIVER_PRIORITY entries
-    always lead, in manual order, EXEMPT from rotate-to-back — that is
-    how a fixed-red query (which has a past row) re-earns a driver row.
-    Behind them, the rest of the registry splits never-checked-first
-    (no CORRECTNESS row in any past round), so even if a round forgets
-    to update DRIVER_PRIORITY, the unchecked backlog still flows into
-    the driver's 50-query window automatically."""
+    """Driver window ordering, SELF-ROTATING. While DRIVER_PRIORITY
+    still contains an UNCHECKED name, the whole manual list leads in
+    manual order, EXEMPT from rotate-to-back — that is how a fixed-red
+    query (which has a past row) re-earns a driver row in the round
+    that listed it. Once EVERY listed name has a CORRECTNESS row (the
+    round the list was curated for has run), the list is SPENT and
+    stops fronting: a stale manual list must never pin the window to
+    re-checking the same 50 while a never-checked backlog waits — the
+    failure mode a forgotten between-rounds edit would otherwise cause.
+    Behind the active list (or from the top, once spent) the registry
+    splits never-checked-first, then already-checked in registration
+    order."""
     checked = _checked_names()
     pri = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
-    seen = set(pri)
+    spent = all(n in checked for n in pri)
+    lead = [] if spent else pri
+    seen = set(lead)
     rest = [n for n in _REGISTRY if n not in seen]
     return (
-        pri
+        lead
         + [n for n in rest if n not in checked]
         + [n for n in rest if n in checked]
     )

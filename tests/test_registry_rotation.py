@@ -1,8 +1,9 @@
-"""Driver-window self-rotation: DRIVER_PRIORITY always leads the
-window (exempt from rotate-to-back, so fixed-red queries can re-earn a
-driver row), and behind it every query with no CORRECTNESS row in any
-past round sorts ahead of every already-checked one — so a round that
-forgets to update DRIVER_PRIORITY still earns new driver evidence
+"""Driver-window self-rotation: while DRIVER_PRIORITY contains an
+unchecked name the whole list leads the window (exempt from
+rotate-to-back, so fixed-red queries can re-earn a driver row in the
+round that listed them); once EVERY listed name has a driver row the
+list is SPENT and never-checked-first rotation takes over — so a round
+that forgets to update DRIVER_PRIORITY still earns new driver evidence
 instead of re-checking the same 50 forever.
 
 These tests assert the ordering INVARIANT, not a frozen snapshot of a
@@ -16,31 +17,57 @@ from kinesis2sse_spark import registry
 
 
 def test_priority_entries_lead_the_window_in_manual_order():
-    names = list(registry.all_queries())
-    pri = [n for n in registry.DRIVER_PRIORITY if n in names]
+    # as long as at least one listed name is unchecked, DRIVER_PRIORITY
+    # fronts the ordering verbatim (true in the working tree until the
+    # r05 CORRECTNESS file lands; the monkeypatched variants below pin
+    # both sides of the spent transition)
+    registry._ensure_loaded()
+    pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
     assert pri, "DRIVER_PRIORITY should name registered queries"
-    # DRIVER_PRIORITY fronts the ordering verbatim, regardless of
-    # which rounds have already checked its members
+    checked = registry._checked_names()
+    if all(n in checked for n in pri):
+        return  # list already spent on this checkout — covered below
+    names = list(registry.all_queries())
     assert names[: len(pri)] == pri
 
 
-def test_priority_is_exempt_from_rotate_to_back(monkeypatch):
-    # even when EVERY priority entry already has a driver row, the
-    # manual list still leads — that is how a fixed-red query gets
-    # re-proved instead of rotating behind a 50+ unchecked backlog
-    fake_checked = registry._checked_names() | set(registry.DRIVER_PRIORITY)
+def test_priority_is_exempt_from_rotate_to_back_while_active(monkeypatch):
+    # with at least ONE listed name unchecked, the whole manual list
+    # still leads even though most members have rows — that is how a
+    # fixed-red query gets re-proved instead of rotating behind a 50+
+    # unchecked backlog
+    registry._ensure_loaded()
+    pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
+    fake_checked = (registry._checked_names() | set(pri)) - {pri[-1]}
     monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
     names = list(registry.all_queries())
-    pri = [n for n in registry.DRIVER_PRIORITY if n in names]
     assert names[: len(pri)] == pri
+
+
+def test_spent_priority_hands_over_to_never_checked(monkeypatch):
+    # once EVERY listed name has a driver row (the list's round has
+    # run), the list stops fronting: the never-checked backlog leads
+    # and the formerly-pinned names rotate to the back with the rest
+    # of the checked registry — no between-rounds edit required
+    registry._ensure_loaded()
+    pri = set(n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY)
+    fake_checked = registry._checked_names() | pri
+    monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
+    names = list(registry.all_queries())
+    never = [n for n in names if n not in fake_checked]
+    assert never, "test needs at least one never-checked query"
+    assert names[: len(never)] == never
+    assert set(names[: len(never)]) & pri == set()
 
 
 def test_never_checked_sort_ahead_of_checked_behind_priority(monkeypatch):
-    fake_checked = registry._checked_names() | set(registry.DRIVER_PRIORITY)
+    registry._ensure_loaded()
+    pri_list = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
+    # keep the list ACTIVE (one unchecked member) so it still fronts
+    fake_checked = (registry._checked_names() | set(pri_list)) - {pri_list[0]}
     monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
     names = list(registry.all_queries())
-    pri = set(n for n in registry.DRIVER_PRIORITY if n in names)
-    rest = [n for n in names if n not in pri]
+    rest = [n for n in names if n not in set(pri_list)]
     never = [n for n in rest if n not in fake_checked]
     checked = [n for n in rest if n in fake_checked]
     # behind the manual list: the whole never-checked backlog, then
