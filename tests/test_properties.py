@@ -187,3 +187,88 @@ def test_zorder_spark_matches_python_model(spark):
     for r in both:
         expect = _z_py(r.x, r.y)
         assert r.z_col == expect and r.z_sql == expect, (r.x, r.y)
+
+
+def test_ks_statistic_matches_bruteforce_model(spark):
+    """The engine-side two-sample KS (CDF window over merged distinct
+    values) must equal the textbook definition — max over ALL x of
+    |F_a(x) - F_b(x)| — computed brute-force on random samples with
+    heavy ties (ties are exactly where an evaluation-point mistake
+    shows)."""
+    import math
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xD15C0)
+    for trial in range(3):
+        a = [round(rng.uniform(0, 5), 1) for _ in range(60)]
+        b = [round(rng.uniform(1, 6), 1) for _ in range(45)]
+        support = sorted(set(a) | set(b))
+        want = max(
+            abs(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b)
+            )
+            for v in support
+        )
+        rows = [(x, "click") for x in a] + [(x, "view") for x in b]
+        df = spark.createDataFrame(rows, "value double, event_type string")
+        counts = df.groupBy("value").agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+        )
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = counts.select(
+            F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+        )
+        got = cum.agg(
+            F.max(
+                F.abs(
+                    F.col("fa").cast("double") / len(a)
+                    - F.col("fb").cast("double") / len(b)
+                )
+            )
+        ).first()[0]
+        assert math.isclose(got, want, abs_tol=1e-12), (trial, got, want)
+
+
+def test_point_in_time_join_matches_bruteforce_model(spark):
+    """The union-sort PIT join must agree with a brute-force per-probe
+    argmax over random version/probe sets — including colliding
+    timestamps, where the tie rules live."""
+    import random
+    from datetime import datetime, timedelta
+
+    from kinesis2sse_spark.queries.lakeops import point_in_time_join
+
+    rng = random.Random(0xA50F)
+    base = datetime(2024, 3, 1)
+    # coarse second-grid timestamps force plenty of exact collisions
+    versions = [
+        (rng.randrange(4), base + timedelta(seconds=rng.randrange(30)), 1000 + i, float(i))
+        for i in range(40)
+    ]
+    probes = [
+        (rng.randrange(4), base + timedelta(seconds=rng.randrange(30)), 2000 + i)
+        for i in range(60)
+    ]
+    want = {}
+    for key, pts, pid in probes:
+        cands = [
+            (ts, eid, val)
+            for (k, ts, eid, val) in versions
+            if k == key and ts <= pts
+        ]
+        if cands:
+            want[pid] = max(cands)[2]
+    vdf = spark.createDataFrame(
+        versions, "user_id long, ts timestamp, event_id long, dim_value double"
+    )
+    pdf = spark.createDataFrame(probes, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["dim_value"]
+        for r in point_in_time_join(vdf, pdf, key="user_id").collect()
+    }
+    assert got == want, (got, want)
