@@ -392,3 +392,53 @@ def streaming_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     scored = zscore_anomalies(ev, events_stream(spark, sf_dir))
     return run_to_memory(scored, _qname("alert"), "append")
+
+
+from kinesis2sse_spark.queries.lakeops import _PIT_ORACLE  # noqa: E402
+
+
+@register("streaming_pit_enrich", oracle=_PIT_ORACLE)
+def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature enrichment ON THE STREAM — the feature-
+    store online path: the SCD2 dimension (purchase-value history,
+    built batch-side exactly as pipeline_scd2_intervals does) is
+    broadcast onto the live view stream as a stream-static join whose
+    condition is the interval containment valid_from <= ts < valid_to,
+    so every in-flight event picks the feature version that was
+    current AT ITS OWN timestamp — never a later leak, the PIT
+    correctness property training/serving skew audits demand. Zero
+    streaming state; per-event latency is the micro-batch floor. The
+    oracle is the SAME declarative SQL as the batch join_scd2_point_in
+    _time — stream and batch provably produce identical enrichment
+    (the interval join is fine HERE because the dim is the broadcast
+    side; the batch operator's union-sort rewrite is for when both
+    sides are corpus-sized)."""
+    from pyspark.sql import Window
+
+    from kinesis2sse_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.lag("value").over(w).alias("prev_value"), "value",
+        )
+        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+        )
+    )
+    s = events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    joined = s.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "ts", "dim_value")
+    return run_to_memory(joined, _qname("pit"), "append")

@@ -157,13 +157,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_archive_parquet",
     "pipeline_lake_compaction",
     "dedup_incremental_probe",
-    # The 27 operators added AFTER the round-5 window was finalized
+    # The 28 operators added AFTER the round-5 window was finalized
     # (timeseries interpolate/rollup-hierarchy/anomaly/winsorize/ACF,
     # graph triangles + pagerank + canonical selection, BM25, PMI, BPE
     # encode, bigram-LM perplexity, dataset card, sorted-neighborhood
     # ER, PIT SCD2 join + tolerance as-of, negative sampling,
     # equi-depth histogram, KS + PSI drift, sweep-line concurrency,
-    # gram matrix, MMR, patch tiling, streaming anomaly alert, mutual
+    # gram matrix, MMR, patch tiling, streaming anomaly alert + PIT enrich, mutual
     # information) are NOT listed: the window is full at 50 and every
     # listed entry is needed for the every-query-has-a-row goal.
     # Round-6 handoff is AUTOMATIC: once the r05 CORRECTNESS file
