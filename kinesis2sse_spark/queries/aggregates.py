@@ -649,3 +649,83 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_second"),
         (F.sum("c").cast("double") / 1000000000000).alias("psi"),
     )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x,
+             least(5, CAST(floor(value / 100) AS BIGINT)) AS y,
+             CAST(count(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, sum(o) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, sum(o) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT sum(o) AS n,
+                   CAST(count(DISTINCT x) AS DOUBLE) AS r,
+                   CAST(count(DISTINCT y) AS DOUBLE) AS c
+            FROM cells),
+    chi AS (
+      SELECT CAST(floor((o - nx * ny / n) * (o - nx * ny / n) / (nx * ny / n)
+                        * 1000000000000 + 0.5) AS BIGINT) AS t,
+             n, r, c
+      FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           floor(sqrt((CAST(sum(t) AS DOUBLE) / 1000000000000)
+                      / (max(n) * least(max(r) - 1, max(c) - 1)))
+                 * 1000000 + 0.5) / 1000000 AS cramers_v
+    FROM chi
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V between event type and value band — the bounded
+    [0,1] association coefficient EDA dashboards report next to the
+    raw chi-square (and the categorical sibling of
+    stats_mutual_information, same one-corpus-shuffle contingency
+    shape): expected counts from the marginals, chi-square terms
+    floor-quantized to scaled integers pre-sum, normalized by
+    n*min(r-1, c-1). Marginals and totals fold from the persisted
+    cell relation — one corpus aggregation total."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.col("event_type").alias("x"),
+            F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("y"),
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mx = cells.groupBy("x").agg(F.sum("o").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("o").alias("ny"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("x").cast("double").alias("r"),
+        F.count_distinct("y").cast("double").alias("c"),
+    )
+    exp = F.col("nx") * F.col("ny") / F.col("n")
+    chi = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("o") - exp) * (F.col("o") - exp) / exp * 1000000000000
+                + F.lit(0.5)
+            ).alias("t"),
+            "n",
+            "r",
+            "c",
+        )
+    )
+    v = F.sqrt(
+        (F.sum("t").cast("double") / 1000000000000)
+        / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+    )
+    return chi.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("cramers_v"),
+    )

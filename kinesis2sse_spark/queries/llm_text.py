@@ -1615,3 +1615,77 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("nll"),
     )
+
+
+# Same overflow-safe multiplicative hash family as SPLIT_HASH, keyed on
+# doc_id alone: the within-band shuffle key.
+CURRICULUM_SHUFFLE = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    counts AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY n_tokens),
+    cum AS (
+      SELECT n_tokens, c,
+             coalesce(sum(c) OVER (ORDER BY n_tokens
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cb
+      FROM counts
+    ),
+    total AS (SELECT sum(c) AS n FROM counts),
+    bands AS (
+      SELECT n_tokens, CAST(least(9, cb * 10 // n) AS BIGINT) AS band
+      FROM cum, total
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, b.band,
+           ({CURRICULUM_SHUFFLE}) AS shuffle_key
+    FROM t JOIN bands b USING (n_tokens)
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: every document gets its
+    difficulty band (token-count decile — short/easy first) and a
+    deterministic within-band shuffle key, so the training loader
+    reads `ORDER BY band, shuffle_key` — monotone difficulty with
+    decorrelated content inside each band, reproducible under task
+    retry (seeded hash, no RNG). The decile assignment reuses the
+    equi-depth histogram-of-histograms rewrite (the cumulative window
+    runs over the token-count DOMAIN, never the corpus), the band
+    table broadcasts back onto the corpus scan, and the actual
+    ordering is a write-side repartitionByRange + sortWithinPartitions
+    — the engine emits the KEYS; no global sort ever materializes in
+    the query."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        t.groupBy("n_tokens").agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
+    cum = counts.select(
+        "n_tokens", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
+    )
+    total = counts.agg(F.sum("c").alias("n"))
+    bands = cum.crossJoin(F.broadcast(total)).select(
+        "n_tokens",
+        F.expr("CAST(least(9, (cb * 10) div n) AS BIGINT)").alias("band"),
+    )
+    return t.join(F.broadcast(bands), "n_tokens").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "band",
+        F.expr(CURRICULUM_SHUFFLE).alias("shuffle_key"),
+    )

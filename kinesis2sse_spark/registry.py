@@ -157,7 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_archive_parquet",
     "pipeline_lake_compaction",
     "dedup_incremental_probe",
-    # The 28 operators added AFTER the round-5 window was finalized
+    # The 30 operators added AFTER the round-5 window was finalized
     # (timeseries interpolate/rollup-hierarchy/anomaly/winsorize/ACF,
     # graph triangles + pagerank + canonical selection, BM25, PMI, BPE
     # encode, bigram-LM perplexity, dataset card, sorted-neighborhood
