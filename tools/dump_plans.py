@@ -82,6 +82,9 @@ SHOW = [
     "stats_dataset_card",
     "text_perplexity_bigram",
     "sim_mmr_rerank",
+    "dedup_select_canonical",
+    "stats_cramers_v",
+    "pipeline_curriculum_order",
 ]
 
 
