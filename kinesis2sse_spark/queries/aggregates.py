@@ -508,7 +508,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value,
              count(*) FILTER (event_type = 'click') AS a,
              count(*) FILTER (event_type = 'view') AS b
-      FROM events WHERE event_type IN ('click', 'view')
+      FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
       GROUP BY value
     ),
     cum AS (
@@ -536,11 +536,14 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. The CDF fractions are exact-integer/exact-integer IEEE
     divisions — identical on both engines — and max() over identical
     doubles is order-free, so only the final D needs the floor
-    ladder."""
+    ladder. NULL values are filtered explicitly on BOTH sides: Spark's
+    ascending window orders NULLs first while DuckDB defaults to NULLS
+    LAST, so an unfiltered NULL bucket would enter the running CDF
+    sums at opposite ends and shift every intermediate |F_a - F_b|."""
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("click", "view")
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
     )
     counts = (
         ev.groupBy("value")

@@ -579,20 +579,29 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the probe instant applies, matching valid_from <= ts; a
     same-instant version pair collapses to the later event_id, exactly
     the zero-length interval the declarative form produces."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return point_in_time_join(scd2_versions(e), probes, key="user_id")
+
+
+def scd2_versions(events: DataFrame) -> DataFrame:
+    """Compressed SCD2 version rows of the purchase-value history:
+    (user_id, ts, event_id, dim_value), consecutive equal values
+    collapsed to their first row. ONE definition shared by the batch
+    PIT join and the streaming enrichment (streaming_queries.py
+    derives valid_from/valid_to intervals from it) so a tie-break or
+    compression change can never desync the two paths."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    versions = (
-        e.where(F.col("event_type") == "purchase")
+    return (
+        events.where(F.col("event_type") == "purchase")
         .select(
             "user_id", "ts", "event_id", F.lag("value").over(w).alias("prev_value"), "value"
         )
         .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
         .select("user_id", "ts", "event_id", F.col("value").alias("dim_value"))
     )
-    probes = e.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    return point_in_time_join(versions, probes, key="user_id")
 
 
 def point_in_time_join(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
@@ -610,17 +619,22 @@ def point_in_time_join(versions: DataFrame, probes: DataFrame, key: str) -> Data
 def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     """Shared union-sort core: probe rows annotated with the carried
     version value AND the carrying version's ts (for tolerance
-    variants)."""
+    variants). The (vts, dim_value) pair rides in ONE struct so a
+    version row whose dim_value is NULL still advances the carry —
+    value and timestamp can never desync (a split last(value)/last(ts)
+    pair would skip the NULL value but take its timestamp, serving a
+    stale value the tolerance check then wrongly passes)."""
     from pyspark.sql import Window
 
     v = versions.select(
-        key, "ts", "event_id", F.lit(0).alias("pri"), "dim_value",
-        F.col("ts").alias("vts"),
+        key, "ts", "event_id", F.lit(0).alias("pri"),
+        F.struct(F.col("ts").alias("vts"), F.col("dim_value")).alias("ver"),
     )
     p = probes.select(
         key, "ts", "event_id", F.lit(1).alias("pri"),
-        F.lit(None).cast("double").alias("dim_value"),
-        F.lit(None).cast("timestamp").alias("vts"),
+        F.lit(None).cast(
+            "struct<vts:timestamp,dim_value:double>"
+        ).alias("ver"),
     )
     wc = (
         Window.partitionBy(key)
@@ -629,9 +643,10 @@ def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     )
     return (
         v.unionByName(p)
-        .withColumn("carried", F.last("dim_value", ignorenulls=True).over(wc))
-        .withColumn("carried_ts", F.last("vts", ignorenulls=True).over(wc))
-        .where((F.col("pri") == 1) & F.col("carried").isNotNull())
+        .withColumn("cver", F.last("ver", ignorenulls=True).over(wc))
+        .where((F.col("pri") == 1) & F.col("cver").isNotNull())
+        .withColumn("carried", F.col("cver.dim_value"))
+        .withColumn("carried_ts", F.col("cver.vts"))
     )
 
 

@@ -1101,12 +1101,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rel", "v")
     )
 
-    # self-contained closure (pickled by value; see multimodal.py)
+    # self-contained closure (pickled by value; see multimodal.py) —
+    # the module constants bind as closure cells captured here, so the
+    # registered query can never drift from MMR_LAMBDA/MMR_SELECT
+    # (applyInPandas rejects extra default args, hence the rebind)
+    lam, k = MMR_LAMBDA, MMR_SELECT
+
     def mmr_group(pdf):
         import numpy as np
         import pandas as pd
-
-        lam, k = 0.7, 5
         pdf = pdf.sort_values(["rel", "neighbor_id"], ascending=[False, True])
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)

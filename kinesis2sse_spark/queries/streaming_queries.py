@@ -416,23 +416,15 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.lakeops import scd2_versions
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        e.where(F.col("event_type") == "purchase")
-        .select(
-            "user_id", "ts", "event_id",
-            F.lag("value").over(w).alias("prev_value"), "value",
-        )
-        .where(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
-        .select(
-            F.col("user_id").alias("d_user"),
-            F.col("value").alias("dim_value"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w2).alias("valid_to"),
-        )
+    dim = scd2_versions(e).select(
+        F.col("user_id").alias("d_user"),
+        "dim_value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
     s = events_stream(spark, sf_dir).where(F.col("event_type") == "view")
     joined = s.join(

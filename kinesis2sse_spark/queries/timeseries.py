@@ -673,15 +673,25 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-partitioned window — no single-partition pass over the deltas,
     so the sweep scales to any event volume while sessions crossing
     midnight are carried exactly by the offset chain. Max/count per
-    day then reuse the same day partitioning."""
-    sessions = sessionize_batch(spark, sf_dir)
+    day then reuse the same day partitioning. The sessions relation is
+    persisted (read twice, once per union branch) and so is the delta
+    stream (read by the day-subtotal aggregate AND the run join) — the
+    sessionize pipeline's shuffle+windows execute once, not four
+    times."""
+    from pyspark import StorageLevel
+
+    sessions = sessionize_batch(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     starts = sessions.select(
         F.col("session_start").alias("ts"), F.lit(1).alias("d"), "user_id", "session_id"
     )
     ends = sessions.select(
         F.col("session_end").alias("ts"), F.lit(-1).alias("d"), "user_id", "session_id"
     )
-    deltas = starts.unionByName(ends).withColumn("k", F.date_trunc("day", "ts"))
+    deltas = (
+        starts.unionByName(ends)
+        .withColumn("k", F.date_trunc("day", "ts"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     key_sums = deltas.groupBy("k").agg(F.sum("d").alias("kd"))
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = key_sums.select(

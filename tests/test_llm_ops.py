@@ -447,13 +447,20 @@ def test_bpe_encode_matches_python_model(spark):
 
 
 def test_mmr_rerank_matches_python_model(spark):
-    """The applyInPandas greedy MMR must agree with an independent pure-
-    Python replay (shortlist build + greedy selection) — ids exactly,
-    scores to 1e-6 (the implementations sum dot products in different
-    orders, so only sub-ulp divergence is tolerated)."""
+    """The applyInPandas greedy MMR must agree with an independent
+    replay (shortlist build + greedy selection) — ids exactly, scores
+    to 1e-6. The relevance leg of the model is a sequential pure-Python
+    sum (matching Spark's F.aggregate left fold exactly); the
+    REDUNDANCY similarities are computed in the same numpy matrix form
+    the implementation uses, because the greedy argmax compares floats
+    strictly — a different summation order could flip a near-tied pick
+    and cascade, failing the exact-id assert on two correct
+    implementations. The greedy selection logic itself stays an
+    independent re-derivation."""
     import math
 
     import duckdb
+    import numpy as np
 
     from kinesis2sse_spark.queries.llm_similarity import (
         MMR_LAMBDA,
@@ -483,11 +490,15 @@ def test_mmr_rerank_matches_python_model(spark):
             ((cos(vecs[q], v), -i) for i, v in vecs.items() if i != q), reverse=True
         )
         short = [(-ni, rel) for rel, ni in scored[:MMR_SHORTLIST]]
+        mat = np.stack([np.asarray(vecs[i], dtype=np.float64) for i, _ in short])
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        pos = {i: p for p, (i, _) in enumerate(short)}
         selected, remaining = [], list(short)
         for rank in range(MMR_SELECT):
             best = None
             for i, rel in remaining:
-                red = max((cos(vecs[i], vecs[j]) for j, _ in selected), default=0.0)
+                red = max((sims[pos[i], pos[j]] for j, _ in selected), default=0.0)
                 score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * red
                 if best is None or score > best[0] or (score == best[0] and i < best[1]):
                     best = (score, i, rel)

@@ -12,6 +12,12 @@ from tests.conftest import SF_CORRECTNESS
 
 
 def _plan(spark, name: str) -> str:
+    # clear cross-query cache state first: a persist() registered by an
+    # earlier test's query (e.g. sessions_max_concurrency caching the
+    # sessionize_batch relation) would otherwise swap this query's
+    # subtree for an InMemoryTableScan and make plan shapes
+    # order-dependent; the query's OWN persists re-register below
+    spark.catalog.clearCache()
     df = all_queries()[name](spark, SF_CORRECTNESS)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -475,11 +481,25 @@ def test_asof_tolerance_has_no_join_operator(spark):
 
 def test_concurrency_prefix_sum_is_two_level(spark):
     """The sweep-line's global running sum must use the two-level
-    prefix pattern: the only SinglePartition window input is the
-    per-day subtotal aggregate, never the raw delta stream."""
+    prefix pattern: the SinglePartition exchange is fed by the per-day
+    subtotal aggregate (keys=[k]), never the raw delta stream. The
+    walk inspects the exchange's OWN subtree (printed immediately
+    below it) — a bare 'HashAggregate somewhere after' check passes
+    even for the single-partition-over-all-deltas regression, because
+    unrelated aggregates print later in the tree."""
     plan = _plan(spark, "sessions_max_concurrency")
-    i_single = plan.index("Exchange SinglePartition")
-    assert "HashAggregate" in plan[i_single:], plan
+    assert "Exchange SinglePartition" in plan, plan
+    tail = plan[plan.index("Exchange SinglePartition"):].splitlines()
+    for line in tail[1:]:
+        if "HashAggregate" in line:
+            assert "keys=[k" in line, line
+            break
+        assert not any(s in line for s in ("InMemoryTableScan", "Union", "Scan ")), (
+            "SinglePartition exchange fed by the raw delta stream:\n"
+            + "\n".join(tail[:8])
+        )
+    else:
+        raise AssertionError(plan)
 
 
 def test_psi_cells_cached(spark):
