@@ -635,6 +635,131 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    win AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(t, i, i + {SPAN_LEN} - 1), ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_LEN} + 2)) AS i) u
+      WHERE len(t) >= {SPAN_LEN}
+    ),
+    dupw AS (SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) > 1),
+    cov AS (
+      SELECT DISTINCT win.doc_id, i + off AS pos
+      FROM win JOIN dupw USING (w),
+           LATERAL (SELECT unnest(range(0, {SPAN_LEN})) AS off) o
+    ),
+    tokpos AS (
+      SELECT doc_id, p AS pos, t[p] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) q
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.pos, tp.tok
+      FROM tokpos tp ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.pos
+    )
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.nrem, 0) AS BIGINT) AS n_removed,
+           coalesce(k.text_kept, '') AS text_kept
+    FROM toks d
+    LEFT JOIN (SELECT doc_id, count(*) AS nrem FROM cov GROUP BY doc_id) c USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_kept
+               FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE step of exact-substring dedup (Lee et al. 2022):
+    where dedup_span_fraction meters how much of a doc is duplicated,
+    this emits the scrubbed corpus — every token covered by at least
+    one SPAN_LEN-token window that also occurs verbatim in another doc
+    is cut, and the survivors rejoin in original order. This is the
+    transformation training pipelines actually apply (drop the
+    boilerplate/quote spans, keep the fresh text around them), so it
+    belongs next to the metric.
+
+    Plan — linear, never pairwise, and never per-token-quadratic: the
+    persisted window relation (same 8-byte xxhash64 keys as
+    span_fraction) aggregates to the duplicated-window set, dup
+    windows explode to their SPAN_LEN covered positions and distinct
+    down to a (doc_id, pos) coverage set, and the rebuild is a
+    LEFT ANTI join of the posexploded tokens against that set followed
+    by one doc_id groupBy that sorts (pos, tok) structs back into
+    text. Every exchange is key-bounded (window hash, (doc_id, pos),
+    doc_id) with map-side partial aggregation; a window shared by a
+    million docs costs one counter and each doc's own positions, not
+    O(df²) pairs. A two-sided HOF membership probe (exists over a
+    per-doc starts array) would have been O(n·k) per doc — the
+    anti-join shape keeps fully-duplicated documents linear."""
+    from pyspark import StorageLevel
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    docs = d.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    win = (
+        docs.filter(F.size("t") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - SPAN_LEN),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("t", i + 1, SPAN_LEN))
+                        ).alias("w"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.i", "p.w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dupw = (
+        win.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("w")
+    )
+    cov = (
+        win.join(dupw, "w")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_LEN - 1)).alias("pos"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    covn = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    tokpos = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    kept_text = (
+        tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("text_kept")
+        )
+    )
+    return (
+        docs.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(covn, "doc_id", "left")
+        .join(kept_text, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+@register(
     "dedup_incremental_probe",
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -1168,6 +1168,29 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
     return rules
 
 
+@register("pipeline_bpe_train", oracle=None)
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary INDUCTION as a registered operator: learn the
+    first 4 merge rules from the corpus with ``bpe_train_merges`` (the
+    distributed train loop — one pair-count aggregate per iteration,
+    JVM-fold re-tokenization, localCheckpoint lineage break) and emit
+    the learned merge table (rule_idx, a, b). The model comes back to
+    the driver by design — a tokenizer vocab IS a driver-sized
+    artifact, like ml_kmeans centroids — while every corpus touch
+    stays distributed. No SQL oracle: the argmax-retokenize-repeat
+    loop is an iterative algorithm outside DuckDB's declarative reach
+    (the driver applies its rows-only check); pytest pins the full
+    loop against a hand-computed model instead
+    (test_bpe_training_matches_python_model), and the frozen
+    BPE_APPLY_RULES table consumed by pipeline_bpe_encode documents
+    what a longer offline run of this operator produced."""
+    rules = bpe_train_merges(spark, sf_dir, n_merges=4)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(rules)],
+        "rule_idx bigint, a string, b string",
+    )
+
+
 # Same overflow-safe multiplicative hash as SPLIT_HASH, mapped to a
 # uniform draw in [0, 1e6) — integer arithmetic end to end, so the
 # include/exclude decision can never diverge between engines by a ulp

@@ -514,3 +514,45 @@ def test_mmr_rerank_matches_python_model(spark):
     for k in want:
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert abs(got[k][1] - want[k][1]) <= 1e-6, (k, got[k], want[k])
+
+
+def test_span_removal_matches_python_model(spark):
+    """dedup_span_removal equals a pure-Python replay of ExactSubstr
+    removal on the smoke corpus: windows of SPAN_LEN tokens occurring
+    in >1 distinct doc mark their covered positions, covered tokens
+    drop, survivors rejoin in original order."""
+    import collections
+
+    import duckdb
+
+    from kinesis2sse_spark.queries.llm_dedup import SPAN_LEN
+    from kinesis2sse_spark.registry import all_queries
+
+    docs = dict(
+        duckdb.connect()
+        .execute(f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')")
+        .fetchall()
+    )
+    win_docs = collections.defaultdict(set)
+    for did, text in docs.items():
+        t = text.split(" ")
+        for i in range(len(t) - SPAN_LEN + 1):
+            win_docs[tuple(t[i : i + SPAN_LEN])].add(did)
+    want = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        covered = set()
+        for i in range(len(t) - SPAN_LEN + 1):
+            if len(win_docs[tuple(t[i : i + SPAN_LEN])]) > 1:
+                covered.update(range(i, i + SPAN_LEN))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        want[did] = (len(t), len(covered), " ".join(kept))
+
+    rows = all_queries()["dedup_span_removal"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(want)
+    # the smoke corpus must actually exercise the removal branch
+    assert any(r["n_removed"] > 0 for r in rows)
+    for r in rows:
+        assert (r["n_tokens"], r["n_removed"], r["text_kept"]) == want[r["doc_id"]], (
+            r["doc_id"]
+        )

@@ -518,3 +518,16 @@ def test_perplexity_model_broadcasts_onto_cached_stream(spark):
     assert plan.count("InMemoryTableScan") >= 4, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_removal_is_linear_anti_join(spark):
+    """ExactSubstr removal must stay linear: the dup-window set comes
+    from the persisted window relation, the rebuild is an anti-join
+    (never a pairwise explode or nested-loop membership probe), and
+    the three shared relations (docs, windows, coverage) are cached —
+    docs and windows each feed two consumers."""
+    plan = _plan(spark, "dedup_span_removal")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
