@@ -76,6 +76,7 @@ SHOW = [
     "join_asof_tolerance",
     "stats_ks_test",
     "sessions_max_concurrency",
+    "dedup_span_removal",
     "pipeline_winsorize",
     "stats_autocorrelation",
     "stats_psi_drift",
