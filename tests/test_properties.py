@@ -272,3 +272,57 @@ def test_point_in_time_join_matches_bruteforce_model(spark):
         for r in point_in_time_join(vdf, pdf, key="user_id").collect()
     }
     assert got == want, (got, want)
+
+
+def test_span_removal_matches_bruteforce_model(spark, tmp_path):
+    """dedup_span_removal must equal the brute-force ExactSubstr-remove
+    model on random corpora engineered for collisions: a 3-word
+    vocabulary makes SPAN_LEN-windows collide constantly, and the edge
+    docs (shorter than SPAN_LEN, exactly SPAN_LEN, byte-identical
+    pair) pin the boundaries — full removal must yield an empty
+    string, short docs must pass through untouched."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.queries.llm_dedup import SPAN_LEN, dedup_span_removal
+
+    rng = random.Random(0x5BA9)
+    vocab = ["a", "b", "c"]
+    docs = {}
+    for did in range(30):
+        n = rng.randint(1, 3 * SPAN_LEN)
+        docs[did] = " ".join(rng.choice(vocab) for _ in range(n))
+    docs[30] = " ".join(vocab[0] for _ in range(SPAN_LEN))   # exactly one window
+    docs[31] = docs[30]                                      # its exact duplicate
+    docs[32] = "solo"                                        # shorter than SPAN_LEN
+
+    win_docs = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        for i in range(len(t) - SPAN_LEN + 1):
+            win_docs.setdefault(tuple(t[i : i + SPAN_LEN]), set()).add(did)
+    want = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        covered = set()
+        for i in range(len(t) - SPAN_LEN + 1):
+            if len(win_docs[tuple(t[i : i + SPAN_LEN])]) > 1:
+                covered.update(range(i, i + SPAN_LEN))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        want[did] = (len(t), len(covered), " ".join(kept))
+
+    spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    ).withColumn("n_chars", F.length("text").cast("long")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_kept"])
+        for r in dedup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the fixture must exercise both branches
+    assert want[30] == (SPAN_LEN, SPAN_LEN, "")   # fully removed
+    assert want[32] == (1, 0, "solo")             # untouched short doc
