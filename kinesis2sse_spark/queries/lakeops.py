@@ -626,6 +626,7 @@ def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     stale value the tolerance check then wrongly passes)."""
     from pyspark.sql import Window
 
+    vtype = versions.schema["dim_value"].dataType.simpleString()
     v = versions.select(
         key, "ts", "event_id", F.lit(0).alias("pri"),
         F.struct(F.col("ts").alias("vts"), F.col("dim_value")).alias("ver"),
@@ -633,7 +634,7 @@ def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     p = probes.select(
         key, "ts", "event_id", F.lit(1).alias("pri"),
         F.lit(None).cast(
-            "struct<vts:timestamp,dim_value:double>"
+            f"struct<vts:timestamp,dim_value:{vtype}>"
         ).alias("ver"),
     )
     wc = (
