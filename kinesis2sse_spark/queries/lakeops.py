@@ -627,6 +627,7 @@ def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     from pyspark.sql import Window
 
     vtype = versions.schema["dim_value"].dataType.simpleString()
+    ttype = versions.schema["ts"].dataType.simpleString()
     v = versions.select(
         key, "ts", "event_id", F.lit(0).alias("pri"),
         F.struct(F.col("ts").alias("vts"), F.col("dim_value")).alias("ver"),
@@ -634,7 +635,7 @@ def _pit_carried(versions: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     p = probes.select(
         key, "ts", "event_id", F.lit(1).alias("pri"),
         F.lit(None).cast(
-            f"struct<vts:timestamp,dim_value:{vtype}>"
+            f"struct<vts:{ttype},dim_value:{vtype}>"
         ).alias("ver"),
     )
     wc = (

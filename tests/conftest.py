@@ -89,3 +89,27 @@ def assert_matches_oracle(spark, name: str, sf_dir: str = SF_CORRECTNESS, max_di
             (a, b) for a, b in zip(s_norm, o_norm) if a != b
         ][:max_diff_show]
         raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")
+
+
+def exact_substring_removal_model(docs: dict, span_len: int) -> dict:
+    """Pure-Python ExactSubstr-remove reference shared by the smoke-
+    corpus and random-corpus tests: ONE definition of the semantics
+    (windows occurring in >1 distinct doc mark their covered
+    positions; covered tokens drop; survivors rejoin in order) so the
+    two tests can never pin contradictory models. Returns
+    {doc_id: (n_tokens, n_removed, text_kept)}."""
+    win_docs: dict = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        for i in range(len(t) - span_len + 1):
+            win_docs.setdefault(tuple(t[i : i + span_len]), set()).add(did)
+    want = {}
+    for did, text in docs.items():
+        t = text.split(" ")
+        covered: set = set()
+        for i in range(len(t) - span_len + 1):
+            if len(win_docs[tuple(t[i : i + span_len])]) > 1:
+                covered.update(range(i, i + span_len))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        want[did] = (len(t), len(covered), " ".join(kept))
+    return want

@@ -521,32 +521,18 @@ def test_span_removal_matches_python_model(spark):
     removal on the smoke corpus: windows of SPAN_LEN tokens occurring
     in >1 distinct doc mark their covered positions, covered tokens
     drop, survivors rejoin in original order."""
-    import collections
-
     import duckdb
 
     from kinesis2sse_spark.queries.llm_dedup import SPAN_LEN
     from kinesis2sse_spark.registry import all_queries
+    from tests.conftest import exact_substring_removal_model
 
     docs = dict(
         duckdb.connect()
         .execute(f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')")
         .fetchall()
     )
-    win_docs = collections.defaultdict(set)
-    for did, text in docs.items():
-        t = text.split(" ")
-        for i in range(len(t) - SPAN_LEN + 1):
-            win_docs[tuple(t[i : i + SPAN_LEN])].add(did)
-    want = {}
-    for did, text in docs.items():
-        t = text.split(" ")
-        covered = set()
-        for i in range(len(t) - SPAN_LEN + 1):
-            if len(win_docs[tuple(t[i : i + SPAN_LEN])]) > 1:
-                covered.update(range(i, i + SPAN_LEN))
-        kept = [tok for p, tok in enumerate(t) if p not in covered]
-        want[did] = (len(t), len(covered), " ".join(kept))
+    want = exact_substring_removal_model(docs, SPAN_LEN)
 
     rows = all_queries()["dedup_span_removal"](spark, SF_SMOKE).collect()
     assert len(rows) == len(want)

@@ -297,20 +297,9 @@ def test_span_removal_matches_bruteforce_model(spark, tmp_path):
     docs[31] = docs[30]                                      # its exact duplicate
     docs[32] = "solo"                                        # shorter than SPAN_LEN
 
-    win_docs = {}
-    for did, text in docs.items():
-        t = text.split(" ")
-        for i in range(len(t) - SPAN_LEN + 1):
-            win_docs.setdefault(tuple(t[i : i + SPAN_LEN]), set()).add(did)
-    want = {}
-    for did, text in docs.items():
-        t = text.split(" ")
-        covered = set()
-        for i in range(len(t) - SPAN_LEN + 1):
-            if len(win_docs[tuple(t[i : i + SPAN_LEN])]) > 1:
-                covered.update(range(i, i + SPAN_LEN))
-        kept = [tok for p, tok in enumerate(t) if p not in covered]
-        want[did] = (len(t), len(covered), " ".join(kept))
+    from tests.conftest import exact_substring_removal_model
+
+    want = exact_substring_removal_model(docs, SPAN_LEN)
 
     spark.createDataFrame(
         [(k, v) for k, v in docs.items()], "doc_id long, text string"
