@@ -438,3 +438,68 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("canonical_chars"),
         )
     )
+
+
+# Cluster-anchored split hash: identical overflow-safe multiplicative
+# scheme as llm_text.SPLIT_HASH, keyed on the cluster anchor instead of
+# the doc — the reduced anchor stays < 1e9+7, times 2654435761 stays
+# < 2.66e18 < 2^63 on both engines.
+_ANCHOR_HASH = "((anchor_id % 1000000007) * 2654435761) % 1000000007 % 100"
+
+
+@register(
+    "pipeline_split_by_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    cc(node, label) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    ),
+    anchored AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS anchor_id
+      FROM documents d LEFT JOIN labeled l USING (doc_id)
+    )
+    SELECT doc_id, anchor_id,
+           CASE WHEN {_ANCHOR_HASH} < 80 THEN 'train'
+                WHEN {_ANCHOR_HASH} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM anchored
+    """,
+)
+def pipeline_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset splitting — the FIX for what
+    pipeline_split_leakage detects: the split decision hashes the
+    near-dup CLUSTER anchor (connected-component min-label), not the
+    document, so an entire duplicate cluster lands in one split and a
+    train/test contamination pair cannot exist by construction
+    (singleton docs anchor on themselves and reduce to the plain
+    id-hash split). Same 80/10/10 integer-exact multiplicative hash as
+    pipeline_dataset_split — deterministic, seed-free, reproducible
+    under task retry.
+
+    Plan: the component labels cover only clustered docs (a tiny
+    relation vs the corpus), so the anchor assignment is ONE broadcast
+    left join onto the documents scan and the split itself is a pure
+    map expression — no corpus shuffle at all beyond what the label
+    computation already did. At 100 TB the labels come from the staged
+    dedup output (computed once per corpus version), making this
+    operator a broadcast-join + projection over any table that carries
+    doc_id."""
+    labels = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    anchored = d.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("anchor_id")
+    )
+    bucket = F.expr(_ANCHOR_HASH)
+    return anchored.select(
+        "doc_id",
+        "anchor_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -542,3 +542,36 @@ def test_span_removal_matches_python_model(spark):
         assert (r["n_tokens"], r["n_removed"], r["text_kept"]) == want[r["doc_id"]], (
             r["doc_id"]
         )
+
+
+def test_split_by_cluster_has_zero_leakage(spark):
+    """The cluster-anchored split must place BOTH endpoints of every
+    near-dup pair in the same split (the leakage pipeline_split_leakage
+    hunts for cannot exist by construction), and singleton docs must
+    reduce to the plain id-hash split."""
+    from kinesis2sse_spark.queries.llm_text import SPLIT_HASH
+    from kinesis2sse_spark.registry import all_queries
+
+    qs = all_queries()
+    splits = {
+        r["doc_id"]: (r["anchor_id"], r["split"])
+        for r in qs["pipeline_split_by_cluster"](spark, SF_SMOKE).collect()
+    }
+    pairs = qs["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    assert pairs, "smoke corpus must contain near-dup pairs"
+    for p in pairs:
+        assert splits[p["doc_a"]][1] == splits[p["doc_b"]][1], (
+            p["doc_a"], p["doc_b"])
+    clustered = {p["doc_a"] for p in pairs} | {p["doc_b"] for p in pairs}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in qs["pipeline_dataset_split"](spark, SF_SMOKE).collect()
+    }
+    singles = [d for d in splits if d not in clustered]
+    assert singles
+    for d in singles:
+        assert splits[d][0] == d
+        assert splits[d][1] == plain[d], d
+    # the corpus must exercise the interesting case: at least one
+    # clustered doc whose own-id split differs from its cluster split
+    assert any(splits[d][1] != plain[d] for d in clustered)
