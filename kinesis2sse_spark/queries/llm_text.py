@@ -1712,3 +1712,78 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.expr(CURRICULUM_SHUFFLE).alias("shuffle_key"),
     )
+
+
+HH_K = 40  # heavy-hitter threshold denominator: report freq > n/HH_K
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT term, count(*) AS cnt
+    FROM tok, tot
+    GROUP BY term, n
+    HAVING count(*) * {HH_K} > n
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent terms via the classic two-pass distributed
+    heavy-hitters algorithm: a bounded-memory Misra-Gries sketch per
+    partition proposes candidates, then ONE exact counting pass over
+    just those candidates verifies them against the freq > n/HH_K
+    bar. The MG guarantee makes the candidate union a SUPERSET of the
+    true heavy hitters (a term with global freq > n/k must exceed
+    n_p/k in at least one partition, by pigeonhole), and the verify
+    pass makes the OUTPUT exact — which is why this sketch operator
+    has a real SQL oracle while HLL/approx-distinct stay rows-only.
+
+    Scale shape: the sketch pass streams each partition once in
+    Arrow batches holding at most HH_K counters (never a per-partition
+    hashmap of the full vocabulary — the point of MG at 100 TB is that
+    a skewed token stream can't OOM a task); candidates are <= HH_K
+    per partition, so the verify pass is a broadcast semi join onto
+    the token explode plus one map-side-combined count, and the corpus
+    total folds in as a 1-row broadcast (the tfidf lesson — no eager
+    count() job). Threshold comparison is integer-exact
+    (cnt * HH_K > n) so the two engines cannot diverge by a ulp."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    k = HH_K
+
+    # self-contained closure (pickled by value; see multimodal.py)
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for t in text.split(" "):
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        for u in list(counters):
+                            counters[u] -= 1
+                            if counters[u] == 0:
+                                del counters[u]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    candidates = d.select("text").mapInPandas(mg_partition, "term string").distinct()
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("n"))
+        .select("term", "cnt")
+    )

@@ -575,3 +575,39 @@ def test_split_by_cluster_has_zero_leakage(spark):
     # the corpus must exercise the interesting case: at least one
     # clustered doc whose own-id split differs from its cluster split
     assert any(splits[d][1] != plain[d] for d in clustered)
+
+
+def test_heavy_hitters_survive_mg_eviction(spark, tmp_path, monkeypatch):
+    """The Misra-Gries candidate pass must keep every true heavy
+    hitter even when the vocabulary dwarfs its counter capacity
+    (constant eviction): a skewed corpus with 2 hot terms among 300
+    unique rare ones, k=5 counters — the verified output must equal
+    the exact freq > n/5 set, proving the candidate union stayed a
+    superset under eviction."""
+    import collections
+
+    from kinesis2sse_spark.queries import llm_text
+
+    rng_terms = []
+    for i in range(300):
+        rng_terms.append(f"rare{i}")
+    docs = []
+    for d in range(20):
+        toks = ["hot"] * 30 + ["warm"] * 12 + rng_terms[d * 15 : d * 15 + 15]
+        docs.append((d, " ".join(toks)))
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(llm_text, "HH_K", 5)
+    got = {
+        (r["term"], r["cnt"])
+        for r in llm_text.text_heavy_hitters(spark, str(tmp_path)).collect()
+    }
+    counts = collections.Counter(
+        t for _, text in docs for t in text.split(" ")
+    )
+    n = sum(counts.values())
+    want = {(t, c) for t, c in counts.items() if c * 5 > n}
+    assert want, "fixture must contain heavy hitters"
+    assert got == want
