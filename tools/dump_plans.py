@@ -77,6 +77,8 @@ SHOW = [
     "stats_ks_test",
     "sessions_max_concurrency",
     "dedup_span_removal",
+    "pipeline_split_by_cluster",
+    "text_heavy_hitters",
     "pipeline_winsorize",
     "stats_autocorrelation",
     "stats_psi_drift",
