@@ -675,8 +675,11 @@ def _pq_parts(sf_dir, spark):
 # DuckDB ≡ F.aggregate's 0.0 init in Spark — IEEE 0.0+x is exact), the
 # same argmin tie-break (struct sort on (d, k)), and the same
 # (adc, neighbor_id) / (cos, neighbor_id) rankings.
-_PQ_ORACLE = f"""
-    WITH corpus AS (
+# Shared CTE block — corpus normalize → deterministic codebook → PQ
+# encode → per-query ADC LUTs. Used verbatim by BOTH the PQ and IVF+PQ
+# oracles; their plans differ only in WHICH (query, corpus-row) pairs
+# reach the ADC scorer (PQ: all pairs; IVF+PQ: probed cells only).
+_PQ_CTES = f"""corpus AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -709,13 +712,12 @@ _PQ_ORACLE = f"""
                    (a, b) -> a + b))) AS lut
       FROM corpus, cb1
       WHERE vec_id < {N_QUERIES}
-    ), scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id, e.vn, q.qv,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list_transform(range(0, {PQ_M}), m -> q.lut[m + 1][e.code[m + 1] + 1])),
-               (a, b) -> a + b) AS adc
-      FROM encoded e JOIN queries q ON q.query_id <> e.vec_id
-    ), shortlist AS (
+    )"""
+
+# Shared ranking tail: ADC shortlist (adc ASC, neighbor_id tiebreak)
+# → exact-cosine re-rank of the top-PQ_RERANK, identical fold order and
+# tie-breaks to the Spark plans.
+_PQ_TAIL = f"""shortlist AS (
       SELECT query_id, neighbor_id, vn, qv,
              row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rn
       FROM scored
@@ -730,7 +732,54 @@ _PQ_ORACLE = f"""
                                   list_transform(range(0, {PQ_M} * {PQ_SUB}), i -> qv[i + 1] * vn[i + 1])),
                                   (a, b) -> a + b), 6) DESC, neighbor_id) AS rn2
       FROM shortlist WHERE rn <= {PQ_RERANK}
-    ) WHERE rn2 <= {TOP_K}
+    ) WHERE rn2 <= {TOP_K}"""
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_CTES}, scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.vn, q.qv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, {PQ_M}), m -> q.lut[m + 1][e.code[m + 1] + 1])),
+               (a, b) -> a + b) AS adc
+      FROM encoded e JOIN queries q ON q.query_id <> e.vec_id
+    ), {_PQ_TAIL}
+"""
+
+# The IVF routing is deterministic arithmetic too (seed centroids =
+# first IVF_K unit vectors; assignment/probing = argmax cosine rounded
+# to 6dp with a low-cell tiebreak), so the composed IVF+PQ pipeline
+# carries the same byte-exact oracle: the cells CTEs below replicate
+# the Spark plan's assignment and probe windows exactly, then hand the
+# surviving (query, candidate) pairs to the shared ADC tail.
+_IVFPQ_DOT = (
+    "round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(0, {PQ_M * PQ_SUB}), i -> {{a}}[i + 1] * {{b}}[i + 1])), "
+    "(x, y) -> x + y), 6)"
+)
+
+_IVFPQ_ORACLE = f"""
+    WITH {_PQ_CTES}, cents AS (
+      SELECT vec_id AS cell, vn AS cv FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT e.vec_id, e.vn, e.code, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_IVFPQ_DOT.format(a="e.vn", b="c.cv")} DESC, c.cell) AS arn
+      FROM encoded e, cents c
+    ), assigned AS (
+      SELECT vec_id, vn, code, cell FROM cellr WHERE arn = 1
+    ), prober AS (
+      SELECT q.query_id, q.qv, q.lut, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {_IVFPQ_DOT.format(a="q.qv", b="c.cv")} DESC, c.cell) AS prn
+      FROM queries q, cents c
+    ), probes AS (
+      SELECT query_id, qv, lut, cell FROM prober WHERE prn <= {IVF_PROBES}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.vn, p.qv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, {PQ_M}), m -> p.lut[m + 1][a.code[m + 1] + 1])),
+               (x, y) -> x + y) AS adc
+      FROM assigned a JOIN probes p ON p.cell = a.cell AND p.query_id <> a.vec_id
+    ), {_PQ_TAIL}
 """
 
 
@@ -787,8 +836,11 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning does the IVF step at rest), the ADC scan reads ~3/8 of the
     codes (32x compressed), and the float vectors are fetched only for
     the re-rank — the three-tier storage layout every production
-    vector index uses. Hash-bucketed cell routing keeps this rows-only;
-    sim_recall_ivfpq carries the contract."""
+    vector index uses. Every step (seed centroids, argmax-cosine cell
+    assignment rounded to 6dp with low-cell tiebreak, ADC, re-rank) is
+    deterministic arithmetic, so like sim_topk_pq it carries a FULL
+    byte-exact DuckDB oracle; sim_recall_ivfpq additionally holds the
+    recall floor vs exact."""
     encoded, queries = _pq_parts(sf_dir, spark)
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
     # coarse quantizer over the same unit vectors: centroid = seed vn
@@ -850,7 +902,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sim_topk_ivfpq = register("sim_topk_ivfpq", oracle=None)(sim_topk_ivfpq)
+sim_topk_ivfpq = register("sim_topk_ivfpq", oracle=_IVFPQ_ORACLE)(sim_topk_ivfpq)
 
 
 # Below the measured per-query minima (1.0 / 0.8 / 0.6 at sf0.001 /
