@@ -1006,19 +1006,23 @@ def classify_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            count(DISTINCT split) AS n_splits,
            CAST(count(DISTINCT split) > 1 AS BOOLEAN) AS leaked,
-           min(doc_id) AS first_doc_id
+           min(doc_id) AS first_doc_id,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits
     FROM keyed
     GROUP BY fingerprint
-    HAVING count(*) > 1
     """,
 )
 def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test contamination audit: exact-duplicate documents (same
-    content fingerprint) whose copies landed in DIFFERENT dataset
-    splits — the leakage an id-hash split permits and a content-keyed
-    split prevents. Emits one row per leaking fingerprint with its copy
-    count, distinct-split count, and first doc id; an empty result is
-    the clean bill of health a release gate asserts before training.
+    """Train/test contamination audit: a census of every content
+    fingerprint group with its copy count, the distinct splits its
+    copies landed in, and a ``leaked`` flag marking exact-duplicate
+    documents whose copies landed in DIFFERENT dataset splits — the
+    leakage an id-hash split permits and a content-keyed split
+    prevents. A release gate asserts ``leaked`` is everywhere false
+    before training; emitting the full census (not just the leaking
+    groups) keeps the audit result non-degenerate on a corpus with no
+    duplicates, so a driver/oracle row is evidence the fingerprinting
+    ran rather than an empty set that any ``LIMIT 0`` would match.
 
     One map-side-combined groupBy on the 8-byte fingerprint is the only
     shuffle — no self-join, no pair explosion, so a fingerprint with a
@@ -1045,14 +1049,15 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.count_distinct("split").alias("n_splits"),
             F.min("doc_id").alias("first_doc_id"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
         )
-        .where(F.col("n_docs") > 1)
         .select(
             "fingerprint",
             "n_docs",
             "n_splits",
             (F.col("n_splits") > 1).alias("leaked"),
             "first_doc_id",
+            "splits",
         )
     )
 
@@ -1242,7 +1247,7 @@ _NEG_HASH = (
     ks AS (SELECT CAST(unnest(range({NEG_SAMPLES_K})) AS BIGINT) AS k),
     sampled AS (
       SELECT d.doc_id, ks.k,
-             (d.doc_id + 1 + ({_NEG_HASH}) % (n.n_docs - 1)) % n.n_docs AS neg_id
+             (d.doc_id + 1 + ({_NEG_HASH}) % greatest(n.n_docs - 1, 1)) % n.n_docs AS neg_id
       FROM documents d, ks, n
     )
     SELECT doc_id AS anchor_id, k, neg_id FROM sampled
@@ -1261,7 +1266,10 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     state; reruns and retried tasks produce identical pairs (the
     seeded-hash property every reproducible training pipeline needs).
     Precondition: doc_ids dense 0..N-1 (the fixtures' layout, asserted
-    in tests; sparse id spaces need one rank pass first)."""
+    in tests; sparse id spaces need one rank pass first). The modulus
+    is clamped with greatest(n_docs - 1, 1) on BOTH engines so a
+    single-document corpus degrades to self-pairs instead of a
+    modulo-by-zero error."""
     d = load_table(spark, sf_dir, "documents")
     n = d.agg(F.count("*").alias("n_docs"))
     ks = F.explode(F.sequence(F.lit(0), F.lit(NEG_SAMPLES_K - 1))).alias("k0")
@@ -1274,7 +1282,11 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("anchor_id"),
             "k",
             (
-                (F.col("doc_id") + 1 + F.expr(_NEG_HASH) % (F.col("n_docs") - 1))
+                (
+                    F.col("doc_id")
+                    + 1
+                    + F.expr(_NEG_HASH) % F.greatest(F.col("n_docs") - 1, F.lit(1))
+                )
                 % F.col("n_docs")
             ).alias("neg_id"),
         )

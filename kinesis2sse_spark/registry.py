@@ -133,10 +133,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_min_max_by, agg_percentile), so the airtight-coverage goal
     # (every registered query has >=1 driver row ever) still lands. The
     # PQ rung's two queries sit with the other recall contracts above.
-    # pipeline_split_leakage matches a 0-row result at the driver's
-    # sf0.01 (that corpus has no exact duplicates — schema still
-    # checked); the non-degenerate evidence is the sf0.1 sweep row
-    # (8 duplicate groups, 5 leaked).
+    # pipeline_split_leakage emits the full fingerprint-group census
+    # since round 6 (leaked groups flagged by a boolean), so its driver
+    # row is non-empty even at sf0.01 where the corpus has no exact
+    # duplicates; the leakage-positive evidence remains the sf0.1 sweep
+    # row (8 duplicate groups, 5 leaked).
     "ingest_reject_channel",
     "stats_column_profile",
     "stats_key_skew",
