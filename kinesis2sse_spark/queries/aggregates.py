@@ -366,7 +366,8 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hist_equi_depth",
     oracle="""
-    WITH counts AS (SELECT value, count(*) AS c FROM events GROUP BY value),
+    WITH counts AS (SELECT value, count(*) AS c FROM events
+                    WHERE value IS NOT NULL GROUP BY value),
     cum AS (
       SELECT value, c,
              coalesce(sum(c) OVER (ORDER BY value
@@ -395,7 +396,10 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     still |distinct values| rows, which is what makes this exact plan
     viable where a global row_number/ntile over raw rows would
     single-partition the corpus. All-integer bucket arithmetic — no FP
-    rounding surface."""
+    rounding surface. NULL values are filtered on BOTH engines before
+    the cumulative window: Spark sorts NULLS FIRST and DuckDB NULLS
+    LAST by default, so an unfiltered NULL group would shift every
+    bucket boundary between engines (the stats_ks_test divergence)."""
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
@@ -403,7 +407,8 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts) — an un-cached total would re-scan the corpus, doubling
     # I/O at the design scale (the MI/PMI fold-totals rule)
     counts = (
-        ev.groupBy("value").agg(F.count("*").alias("c"))
+        ev.where(F.col("value").isNotNull())
+        .groupBy("value").agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)

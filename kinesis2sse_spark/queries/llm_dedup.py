@@ -679,8 +679,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     belongs next to the metric.
 
     Plan — linear, never pairwise, and never per-token-quadratic: the
-    persisted window relation (same 8-byte xxhash64 keys as
-    span_fraction) aggregates to the duplicated-window set, dup
+    persisted window relation (a 16-byte double-xxhash64 composite of
+    the window text — span_fraction's metric path keeps the single
+    8-byte key) aggregates to the duplicated-window set, dup
     windows explode to their SPAN_LEN covered positions and distinct
     down to a (doc_id, pos) coverage set, and the rebuild is a
     LEFT ANTI join of the posexploded tokens against that set followed
@@ -706,8 +707,21 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(0), F.size("t") - SPAN_LEN),
                     lambda i: F.struct(
                         i.alias("i"),
-                        F.xxhash64(
-                            F.concat_ws(" ", F.slice("t", i + 1, SPAN_LEN))
+                        # 128-bit composite window key: two independently
+                        # salted xxhash64s. span_fraction (a metric) rides
+                        # a single 64-bit key, but THIS operator mutates
+                        # the corpus — a collision would scrub
+                        # non-duplicate text — so the key is widened until
+                        # the birthday bound (~n²/2¹²⁹) is negligible at
+                        # any corpus size.
+                        F.struct(
+                            F.xxhash64(
+                                F.concat_ws(" ", F.slice("t", i + 1, SPAN_LEN))
+                            ).alias("h1"),
+                            F.xxhash64(
+                                F.concat_ws(" ", F.slice("t", i + 1, SPAN_LEN)),
+                                F.lit(1),
+                            ).alias("h2"),
                         ).alias("w"),
                     ),
                 )

@@ -248,15 +248,28 @@ PATCH_SIZE = 8  # patch side length (8x8 = 64 bytes per patch)
 @register(
     "mm_image_patches",
     oracle=f"""
-    WITH b AS (
+    WITH raw AS (
+      -- byte-level raster: hex(encode(text)) + hex-pair arithmetic,
+      -- NOT ascii(substring(text, i, 1)) — character indexing counts
+      -- codepoints, so any non-ASCII document would desync geometry
+      -- and values vs the Spark side's UTF-8 byte buffer
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), hx2 AS (
+      SELECT doc_id, i, nb,
+             ascii(substring(hx, CAST(2 * i - 1 AS INT), 1)) AS h1,
+             ascii(substring(hx, CAST(2 * i AS INT), 1)) AS h2
+      FROM raw, LATERAL (SELECT unnest(range(1, nb + 1)) AS i) u
+    ), b AS (
       SELECT doc_id,
              ((i - 1) % {PATCH_ROW_BYTES}) // {PATCH_SIZE} AS px,
              ((i - 1) // {PATCH_ROW_BYTES}) // {PATCH_SIZE} AS py,
              (i - 1) // {PATCH_ROW_BYTES} AS r,
-             ascii(substring(text, CAST(i AS INT), 1)) AS byte,
-             (length(text) // {PATCH_ROW_BYTES}) // {PATCH_SIZE} * {PATCH_SIZE} AS full_rows
-      FROM documents,
-           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+             (CASE WHEN h1 BETWEEN 48 AND 57 THEN h1 - 48 ELSE h1 - 55 END) * 16
+             + (CASE WHEN h2 BETWEEN 48 AND 57 THEN h2 - 48 ELSE h2 - 55 END) AS byte,
+             (nb // {PATCH_ROW_BYTES}) // {PATCH_SIZE} * {PATCH_SIZE} AS full_rows
+      FROM hx2
     )
     SELECT doc_id, CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
            CAST(sum(byte) AS DOUBLE) / {PATCH_SIZE * PATCH_SIZE} AS mean_byte
@@ -277,7 +290,10 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     patches (right/bottom edges) are dropped, as tilers do. The mean
     divides an exact integer sum by the power-of-two patch area, so
     both engines produce the identical double with no rounding ladder
-    needed; the DuckDB oracle replays the tiling byte-for-byte."""
+    needed; the DuckDB oracle replays the tiling byte-for-byte over
+    hex(encode(text)) octets, so non-ASCII payloads raster identically
+    on both engines (character indexing would count codepoints and
+    desync)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
