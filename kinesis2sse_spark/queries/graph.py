@@ -348,6 +348,7 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
 
 @register(
     "dedup_connected_components",
+    bench=True,
     oracle=f"""
     WITH RECURSIVE {_PAIRS_CTES},
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs

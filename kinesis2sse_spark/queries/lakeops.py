@@ -376,7 +376,7 @@ _SCD2_ORACLE = """
 """
 
 
-@register("pipeline_scd2_intervals", oracle=_SCD2_ORACLE)
+@register("pipeline_scd2_intervals", oracle=_SCD2_ORACLE, bench=True)
 def pipeline_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension build: collapse a per-key changelog into
     validity intervals — consecutive equal values merge, each retained

@@ -636,6 +636,7 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_span_removal",
+    bench=True,
     oracle=f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     win AS (

@@ -1731,6 +1731,7 @@ HH_K = 40  # heavy-hitter threshold denominator: report freq > n/HH_K
 
 @register(
     "text_heavy_hitters",
+    bench=True,
     oracle=f"""
     WITH tok AS (
       SELECT unnest(string_split(text, ' ')) AS term FROM documents
