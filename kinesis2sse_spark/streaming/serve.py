@@ -347,8 +347,17 @@ class SseService:
                 except (BrokenPipeError, ConnectionError, OSError):
                     return  # client went away — same exit as service.go:273-276
 
-        self._server = ThreadingHTTPServer(("127.0.0.1", self.port), Handler)
-        self._server.daemon_threads = True
+        class Server(ThreadingHTTPServer):
+            daemon_threads = True
+            # socketserver's default listen backlog is 5 — a thundering
+            # herd of clients (dozens of dashboards reconnecting after a
+            # deploy) overflows the accept queue and times out
+            # connections the server never saw. Raise it to the
+            # conventional server value; the reference's Go net.Listen
+            # gets the OS default (usually 128+) for free.
+            request_queue_size = 128
+
+        self._server = Server(("127.0.0.1", self.port), Handler)
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
         self._thread.start()
 
