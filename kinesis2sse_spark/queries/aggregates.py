@@ -737,3 +737,83 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_rows"),
         (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("cramers_v"),
     )
+
+
+@register(
+    "stats_js_divergence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT least(5, CAST(floor(value / 100) AS BIGINT)) AS b,
+             count(*) FILTER (event_type = 'click') AS ca,
+             count(*) FILTER (event_type = 'view') AS cb
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    contrib AS (
+      SELECT CAST(floor(
+               (0.5 * ((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5))
+                    * ln(((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5))
+                         / (0.5 * ((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5))
+                            + 0.5 * ((cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5))))
+                + 0.5 * ((cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5))
+                    * ln(((cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5))
+                         / (0.5 * ((ca + 0.5) / (na + {PSI_BUCKETS} * 0.5))
+                            + 0.5 * ((cb + 0.5) / (nb + {PSI_BUCKETS} * 0.5)))))
+               * 1000000000000 + 0.5) AS BIGINT) AS c,
+             na, nb
+      FROM cells, tot
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_click,
+           CAST(max(nb) AS BIGINT) AS n_view,
+           CAST(sum(c) AS DOUBLE) / 1000000000000 AS jsd
+    FROM contrib
+    """,
+)
+def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the click and view value
+    distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to the
+    drift trio (KS: sup-distance, PSI: banded alert score, MI/V:
+    dependence): JSD = 0.5*KL(P||M) + 0.5*KL(Q||M) with M the mixture,
+    the metric monitoring stacks prefer when neither side is the
+    canonical "expected" distribution (PSI blows up on empty target
+    bands; JSD never does). Identical one-corpus-shuffle shape as
+    stats_psi_drift: the corpus aggregates ONCE into per-band (click,
+    view) counts, totals fold from the persisted |bands|-row relation,
+    and the JSD arithmetic runs on bands with the same Laplace
+    smoothing; per-band contributions floor-quantize to scaled
+    integers before the sum (the gram-matrix rule), so
+    partial-aggregation order cannot move the total between engines."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .groupBy(
+            F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("b")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    sm = PSI_BUCKETS * 0.5
+    p = (F.col("ca") + 0.5) / (F.col("na") + sm)
+    q = (F.col("cb") + 0.5) / (F.col("nb") + sm)
+    m = 0.5 * p + 0.5 * q
+    contrib = cells.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)) * 1000000000000
+            + F.lit(0.5)
+        ).alias("c"),
+        "na",
+        "nb",
+    )
+    return contrib.agg(
+        F.max("na").cast("bigint").alias("n_click"),
+        F.max("nb").cast("bigint").alias("n_view"),
+        (F.sum("c").cast("double") / 1000000000000).alias("jsd"),
+    )

@@ -525,3 +525,101 @@ def pipeline_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+LPA_ITERS = 4
+
+# One synchronous LPA stage in SQL: every node adopts its neighbors'
+# modal label (count DESC, then lowest label — the deterministic
+# tie-break that makes fixed-iteration LPA value-checkable).
+_LPA_STAGE = """
+    l{n} AS (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label AS label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM und e JOIN l{p} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+    {",".join(_LPA_STAGE.format(n=i + 1, p=i) for i in range(LPA_ITERS))}
+    SELECT node AS doc_id, label AS community_id FROM l{LPA_ITERS}
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    near-dup graph — the cheap alternative to modularity methods for
+    grouping borderline-duplicate neighborhoods that connected
+    components would either merge (any single spurious edge chains two
+    cliques) or miss. A FIXED LPA_ITERS (4) iterations with a fully
+    deterministic update — each node adopts its neighbors' most
+    frequent label, ties to the LOWEST label — so the oracle replays
+    the identical computation as unrolled CTE stages (plain LPA's
+    random tie-breaks and asynchronous schedules are why it is usually
+    considered unstable; pinning both is what makes it value-checkable
+    AND reproducible under task retry at 100 TB).
+
+    Plan shape per iteration: join the persisted symmetric edge list
+    to the current labels (broadcast-sized here; key-partitioned at
+    scale), count (node, label) votes — ONE shuffle, partial counts
+    map-side — then a per-node argmax window over the (node, label)
+    vote relation (second shuffle, vote-relation-sized, never
+    corpus-sized: bounded by the edge count). The loop unrolls lazily
+    into a single linear plan like pagerank (each round references the
+    previous once — no self-join, so no pointer-doubling plan blow-up
+    and no checkpoint needed at a handful of rounds)."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return label_propagation(pairs, LPA_ITERS).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community_id")
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list
+    (columns ``a``, ``b``) for a fixed ``iters`` rounds; returns
+    (node, label). Update rule: each node adopts its neighbors' most
+    frequent label, ties broken to the LOWEST label — deterministic,
+    so the result is value-checkable and retry-stable. Plan/scale
+    notes: see graph_label_propagation."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), "label")
+    for _ in range(iters):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels

