@@ -747,7 +747,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) FILTER (event_type = 'click') AS ca,
              count(*) FILTER (event_type = 'view') AS cb
       FROM events
-      WHERE event_type IN ('click', 'view')
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
       GROUP BY 1
     ),
     tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
@@ -789,7 +789,12 @@ def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cells = (
-        ev.where(F.col("event_type").isin("click", "view"))
+        # value IS NOT NULL on both sides: a NULL band would hit the
+        # engines' diverging least()/NULL-ordering conventions (the
+        # stats_ks_test rule) — and a NULL value carries no drift signal
+        ev.where(
+            F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+        )
         .groupBy(
             F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("b")
         )

@@ -329,3 +329,87 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         patch_batches, schema="doc_id long, px long, py long, mean_byte double"
     )
+
+
+CUT_THRESHOLD = 10.0  # mean-intensity jump that counts as a scene cut
+
+
+@register(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH raw AS (
+      -- hex-octet raster (the mm_image_patches rule): byte-level, so
+      -- non-ASCII payloads decode identically on both engines
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ), hx2 AS (
+      SELECT doc_id, i, nb,
+             ascii(substring(hx, CAST(2 * i - 1 AS INT), 1)) AS h1,
+             ascii(substring(hx, CAST(2 * i AS INT), 1)) AS h2
+      FROM raw, LATERAL (SELECT unnest(range(1, nb + 1)) AS i) u
+    ), b AS (
+      SELECT doc_id, (i - 1) // {FRAME_BYTES} AS f,
+             (CASE WHEN h1 BETWEEN 48 AND 57 THEN h1 - 48 ELSE h1 - 55 END) * 16
+             + (CASE WHEN h2 BETWEEN 48 AND 57 THEN h2 - 48 ELSE h2 - 55 END) AS byte,
+             nb // {FRAME_BYTES} AS n_frames
+      FROM hx2
+    ), fm AS (
+      SELECT doc_id, f, CAST(sum(byte) AS DOUBLE) / {FRAME_BYTES} AS m
+      FROM b WHERE f < n_frames GROUP BY doc_id, f
+    ), d AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+             abs(m - lag(m) OVER (PARTITION BY doc_id ORDER BY f)) AS delta
+      FROM fm
+    )
+    SELECT doc_id, frame_idx, delta FROM d WHERE delta >= {CUT_THRESHOLD}
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over a "video" payload — the shot-boundary
+    step video curation pipelines run before sampling keyframes (cuts
+    segment the stream; mm_frame_sample's stride then lands inside
+    shots): consecutive FRAME_BYTES-blocks reduce to a mean intensity,
+    and a jump of >= CUT_THRESHOLD between adjacent frames is a cut
+    (a real deployment swaps the byte-mean for a decoded histogram or
+    embedding distance; schema, batching, and the lag-compare are
+    unchanged). Vectorized numpy inside mapInPandas — reshape + axis
+    mean + diff per Arrow batch, no per-frame Python, payloads never
+    on the driver.
+
+    Numerics are oracle-exact by construction: the frame sum is an
+    integer, /16 is a power-of-two divide, and the difference of two
+    1/16-multiples < 256 is itself exact — no rounding ladder needed.
+    The DuckDB oracle replays frames over hex(encode(text)) octets
+    (golden-bytes rigor, record_processor_test.go:14-85)."""
+    import numpy as np
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_delta = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = len(arr) // FRAME_BYTES
+                if n_frames < 2:
+                    continue
+                means = (
+                    arr[: n_frames * FRAME_BYTES]
+                    .reshape(n_frames, FRAME_BYTES)
+                    .astype(np.float64)
+                    .sum(axis=1)
+                    / FRAME_BYTES
+                )
+                delta = np.abs(np.diff(means))
+                hit = np.nonzero(delta >= CUT_THRESHOLD)[0]
+                out_ids.extend([doc_id] * len(hit))
+                out_idx.extend((hit + 1).tolist())
+                out_delta.extend(delta[hit].tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "delta": out_delta}
+            )
+
+    return d.mapInPandas(cuts, schema="doc_id long, frame_idx long, delta double")

@@ -175,12 +175,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # artifact.
     #
     # Round 6: this list is SPENT (every name has an r05 row), so
-    # never-checked-first ordering governs. The six operators added in
-    # round 6 (stats_js_divergence, dedup_ngram_novelty,
+    # never-checked-first ordering governs. The seven operators added
+    # in round 6 (stats_js_divergence, dedup_ngram_novelty,
     # graph_label_propagation, pipeline_shard_assignment,
-    # text_vocab_entropy, text_zipf_slope) join the never-checked
-    # cohort, keeping it at 40 <= 50 — every never-checked query still
-    # lands in the round-6 driver window.
+    # text_vocab_entropy, text_zipf_slope, mm_video_scene_cuts) join
+    # the never-checked cohort, keeping it at 41 <= 50 — every
+    # never-checked query still lands in the round-6 driver window.
 )
 
 

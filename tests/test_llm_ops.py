@@ -705,3 +705,23 @@ def test_zipf_slope_is_negative_and_head_bounded(spark):
     assert row["zipf_slope"] < 0.0
     assert row["n_fit"] <= ZIPF_HEAD
     assert row["vocab_size"] >= row["n_fit"]
+
+
+def test_scene_cuts_synthetic_payloads(spark, tmp_path):
+    """Crafted byte streams: a flat payload has no cuts, a hard
+    16-byte-aligned intensity step is exactly one cut with the exact
+    delta, and a payload under two frames emits nothing."""
+    docs = [
+        (0, "a" * 32),              # two identical frames -> no cut
+        (1, "a" * 16 + "z" * 16),   # 97 -> 122 step: one cut, delta 25
+        (2, "a" * 20),              # only one complete frame -> no rows
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.multimodal import mm_video_scene_cuts
+
+    rows = mm_video_scene_cuts(spark, str(tmp_path)).collect()
+    assert [(r["doc_id"], r["frame_idx"], r["delta"]) for r in rows] == [
+        (1, 1, 25.0)
+    ]

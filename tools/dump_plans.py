@@ -88,6 +88,15 @@ SHOW = [
     "dedup_select_canonical",
     "stats_cramers_v",
     "pipeline_curriculum_order",
+    # round-6 additions
+    "stats_js_divergence",
+    "dedup_ngram_novelty",
+    "graph_label_propagation",
+    "pipeline_shard_assignment",
+    "text_vocab_entropy",
+    "text_zipf_slope",
+    "sim_topk_ivf",
+    "mm_video_scene_cuts",
 ]
 
 

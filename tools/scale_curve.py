@@ -49,6 +49,11 @@ QUERIES = (
     "dedup_connected_components",
     "text_heavy_hitters",
     "sim_topk_ivfpq",
+    # round-6 additions: first-occurrence novelty (window over the
+    # shingle universe — the largest relation any new operator touches)
+    # and fixed-iteration LPA over the near-dup graph
+    "dedup_ngram_novelty",
+    "graph_label_propagation",
 )
 
 
