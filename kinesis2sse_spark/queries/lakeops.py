@@ -699,3 +699,63 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.where(
         F.col("ts") - F.col("carried_ts") <= F.expr("INTERVAL 2 DAY")
     ).select("event_id", "user_id", "ts", F.col("carried").alias("dim_value"))
+
+
+@register(
+    "stats_benford_deviation",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n_obs
+      FROM cents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_obs) AS n FROM obs)
+    SELECT digit, n_obs,
+           floor(n_obs * 1000000.0 / n + 0.5) / 1000000 AS obs_frac,
+           floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) / 1000000 AS benford_frac,
+           floor(abs(n_obs * 1.0 / n - log10(1.0 + 1.0 / digit)) * 1000000 + 0.5)
+             / 1000000 AS abs_dev
+    FROM obs, tot
+    """,
+)
+def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    forensic data-quality screen (fabricated, truncated, or
+    unit-mangled numeric columns bend away from log10(1 + 1/d); audit
+    and DQ suites report the per-digit deviation next to null/range
+    profiles). The digit comes from integer cents — floor(x*100 + 0.5)
+    is exact int64, and int-to-string is unambiguous on both engines —
+    NEVER from casting the double to a string (engine float formatting
+    differs) or floor(log10(x)) (exact powers of ten sit on the
+    boundary). One map-side-combined aggregation to a 9-row digit
+    census; the expected-vs-observed arithmetic runs on those 9 rows
+    with the standard floor-quantize ladder."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.where(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    )
+    obs = cents.groupBy(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).agg(F.count("*").alias("n_obs"))
+    from pyspark import StorageLevel
+
+    obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        (F.floor(F.col("n_obs") * 1000000.0 / F.col("n") + F.lit(0.5)) / 1000000).alias("obs_frac"),
+        (F.floor(benford * 1000000 + F.lit(0.5)) / 1000000).alias("benford_frac"),
+        (
+            F.floor(
+                F.abs(F.col("n_obs") * 1.0 / F.col("n") - benford) * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("abs_dev"),
+    )

@@ -853,3 +853,80 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(c) AS total, count(*) AS n FROM daily),
+    pre AS (
+      SELECT day, row_number() OVER (ORDER BY day) AS i,
+             sum(c) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM daily
+    ),
+    stat AS (
+      SELECT day, i, n, n * p - i * total AS s FROM pre, tot
+    )
+    SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
+           floor(CAST(s AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS cusum
+    FROM (
+      SELECT day, n, s,
+             row_number() OVER (ORDER BY abs(s) DESC, day) AS rn
+      FROM stat WHERE i < n
+    ) WHERE rn = 1
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series —
+    the temporal counterpart of the KS/PSI/JSD drift family: the day
+    maximizing |S_i|, where S_i is the cumulative deviation of daily
+    counts from their grand mean, is the classic single-changepoint
+    estimate monitoring stacks alert on (a level shift in traffic puts
+    the peak exactly at the shift). Integer-exact end to end: instead
+    of the FP-order-sensitive sum of (c_j - mean), the score is
+    n*prefix_i - i*total — all int64 arithmetic, so argmax ordering
+    can never diverge between engines; only the one reported S value
+    divides (then floor-quantizes, ladder step 2). The last index is
+    excluded (S_n = 0 by construction).
+
+    Plan: one corpus aggregation into the |days|-row daily relation
+    (persisted: the totals and the prefix pass both fold from it), a
+    value-domain-bounded running-sum window over days, and a 1-row
+    argmax — nothing corpus-sized past the first aggregate."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = daily.agg(F.sum("c").alias("total"), F.count("*").alias("n"))
+    wo = Window.orderBy("day")
+    pre = daily.select(
+        "day",
+        F.row_number().over(wo).alias("i"),
+        F.sum("c").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+    )
+    stat = pre.crossJoin(F.broadcast(tot)).select(
+        "day", "i", "n", (F.col("n") * F.col("p") - F.col("i") * F.col("total")).alias("s")
+    )
+    wr = Window.orderBy(F.abs("s").desc(), "day")
+    return (
+        stat.where(F.col("i") < F.col("n"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            # DuckDB date_trunc('day') yields DATE while Spark yields
+            # TIMESTAMP — cast so both stringify identically (the
+            # retention_cohort convention)
+            F.col("day").cast("date").alias("change_day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            (F.floor(F.col("s").cast("double") / F.col("n") * 1000000 + F.lit(0.5)) / 1000000).alias("cusum"),
+        )
+    )

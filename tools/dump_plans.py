@@ -97,6 +97,8 @@ SHOW = [
     "text_zipf_slope",
     "sim_topk_ivf",
     "mm_video_scene_cuts",
+    "timeseries_cusum_changepoint",
+    "stats_benford_deviation",
 ]
 
 
