@@ -725,3 +725,53 @@ def test_scene_cuts_synthetic_payloads(spark, tmp_path):
     assert [(r["doc_id"], r["frame_idx"], r["delta"]) for r in rows] == [
         (1, 1, 25.0)
     ]
+
+
+def test_ngram_novelty_matches_python_model_on_random_corpora(spark, tmp_path):
+    """Seeded random corpora with heavy cross-doc shingle reuse: the
+    window-based first-occurrence computation must equal a literal
+    brute-force Python model (distinct shingles per doc, global min
+    doc_id per shingle)."""
+    import math
+    import random
+
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_novelty
+
+    rng = random.Random(0xD0C5)
+    for trial, (n_docs, vocab, doc_len) in enumerate(
+        [(25, 8, 12), (15, 30, 8), (30, 4, 20)]
+    ):
+        docs = [
+            (d, " ".join(f"w{rng.randrange(vocab)}" for _ in range(doc_len)))
+            for d in range(n_docs)
+        ]
+        out = tmp_path / f"t{trial}"
+        out.mkdir()
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            str(out / "documents.parquet")
+        )
+        # brute-force model
+        per_doc: dict[int, set] = {}
+        first: dict[tuple, int] = {}
+        for d, text in docs:
+            toks = text.split(" ")
+            sh = {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            per_doc[d] = sh
+            for s in sh:
+                first[s] = min(first.get(s, d), d)
+        want = {
+            d: (
+                len(sh),
+                math.floor(
+                    sum(1 for s in sh if first[s] == d) * 1e6 / len(sh) + 0.5
+                )
+                / 1e6,
+            )
+            for d, sh in per_doc.items()
+            if sh
+        }
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["novel_frac"])
+            for r in dedup_ngram_novelty(spark, str(out)).collect()
+        }
+        assert got == want, (trial, got, want)

@@ -22,6 +22,11 @@ SPOT = [
     # summation (q9); both first diverged ONLY at sf0.1
     "text_quality_score",
     "q9_product_type_profit",
+    # round-6 additions whose FP surface grows with data: the OLS
+    # moment quantization (vocab count and ln() magnitudes scale) and
+    # the ln()-heavy drift score over fuller bands
+    "text_zipf_slope",
+    "stats_js_divergence",
 ]
 
 
