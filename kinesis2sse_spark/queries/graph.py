@@ -623,3 +623,50 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
             .select(F.col("dst").alias("node"), "label")
         )
     return labels
+
+
+@register(
+    "dedup_cluster_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    cc(node, label) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           count(*) AS n_clusters,
+           sz * count(*) AS n_docs,
+           (sz - 1) * count(*) AS n_removable
+    FROM sizes GROUP BY sz
+    """,
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the
+    headline table of every dedup report: how many clusters of each
+    size, how many docs they hold, and how many docs a keep-one policy
+    removes ((size-1) per cluster — summed over rows this is the
+    corpus's dedup rate before anyone runs the expensive removal). On
+    real corpora the shape is the decision input: a fat tail of huge
+    clusters means boilerplate/templating (fix extraction), while many
+    pairs means true near-duplication (raise the ladder's threshold).
+    Two tiny aggregates over the CC label relation (cluster count,
+    then size-of-size) — nothing corpus-sized shuffles beyond what the
+    pair pipeline already did."""
+    labels = dedup_connected_components(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_removable"),
+    )

@@ -1260,3 +1260,83 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_group,
         schema="query_id long, rank long, neighbor_id long, mmr_score double",
     )
+
+
+@register(
+    "sim_ivf_index_stats",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, v AS cv, norm AS cnorm
+      FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT c0.vec_id, c.cell,
+             row_number() OVER (PARTITION BY c0.vec_id
+               ORDER BY round({_IVF_DOT.format(a="c0.v", b="c.cv")}
+                              / (c0.norm * c.cnorm), 6) DESC, c.cell) AS arn
+      FROM corpus c0, cents c
+    ), assigned AS (
+      SELECT vec_id, cell FROM cellr WHERE arn = 1
+    ), occ AS (
+      SELECT cell, count(*) AS n_vectors FROM assigned GROUP BY cell
+    ), tot AS (SELECT sum(n_vectors) AS n, count(*) AS k FROM occ)
+    SELECT cell, n_vectors,
+           floor(n_vectors * CAST(k AS DOUBLE) / n * 1000000 + 0.5)
+             / 1000000 AS balance_factor
+    FROM occ, tot
+    """,
+)
+def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health census — the check an ANN deployment runs after
+    every (re)build: per-cell occupancy plus the balance factor
+    (occupancy x cells / corpus; 1.0 = perfectly even). A skewed cell
+    is simultaneously a recall hole (its neighbors crowd out probes)
+    and a latency straggler (probing it scans a corpus-sized posting),
+    and the fix — retraining the coarse quantizer — is only triggered
+    by exactly this census. Reuses sim_topk_ivf's deterministic
+    assignment verbatim (same seed centroids, same rounded-cosine
+    argmax), so the census describes precisely the index the top-k
+    rung queries; one corpus-vs-broadcast-centroids pass + one
+    IVF_K-row aggregate, no shuffle bigger than the cell count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    centroids = corpus.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    adot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", F.round(adot / (F.col("norm") * F.col("cnorm")), 6))
+        .withColumn("arn", F.row_number().over(wa))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cell")
+    )
+    from pyspark import StorageLevel
+
+    occ = (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = occ.agg(F.sum("n_vectors").alias("n"), F.count("*").alias("k"))
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        (
+            F.floor(
+                F.col("n_vectors") * F.col("k").cast("double") / F.col("n") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("balance_factor"),
+    )

@@ -209,3 +209,26 @@ def test_label_propagation_refines_connected_components(spark):
     assert set(lpa) == set(cc)
     for doc, comm in lpa.items():
         assert cc[comm] == cc[doc], (doc, comm)
+
+
+def test_cluster_histogram_consistent_with_components(spark):
+    """The size-of-sizes histogram must reconcile exactly with the CC
+    label relation: per-size cluster counts, doc totals, and the
+    keep-one removal count (docs - clusters)."""
+    import collections
+
+    from kinesis2sse_spark.registry import all_queries
+
+    qs = all_queries()
+    labels = qs["dedup_connected_components"](spark, SF_SMOKE).collect()
+    sizes = collections.Counter(
+        collections.Counter(r["cluster_id"] for r in labels).values()
+    )
+    hist = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["n_removable"])
+        for r in qs["dedup_cluster_histogram"](spark, SF_SMOKE).collect()
+    }
+    assert {s: c for s, (c, _, _) in hist.items()} == dict(sizes)
+    for s, (c, nd, nr) in hist.items():
+        assert nd == s * c and nr == (s - 1) * c
+    assert sum(nd for _, nd, _ in hist.values()) == len(labels)

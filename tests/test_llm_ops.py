@@ -775,3 +775,18 @@ def test_ngram_novelty_matches_python_model_on_random_corpora(spark, tmp_path):
             for r in dedup_ngram_novelty(spark, str(out)).collect()
         }
         assert got == want, (trial, got, want)
+
+
+def test_ivf_index_stats_census_is_complete(spark):
+    """Occupancies must sum to the corpus size, cells stay within
+    [0, IVF_K), and balance factors average ~1 weighted by cells."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import IVF_K
+
+    rows = all_queries()["sim_ivf_index_stats"](spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert {r["cell"] for r in rows} <= set(range(IVF_K))
+    k = len(rows)
+    mean_bf = sum(r["balance_factor"] for r in rows) / k
+    assert abs(mean_bf - 1.0) < 0.01
