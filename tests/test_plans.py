@@ -597,3 +597,29 @@ def test_zipf_rank_window_is_vocab_sized(spark):
         assert "Scan parquet" not in line, (
             "rank window fed by a raw corpus scan:\n" + "\n".join(tail[:8])
         )
+
+
+def test_ivf_index_stats_corpus_never_shuffles_for_assignment(spark):
+    """The index census assigns cells via broadcast centroids — the
+    corpus-sided relation must reach the per-vector argmax without a
+    corpus shuffle (only the vec_id window and the IVF_K-row occupancy
+    aggregate exchange)."""
+    plan = _plan(spark, "sim_ivf_index_stats")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan  # occ cached
+
+
+def test_cluster_histogram_adds_no_corpus_work(spark):
+    """The histogram is two aggregates over the CC label relation —
+    past the label computation itself the plan adds only hash
+    aggregates, never another scan of the documents corpus."""
+    from kinesis2sse_spark.registry import all_queries
+
+    spark.catalog.clearCache()
+    df = all_queries()["dedup_cluster_histogram"](spark, SF_CORRECTNESS)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # label relation arrives via localCheckpoint scan; the histogram
+    # tail is agg-only
+    head = plan.split("Exchange", 1)[0]
+    assert "Scan parquet" not in head, head

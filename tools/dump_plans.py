@@ -99,6 +99,8 @@ SHOW = [
     "mm_video_scene_cuts",
     "timeseries_cusum_changepoint",
     "stats_benford_deviation",
+    "sim_ivf_index_stats",
+    "dedup_cluster_histogram",
 ]
 
 
