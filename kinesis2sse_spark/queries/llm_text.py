@@ -1995,3 +1995,69 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_fit"),
         (F.floor(slope * 1000000 + F.lit(0.5)) / 1000000).alias("zipf_slope"),
     )
+
+
+MIX_ALPHA = 0.3  # temperature exponent (the common multilingual setting)
+
+
+@register(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM per),
+    shares AS (
+      SELECT lang, n_tokens,
+             n_tokens * 1.0 / total AS s,
+             CAST(floor(pow(n_tokens * 1.0 / total, {MIX_ALPHA})
+                        * 1000000000000 + 0.5) AS BIGINT) AS sq
+      FROM per, tot
+    ),
+    norm AS (SELECT sum(sq) AS z FROM shares)
+    SELECT lang, n_tokens,
+           floor(s * 1000000 + 0.5) / 1000000 AS share,
+           floor((sq * 1.0 / z) * 1000000 + 0.5) / 1000000 AS alpha_share,
+           floor((sq * 1.0 / z) / s * 1000000 + 0.5) / 1000000 AS sample_factor
+    FROM shares, norm
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing — the standard multilingual
+    sampling policy (q_i ∝ s_i^alpha with alpha ≈ 0.3): high-resource
+    languages are down-sampled and low-resource ones up-sampled so the
+    training mix flattens toward uniform without discarding data; the
+    emitted sample_factor (= q_i / s_i) is the per-language epoch
+    multiplier the data loader applies. One map-side-combined
+    groupBy(lang) aggregate, then pure arithmetic on the |langs|-row
+    relation with a broadcast total. pow(s, alpha) runs on the
+    identical IEEE double both engines derived, and the normalizer
+    sums floor-quantized integers (the gram-matrix rule) so the
+    k-term denominator cannot drift with aggregation order."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    s = F.col("n_tokens") * 1.0 / F.col("total")
+    shares = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        s.alias("s"),
+        F.floor(F.pow(s, F.lit(MIX_ALPHA)) * 1000000000000 + F.lit(0.5)).alias("sq"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    norm = shares.agg(F.sum("sq").alias("z"))
+    q = F.col("sq") * 1.0 / F.col("z")
+    return shares.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_tokens",
+        (F.floor(F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias("share"),
+        (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("alpha_share"),
+        (F.floor(q / F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias("sample_factor"),
+    )

@@ -175,14 +175,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # artifact.
     #
     # Round 6: this list is SPENT (every name has an r05 row), so
-    # never-checked-first ordering governs. The eleven operators added
+    # never-checked-first ordering governs. The twelve operators added
     # in round 6 (stats_js_divergence, dedup_ngram_novelty,
     # graph_label_propagation, pipeline_shard_assignment,
-    # text_vocab_entropy, text_zipf_slope, mm_video_scene_cuts,
-    # timeseries_cusum_changepoint, stats_benford_deviation,
-    # sim_ivf_index_stats, dedup_cluster_histogram) join the
-    # never-checked cohort, keeping it at 45 <= 50 — every
-    # never-checked query still lands in the round-6 driver window.
+    # sample_temperature_mix, text_vocab_entropy, text_zipf_slope,
+    # mm_video_scene_cuts, timeseries_cusum_changepoint,
+    # stats_benford_deviation, sim_ivf_index_stats,
+    # dedup_cluster_histogram) join the never-checked cohort, keeping
+    # it at 46 <= 50 — every never-checked query still lands in the
+    # round-6 driver window.
 )
 
 

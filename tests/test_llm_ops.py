@@ -790,3 +790,18 @@ def test_ivf_index_stats_census_is_complete(spark):
     k = len(rows)
     mean_bf = sum(r["balance_factor"] for r in rows) / k
     assert abs(mean_bf - 1.0) < 0.01
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """Alpha < 1 must compress shares toward uniform: every language's
+    alpha_share sits between its raw share and 1/k (up-sampled tails,
+    down-sampled heads), shares and alpha shares each sum to ~1, and
+    sample_factor = alpha_share / share."""
+    rows = all_queries()["sample_temperature_mix"](spark, SF_SMOKE).collect()
+    k = len(rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["alpha_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = sorted((r["share"], 1.0 / k))
+        assert lo - 1e-6 <= r["alpha_share"] <= hi + 1e-6, r
+        assert abs(r["sample_factor"] - r["alpha_share"] / r["share"]) < 1e-3, r
