@@ -101,6 +101,7 @@ SHOW = [
     "stats_benford_deviation",
     "sim_ivf_index_stats",
     "dedup_cluster_histogram",
+    "sample_temperature_mix",
 ]
 
 
