@@ -388,23 +388,31 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 
-    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # constants ride as DEFAULTS (evaluated at def time, pickled by
+    # VALUE): a free reference to the module globals would pickle by
+    # module reference and ModuleNotFoundError on workers that don't
+    # have the package installed (the mm_decode_features rule)
+    def cuts(
+        batches: Iterator[pd.DataFrame],
+        fb: int = FRAME_BYTES,
+        thr: float = CUT_THRESHOLD,
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_idx, out_delta = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n_frames = len(arr) // FRAME_BYTES
+                n_frames = len(arr) // fb
                 if n_frames < 2:
                     continue
                 means = (
-                    arr[: n_frames * FRAME_BYTES]
-                    .reshape(n_frames, FRAME_BYTES)
+                    arr[: n_frames * fb]
+                    .reshape(n_frames, fb)
                     .astype(np.float64)
                     .sum(axis=1)
-                    / FRAME_BYTES
+                    / fb
                 )
                 delta = np.abs(np.diff(means))
-                hit = np.nonzero(delta >= CUT_THRESHOLD)[0]
+                hit = np.nonzero(delta >= thr)[0]
                 out_ids.extend([doc_id] * len(hit))
                 out_idx.extend((hit + 1).tolist())
                 out_delta.extend(delta[hit].tolist())
