@@ -860,7 +860,7 @@ def stats_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT date_trunc('day', ts) AS day, count(*) AS c
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     tot AS (SELECT sum(c) AS total, count(*) AS n FROM daily),
     pre AS (
@@ -902,7 +902,11 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        # ts IS NOT NULL both sides: a NULL day would land at opposite
+        # ends of the rank window (Spark NULLS FIRST vs DuckDB NULLS
+        # LAST), shifting every prefix index (the stats_ks_test rule)
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
