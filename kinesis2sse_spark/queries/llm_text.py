@@ -1813,8 +1813,8 @@ SHARD_HASH = f"((doc_id % 1000000007) * 2654435761) % 1000000007 % {N_SHARDS}"
     oracle=f"""
     SELECT {SHARD_HASH} AS shard,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS n_tokens,
-           sum(length(text)) AS n_bytes,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_bytes,
            min(doc_id) AS min_doc,
            max(doc_id) AS max_doc
     FROM documents

@@ -63,166 +63,124 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # The correctness driver checks the FIRST 50 entries of queries() in
 # iteration order. Registration order is import order (alphabetical by
 # module), so without intervention the same 50 get re-checked every
-# round and the rest never earn a driver row. This list is ROTATED each
-# round to the 50 highest-signal queries; entries here are EXEMPT from
-# the rotate-to-back rule in _ordered(), so fixed-red queries (which
-# have past rows) can still re-earn a driver row. Round-5 window (final
-# composition): the 21 queries with no driver row in r01–r04, the two
-# repaired multimodal contracts (now scalar-shaped with byte-exact
-# oracles), the recall contracts including the new PQ and IVF+PQ rungs,
-# every operator ADDED in round 5 (reject channel, lake/layout family,
-# CDC round-trip, SCD2, EWMA, classifier, DQ gate, split-leakage audit,
-# BPE step, PPS sampler, streaming archive/compaction/keyed-stats/
-# incremental-probe), and three re-proofs whose single green row
-# predates newer code (q1, join_asof, connected components after the
-# pointer-doubling rewrite MUST re-earn an oracle row this round —
-# the r04 verdict made that part of its done criteria, so it keeps a
-# slot; sim_recall_ivf yields instead: its r02 row stands and the r05
-# sf0.1 sweep artifact already proves the current floor code. q1 and
-# join_asof rotated out for the behavioral-analytics pair). Every displaced re-proof holds a green
-# r01–r04 row, so after this round every registered query has ≥1 driver
-# row ever. Names not (yet) registered are skipped, so entries can be
-# listed ahead of the code landing.
+# round and the rest never earn a driver row. This list is RE-CURATED
+# each round to the highest-signal re-proofs (prior compositions live
+# in git history); _ordered() layers it between the automatic red
+# re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # final never-checked backlog (21): zero driver rows in r01–r04
-    "dedup_span_fraction",
-    "emb_normalize",
-    "emb_quantize_int8",
-    "pipeline_dataset_split",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_array",
-    "scalar_array_lambda",
-    "scalar_json",
-    "scalar_encoding",
-    "scalar_conditional",
-    "predicate_forms",
-    "scalar_map",
-    "scalar_bitwise",
-    "sort_multicol",
-    "limit_offset",
-    "distinct_values",
-    "lateral_posexplode",
-    "unpivot_stack",
-    "timeseries_locf",
-    "timeseries_ewma",
-    "funnel_conversion",
-    "retention_cohort",
-    "path_common_sequences",
-    "sessionize_batch",
-    # repaired multimodal contracts: r04 driver crash (array<double>
-    # canonicalizer) / no_oracle — both now scalar-shaped with oracles
-    "mm_decode_features",
-    "mm_audio_windows",
-    # recall contracts: r02 rows at sf0.01 only, floors since hardened
+    # Round-7 window (curated per the r06 verdict; the r05 composition
+    # this replaces is in git history at 4e64582). Contents: the one
+    # red row first (also auto-fronted by the red-re-front rule in
+    # _ordered — listed anyway so the policy reads in one place), then
+    # re-proofs whose latest green row predates a later rewrite of the
+    # code under test: sim_recall_lsh (probe budget went
+    # corpus-stats-adaptive in r06 AFTER its r05 row), the
+    # connected-components consumers pipeline_split_by_cluster /
+    # dedup_select_canonical (the r06 verdict asked for a
+    # post-pointer-doubling re-proof), and the queries round 7 itself
+    # touches (text_heavy_hitters candidate pass vectorized;
+    # sim_topk_lsh radius derivation de-eagered; stats_js_divergence
+    # smoothing convention; sim_mmr_rerank / pipeline_bpe_train if
+    # they gain real oracles this round). Names not (yet) registered
+    # are skipped, so entries can be listed ahead of the code landing.
+    # New round-7 operators are NOT listed: they are never-checked and
+    # front automatically right behind this list (rule 3) — keep
+    # len(list) + len(never-checked) <= 50 when registering.
+    "pipeline_shard_assignment",
     "sim_recall_lsh",
-    "sim_recall_pq",
-    "dedup_connected_components",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "sim_recall_ivfpq",
-    "dedup_recall_minhash",
-    # re-proofs: single green row from old code (r01/r02)
-    # new in round 5 (late): reject-channel / lake / layout / classifier
-    # operators — never checked, oracle-backed. They take the window
-    # slots of seventeen re-proofs that already hold green rows
-    # (join_broadcast_inner/skew_salted/left_semi/anti/full_outer/
-    # left_outer/right_outer/
-    # shuffle_hash/range/sort_merge, agg_rollup/cube/pivot/
-    # grouping_id/grouping_sets,
-    # agg_min_max_by, agg_percentile), so the airtight-coverage goal
-    # (every registered query has >=1 driver row ever) still lands. The
-    # PQ rung's two queries sit with the other recall contracts above.
-    # pipeline_split_leakage emits the full fingerprint-group census
-    # since round 6 (leaked groups flagged by a boolean), so its driver
-    # row is non-empty even at sf0.01 where the corpus has no exact
-    # duplicates; the leakage-positive evidence remains the sf0.1 sweep
-    # row (8 duplicate groups, 5 leaked).
-    "ingest_reject_channel",
-    "stats_column_profile",
-    "stats_key_skew",
-    "stats_dq_report",
-    "layout_zorder",
-    "pipeline_upsert_snapshot",
-    "pipeline_snapshot_diff",
-    "pipeline_scd2_intervals",
-    "classify_quality_linear",
-    "pipeline_split_leakage",
-    "text_bpe_pair_counts",
-    "sample_weighted_pps",
-    # new in round 5: never-checked, oracle-backed — windowing all four
-    # (over two already-green join/sketch re-proofs) makes coverage
-    # airtight THIS round: after r05 every registered query has ≥1
-    # driver row ever
-    "streaming_keyed_running_stats",
-    "streaming_archive_parquet",
-    "pipeline_lake_compaction",
-    "dedup_incremental_probe",
-    # The 30 operators added AFTER the round-5 window was finalized
-    # (timeseries interpolate/rollup-hierarchy/anomaly/winsorize/ACF,
-    # graph triangles + pagerank + canonical selection, BM25, PMI, BPE
-    # encode, bigram-LM perplexity, dataset card, sorted-neighborhood
-    # ER, PIT SCD2 join + tolerance as-of, negative sampling,
-    # equi-depth histogram, KS + PSI drift, sweep-line concurrency,
-    # gram matrix, MMR, patch tiling, streaming anomaly alert + PIT enrich, mutual
-    # information) are NOT listed: the window is full at 50 and every
-    # listed entry is needed for the every-query-has-a-row goal.
-    # Round-6 handoff is AUTOMATIC: once the r05 CORRECTNESS file
-    # lands, every name below is checked, the list is SPENT, and
-    # _ordered() fronts the never-checked 27 without any edit (see
-    # _ordered's spent-list rule). Interim evidence for the 27 is the
-    # repo's identical sf0.01 gate plus the committed sf0.1 sweep
-    # artifact.
-    #
-    # Round 6: this list is SPENT (every name has an r05 row), so
-    # never-checked-first ordering governs. The twelve operators added
-    # in round 6 (stats_js_divergence, dedup_ngram_novelty,
-    # graph_label_propagation, pipeline_shard_assignment,
-    # sample_temperature_mix, text_vocab_entropy, text_zipf_slope,
-    # mm_video_scene_cuts, timeseries_cusum_changepoint,
-    # stats_benford_deviation, sim_ivf_index_stats,
-    # dedup_cluster_histogram) join the never-checked cohort, keeping
-    # it at 46 <= 50 — every never-checked query still lands in the
-    # round-6 driver window.
+    "pipeline_split_by_cluster",
+    "dedup_select_canonical",
+    "text_heavy_hitters",
+    "sim_topk_lsh",
+    "stats_js_divergence",
+    "sim_mmr_rerank",
+    "pipeline_bpe_train",
 )
 
+# The round this DRIVER_PRIORITY composition was curated for. The list
+# is spent only once every listed name has a CORRECTNESS row from this
+# round or later — so re-proof entries (which already hold OLD rows)
+# keep fronting until the round actually runs, fixing the r06 failure
+# mode where a re-proof list spent itself instantly against stale rows.
+DRIVER_PRIORITY_ROUND = 7
 
-def _checked_names() -> set[str]:
-    """Union of query names across all recorded driver rounds
-    (CORRECTNESS_r*.json in the repo root). Missing/garbled files are
-    ignored — worst case the ordering degrades to registration order."""
+
+def _driver_rows() -> dict[str, tuple[int, dict]]:
+    """name -> (latest round number, that round's record) across all
+    recorded driver rounds (CORRECTNESS_r*.json in the repo root).
+    Missing/garbled files are ignored — worst case the ordering
+    degrades to registration order."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out: set[str] = set()
-    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    out: dict[str, tuple[int, dict]] = {}
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as f:
-                out |= set(json.load(f))
+                data = json.load(f)
         except Exception:
             continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, rec if isinstance(rec, dict) else {})
     return out
 
 
+def _checked_names() -> set[str]:
+    """Names with >=1 recorded driver row, any round."""
+    return set(_driver_rows())
+
+
+def _red_names() -> list[str]:
+    """Names whose LATEST driver row is red (any recorded match field
+    explicitly false) — these re-front the window automatically so a
+    regression can never rotate out of driver scrutiny while unfixed."""
+    rows = _driver_rows()
+    return [
+        n
+        for n in _REGISTRY
+        if n in rows
+        and any(
+            rows[n][1].get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    ]
+
+
 def _ordered() -> list[str]:
-    """Driver window ordering, SELF-ROTATING. While DRIVER_PRIORITY
-    still contains an UNCHECKED name, the whole manual list leads in
-    manual order, EXEMPT from rotate-to-back — that is how a fixed-red
-    query (which has a past row) re-earns a driver row in the round
-    that listed it. Once EVERY listed name has a CORRECTNESS row (the
-    round the list was curated for has run), the list is SPENT and
-    stops fronting: a stale manual list must never pin the window to
-    re-checking the same 50 while a never-checked backlog waits — the
-    failure mode a forgotten between-rounds edit would otherwise cause.
-    Behind the active list (or from the top, once spent) the registry
-    splits never-checked-first, then already-checked in registration
-    order."""
-    checked = _checked_names()
+    """Driver window ordering, SELF-ROTATING, three rules in priority
+    order:
+
+    1. RED RE-FRONT: any query whose LATEST driver row is red leads the
+       window unconditionally (registration order among reds). A red
+       row is the one signal that must never wait on a curated list.
+    2. ACTIVE PRIORITY LIST: DRIVER_PRIORITY leads (in manual order,
+       exempt from rotate-to-back) until every listed name has a row
+       from round >= DRIVER_PRIORITY_ROUND — rows from EARLIER rounds
+       don't spend it, so re-proof entries with old green rows still
+       front in the round the list was curated for. Once spent, a
+       stale manual list never pins the window while a never-checked
+       backlog waits.
+    3. Behind those: never-checked first, then already-checked, both in
+       registration order."""
+    rows = _driver_rows()
+    checked = set(rows)
+    reds = _red_names()
     pri = [n for n in DRIVER_PRIORITY if n in _REGISTRY]
-    spent = all(n in checked for n in pri)
-    lead = [] if spent else pri
+    spent = all(
+        n in rows and rows[n][0] >= DRIVER_PRIORITY_ROUND for n in pri
+    )
+    lead = list(reds) + [
+        n for n in ([] if spent else pri) if n not in set(reds)
+    ]
     seen = set(lead)
     rest = [n for n in _REGISTRY if n not in seen]
     return (

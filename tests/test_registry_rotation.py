@@ -1,78 +1,154 @@
-"""Driver-window self-rotation: while DRIVER_PRIORITY contains an
-unchecked name the whole list leads the window (exempt from
-rotate-to-back, so fixed-red queries can re-earn a driver row in the
-round that listed them); once EVERY listed name has a driver row the
-list is SPENT and never-checked-first rotation takes over — so a round
-that forgets to update DRIVER_PRIORITY still earns new driver evidence
-instead of re-checking the same 50 forever.
+"""Driver-window self-rotation, three rules in priority order:
 
-These tests assert the ordering INVARIANT, not a frozen snapshot of a
-particular round's window — the r04 verdict flagged the snapshot form
-as self-breaking (it goes red the moment the next CORRECTNESS file
-lands)."""
+1. RED RE-FRONT — a query whose LATEST driver row is red leads the
+   window unconditionally (a regression must never rotate out of
+   driver scrutiny while unfixed);
+2. ACTIVE PRIORITY LIST — DRIVER_PRIORITY leads verbatim (exempt from
+   rotate-to-back) until every listed name has a row from round >=
+   DRIVER_PRIORITY_ROUND; rows from EARLIER rounds don't spend it, so
+   re-proof entries with old green rows still front;
+3. behind those: never-checked first, then checked, registration order.
+
+These tests assert the ordering INVARIANTS against synthetic driver
+histories (monkeypatched _driver_rows), never against the repo's real
+CORRECTNESS files — the r04 verdict flagged snapshot-form tests as
+self-breaking (they go red the moment the next driver file lands), and
+the r06 verdict caught a second instance: a precondition that a
+never-checked query EXISTS breaks forever the moment coverage becomes
+airtight."""
 
 from __future__ import annotations
 
 from kinesis2sse_spark import registry
 
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True}
+RED = {"rows_match": True, "schema_match": True, "hash_match": False}
 
-def test_priority_entries_lead_the_window_in_manual_order():
-    # as long as at least one listed name is unchecked, DRIVER_PRIORITY
-    # fronts the ordering verbatim (true in the working tree until the
-    # r05 CORRECTNESS file lands; the monkeypatched variants below pin
-    # both sides of the spent transition)
+
+def _fake_rows(monkeypatch, rows: dict[str, tuple[int, dict]]):
+    monkeypatch.setattr(registry, "_driver_rows", lambda: rows)
+
+
+def test_red_latest_row_re_fronts_unconditionally(monkeypatch):
+    # every name checked GREEN in the priority round (list spent), but
+    # one non-priority name's LATEST row is red → it leads the window
+    registry._ensure_loaded()
+    names = list(registry._REGISTRY)
+    red_name = next(
+        n for n in names if n not in set(registry.DRIVER_PRIORITY)
+    )
+    rnd = registry.DRIVER_PRIORITY_ROUND
+    rows = {n: (rnd, dict(GREEN)) for n in names}
+    rows[red_name] = (rnd, dict(RED))
+    _fake_rows(monkeypatch, rows)
+    ordered = list(registry.all_queries())
+    assert ordered[0] == red_name
+
+
+def test_red_older_than_green_does_not_re_front(monkeypatch):
+    # a red row SUPERSEDED by a later green row is fixed — only the
+    # latest round's record counts
+    registry._ensure_loaded()
+    names = list(registry._REGISTRY)
+    rnd = registry.DRIVER_PRIORITY_ROUND
+    rows = {n: (rnd, dict(GREEN)) for n in names}
+    _fake_rows(monkeypatch, rows)
+    assert registry._red_names() == []
+
+
+def test_priority_entries_lead_despite_old_green_rows(monkeypatch):
+    # THE r06 failure mode: every listed name already has an OLD row,
+    # which under all-names-checked semantics spent the list instantly.
+    # Round-scoped semantics keep it active until the curated round
+    # actually runs.
     registry._ensure_loaded()
     pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
     assert pri, "DRIVER_PRIORITY should name registered queries"
-    checked = registry._checked_names()
-    if all(n in checked for n in pri):
-        return  # list already spent on this checkout — covered below
+    old = registry.DRIVER_PRIORITY_ROUND - 1
+    rows = {n: (old, dict(GREEN)) for n in registry._REGISTRY}
+    _fake_rows(monkeypatch, rows)
     names = list(registry.all_queries())
     assert names[: len(pri)] == pri
 
 
-def test_priority_is_exempt_from_rotate_to_back_while_active(monkeypatch):
-    # with at least ONE listed name unchecked, the whole manual list
-    # still leads even though most members have rows — that is how a
-    # fixed-red query gets re-proved instead of rotating behind a 50+
-    # unchecked backlog
+def test_priority_spends_once_curated_round_has_run(monkeypatch):
+    # every listed name has a row from the curated round (or later) →
+    # the list stops fronting and never-checked-first rotation governs
     registry._ensure_loaded()
     pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
-    fake_checked = (registry._checked_names() | set(pri)) - {pri[-1]}
-    monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
+    rnd = registry.DRIVER_PRIORITY_ROUND
+    all_names = list(registry._REGISTRY)
+    never = [n for n in all_names if n not in set(pri)][:3]
+    rows = {
+        n: (rnd, dict(GREEN))
+        for n in all_names
+        if n not in set(never)
+    }
+    _fake_rows(monkeypatch, rows)
     names = list(registry.all_queries())
-    assert names[: len(pri)] == pri
-
-
-def test_spent_priority_hands_over_to_never_checked(monkeypatch):
-    # once EVERY listed name has a driver row (the list's round has
-    # run), the list stops fronting: the never-checked backlog leads
-    # and the formerly-pinned names rotate to the back with the rest
-    # of the checked registry — no between-rounds edit required
-    registry._ensure_loaded()
-    pri = set(n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY)
-    fake_checked = registry._checked_names() | pri
-    monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
-    names = list(registry.all_queries())
-    never = [n for n in names if n not in fake_checked]
-    assert never, "test needs at least one never-checked query"
     assert names[: len(never)] == never
-    assert set(names[: len(never)]) & pri == set()
+    assert set(names[: len(never)]) & set(pri) == set()
+
+
+def test_red_leads_even_while_priority_list_is_active(monkeypatch):
+    # rule 1 beats rule 2: a red name NOT in the list still fronts the
+    # active list (and a red name IN the list isn't duplicated)
+    registry._ensure_loaded()
+    pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
+    red_name = next(
+        n for n in registry._REGISTRY if n not in set(pri)
+    )
+    old = registry.DRIVER_PRIORITY_ROUND - 1
+    rows = {n: (old, dict(GREEN)) for n in registry._REGISTRY}
+    rows[red_name] = (old, dict(RED))
+    _fake_rows(monkeypatch, rows)
+    names = list(registry.all_queries())
+    assert names[0] == red_name
+    assert names[1 : 1 + len(pri)] == pri
+    assert len(names) == len(set(names))
 
 
 def test_never_checked_sort_ahead_of_checked_behind_priority(monkeypatch):
     registry._ensure_loaded()
-    pri_list = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
-    # keep the list ACTIVE (one unchecked member) so it still fronts
-    fake_checked = (registry._checked_names() | set(pri_list)) - {pri_list[0]}
-    monkeypatch.setattr(registry, "_checked_names", lambda: fake_checked)
+    pri = [n for n in registry.DRIVER_PRIORITY if n in registry._REGISTRY]
+    old = registry.DRIVER_PRIORITY_ROUND - 1
+    all_names = list(registry._REGISTRY)
+    unchecked = [n for n in all_names if n not in set(pri)][:5]
+    rows = {
+        n: (old, dict(GREEN))
+        for n in all_names
+        if n not in set(unchecked)
+    }
+    _fake_rows(monkeypatch, rows)
     names = list(registry.all_queries())
-    rest = [n for n in names if n not in set(pri_list)]
-    never = [n for n in rest if n not in fake_checked]
-    checked = [n for n in rest if n in fake_checked]
+    rest = [n for n in names if n not in set(pri)]
+    never = [n for n in rest if n in set(unchecked)]
+    checked = [n for n in rest if n not in set(unchecked)]
     # behind the manual list: the whole never-checked backlog, then
     # the already-checked remainder — no interleaving
     assert rest == never + checked
+
+
+def test_current_window_contains_the_r06_red_row():
+    # the one assertion against the REAL repo state round 7 depends on:
+    # pipeline_shard_assignment (red in r06) must sit inside the
+    # driver's first-50 window. This stays true after it re-earns a
+    # green row because the name is also in DRIVER_PRIORITY for round
+    # 7, and becomes vacuous (list spent, never re-fails) after.
+    names = list(registry.all_queries())[:50]
+    rows = registry._driver_rows()
+    rec = rows.get("pipeline_shard_assignment")
+    latest_red = rec is not None and any(
+        rec[1].get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+    spent = all(
+        n in rows and rows[n][0] >= registry.DRIVER_PRIORITY_ROUND
+        for n in registry.DRIVER_PRIORITY
+        if n in registry._REGISTRY
+    )
+    if latest_red or not spent:
+        assert "pipeline_shard_assignment" in names
 
 
 def test_every_registered_query_is_windowable():
@@ -88,35 +164,30 @@ def test_priority_names_are_all_registered():
     assert unknown == [], f"DRIVER_PRIORITY names not registered: {unknown}"
 
 
-def test_checked_names_survives_garbage_files(tmp_path, monkeypatch):
+def test_driver_rows_survives_garbage_files(tmp_path, monkeypatch):
     import glob as _glob
 
     import kinesis2sse_spark.registry as reg
 
-    (tmp_path / "CORRECTNESS_r01.json").write_text('{"q_a": {}, "q_b": {}}')
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        '{"q_a": {"hash_match": false}, "q_b": {"hash_match": true}}'
+    )
     (tmp_path / "CORRECTNESS_r02.json").write_text("not json at all")
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        '{"q_a": {"hash_match": true}}'
+    )
     monkeypatch.setattr(
         _glob,
         "glob",
         lambda pat: [
             str(tmp_path / "CORRECTNESS_r01.json"),
             str(tmp_path / "CORRECTNESS_r02.json"),
+            str(tmp_path / "CORRECTNESS_r03.json"),
         ],
     )
+    rows = reg._driver_rows()
+    assert set(rows) == {"q_a", "q_b"}
+    # q_a's red r01 row is superseded by the green r03 row
+    assert rows["q_a"] == (3, {"hash_match": True})
+    assert rows["q_b"][0] == 1
     assert reg._checked_names() == {"q_a", "q_b"}
-
-
-def test_driver_priority_names_all_registered():
-    """Unregistered DRIVER_PRIORITY names are skipped by design (so a
-    name can be listed before its code lands) — but at round end every
-    entry must resolve, or a typo silently drops a must-check query
-    from the driver window."""
-    from kinesis2sse_spark.registry import DRIVER_PRIORITY, all_queries
-
-    registered = set(all_queries())
-    missing = [n for n in DRIVER_PRIORITY if n not in registered]
-    assert not missing, missing
-    # NOT asserted: window length or exact prefix — those encode a
-    # per-round policy snapshot (the r04 rotation-test trap); this
-    # test only fails at edit time, from code alone, never from a
-    # driver-written file appearing on disk.
