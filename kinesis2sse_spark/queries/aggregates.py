@@ -784,7 +784,16 @@ def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the JSD arithmetic runs on bands with the same Laplace
     smoothing; per-band contributions floor-quantize to scaled
     integers before the sum (the gram-matrix rule), so
-    partial-aggregation order cannot move the total between engines."""
+    partial-aggregation order cannot move the total between engines.
+
+    Smoothing convention (same as stats_psi_drift): the Laplace
+    denominator uses the FIXED design band count PSI_BUCKETS (6), not
+    the number of bands that happen to materialize — so on a sparse
+    corpus the smoothed p/q need not sum to exactly 1 over present
+    bands and the reported jsd can sit slightly above the true mixture
+    divergence. Deliberate: a fixed denominator keeps the score
+    comparable across corpora and snapshots (the monitoring use case),
+    and both engines share it, so the oracle is exact either way."""
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")

@@ -22,6 +22,19 @@ N_QUERIES = 10  # query set = vec_id < 10
 TOP_K = 5
 
 
+def _corpus_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — a driver-side file read
+    (no Spark job), the cheap 'corpus stats at index-build time' input
+    the adaptive probe-budget policies key on. At 100 TB this is the
+    catalog/table-statistics lookup; here it's the footer the writer
+    already stamped."""
+    import os
+
+    import pyarrow.dataset as ds
+
+    return ds.dataset(os.path.join(sf_dir, f"{table}.parquet")).count_rows()
+
+
 def _with_norm(e):
     v = F.transform("embedding", lambda x: x.cast("double"))
     return e.select("vec_id", v.alias("v")).withColumn(
@@ -145,7 +158,13 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
-    radius = 2 if e.count() < LSH_SMALL_CORPUS else 1
+    # probe budget from parquet FOOTER row counts (driver-side metadata
+    # read, microseconds) — an index-build-time corpus stat, exactly
+    # where ANN deployments read it. Not e.count(): that is an eager
+    # full-scan Spark job at DataFrame-CONSTRUCTION time, paid by every
+    # plan dump / EXPLAIN / composing caller (sim_recall_lsh built this
+    # twice per call)
+    radius = 2 if _corpus_rows(sf_dir, "embeddings") < LSH_SMALL_CORPUS else 1
     flips = [0] + [2**p for p in range(LSH_PLANES)]
     if radius >= 2:
         flips += [
@@ -325,7 +344,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    # IVF_PROBES nearest centroids per query (by cosine against centroid)
+    # IVF_PROBES nearest centroids per query, ranked by the RAW
+    # UNNORMALIZED dot product (qdot, not cosine) — deliberate: this is
+    # exactly what the byte-exact _IVF_ORACLE prober replays, so
+    # "fixing" this to true cosine would break hash_match
     wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), "cell")
     probes = (
         queries.crossJoin(F.broadcast(centroids))

@@ -1768,24 +1768,31 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     k = HH_K
 
-    # self-contained closure (pickled by value; see multimodal.py)
+    # self-contained closure (pickled by value; see multimodal.py).
+    # Batched Misra-Gries via mergeable summaries (Agarwal et al.,
+    # PODS'12): each Arrow batch's exact value_counts (itself an
+    # error-0 MG summary) merges into the running counters by summing,
+    # then subtracting the (k+1)-st largest combined count from all and
+    # dropping non-positives — at most k counters survive and the
+    # undercount error stays <= n_p/(k+1), so the superset property the
+    # verify pass relies on is identical to token-at-a-time MG. The
+    # fold is entirely vectorized pandas (split/explode/value_counts);
+    # the previous per-token Python dict loop pushed the whole corpus
+    # through the interpreter one op at a time. Peak memory is
+    # O(batch vocabulary), bounded by the Arrow batch size, never the
+    # corpus vocabulary.
     def mg_partition(batches):
         import pandas as pd
 
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for text in pdf["text"]:
-                for t in text.split(" "):
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < k:
-                        counters[t] = 1
-                    else:
-                        for u in list(counters):
-                            counters[u] -= 1
-                            if counters[u] == 0:
-                                del counters[u]
-        yield pd.DataFrame({"term": list(counters.keys())})
+            chunk = pdf["text"].str.split(" ").explode().value_counts()
+            combined = counters.add(chunk, fill_value=0)
+            if len(combined) > k:
+                cut = combined.nlargest(k + 1).iloc[-1]
+                combined = combined[combined > cut] - cut
+            counters = combined
+        yield pd.DataFrame({"term": counters.index.astype(str)})
 
     candidates = d.select("text").mapInPandas(mg_partition, "term string").distinct()
     toks = d.select(F.explode(F.split("text", " ")).alias("term")).persist(

@@ -613,6 +613,57 @@ def test_heavy_hitters_survive_mg_eviction(spark, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_mg_batched_fold_is_superset_across_batch_boundaries():
+    """The vectorized mergeable-summaries fold (sum counters, subtract
+    the (k+1)-st largest, drop non-positives) must keep every term
+    whose TRUE stream frequency exceeds n/k, for every way the stream
+    is cut into Arrow batches — the guarantee the verify pass builds
+    on. Checked against exact counts over adversarial cuts (hot terms
+    split across batches, batches smaller and larger than k) on
+    deterministic skewed streams."""
+    import collections
+    import itertools
+
+    import pandas as pd
+
+    k = 5
+
+    def fold(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            chunk = pdf["text"].str.split(" ").explode().value_counts()
+            combined = counters.add(chunk, fill_value=0)
+            if len(combined) > k:
+                cut = combined.nlargest(k + 1).iloc[-1]
+                combined = combined[combined > cut] - cut
+            counters = combined
+        return set(counters.index)
+
+    # deterministic skewed stream: 2 heavy terms + a long rare tail
+    docs = (
+        ["hot " * 20 + "warm " * 9 + f"rare{i}" for i in range(40)]
+        + [f"tail{i} tail{i + 1} tail{i + 2}" for i in range(0, 120, 3)]
+    )
+    counts = collections.Counter(
+        t for d in docs for t in d.split(" ")
+    )
+    n = sum(counts.values())
+    heavy = {t for t, c in counts.items() if c * k > n}
+    assert heavy, "fixture must contain heavy hitters"
+    for cut_size in (1, 3, k - 1, k, k + 1, 17, len(docs)):
+        batches = [
+            pd.DataFrame({"text": docs[i : i + cut_size]})
+            for i in range(0, len(docs), cut_size)
+        ]
+        cands = fold(batches)
+        assert heavy <= cands, (cut_size, heavy - cands)
+        assert len(cands) <= k
+    # order-adversarial: heavy terms arriving LAST must still survive
+    rev = list(itertools.chain(docs[40:], docs[:40]))
+    cands = fold([pd.DataFrame({"text": rev[i : i + 7]}) for i in range(0, len(rev), 7)])
+    assert heavy <= cands
+
+
 def test_js_divergence_bounds_and_symmetry_fixture(spark):
     """JSD is bounded [0, ln 2] and the click/view totals must match
     the raw event counts — the invariants the scalar drift value can't
@@ -624,9 +675,15 @@ def test_js_divergence_bounds_and_symmetry_fixture(spark):
     from kinesis2sse_spark.catalog import load_table
 
     ev = load_table(spark, SF_SMOKE, "events")
+    # same value-IS-NOT-NULL filter the query applies to its bands —
+    # expected counts computed WITHOUT it would spuriously fail the
+    # moment a fixture gains NULL value rows
     want = {
         r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        for r in ev.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
     assert row["n_click"] == want.get("click", 0)
     assert row["n_view"] == want.get("view", 0)
