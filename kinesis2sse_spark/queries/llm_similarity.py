@@ -1206,7 +1206,89 @@ MMR_SELECT = 5
 MMR_SHORTLIST = 20
 
 
-@register("sim_mmr_rerank", oracle=None)
+def _mmr_oracle() -> str:
+    """Recursive-CTE replay of the greedy MMR selection (the PageRank
+    unroll trick, extended to a data-dependent argmax per step). Every
+    FP value is byte-identical to the Spark side: rel and pair sims
+    are ascending-dimension left-folds (list_reduce replays both the
+    JVM F.aggregate folds and the kernel's explicit dimension-loop
+    accumulation), and each greedy step takes max() over a
+    (score, -neighbor_id, neighbor_id) STRUCT — lexicographic struct
+    comparison IS the kernel's (score desc, id asc) deterministic
+    argmax (arg_max doesn't accept struct keys in DuckDB 1.0; plain
+    max over a struct does the same job and carries the id along).
+    The chosen-so-far set threads through the recursion as a list
+    column consumed by list_contains."""
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, {_IVF_DIM}), i -> {{a}}[i + 1] * {{b}}[i + 1])), "
+        "(x, y) -> x + y)"
+    )
+    lam = MMR_LAMBDA
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot.format(a="q.v", b="c.v")} / (q.norm * c.norm) AS rel,
+             c.v AS v, c.norm AS cnorm
+      FROM corpus q JOIN corpus c
+        ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id, rel, v, cnorm FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, neighbor_id) AS rn FROM scored)
+      WHERE rn <= {MMR_SHORTLIST}
+    ),
+    sims AS (
+      SELECT s1.query_id, s1.neighbor_id AS ia, s2.neighbor_id AS ib,
+             {dot.format(a="s1.v", b="s2.v")} / (s1.cnorm * s2.cnorm) AS sim
+      FROM shortlist s1 JOIN shortlist s2
+        ON s1.query_id = s2.query_id AND s1.neighbor_id <> s2.neighbor_id
+    ),
+    sel(query_id, rank, neighbor_id, score, chosen) AS (
+      SELECT query_id, CAST(1 AS BIGINT), pick['nid'], pick['sc'],
+             [pick['nid']]
+      FROM (
+        SELECT query_id,
+               max({{'sc': {lam} * rel - (1 - {lam}) * 0.0,
+                     'negid': -neighbor_id, 'nid': neighbor_id}}) AS pick
+        FROM shortlist GROUP BY query_id
+      )
+      UNION ALL
+      SELECT query_id, rank + 1, pick['nid'], pick['sc'],
+             list_append(chosen, pick['nid'])
+      FROM (
+        SELECT g.query_id, g.rank, g.chosen,
+               max({{'sc': g.score, 'negid': -g.neighbor_id,
+                     'nid': g.neighbor_id}}) AS pick
+        FROM (
+          SELECT s.query_id, s.rank, s.chosen, sh.neighbor_id,
+                 {lam} * sh.rel - (1 - {lam}) * max(si.sim) AS score
+          FROM sel s
+          JOIN shortlist sh ON sh.query_id = s.query_id
+            AND NOT list_contains(s.chosen, sh.neighbor_id)
+          JOIN sims si ON si.query_id = s.query_id
+            AND si.ia = sh.neighbor_id AND list_contains(s.chosen, si.ib)
+          WHERE s.rank < {MMR_SELECT}
+          GROUP BY s.query_id, s.rank, s.chosen, sh.neighbor_id, sh.rel
+        ) g
+        GROUP BY g.query_id, g.rank, g.chosen
+      )
+    )
+    SELECT query_id, rank, neighbor_id,
+           floor(score * 1000000 + 0.5) / 1000000 AS mmr_score
+    FROM sel
+    """
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-rank: from each query's exact
     top-MMR_SHORTLIST cosine shortlist, greedily select MMR_SELECT
@@ -1220,10 +1302,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     query on a shortlist, embarrassingly parallel across queries, and
     the only Python in the operator touches 20 rows per query, never
     the corpus. Deterministic: exact argmax with (score desc, id asc)
-    tie-break on IEEE doubles, no RNG — pytest replays it against an
-    independent pure-Python model (greedy selection is inherently
-    sequential, so no SQL oracle; the driver applies its rows-only
-    check)."""
+    tie-break on IEEE doubles, no RNG — and since the kernel's sims
+    and norms accumulate in explicit ascending-dimension left-fold
+    order (not BLAS pairwise summation), the recursive-CTE oracle
+    (_mmr_oracle) replays the whole greedy loop byte-exactly; pytest
+    additionally pins it against an independent pure-Python model."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1263,8 +1346,23 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["neighbor_id"].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        norms = np.linalg.norm(vecs, axis=1)
-        sims = (vecs @ vecs.T) / np.outer(norms, norms)
+        # dimension-order LEFT-FOLD accumulation, not BLAS (@ / linalg
+        # .norm use pairwise/blocked summation whose last bits differ
+        # from a sequential fold): each += adds exactly one product in
+        # ascending-dimension order starting from 0.0, so the oracle's
+        # list_reduce(list_prepend(0.0, ...)) replays every sim
+        # byte-exactly — this is what moved the operator off the
+        # rows-only list. Still vectorized across the s^2 pair grid;
+        # only the 64-step dim loop is Python.
+        n_rows, dims = vecs.shape
+        dot_acc = np.zeros((n_rows, n_rows))
+        sq_acc = np.zeros(n_rows)
+        for dcol in range(dims):
+            col = vecs[:, dcol]
+            dot_acc += col[:, None] * col[None, :]
+            sq_acc += col * col
+        norms = np.sqrt(sq_acc)
+        sims = dot_acc / np.outer(norms, norms)
         selected: list[int] = []
         out_rows = []
         remaining = list(range(len(ids)))

@@ -1173,23 +1173,77 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
     return rules
 
 
-@register("pipeline_bpe_train", oracle=None)
+BPE_TRAIN_MERGES = 4
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled BPE-induction oracle: each word is encoded as the
+    concatenation of US+symbol+US (US = chr(31), outside the fixtures'
+    printable-ASCII alphabet), so the pair (a, b) occurs as the exact
+    substring US a US US b US only at full-symbol boundaries, and
+    DuckDB's replace() — left-to-right, non-overlapping, resuming
+    AFTER each replacement — replays the Spark side's greedy
+    left-fold merge byte-exactly (a merged token is re-wrapped as one
+    symbol and never chain-merges within the same rule, in both
+    formulations). Per iteration: re-split the string form into
+    symbols, count adjacent pairs, argmax with the identical
+    (cnt DESC, a, b) tie-break, substitute. Integer/string arithmetic
+    end to end — no FP ladder needed."""
+    its = []
+    for i in range(n_merges):
+        its.append(f"""
+    syms{i} AS (
+      SELECT string_split(trim(ws, chr(31)), chr(31)||chr(31)) AS s
+      FROM words{i}
+    ),
+    pairs{i} AS (
+      SELECT s[i.x] AS a, s[i.x + 1] AS b, count(*) AS cnt
+      FROM syms{i}, LATERAL (SELECT unnest(range(1, len(s))) AS x) i
+      GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT a, b FROM pairs{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    words{i + 1} AS (
+      SELECT replace(ws,
+               chr(31)||t.a||chr(31)||chr(31)||t.b||chr(31),
+               chr(31)||t.a||t.b||chr(31)) AS ws
+      FROM words{i}, top{i} t
+    )""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rule_idx, a, b FROM top{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    words0 AS (
+      SELECT array_to_string(list_transform(string_split(w, ''),
+               c -> chr(31)||c||chr(31)), '') AS ws
+      FROM tok WHERE length(w) >= 2
+    ),{','.join(its)}
+    {finals}
+    """
+
+
+@register("pipeline_bpe_train", oracle=_bpe_train_oracle(BPE_TRAIN_MERGES))
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary INDUCTION as a registered operator: learn the
-    first 4 merge rules from the corpus with ``bpe_train_merges`` (the
-    distributed train loop — one pair-count aggregate per iteration,
-    JVM-fold re-tokenization, localCheckpoint lineage break) and emit
-    the learned merge table (rule_idx, a, b). The model comes back to
-    the driver by design — a tokenizer vocab IS a driver-sized
-    artifact, like ml_kmeans centroids — while every corpus touch
-    stays distributed. No SQL oracle: the argmax-retokenize-repeat
-    loop is an iterative algorithm outside DuckDB's declarative reach
-    (the driver applies its rows-only check); pytest pins the full
-    loop against a hand-computed model instead
+    first BPE_TRAIN_MERGES merge rules from the corpus with
+    ``bpe_train_merges`` (the distributed train loop — one pair-count
+    aggregate per iteration, JVM-fold re-tokenization, localCheckpoint
+    lineage break) and emit the learned merge table (rule_idx, a, b).
+    The model comes back to the driver by design — a tokenizer vocab
+    IS a driver-sized artifact, like ml_kmeans centroids — while every
+    corpus touch stays distributed. The oracle unrolls the fixed
+    iteration count into chained CTEs, replaying the greedy fold merge
+    with non-overlapping string replace on a US-delimited symbol
+    encoding (see _bpe_train_oracle) — integer-exact throughout, which
+    is what moves this off the rows-only list; pytest additionally
+    pins the loop against a hand-computed model
     (test_bpe_training_matches_python_model), and the frozen
     BPE_APPLY_RULES table consumed by pipeline_bpe_encode documents
     what a longer offline run of this operator produced."""
-    rules = bpe_train_merges(spark, sf_dir, n_merges=4)
+    rules = bpe_train_merges(spark, sf_dir, n_merges=BPE_TRAIN_MERGES)
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(rules)],
         "rule_idx bigint, a string, b string",
