@@ -180,13 +180,44 @@ def kinesis_start_options(start) -> dict[str, str]:
     }
 
 
+# Data-driven option-name remaps for the common Kinesis connectors —
+# the canonical keys this module emits (streamName / region /
+# startingPosition / startingTimestamp) renamed to each connector's
+# spelling. A jar-holder wires production with ONE argument:
+#   kinesis_stream(..., source_format="aws-kinesis",
+#                  option_names=KINESIS_OPTION_PRESETS["aws-kinesis"])
+# The presets are data, not code: if an installed connector release
+# spells an option differently, override the dict entry — and confirm
+# against that release's docs, since third-party spellings are outside
+# this repo's test reach (tests pin OUR remap output, not the
+# connector's acceptance of it).
+KINESIS_OPTION_PRESETS: dict[str, dict[str, str]] = {
+    # awslabs spark-sql-kinesis-connector (format "aws-kinesis"):
+    # every option rides a "kinesis." prefix
+    "aws-kinesis": {
+        "streamName": "kinesis.streamName",
+        "region": "kinesis.region",
+        "startingPosition": "kinesis.startingPosition",
+        "startingTimestamp": "kinesis.startingTimestamp",
+    },
+    # AWS Glue streaming (format "kinesis"): unprefixed camelCase,
+    # stream addressed by ARN rather than name
+    "glue-kinesis": {
+        "streamName": "streamARN",
+        "region": "region",
+        "startingPosition": "startingPosition",
+        "startingTimestamp": "startingTimestamp",
+    },
+}
+
+
 def kinesis_stream(
     spark: SparkSession,
     stream_name: str,
     region: str,
     start="latest",
     source_format: str | None = None,
-    option_names: dict[str, str] | None = None,
+    option_names: dict[str, str] | str | None = None,
     **options,
 ):
     """Kinesis source through the same seam as events_stream/kafka_stream
@@ -196,11 +227,15 @@ def kinesis_stream(
     then requires a connector: pass ``source_format`` (e.g.
     "aws-kinesis") once a connector jar is on the classpath, plus
     ``option_names`` to remap canonical option keys to that connector's
-    spelling. Without a format it raises, and tests pin the option
-    mapping via kinesis_start_options."""
+    spelling — either a dict, or a KINESIS_OPTION_PRESETS key
+    ("aws-kinesis", "glue-kinesis"). Without a format it raises, and
+    tests pin the option mapping via kinesis_start_options and both
+    presets."""
     opts = {"streamName": stream_name, "region": region}
     opts.update(kinesis_start_options(start))
     opts.update(options)
+    if isinstance(option_names, str):
+        option_names = KINESIS_OPTION_PRESETS[option_names]
     if option_names:
         opts = {option_names.get(k, k): v for k, v in opts.items()}
     if source_format is None:

@@ -47,10 +47,13 @@ def _assign_offsets_fn(order_col: str):
 
 
 # NOTE: a transformWithStateInPandas variant was evaluated (Spark 4's
-# typed-state successor to applyInPandasWithState) but this PySpark build's
-# TWS driver worker crashes during state-schema validation even on a
-# minimal processor with the RocksDB provider enabled — revisit when the
-# runtime supports it; the semantics here are identical.
+# typed-state successor to applyInPandasWithState) but remains
+# incompatible with this runtime. Re-probed on pyspark 4.1.2
+# (2026-08, round 7): a minimal keyed ValueState counter over a rate
+# source fails every micro-batch with STREAM_FAILED /
+# "TransformWithStateInPySpark driver worker exited unexpectedly
+# (crashed) SQLSTATE: XXKST" before the first state op runs. Revisit
+# on the next runtime bump; the semantics here are identical.
 def with_streaming_offsets(df: DataFrame, order_col: str = "event_id") -> DataFrame:
     """Assign contiguous offsets 0,1,2,... across micro-batches.
 

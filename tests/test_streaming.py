@@ -381,6 +381,78 @@ def test_kinesis_reader_spec_includes_resolved_options(spark):
     assert "AT_TIMESTAMP" in msg
 
 
+def test_kinesis_option_presets_remap_every_canonical_key():
+    """The two bundled connector presets are regression-pinned: a
+    jar-holder passes option_names=\"aws-kinesis\" (or \"glue-kinesis\")
+    and every canonical key this module emits lands under that
+    connector's spelling — kinesis.-prefixed for the awslabs
+    spark-sql-kinesis connector, unprefixed camelCase with streamARN
+    for Glue. The presets are remap DATA; what these tests freeze is
+    OUR emitted spelling per preset, so an accidental edit can't
+    silently ship misnamed options."""
+    import pytest
+
+    from kinesis2sse_spark.streaming.source import (
+        KINESIS_OPTION_PRESETS,
+        kinesis_start_options,
+    )
+
+    canonical = {"streamName", "region"} | set(
+        kinesis_start_options(datetime(2024, 3, 1))
+    )
+    assert canonical == {
+        "streamName",
+        "region",
+        "startingPosition",
+        "startingTimestamp",
+    }
+    for preset, mapping in KINESIS_OPTION_PRESETS.items():
+        # every canonical key is covered — no option silently keeps a
+        # spelling the connector would ignore
+        assert set(mapping) == canonical, preset
+    aws = KINESIS_OPTION_PRESETS["aws-kinesis"]
+    assert all(v == f"kinesis.{k}" for k, v in aws.items())
+    glue = KINESIS_OPTION_PRESETS["glue-kinesis"]
+    assert glue["streamName"] == "streamARN"
+    assert glue["startingPosition"] == "startingPosition"
+
+
+def test_kinesis_stream_accepts_preset_name(spark):
+    """String preset → full remapped reader spec in the raised message
+    (the no-jar seam), for both presets and every seek kind."""
+    import pytest
+
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    with pytest.raises(NotImplementedError) as e:
+        kinesis_stream(
+            spark,
+            "my-stream",
+            "us-east-1",
+            start=datetime(2024, 3, 1),
+            option_names="aws-kinesis",
+        )
+    msg = str(e.value)
+    assert "kinesis.streamName" in msg
+    assert "kinesis.startingTimestamp" in msg
+    assert "1709251200000" in msg
+
+    with pytest.raises(NotImplementedError) as e:
+        kinesis_stream(
+            spark,
+            "arn:aws:kinesis:us-east-1:123:stream/my-stream",
+            "us-east-1",
+            start="trim_horizon",
+            option_names="glue-kinesis",
+        )
+    msg = str(e.value)
+    assert "streamARN" in msg
+    assert "TRIM_HORIZON" in msg
+
+    with pytest.raises(KeyError):
+        kinesis_stream(spark, "s", "r", option_names="no-such-preset")
+
+
 # ---- Kinesis seam end-to-end (fake in-process connector, S1/S2) ------------
 
 
