@@ -2122,3 +2122,208 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(q * 1000000 + F.lit(0.5)) / 1000000).alias("alpha_share"),
         (F.floor(q / F.col("s") * 1000000 + F.lit(0.5)) / 1000000).alias("sample_factor"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables,
+           floor((206.835 - 1.015 * n_words
+                  - 84.6 * (n_syllables * 1.0 / n_words))
+                 * 1000000 + 0.5) / 1000000 AS flesch_score
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease readability score, the classic lexical
+    quality dial curation stacks report next to stopword/length ratios
+    (text_quality_score): 206.835 - 1.015*(words/sentence) -
+    84.6*(syllables/word), with syllables approximated as vowel-group
+    runs ([aeiouy]+ — groups cannot span the space delimiter, so one
+    whole-text regexp count equals the per-word sum) and each document
+    treated as ONE sentence (the synthetic corpus carries no sentence
+    punctuation; on real text swap in a sentence splitter upstream).
+    Pure per-row JVM expressions inside whole-stage codegen — zero
+    shuffles, embarrassingly parallel at any corpus size; the score is
+    one fixed-shape IEEE expression over two integers on both engines,
+    floor-quantized at 1e6 (ladder step 2)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_syll = F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), 0)).cast(
+        "bigint"
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.col("n_words")
+        - F.lit(84.6) * (F.col("n_syllables") * 1.0 / F.col("n_words"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_syll.alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            (F.floor(score * 1000000 + F.lit(0.5)) / 1000000).alias("flesch_score"),
+        )
+    )
+
+
+# Demo lexicon for the toxicity/blocklist gate — production swaps in a
+# real list (the operator shape is identical: a broadcast-small array
+# bound into a JVM filter). Terms chosen to hit the fixtures' vocabulary
+# so the driver row is non-trivial.
+TOXICITY_LEXICON = ("slow", "fail", "error", "bad")
+TOXICITY_THRESHOLD_PPM = 40000  # flag docs with > 4% lexicon tokens
+
+
+@register(
+    "classify_toxicity_lexicon",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains({list(TOXICITY_LEXICON)!r}, t)))
+               AS BIGINT) AS n_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_hits,
+           floor(n_hits * 1000000.0 / n_tokens + 0.5) / 1000000 AS hit_ratio,
+           n_hits * 1000000 > {TOXICITY_THRESHOLD_PPM} * n_tokens AS flagged
+    FROM m WHERE n_tokens > 0
+    """,
+)
+def classify_toxicity_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content gate — the blocklist filter every corpus
+    pipeline runs before anything model-based (cheap, auditable, and
+    the usual first cut for toxicity / NSFW / spam): per document,
+    count tokens hitting a fixed lexicon and flag docs whose hit rate
+    clears a ppm threshold. The lexicon binds as an array literal into
+    a JVM-side filter (production: a broadcast variable over a
+    many-thousand-term list — never a join, the corpus must not
+    shuffle for a dimension this small). Zero shuffles; the flag
+    compares integer cross-products (hits * 1e6 > ppm * tokens), so no
+    FP boundary exists for engines to disagree on; the reported ratio
+    floor-quantizes at 1e6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lex = F.array(*[F.lit(t) for t in TOXICITY_LEXICON])
+    n_tokens = F.size(toks).cast("bigint")
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(lex, t))).cast(
+        "bigint"
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_hits.alias("n_hits"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_hits",
+            (
+                F.floor(F.col("n_hits") * 1000000.0 / F.col("n_tokens") + F.lit(0.5))
+                / 1000000
+            ).alias("hit_ratio"),
+            (
+                F.col("n_hits") * 1000000
+                > F.lit(TOXICITY_THRESHOLD_PPM) * F.col("n_tokens")
+            ).alias("flagged"),
+        )
+    )
+
+
+BOILERPLATE_DF = 3  # a 3-gram in >= this many distinct docs is boilerplate
+
+
+@register(
+    "text_boilerplate_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    df AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN df.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boiler,
+           floor(sum(CASE WHEN df.df >= {BOILERPLATE_DF} THEN 1 ELSE 0 END)
+                 * 1000000.0 / count(*) + 0.5) / 1000000 AS boiler_frac
+    FROM grams JOIN df USING (g)
+    GROUP BY grams.doc_id
+    """,
+)
+def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate detector (the CCNet/C4 idea at the
+    n-gram level): the fraction of a document's word-3-gram POSITIONS
+    whose gram occurs in >= BOILERPLATE_DF distinct documents.
+    Complements text_repetition_score (intra-doc duplication) and
+    dedup_ngram_novelty (first-occurrence freshness): this one finds
+    the nav-bars and license headers that are globally common without
+    being anyone's duplicate.
+
+    Plan: explode grams once, ONE shuffle keyed on the gram for the
+    distinct-doc DF aggregate, join the |vocab|-row DF relation back
+    onto the (persisted) gram relation on the same key — the shuffle
+    partitioning is REUSED, not repeated — then a per-doc count.
+    At 100 TB the gram key compresses to xxhash64 (8 bytes) exactly as
+    the jaccard inverted index does; raw strings here so the oracle
+    can replay membership. The fraction floor-quantizes at 1e6 from an
+    exact integer pair."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                )
+            ).alias("g"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = (F.col("df") >= BOILERPLATE_DF).cast("long")
+    return (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (
+                F.floor(F.col("n_boiler") * 1000000.0 / F.col("n_grams") + F.lit(0.5))
+                / 1000000
+            ).alias("boiler_frac"),
+        )
+    )

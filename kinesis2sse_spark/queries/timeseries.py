@@ -934,3 +934,168 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("s").cast("double") / F.col("n") * 1000000 + F.lit(0.5)) / 1000000).alias("cusum"),
         )
     )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    keyed AS (
+      SELECT day, c, (CAST(day AS DATE) - DATE '1970-01-01') % 7 AS dow
+      FROM daily
+    ),
+    seasonal AS (
+      SELECT dow, sum(c) AS s, count(*) AS k FROM keyed GROUP BY dow
+    )
+    SELECT keyed.day, CAST(keyed.c AS BIGINT) AS n, keyed.dow,
+           floor(seasonal.s * 1.0 / seasonal.k * 1000000 + 0.5) / 1000000
+             AS dow_mean,
+           floor((keyed.c - seasonal.s * 1.0 / seasonal.k) * 1000000 + 0.5)
+             / 1000000 AS residual
+    FROM keyed JOIN seasonal USING (dow)
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition of the daily event-count series —
+    the additive model monitoring dashboards draw (observed =
+    day-of-week seasonal mean + residual), and the de-seasonalizing
+    step that should run BEFORE timeseries_anomaly_zscore or the CUSUM
+    changepoint when traffic has a weekly rhythm (otherwise every
+    weekend is an 'anomaly'). Day-of-week keys off integer epoch-day
+    arithmetic ((day - 1970-01-01) % 7) — both engines' dayofweek()
+    functions disagree on week start, integer modulus cannot. Plan:
+    ONE corpus shuffle into the |days|-row daily relation; the
+    seasonal means and the join back happen on that days-sized
+    relation (7-row seasonal side, broadcast). Mean and residual are
+    each one FP op on exact integer pairs, floor-quantized at 1e6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    keyed = daily.select(
+        "day",
+        "c",
+        (
+            F.datediff(F.col("day").cast("date"), F.to_date(F.lit("1970-01-01")))
+            % 7
+        ).alias("dow"),
+    )
+    seasonal = keyed.groupBy("dow").agg(
+        F.sum("c").alias("s"), F.count("*").alias("k")
+    )
+    mean = F.col("s") * 1.0 / F.col("k")
+    # cast to DATE: DuckDB date_trunc('day') returns DATE while Spark
+    # returns TIMESTAMP — the canonicalized strings differ otherwise
+    return keyed.join(F.broadcast(seasonal), "dow").select(
+        F.col("day").cast("date").alias("day"),
+        F.col("c").cast("bigint").alias("n"),
+        "dow",
+        (F.floor(mean * 1000000 + F.lit(0.5)) / 1000000).alias("dow_mean"),
+        (F.floor((F.col("c") - mean) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "residual"
+        ),
+    )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_HORIZON = 7
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT c, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    nn AS (SELECT count(*) AS n FROM daily),
+    h(i, l, b) AS (
+      SELECT CAST(1 AS BIGINT), CAST(c AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT h.i + 1,
+             {HOLT_ALPHA} * y.c + (1 - {HOLT_ALPHA}) * (h.l + h.b),
+             {HOLT_BETA} * (({HOLT_ALPHA} * y.c
+                             + (1 - {HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+               + (1 - {HOLT_BETA}) * h.b
+      FROM h JOIN idx y ON y.i = h.i + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(l * 1000000 + 0.5) / 1000000 AS level,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           floor((l + {HOLT_HORIZON} * b) * 1000000 + 0.5) / 1000000
+             AS forecast_{HOLT_HORIZON}d
+    FROM h, nn WHERE i = n
+    """,
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily
+    event-count series — the trend-aware upgrade of timeseries_ewma
+    capacity planners run for short-horizon load forecasts: level
+    l_t = a*y_t + (1-a)*(l+b), trend b_t = B*(l_t - l) + (1-B)*b,
+    forecast = l_n + h*b_n. The smoothing recursion is inherently
+    sequential, but the SERIES is |days| rows, not the corpus: one
+    corpus shuffle builds the daily counts, then the whole fold runs
+    as a single JVM F.aggregate over the sort_array'd (day, count)
+    structs — no Python, no per-row state exchange, and at 100 TB the
+    fold input is still just the days dimension. Determinism: the
+    recursion is one fixed IEEE expression chain from integer counts
+    ((1 - a) written identically on both sides — the literal 0.5/0.7
+    need not equal the subtraction's double); the oracle's recursive
+    CTE threads (level, trend) through the identical ops; outputs
+    floor-quantize at 1e6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("ys"),
+        F.count("*").alias("n_days"),
+    )
+    a, bb = HOLT_ALPHA, HOLT_BETA
+
+    def step(acc, x):
+        y = x["c"].cast("double")
+        lp = F.lit(a) * y + (F.lit(1.0) - F.lit(a)) * (acc["l"] + acc["b"])
+        return F.when(
+            acc["i"] == 0,
+            F.struct(
+                y.alias("l"), F.lit(0.0).alias("b"), (acc["i"] + 1).alias("i")
+            ),
+        ).otherwise(
+            F.struct(
+                lp.alias("l"),
+                (
+                    F.lit(bb) * (lp - acc["l"])
+                    + (F.lit(1.0) - F.lit(bb)) * acc["b"]
+                ).alias("b"),
+                (acc["i"] + 1).alias("i"),
+            )
+        )
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"), F.lit(0).cast("long").alias("i")
+    )
+    fold = F.aggregate("ys", acc0, step)
+    return series.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.floor(fold["l"] * 1000000 + F.lit(0.5)) / 1000000).alias("level"),
+        (F.floor(fold["b"] * 1000000 + F.lit(0.5)) / 1000000).alias("trend"),
+        (
+            F.floor(
+                (fold["l"] + F.lit(HOLT_HORIZON) * fold["b"]) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias(f"forecast_{HOLT_HORIZON}d"),
+    )

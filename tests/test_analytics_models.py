@@ -59,3 +59,140 @@ def test_benford_census_matches_python_model(spark):
     assert got == want
     assert set(got) <= set(range(1, 10))
     assert abs(sum(r["obs_frac"] for r in rows) - 1.0) < 1e-4
+
+
+def test_holt_linear_matches_python_replay(spark, tmp_path):
+    """Holt level/trend/forecast over a synthetic ramp must equal a
+    literal Python replay of the recursion (same IEEE op order)."""
+    rows = []
+    base = datetime.datetime(2024, 3, 1)
+    counts = [3, 7, 4, 12, 9, 15, 11, 20]
+    for d, per_day in enumerate(counts):
+        for k in range(per_day):
+            rows.append((base + datetime.timedelta(days=d, minutes=k),))
+    spark.createDataFrame(rows, "ts timestamp").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from kinesis2sse_spark.queries.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_HORIZON,
+        timeseries_holt_linear,
+    )
+
+    got = timeseries_holt_linear(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    l, b = float(counts[0]), 0.0
+    for y in counts[1:]:
+        lp = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (lp - l) + (1 - HOLT_BETA) * b
+        l = lp
+    assert r["n_days"] == len(counts)
+    assert abs(r["level"] - l) < 1e-6
+    assert abs(r["trend"] - b) < 1e-6
+    assert abs(r[f"forecast_{HOLT_HORIZON}d"] - (l + HOLT_HORIZON * b)) < 1e-6
+
+
+def test_seasonal_decompose_zero_residual_on_pure_weekly(spark, tmp_path):
+    """A perfectly periodic weekly signal decomposes into dow means
+    equal to the observed counts and residuals of exactly zero."""
+    rows = []
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    pattern = [10, 20, 30, 40, 50, 5, 8]
+    for d in range(21):  # three full weeks
+        for k in range(pattern[d % 7]):
+            rows.append((base + datetime.timedelta(days=d, minutes=k),))
+    spark.createDataFrame(rows, "ts timestamp").write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from kinesis2sse_spark.queries.timeseries import timeseries_seasonal_decompose
+
+    got = timeseries_seasonal_decompose(spark, str(tmp_path)).collect()
+    assert len(got) == 21
+    for r in got:
+        assert r["residual"] == 0.0, r
+        assert r["dow_mean"] == float(r["n"]), r
+        # epoch-day modulus: 2024-03-04 is epoch day 19786, 19786 % 7 == 4
+        offset = (r["day"] - datetime.date(2024, 3, 4)).days
+        assert r["dow"] == (19786 + offset) % 7
+
+
+def test_readability_formula_replay(spark, tmp_path):
+    """Flesch score on a known sentence equals the literal formula with
+    vowel-group syllables and doc-as-one-sentence."""
+    docs = [(1, "the quick brown fox jumps"), (2, "aa b"), (3, "")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.llm_text import text_readability
+
+    got = {r["doc_id"]: r for r in text_readability(spark, str(tmp_path)).collect()}
+    # doc 1: 5 words; syllables = vowel-groups: e|ui|o|o|u = 5
+    r = got[1]
+    assert r["n_words"] == 5 and r["n_syllables"] == 5
+    assert abs(r["flesch_score"] - (206.835 - 1.015 * 5 - 84.6 * 1.0)) < 1e-6
+    # doc 2: 2 words, 1 vowel group ("aa"; "b" has none)
+    r = got[2]
+    assert r["n_words"] == 2 and r["n_syllables"] == 1
+    # doc 3: split('') -> [''] in Spark = 1 word of zero syllables — it
+    # still passes the n_words > 0 gate with the degenerate-but-defined
+    # score; both engines agree (locked by the oracle sweep)
+    assert 3 in got and got[3]["n_syllables"] == 0
+
+
+def test_toxicity_threshold_integer_edge(spark, tmp_path):
+    """Flagging compares integer cross-products: a doc at EXACTLY the
+    ppm threshold is NOT flagged (strict >), one token over is."""
+    from kinesis2sse_spark.queries.llm_text import (
+        TOXICITY_THRESHOLD_PPM,
+        classify_toxicity_lexicon,
+    )
+
+    assert TOXICITY_THRESHOLD_PPM == 40000  # 1/25
+    exactly = "bad " + "ok " * 24  # 1 hit / 25 tokens = threshold
+    over = "bad bad " + "ok " * 23  # 2 hits / 25 tokens
+    docs = [(1, exactly.strip()), (2, over.strip()), (3, "clean words only")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in classify_toxicity_lexicon(spark, str(tmp_path)).collect()
+    }
+    assert got[1]["n_hits"] == 1 and got[1]["flagged"] is False
+    assert got[2]["n_hits"] == 2 and got[2]["flagged"] is True
+    assert got[3]["n_hits"] == 0 and got[3]["flagged"] is False
+
+
+def test_boilerplate_fraction_counts_positions_not_grams(spark, tmp_path):
+    """Three docs sharing one 3-gram (>= BOILERPLATE_DF) and one doc
+    repeating it: the fraction is over gram POSITIONS, so the repeat
+    counts twice in the numerator and denominator."""
+    from kinesis2sse_spark.queries.llm_text import (
+        BOILERPLATE_DF,
+        text_boilerplate_fraction,
+    )
+
+    assert BOILERPLATE_DF == 3
+    common = "click here now"
+    docs = [
+        (1, common + " unique alpha beta"),
+        (2, common + " gamma delta epsilon"),
+        (3, common + " " + common),  # the 3-gram appears at 2 positions... plus straddles
+        (4, "totally unrelated words here"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in text_boilerplate_fraction(spark, str(tmp_path)).collect()
+    }
+    # doc 1: 4 gram positions, 1 boiler ("click here now")
+    assert rows[1]["n_grams"] == 4 and rows[1]["n_boiler"] == 1
+    # doc 3: 6 tokens -> 4 positions; "click here now" at positions 1 and 4
+    assert rows[3]["n_grams"] == 4 and rows[3]["n_boiler"] == 2
+    assert rows[3]["boiler_frac"] == 0.5
+    # doc 4 shares no gram with anyone
+    assert rows[4]["n_boiler"] == 0

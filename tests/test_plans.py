@@ -623,3 +623,50 @@ def test_cluster_histogram_adds_no_corpus_work(spark):
     # tail is agg-only
     head = plan.split("Exchange", 1)[0]
     assert "Scan parquet" not in head, head
+
+
+def test_readability_is_pure_map(spark):
+    """Flesch scoring is per-row arithmetic — the plan must contain no
+    exchange and no join of any kind: project + filter straight off the
+    pruned parquet scan."""
+    plan = _plan(spark, "text_readability")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ReadSchema" in plan and "text" in plan, plan
+
+
+def test_toxicity_lexicon_is_pure_map_no_join(spark):
+    """The blocklist binds as an array literal (broadcast-style), never
+    a join — the corpus must not shuffle for a 4-term dimension."""
+    plan = _plan(spark, "classify_toxicity_lexicon")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_boilerplate_gram_relation_cached_for_both_consumers(spark):
+    """The exploded gram relation feeds the DF aggregate AND the
+    membership join — it must be cached so the corpus explodes exactly
+    once (two InMemoryTableScans), and the DF side joins back on the
+    same gram key."""
+    plan = _plan(spark, "text_boilerplate_fraction")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_seasonal_decompose_seasonal_side_broadcasts(spark):
+    """The 7-row day-of-week seasonal relation must broadcast onto the
+    |days|-row keyed relation — one corpus exchange (the daily count),
+    never a sort-merge join."""
+    plan = _plan(spark, "timeseries_seasonal_decompose")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_holt_fold_is_join_free_single_fold(spark):
+    """Holt smoothing folds the |days|-row series inside one JVM
+    aggregate: one corpus exchange into daily counts, one
+    single-partition collapse, zero joins and zero Python stages."""
+    plan = _plan(spark, "timeseries_holt_linear")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, (op, plan)
+    assert "Exchange SinglePartition" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
