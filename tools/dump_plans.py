@@ -102,6 +102,12 @@ SHOW = [
     "sim_ivf_index_stats",
     "dedup_cluster_histogram",
     "sample_temperature_mix",
+    # round-7 additions
+    "text_readability",
+    "classify_toxicity_lexicon",
+    "text_boilerplate_fraction",
+    "timeseries_seasonal_decompose",
+    "timeseries_holt_linear",
 ]
 
 
