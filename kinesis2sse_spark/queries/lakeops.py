@@ -759,3 +759,86 @@ def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("abs_dev"),
     )
+
+
+_INCR_AGG_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_q,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       floor(sum(CAST(floor(value * 1000000) AS BIGINT)) * 1.0 / count(*)
+             + 0.5) / 1000000 AS avg_value
+FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("pipeline_incremental_agg", oracle=_INCR_AGG_ORACLE)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge a new batch's PARTIAL
+    aggregate states into a stored per-key state without recomputing
+    history — the nightly-ETL shape that makes a 100 TB rollup
+    affordable (the state table is bucketed on the key; only the
+    batch shuffles, and the merge cost is batch-sized + one co-located
+    join, never a full-history rescan).
+
+    Here the events table is split 80/20 by event_id into "state" and
+    "batch", each side aggregates to (count, quantized sum, min, max)
+    partials, and a full-outer merge combines them with the explicit
+    mergeable-state algebra (counts/sums add; min/max compare with
+    NULL-side fallback spelled as CASE, not least()/greatest(), whose
+    NULL conventions engines disagree on). THE ORACLE DOES NOT REPLAY
+    THE MERGE — it recomputes the aggregate over the whole table in
+    one pass, so a green row PROVES the state algebra is mergeable,
+    not merely that two engines ran the same plan. Determinism: sums
+    add integer-quantized per-row contributions (gram-matrix rule) so
+    partial-vs-total addition order cannot move them; min/max are
+    selections; the derived mean is one FP op from exact integers,
+    floor-quantized at 1e6."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 1000000).cast("bigint").alias("vq"),
+            "value",
+        )
+    )
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = partials(ev.where(F.col("event_id") % 10 < 8))
+    batch = partials(ev.where(F.col("event_id") % 10 >= 8))
+    o, b = state.alias("o"), batch.alias("b")
+    merged = o.join(b, "user_id", "full_outer")
+
+    def pick(cmp):
+        a, c = F.col("o.mn"), F.col("b.mn")
+        if cmp == "max":
+            a, c = F.col("o.mx"), F.col("b.mx")
+        return (
+            F.when(a.isNull(), c)
+            .when(c.isNull(), a)
+            .when((a < c) if cmp == "min" else (a > c), a)
+            .otherwise(c)
+        )
+
+    n = F.coalesce(F.col("o.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0))
+    s = F.coalesce(F.col("o.s"), F.lit(0)) + F.coalesce(F.col("b.s"), F.lit(0))
+    return merged.select(
+        "user_id",
+        n.cast("bigint").alias("n_events"),
+        s.cast("bigint").alias("sum_value_q"),
+        pick("min").alias("min_value"),
+        pick("max").alias("max_value"),
+        (F.floor(s * 1.0 / n + F.lit(0.5)) / 1000000).alias("avg_value"),
+    )

@@ -1010,3 +1010,103 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("novel_frac"),
     )
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH hs AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, count(*) AS n FROM hs GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           floor(n_shared * 1000000.0 / least(ca.n, cb.n) + 0.5) / 1000000
+             AS overlap_coeff
+    FROM pairs
+    JOIN counts ca ON ca.source = pairs.src_a
+    JOIN counts cb ON cb.source = pairs.src_b
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate overlap matrix — the census a corpus
+    curator runs before mixing sources ("how much of source B is
+    already inside source A"): for every source pair, the number of
+    distinct shared content fingerprints, plus the overlap coefficient
+    n_shared / min(|A|, |B|). The fingerprint is the SORTED DISTINCT
+    TOKEN SET (bag-of-words identity) — order- and repetition-
+    insensitive, so it catches the shuffled/reflowed duplicates exact
+    text hashing misses while staying a single 16-byte key per doc
+    (contrast dedup_ngram_jaccard, which scores partial overlap but
+    pays for shingle-level candidate generation).
+
+    Plan: ONE corpus shuffle builds the distinct (source, hash)
+    relation; pairs come from grouping BY HASH and expanding each
+    hash's sorted source-set into its combinations (bounded by the
+    source cardinality squared per hash — never a corpus self-join,
+    which is how the oracle spells it but would shuffle the corpus
+    twice and explode on a hot hash). Per-source totals are a
+    |sources|-row broadcast. md5 keys here so the oracle can replay
+    membership; at 100 TB swap to xxhash64 (8-byte shuffle key, same
+    shape as dedup_exact). The coefficient floor-quantizes at 1e6
+    from an exact integer pair."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))
+    hs = (
+        d.select("source", fp.alias("h"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    src_counts = hs.groupBy("source").agg(F.count("*").alias("n"))
+    sets = (
+        hs.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pair_col = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_col).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = src_counts.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    cb = src_counts.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    F.col("n_shared") * 1000000.0 / F.least("n_a", "n_b")
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("overlap_coeff"),
+        )
+    )

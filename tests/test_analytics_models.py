@@ -196,3 +196,65 @@ def test_boilerplate_fraction_counts_positions_not_grams(spark, tmp_path):
     assert rows[3]["boiler_frac"] == 0.5
     # doc 4 shares no gram with anyone
     assert rows[4]["n_boiler"] == 0
+
+
+def test_cross_source_overlap_token_set_identity(spark, tmp_path):
+    """The fingerprint is order- and repetition-insensitive: a shuffled,
+    token-repeating copy in another source counts as shared; a doc with
+    an extra token does not. Coefficient = shared / min(|A|, |B|)."""
+    docs = [
+        (1, "alpha beta gamma", "A"),
+        (2, "gamma beta alpha alpha", "B"),   # same token set as doc 1
+        (3, "alpha beta gamma delta", "B"),   # superset -> different
+        (4, "zeta eta", "A"),
+        (5, "zeta eta", "C"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.llm_dedup import dedup_cross_source_overlap
+
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in dedup_cross_source_overlap(spark, str(tmp_path)).collect()
+    }
+    # A={abg, ze}, B={abg, abgd}, C={ze}
+    ab = rows[("A", "B")]
+    assert ab["n_shared"] == 1 and ab["n_a"] == 2 and ab["n_b"] == 2
+    assert ab["overlap_coeff"] == 0.5
+    ac = rows[("A", "C")]
+    assert ac["n_shared"] == 1 and ac["overlap_coeff"] == 1.0
+    assert ("B", "C") not in rows  # nothing shared -> no row
+
+
+def test_incremental_agg_merge_equals_direct_recompute(spark, tmp_path):
+    """The merged 80/20 partials must equal a direct single-pass
+    aggregate, including keys present in only one side and the
+    NULL-value rows both paths drop."""
+    rows = []
+    for eid in range(40):
+        uid = eid % 3 if eid % 10 < 8 else 100 + eid % 2  # batch-only keys
+        rows.append((eid, uid, None if eid % 7 == 0 else float(eid) * 0.31))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from kinesis2sse_spark.queries.lakeops import pipeline_incremental_agg
+
+    got = {
+        r["user_id"]: r for r in pipeline_incremental_agg(spark, str(tmp_path)).collect()
+    }
+    import collections
+    import math
+
+    direct = collections.defaultdict(list)
+    for eid, uid, v in rows:
+        if v is not None:
+            direct[uid].append(v)
+    assert set(got) == set(direct)
+    for uid, vs in direct.items():
+        r = got[uid]
+        sq = sum(math.floor(v * 1000000) for v in vs)
+        assert r["n_events"] == len(vs)
+        assert r["sum_value_q"] == sq
+        assert r["min_value"] == min(vs) and r["max_value"] == max(vs)
+        assert r["avg_value"] == math.floor(sq / len(vs) + 0.5) / 1000000

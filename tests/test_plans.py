@@ -670,3 +670,27 @@ def test_holt_fold_is_join_free_single_fold(spark):
         assert op not in plan, (op, plan)
     assert "Exchange SinglePartition" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_cross_source_overlap_single_corpus_shuffle(spark):
+    """The distinct (source, fingerprint) relation is cached and feeds
+    both the per-source totals and the hash-grouped source-sets (two
+    InMemoryTableScans); pair expansion happens inside the hash group
+    (never a corpus self-join) and the totals come back as broadcasts."""
+    plan = _plan(spark, "dedup_cross_source_overlap")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_agg_merges_partials_not_history(spark):
+    """Both sides reach the full-outer merge as per-key PARTIAL
+    aggregates (partial->final HashAggregate pairs under each join
+    child); the scan reads only the three columns the state needs and
+    the NULL filters reach the parquet scan."""
+    plan = _plan(spark, "pipeline_incremental_agg")
+    assert "FullOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x 2 sides
+    assert "PushedFilters: [" in plan and "IsNotNull(value)" in plan, plan
+    for col in ("props", "event_type", "ts"):
+        assert col not in plan.split("ReadSchema")[1][:200], (col, plan)
