@@ -670,3 +670,98 @@ def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
         ((F.col("sz") - 1) * F.col("n_clusters")).alias("n_removable"),
     )
+
+
+BFS_N_SEEDS = 5  # lowest node ids seed the traversal
+BFS_MAX_HOPS = 16  # hop horizon: k-hop neighborhood, not full closure
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    seeds AS (SELECT x FROM nodes ORDER BY x LIMIT {BFS_N_SEEDS}),
+    bfs(node, d) AS (
+      SELECT x, 0 FROM seeds
+      UNION
+      SELECT e.b, bfs.d + 1
+      FROM bfs JOIN edges e ON e.a = bfs.node
+      WHERE bfs.d < {BFS_MAX_HOPS}
+    )
+    SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon-bounded multi-source BFS over the near-dup graph — the
+    k-hop-neighborhood traversal GNN samplers and impact analyses run
+    ("every doc within k duplicate-links of these seeds"): hop distance
+    from the BFS_N_SEEDS lowest node ids, out to BFS_MAX_HOPS.
+
+    Frontier expansion, not closure recomputation: each round joins
+    ONLY the newly-discovered frontier against the (cached, mirrored)
+    edge list, anti-joins the visited set, and stops when the frontier
+    drains or the horizon is reached — per-round shuffle cost is
+    frontier x avg-degree, independent of how many nodes are already
+    settled, which is what keeps level-synchronous BFS tractable on a
+    100 TB graph (contrast the CC pointer-doubling loop, which must
+    touch every node each round because every label can still move).
+    localCheckpoint per round truncates the growing union lineage
+    exactly as connected_components documents. Hop counts are integer-
+    exact; the oracle replays the traversal as a recursive CTE whose
+    UNION dedups (node, d) states, with the same horizon bound making
+    the recursion finite on cyclic components."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return bfs_hops(pairs).select(F.col("node").alias("doc_id"), "hops")
+
+
+def bfs_hops(
+    edges: DataFrame, n_seeds: int = BFS_N_SEEDS, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Level-synchronous frontier BFS over an undirected edge list
+    (columns ``a``, ``b``; both directions need not be present), seeded
+    from the ``n_seeds`` lowest node ids, bounded at ``max_hops``.
+    Returns (node, hops) for every node within the horizon."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    seeds = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+    dist = seeds.localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    und.unpersist()
+    e.unpersist()
+    return dist

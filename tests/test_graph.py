@@ -232,3 +232,35 @@ def test_cluster_histogram_consistent_with_components(spark):
     for s, (c, nd, nr) in hist.items():
         assert nd == s * c and nr == (s - 1) * c
     assert sum(nd for _, nd, _ in hist.values()) == len(labels)
+
+
+def test_bfs_hops_distances_horizon_and_unreachable(spark):
+    """BFS from the 5 lowest node ids over a known shape: exact hop
+    distances on a path + cycle, a node past the horizon excluded, and
+    a disconnected far component unreached (absent, not infinite)."""
+    from kinesis2sse_spark.queries.graph import bfs_hops
+
+    # seeds will be {0,1,2,3,4}: 0-1-2-3-4 path, plus a tail
+    # 4-10-11-...-14 (hops 1..4 from seed 4), a cycle 0-20-21-0, and a
+    # disconnected component 100-101.
+    edges = (
+        [(i, i + 1) for i in range(4)]
+        + [(4, 10), (10, 11), (11, 12), (12, 13), (13, 14)]
+        + [(0, 20), (20, 21), (21, 0)]
+        + [(100, 101)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, n_seeds=5, max_hops=3).collect()}
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 1, 11: 2, 12: 3,
+            20: 1, 21: 1}
+    assert got == want  # 13,14 beyond horizon; 100,101 unreachable
+
+
+def test_bfs_frontier_drains_before_horizon(spark):
+    """On a tiny component the loop stops when the frontier empties —
+    every node gets its exact distance even with a huge horizon."""
+    from kinesis2sse_spark.queries.graph import bfs_hops
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(df, n_seeds=1, max_hops=16).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
