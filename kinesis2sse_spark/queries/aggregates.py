@@ -831,3 +831,95 @@ def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_view"),
         (F.sum("c").cast("double") / 1000000000000).alias("jsd"),
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH m AS (
+  SELECT n_chars AS a,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS b
+  FROM documents
+),
+ha AS (SELECT a, count(*) AS c FROM m GROUP BY a),
+ra AS (
+  SELECT a, CAST(2 * (sum(c) OVER (ORDER BY a) - c) + c + 1 AS BIGINT) AS r2
+  FROM ha
+),
+hb AS (SELECT b, count(*) AS c FROM m GROUP BY b),
+rb AS (
+  SELECT b, CAST(2 * (sum(c) OVER (ORDER BY b) - c) + c + 1 AS BIGINT) AS r2
+  FROM hb
+),
+j AS (
+  SELECT ra.r2 AS ra2, rb.r2 AS rb2
+  FROM m JOIN ra USING (a) JOIN rb USING (b)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ra2) AS BIGINT) AS sa, CAST(sum(rb2) AS BIGINT) AS sb,
+         CAST(sum(ra2 * rb2) AS BIGINT) AS sab,
+         CAST(sum(ra2 * ra2) AS BIGINT) AS saa,
+         CAST(sum(rb2 * rb2) AS BIGINT) AS sbb
+  FROM j
+)
+SELECT n AS n_docs,
+       floor(CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS rho_spearman
+FROM s
+"""
+
+
+@register("stats_spearman_rank", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (n_chars) and
+    token count — the rank-based dependence dial the drift suite lacked
+    (Pearson via agg_corr_regr assumes linearity; MI/Cramér need
+    categorical bands; Spearman catches any monotone relation and
+    shrugs at outliers, which is why feature-vs-quality monitoring
+    reports it).
+
+    Ties use average ranks (mandatory — the d-squared shortcut is wrong
+    under ties), computed WITHOUT a corpus-sized window: each metric
+    aggregates to a value-domain-sized histogram, a domain-sized
+    cumulative window turns counts into average ranks, and the tiny
+    rank tables broadcast back onto the corpus. Ranks are DOUBLED so
+    the .5-granular average ranks stay integers (r2 = 2*cnt_less +
+    cnt_eq + 1); every moment is then an exact BIGINT sum (fits through
+    ~2M rows — beyond that, switch the moment accumulators to
+    DECIMAL(38,0), same plan) and rho is ONE fixed-shape IEEE
+    expression from six exact integers, floor-quantized at 1e6."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("n_chars").alias("a"),
+        F.size(F.split("text", " ")).cast("bigint").alias("b"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        h = m.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return h.select(
+            col,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .cast("bigint")
+            .alias(f"r2_{col}"),
+        )
+
+    j = m.join(F.broadcast(rank2("a")), "a").join(F.broadcast(rank2("b")), "b")
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2_a").cast("bigint").alias("sa"),
+        F.sum("r2_b").cast("bigint").alias("sb"),
+        F.sum(F.col("r2_a") * F.col("r2_b")).cast("bigint").alias("sab"),
+        F.sum(F.col("r2_a") * F.col("r2_a")).cast("bigint").alias("saa"),
+        F.sum(F.col("r2_b") * F.col("r2_b")).cast("bigint").alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("rho_spearman"),
+    )

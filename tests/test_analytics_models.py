@@ -258,3 +258,47 @@ def test_incremental_agg_merge_equals_direct_recompute(spark, tmp_path):
         assert r["sum_value_q"] == sq
         assert r["min_value"] == min(vs) and r["max_value"] == max(vs)
         assert r["avg_value"] == math.floor(sq / len(vs) + 0.5) / 1000000
+
+
+def test_spearman_matches_python_model_with_ties(spark, tmp_path):
+    """rho on a fixture with heavy ties equals a literal average-rank
+    Pearson replay; a perfectly monotone corpus gives exactly 1.0."""
+    docs = [
+        (1, "a b c", 10), (2, "a b c d", 10), (3, "a b", 30),
+        (4, "a b c d e f", 40), (5, "a", 40), (6, "a b c d e", 55),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.aggregates import stats_spearman_rank
+
+    row = stats_spearman_rank(spark, str(tmp_path)).collect()[0]
+
+    def avg_ranks(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for x in vals if x < v)
+            eq = sum(1 for x in vals if x == v)
+            out.append(less + (eq + 1) / 2)
+        return out
+
+    import math
+
+    a = [d[2] for d in docs]
+    b = [len(d[1].split(" ")) for d in docs]
+    ra, rb = avg_ranks(a), avg_ranks(b)
+    n = len(ra)
+    ma, mb = sum(ra) / n, sum(rb) / n
+    num = sum((x - ma) * (y - mb) for x, y in zip(ra, rb))
+    den = math.sqrt(
+        sum((x - ma) ** 2 for x in ra) * sum((y - mb) ** 2 for y in rb)
+    )
+    assert row["n_docs"] == n
+    assert abs(row["rho_spearman"] - num / den) < 2e-6
+    # monotone corpus -> rho exactly 1
+    mono = [(i, "t " * (i + 1), 10 * (i + 1)) for i in range(5)]
+    spark.createDataFrame(
+        mono, "doc_id long, text string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = stats_spearman_rank(spark, str(tmp_path)).collect()[0]
+    assert row["rho_spearman"] == 1.0

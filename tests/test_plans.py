@@ -694,3 +694,21 @@ def test_incremental_agg_merges_partials_not_history(spark):
     assert "PushedFilters: [" in plan and "IsNotNull(value)" in plan, plan
     for col in ("props", "event_type", "ts"):
         assert col not in plan.split("ReadSchema")[1][:200], (col, plan)
+
+
+def test_spearman_rank_tables_broadcast_windows_domain_sized(spark):
+    """Both rank tables broadcast onto the corpus (two
+    BroadcastHashJoins, no SortMergeJoin) and every single-partition
+    window runs over a HashAggregate subtree (the value-domain
+    histogram), never a raw corpus scan."""
+    plan = _plan(spark, "stats_spearman_rank")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        lines = seg.splitlines()
+        for line in lines[1:6]:
+            if "HashAggregate" in line or "InMemoryTableScan" in line:
+                break
+            assert "Scan parquet" not in line, (
+                "corpus-fed single-partition window:\n" + "\n".join(lines[:6])
+            )

@@ -54,6 +54,11 @@ QUERIES = (
     # and fixed-iteration LPA over the near-dup graph
     "dedup_ngram_novelty",
     "graph_label_propagation",
+    # round-7 additions: gram-DF boilerplate (explode + reused gram-key
+    # shuffle), token-set source-overlap census, frontier BFS
+    "text_boilerplate_fraction",
+    "dedup_cross_source_overlap",
+    "graph_bfs_hops",
 )
 
 
@@ -114,6 +119,9 @@ def main() -> None:
     mults = [1, 10, 100]
     if "--mults" in sys.argv:
         mults = [int(m) for m in sys.argv[sys.argv.index("--mults") + 1].split(",")]
+    queries = QUERIES
+    if "--queries" in sys.argv:
+        queries = tuple(sys.argv[sys.argv.index("--queries") + 1].split(","))
     spark = build_session(app_name="scale_curve")
     qs = all_queries()
     result: dict = {"src": SRC, "mults": mults, "queries": {}, "rows": {}}
@@ -125,7 +133,7 @@ def main() -> None:
             "documents": spark.read.parquet(os.path.join(d, "documents.parquet")).count(),
             "embeddings": spark.read.parquet(os.path.join(d, "embeddings.parquet")).count(),
         }
-        for name in QUERIES:
+        for name in queries:
             t0 = time.perf_counter()
             n = qs[name](spark, d).count()
             dt = round(time.perf_counter() - t0, 2)
