@@ -169,8 +169,12 @@ def _ordered() -> list[str]:
        front in the round the list was curated for. Once spent, a
        stale manual list never pins the window while a never-checked
        backlog waits.
-    3. Behind those: never-checked first, then already-checked, both in
-       registration order."""
+    3. Behind those: never-checked first (registration order), then
+       already-checked ordered LEAST-RECENTLY-CHECKED first (latest row
+       round ascending, registration order within a round) — so once
+       coverage is airtight the window cycles through the whole
+       registry across rounds instead of re-checking the same
+       registration-order prefix forever."""
     rows = _driver_rows()
     checked = set(rows)
     reds = _red_names()
@@ -186,7 +190,10 @@ def _ordered() -> list[str]:
     return (
         lead
         + [n for n in rest if n not in checked]
-        + [n for n in rest if n in checked]
+        + sorted(
+            (n for n in rest if n in checked),
+            key=lambda n: rows[n][0],  # stable: reg. order within a round
+        )
     )
 
 

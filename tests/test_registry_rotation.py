@@ -7,7 +7,9 @@
    rotate-to-back) until every listed name has a row from round >=
    DRIVER_PRIORITY_ROUND; rows from EARLIER rounds don't spend it, so
    re-proof entries with old green rows still front;
-3. behind those: never-checked first, then checked, registration order.
+3. behind those: never-checked first (registration order), then checked
+   ordered least-recently-checked first (stale rows re-earn fresh
+   driver rows once coverage is airtight).
 
 These tests assert the ordering INVARIANTS against synthetic driver
 histories (monkeypatched _driver_rows), never against the repo's real
@@ -191,3 +193,22 @@ def test_driver_rows_survives_garbage_files(tmp_path, monkeypatch):
     assert rows["q_a"] == (3, {"hash_match": True})
     assert rows["q_b"][0] == 1
     assert reg._checked_names() == {"q_a", "q_b"}
+
+
+def test_checked_segment_cycles_least_recently_checked_first(monkeypatch):
+    # airtight coverage (no reds, no never-checked, priority spent):
+    # the window must front the STALEST rows, not the registration
+    # prefix — a query last checked in an old round sorts ahead of one
+    # checked in the latest round, regardless of registration order.
+    registry._ensure_loaded()
+    names = list(registry._REGISTRY)
+    rnd = registry.DRIVER_PRIORITY_ROUND
+    rows = {n: (rnd, dict(GREEN)) for n in names}
+    stale = names[-3:]  # registered LAST, checked LONGEST ago
+    for n in stale:
+        rows[n] = (rnd - 3, dict(GREEN))
+    _fake_rows(monkeypatch, rows)
+    ordered = list(registry.all_queries())
+    assert ordered[:3] == stale
+    # within the same round, registration order is preserved
+    assert ordered[3:] == [n for n in names if n not in stale]
