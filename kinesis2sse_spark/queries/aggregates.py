@@ -923,3 +923,65 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_docs"),
         (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("rho_spearman"),
     )
+
+
+_GINI_ORACLE = """
+WITH m AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents
+),
+h AS (SELECT v, count(*) AS c FROM m GROUP BY v),
+w AS (
+  SELECT v, c, sum(c) OVER (ORDER BY v) - c AS s FROM h
+),
+agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS t,
+         CAST(sum(v * (2 * c * s + c * (c + 1))) AS BIGINT) AS s2
+  FROM w
+)
+SELECT n AS n_docs, t AS total_tokens,
+       floor((CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS gini
+FROM agg
+"""
+
+
+@register("stats_gini_concentration", oracle=_GINI_ORACLE)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the per-document token-count distribution —
+    the inequality dial curation reports put next to entropy and the
+    Zipf slope (0 = every doc the same length, →1 = a few giants carry
+    the corpus; a mixture whose Gini jumps after filtering usually lost
+    its long documents). Grouped-data exact form: for each distinct
+    count v with multiplicity c and cumulative count s below it,
+    sum-of-rank-weighted-values Σ i·x_(i) = Σ_v v·(c·s + c(c+1)/2), so
+    G = 2·Σ/(n·T) - (n+1)/n with every term an exact BIGINT (the
+    doubled form 2cs + c(c+1) keeps it integral). The only window runs
+    over the value-domain-sized histogram — the corpus aggregates once
+    and never sorts. Final G is one fixed-shape IEEE expression from
+    three exact integers, floor-quantized at 1e6."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(F.size(F.split("text", " ")).cast("bigint").alias("v"))
+    h = m.groupBy("v").agg(F.count("*").alias("c"))
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = h.select("v", "c", (F.sum("c").over(win) - F.col("c")).alias("s"))
+    agg = w.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("bigint").alias("t"),
+        F.sum(
+            F.col("v")
+            * (2 * F.col("c") * F.col("s") + F.col("c") * (F.col("c") + 1))
+        )
+        .cast("bigint")
+        .alias("s2"),
+    )
+    g = (
+        F.col("s2").cast("double") / (F.col("n").cast("double") * F.col("t").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("t").alias("total_tokens"),
+        (F.floor(g * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
+    )

@@ -302,3 +302,30 @@ def test_spearman_matches_python_model_with_ties(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     row = stats_spearman_rank(spark, str(tmp_path)).collect()[0]
     assert row["rho_spearman"] == 1.0
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Exact grouped-form Gini: uniform corpus -> 0; a known skewed
+    fixture matches the literal rank-weighted formula."""
+    import math
+
+    def write(docs):
+        spark.createDataFrame(
+            [(i, " ".join(["t"] * n)) for i, n in enumerate(docs)],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from kinesis2sse_spark.queries.aggregates import stats_gini_concentration
+
+    write([7, 7, 7, 7])  # perfectly equal
+    row = stats_gini_concentration(spark, str(tmp_path)).collect()[0]
+    assert row["gini"] == 0.0 and row["n_docs"] == 4 and row["total_tokens"] == 28
+
+    counts = [1, 1, 2, 5, 5, 40]
+    write(counts)
+    row = stats_gini_concentration(spark, str(tmp_path)).collect()[0]
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * t) - (n + 1) / n
+    assert abs(row["gini"] - g) < 1e-6
+    assert row["total_tokens"] == t

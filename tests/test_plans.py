@@ -712,3 +712,18 @@ def test_spearman_rank_tables_broadcast_windows_domain_sized(spark):
             assert "Scan parquet" not in line, (
                 "corpus-fed single-partition window:\n" + "\n".join(lines[:6])
             )
+
+
+def test_gini_window_is_domain_sized(spark):
+    """The cumulative window runs over the token-count histogram — its
+    single-partition subtree must read a HashAggregate, never a raw
+    corpus scan; the corpus aggregates exactly once."""
+    plan = _plan(spark, "stats_gini_concentration")
+    assert "Window" in plan, plan
+    tail = plan[plan.index("Exchange SinglePartition"):].splitlines()
+    for line in tail[1:]:
+        if "HashAggregate" in line or "InMemoryTableScan" in line:
+            break
+        assert "Scan parquet" not in line, (
+            "corpus-fed window:\n" + "\n".join(tail[:8])
+        )
