@@ -108,6 +108,10 @@ SHOW = [
     "text_boilerplate_fraction",
     "timeseries_seasonal_decompose",
     "timeseries_holt_linear",
+    "dedup_cross_source_overlap",
+    "pipeline_incremental_agg",
+    "stats_spearman_rank",
+    "stats_gini_concentration",
 ]
 
 
