@@ -862,3 +862,33 @@ def test_temperature_mix_flattens_toward_uniform(spark):
         lo, hi = sorted((r["share"], 1.0 / k))
         assert lo - 1e-6 <= r["alpha_share"] <= hi + 1e-6, r
         assert abs(r["sample_factor"] - r["alpha_share"] / r["share"]) < 1e-3, r
+
+
+def test_embedding_cosine_finds_planted_near_dups(spark, tmp_path):
+    """The fixture corpus genuinely contains no embedding near-dups
+    (max within-label cosine 0.475), so the registry query's 0-row
+    result is a data property. This proves the machinery: planted
+    near-identical vectors are found, cross-label twins are NOT paired
+    (blocking is by label), and sub-threshold pairs stay out."""
+    import math
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    nearly = [1.0, 2.0, 3.0, 4.01]          # cosine ~0.9999
+    ortho = [4.0, -1.0, 2.0, -1.0]          # cosine 0 vs base
+    rows = [
+        (1, base, 7),
+        (2, nearly, 7),       # same label, near-dup -> pair (1,2)
+        (3, base, 8),         # identical direction, DIFFERENT label -> no pair
+        (4, ortho, 7),        # same label, dissimilar -> no pair
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from kinesis2sse_spark.queries.llm_dedup import dedup_embedding_cosine
+
+    got = {(r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(spark, str(tmp_path)).collect()}
+    assert got == {(1, 2)}
+    # sanity: the planted pair really is above the 0.95 gate
+    num = sum(x * y for x, y in zip(base, nearly))
+    den = math.sqrt(sum(x * x for x in base)) * math.sqrt(sum(x * x for x in nearly))
+    assert num / den >= 0.95
