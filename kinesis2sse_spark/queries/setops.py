@@ -63,13 +63,20 @@ def intersect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'purchase'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'signup'
+    SELECT user_id FROM events
+    WHERE event_type = 'signup' AND value > 250
     """,
 )
 def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the subtracted side is the SELECTIVE set (high-value signups):
+    # every fixture user has events of every type, so subtracting ALL
+    # signup users would always produce the degenerate empty relation —
+    # the anti-join plan would never move a row at any scale
     ev = load_table(spark, sf_dir, "events")
-    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
-    return _buyers(spark, sf_dir).subtract(signups)
+    promo = ev.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 250)
+    ).select("user_id")
+    return _buyers(spark, sf_dir).subtract(promo)
 
 
 @register(

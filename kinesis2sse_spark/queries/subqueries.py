@@ -148,9 +148,9 @@ def subquery_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFram
     FROM supplier s
     WHERE s.s_suppkey IN (
       SELECT l.l_suppkey FROM lineitem l
-      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ab%')
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
       GROUP BY l.l_suppkey, l.l_partkey
-      HAVING sum(l.l_quantity) > 0.5 * (
+      HAVING sum(l.l_quantity) > 0.2 * (
         SELECT sum(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
       )
     )
@@ -158,15 +158,20 @@ def subquery_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def subquery_nested_correlated_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: IN over a grouped subquery whose HAVING compares
-    against a correlated scalar aggregate (suppliers that dominate >50%
-    of a part's shipped volume). The oracle nests three levels; the Spark
-    plan is two aggregates over ONE lineitem scan lineage — per
-    (suppkey, partkey) totals joined to per-partkey totals on the already
-    co-partitioned key — then a semi join into supplier. Quantities are
-    integral doubles, so the sums and the 0.5* comparison are exact."""
+    against a correlated scalar aggregate (suppliers whose share of a
+    red part's shipped volume exceeds 0.2 — above the uniform 1/5 share
+    the fixture's ~5-suppliers-per-part generator centers on, so the
+    predicate is selective yet non-degenerate at every SF; the original
+    >0.5 literal could NEVER fire on this corpus, max share 0.245,
+    leaving the whole plan untested on real rows). The oracle nests
+    three levels; the Spark plan is two aggregates over ONE lineitem
+    scan lineage — per (suppkey, partkey) totals joined to per-partkey
+    totals on the already co-partitioned key — then a semi join into
+    supplier. Quantities are integral doubles, so the sums and the
+    0.2* comparison are one identical FP product on both engines."""
     part_keys = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%ab%"))
+        .filter(F.col("p_name").like("%red%"))
         .select("p_partkey")
     )
     l = load_table(spark, sf_dir, "lineitem").join(
@@ -178,7 +183,7 @@ def subquery_nested_correlated_having(spark: SparkSession, sf_dir: str) -> DataF
     per_part = l.groupBy("l_partkey").agg(F.sum("l_quantity").alias("part_qty"))
     dominant = (
         per_supp_part.join(per_part, "l_partkey")
-        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .filter(F.col("supp_qty") > 0.2 * F.col("part_qty"))
         .select("l_suppkey")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -646,30 +646,39 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, part_value
     FROM pv
-    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM pv)
+    WHERE part_value > (SELECT sum(part_value) / count(*) FROM pv) * 1.5
     ORDER BY part_value DESC, l_partkey
     """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: keep groups whose aggregate exceeds a fraction of
-    the grand total of the same aggregate (no partsupp in the fixture, so
-    per-part lineitem value stands in for stock value). The oracle states
-    the scalar subquery over the CTE; the Spark plan computes the grand
-    total with an empty-frame window OVER the per-part aggregate — ONE
-    fact scan and one shuffle, where the literal translation would scan
-    and aggregate lineitem twice. Per-part values are rounded to cents
-    before both the total and the comparison so summation order cannot
-    flip membership."""
+    """TPC-H Q11 shape: keep groups whose aggregate exceeds a threshold
+    derived from the grand total of the same aggregate (no partsupp in
+    the fixture, so per-part lineitem value stands in for stock value).
+    The threshold is 1.5x the MEAN part value — the spec's own fraction
+    scales as 0.0001/SF precisely because a FIXED fraction of the total
+    degenerates to the empty set as the part count grows (it did here:
+    0.001 of total produced 0 rows at sf0.1); a mean-relative cut stays
+    selective-but-nonempty at every scale. Spelled sum/count on BOTH
+    engines (never avg(), whose accumulation strategy is
+    implementation-defined). The oracle states the scalar subquery over
+    the CTE; the Spark plan computes the grand total and count with
+    empty-frame windows OVER the per-part aggregate — ONE fact scan and
+    one shuffle, where the literal translation would scan and aggregate
+    lineitem twice. Per-part values are rounded to cents before both
+    the total and the comparison so summation order cannot flip
+    membership."""
     from pyspark.sql.window import Window
 
+    w = Window.partitionBy()
     pv = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
     return (
-        pv.withColumn("total", F.sum("part_value").over(Window.partitionBy()))
-        .filter(F.col("part_value") > F.col("total") * 0.001)
+        pv.withColumn("total", F.sum("part_value").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("part_value") > F.col("total") / F.col("cnt") * 1.5)
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
