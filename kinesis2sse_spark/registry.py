@@ -95,6 +95,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stats_js_divergence",
     "sim_mmr_rerank",
     "pipeline_bpe_train",
+    # late-round-7 retunes: these three queries were fixture-degenerate
+    # (predicates that could never produce a row on this corpus) and
+    # changed semantics mid-round — their r3/r4 green rows attest the
+    # OLD queries, so they must re-earn rows under the new predicates
+    "except_distinct",
+    "subquery_nested_correlated_having",
+    "q11_important_part_value",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
