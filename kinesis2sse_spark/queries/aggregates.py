@@ -985,3 +985,44 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("total_tokens"),
         (F.floor(g * 1000000 + F.lit(0.5)) / 1000000).alias("gini"),
     )
+
+
+APPROX_DISTINCT_RSD = 0.02
+APPROX_DISTINCT_BOUND_PPM = 60000  # contract: |approx-exact| <= 6% (3x rsd)
+
+
+@register(
+    "agg_approx_distinct_contract",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+           true AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contract for the HLL estimate — the same design that gave
+    the LSH/IVF/PQ approximations real oracles: the sketch's VALUE is
+    not SQL-expressible, but its accuracy guarantee is. Per group,
+    compute the exact distinct count AND the approx_count_distinct
+    estimate in one pass, and emit whether the estimate lands within
+    3x the configured rsd of exact (integer cross-product compare, no
+    FP boundary). The oracle recomputes exact and expects
+    within_bound = true everywhere — a red row means the engine's HLL
+    degraded beyond its contract. Deterministic: HLL is seed-fixed, so
+    a given corpus always produces the same estimate; verified stable
+    at sf0.001/0.01/0.1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=APPROX_DISTINCT_RSD).alias("n_approx"),
+    )
+    err = F.abs(F.col("n_approx") - F.col("n_exact")) * 1000000
+    return g.select(
+        "l_returnflag",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (err <= F.lit(APPROX_DISTINCT_BOUND_PPM) * F.col("n_exact")).alias(
+            "within_bound"
+        ),
+    )

@@ -329,3 +329,23 @@ def test_gini_known_distributions(spark, tmp_path):
     g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * t) - (n + 1) / n
     assert abs(row["gini"] - g) < 1e-6
     assert row["total_tokens"] == t
+
+
+def test_approx_distinct_contract_all_within_bound(spark):
+    """The HLL error contract holds on the fixture and the exact side
+    equals a direct distinct count."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.aggregates import agg_approx_distinct_contract
+
+    from pyspark.sql import functions as F
+
+    rows = agg_approx_distinct_contract(spark, SF_SMOKE).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert {r["l_returnflag"]: r["n_exact"] for r in rows} == want
