@@ -264,3 +264,47 @@ def test_bfs_frontier_drains_before_horizon(spark):
     df = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
     got = {r["node"]: r["hops"] for r in bfs_hops(df, n_seeds=1, max_hops=16).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_random_graphs_bfs_matches_python_model(spark):
+    """Frontier BFS must agree with a driver-side BFS model on arbitrary
+    graph shapes and seed/horizon combinations — seeded RNG, three
+    densities, two horizons."""
+    import collections
+    import random
+
+    rng = random.Random(0xBF5)
+    from kinesis2sse_spark.queries.graph import bfs_hops
+
+    for n_nodes, n_edges in [(30, 15), (40, 60), (25, 5)]:
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = sorted(adj)
+        for n_seeds, max_hops in [(3, 2), (5, 16)]:
+            seeds = nodes[:n_seeds]
+            want = {s: 0 for s in seeds}
+            frontier = list(seeds)
+            for d in range(1, max_hops + 1):
+                nxt = {
+                    v for u in frontier for v in adj[u] if v not in want
+                }
+                if not nxt:
+                    break
+                for v in nxt:
+                    want[v] = d
+                frontier = list(nxt)
+            got = {
+                r["node"]: r["hops"]
+                for r in bfs_hops(
+                    spark.createDataFrame(edges, "a long, b long"),
+                    n_seeds=n_seeds,
+                    max_hops=max_hops,
+                ).collect()
+            }
+            assert got == want, (n_nodes, n_edges, n_seeds, max_hops)
