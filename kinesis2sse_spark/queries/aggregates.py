@@ -862,9 +862,12 @@ s AS (
   FROM j
 )
 SELECT n AS n_docs,
-       floor(CAST(n * sab - sa * sb AS DOUBLE)
-             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                    * CAST(n * sbb - sb * sb AS DOUBLE))
+       floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
              * 1000000 + 0.5) / 1000000 AS rho_spearman
 FROM s
 """
@@ -885,15 +888,22 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window turns counts into average ranks, and the tiny
     rank tables broadcast back onto the corpus. Ranks are DOUBLED so
     the .5-granular average ranks stay integers (r2 = 2*cnt_less +
-    cnt_eq + 1); every moment is then an exact BIGINT sum (fits through
-    ~2M rows — beyond that, switch the moment accumulators to
-    DECIMAL(38,0), same plan) and rho is ONE fixed-shape IEEE
-    expression from six exact integers, floor-quantized at 1e6."""
+    cnt_eq + 1); every moment is then an exact BIGINT sum (saa ~ 4n^3
+    stays inside int64 through ~1.3M rows — beyond that, switch the
+    moment accumulators to DECIMAL(38,0), same plan). The final
+    cross-products (n*sab etc., ~4n^4) would overflow int64 near 55k
+    rows, so each factor casts to DOUBLE FIRST and rho is one
+    fixed-shape IEEE expression over those doubles on both engines,
+    floor-quantized at 1e6."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
+    # persisted: consumed by BOTH histogram builds and the final join —
+    # without it the corpus is scanned and re-tokenized three times
     m = d.select(
         F.col("n_chars").alias("a"),
         F.size(F.split("text", " ")).cast("bigint").alias("b"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def rank2(col: str) -> DataFrame:
         h = m.groupBy(col).agg(F.count("*").alias("c"))
@@ -914,11 +924,13 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r2_a") * F.col("r2_a")).cast("bigint").alias("saa"),
         F.sum(F.col("r2_b") * F.col("r2_b")).cast("bigint").alias("sbb"),
     )
-    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
-        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
-    )
+    # cross-products in DOUBLE: n*sab etc. would overflow int64 near
+    # 55k rows (sab ~ 4n^3); the MOMENTS stay exact int64 to ~1.3M rows
+    # and the final expression is the same IEEE chain on both engines
+    n_d, sa_d, sb_d = [F.col(c).cast("double") for c in ("n", "sa", "sb")]
+    sab_d, saa_d, sbb_d = [F.col(c).cast("double") for c in ("sab", "saa", "sbb")]
+    num = n_d * sab_d - sa_d * sb_d
+    den = F.sqrt((n_d * saa_d - sa_d * sa_d) * (n_d * sbb_d - sb_d * sb_d))
     return s.select(
         F.col("n").alias("n_docs"),
         (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("rho_spearman"),

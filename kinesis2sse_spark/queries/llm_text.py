@@ -1808,10 +1808,13 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass makes the OUTPUT exact — which is why this sketch operator
     has a real SQL oracle while HLL/approx-distinct stay rows-only.
 
-    Scale shape: the sketch pass streams each partition once in
-    Arrow batches holding at most HH_K counters (never a per-partition
-    hashmap of the full vocabulary — the point of MG at 100 TB is that
-    a skewed token stream can't OOM a task); candidates are <= HH_K
+    Scale shape: the sketch pass streams each partition once in Arrow
+    batches; the carried state is trimmed back to <= HH_K counters
+    after EACH batch fold, so peak memory is HH_K plus one batch's
+    vocabulary (bounded by the Arrow batch size knob) — never a
+    per-partition hashmap of the full corpus vocabulary, which is the
+    point of MG at 100 TB: a skewed token stream can't OOM a task.
+    Candidates are <= HH_K
     per partition, so the verify pass is a broadcast semi join onto
     the token explode plus one map-side-combined count, and the corpus
     total folds in as a 1-row broadcast (the tfidf lesson — no eager

@@ -1059,10 +1059,13 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("c"))
     )
+    # the global agg always yields one row; gate on n_days > 0 so an
+    # empty/all-NULL-ts corpus returns the oracle's 0 rows (the
+    # recursive CTE's anchor is empty) rather than a zeroed-state row
     series = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "c"))).alias("ys"),
         F.count("*").alias("n_days"),
-    )
+    ).where(F.col("n_days") > 0)
     a, bb = HOLT_ALPHA, HOLT_BETA
 
     def step(acc, x):

@@ -235,6 +235,13 @@ def kinesis_stream(
     opts.update(kinesis_start_options(start))
     opts.update(options)
     if isinstance(option_names, str):
+        if option_names not in KINESIS_OPTION_PRESETS:
+            raise ValueError(
+                f"unknown option_names preset {option_names!r}; valid "
+                f"presets: {sorted(KINESIS_OPTION_PRESETS)} (or pass a "
+                "dict mapping canonical option keys to the connector's "
+                "spelling)"
+            )
         option_names = KINESIS_OPTION_PRESETS[option_names]
     if option_names:
         opts = {option_names.get(k, k): v for k, v in opts.items()}

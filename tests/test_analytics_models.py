@@ -349,3 +349,32 @@ def test_approx_distinct_contract_all_within_bound(spark):
         .collect()
     }
     assert {r["l_returnflag"]: r["n_exact"] for r in rows} == want
+
+
+def test_holt_empty_series_returns_no_rows(spark, tmp_path):
+    """All-NULL-ts (or empty) events: the global aggregate must not
+    leak a zeroed-state row — the oracle's recursive anchor is empty,
+    so both engines agree on 0 rows."""
+    spark.createDataFrame(
+        [(None,), (None,)], "ts timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from kinesis2sse_spark.queries.timeseries import timeseries_holt_linear
+
+    assert timeseries_holt_linear(spark, str(tmp_path)).count() == 0
+
+
+def test_spearman_overflow_safe_at_55k_distinct(spark, tmp_path):
+    """The final cross-products must run in DOUBLE: 60k distinct-valued
+    rows overflow int64 in n*sab (~4n^4) — this corpus crashed the
+    pre-fix expression under ANSI and silently wrapped without it."""
+    n = 60000
+    spark.range(n).selectExpr(
+        "id AS doc_id",
+        "repeat('t ', CAST(id % 97 + 1 AS INT)) AS text",
+        "id AS n_chars",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.aggregates import stats_spearman_rank
+
+    row = stats_spearman_rank(spark, str(tmp_path)).collect()[0]
+    assert row["n_docs"] == n
+    assert -1.0 <= row["rho_spearman"] <= 1.0

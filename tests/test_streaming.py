@@ -449,8 +449,10 @@ def test_kinesis_stream_accepts_preset_name(spark):
     assert "streamARN" in msg
     assert "TRIM_HORIZON" in msg
 
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError) as e:
         kinesis_stream(spark, "s", "r", option_names="no-such-preset")
+    # the error must NAME the valid presets, not surface a bare KeyError
+    assert "aws-kinesis" in str(e.value) and "glue-kinesis" in str(e.value)
 
 
 # ---- Kinesis seam end-to-end (fake in-process connector, S1/S2) ------------
