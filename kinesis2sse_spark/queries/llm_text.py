@@ -1564,6 +1564,7 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
              1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*) AS dup_fraction,
              CAST(count(*) FILTER (lang = 'en') AS DOUBLE) / count(*) AS frac_en
       FROM base
+      HAVING count(*) > 0
     )
     SELECT metric, floor(value * 1000000 + 0.5) / 1000000 AS value FROM (
       SELECT 'n_docs' AS metric, n_docs AS value FROM wide
@@ -1590,19 +1591,23 @@ def stats_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
+    # ratios guarded on count > 0: an empty corpus must yield ZERO card
+    # rows on both engines (the oracle's HAVING), not an ANSI
+    # divide-by-zero here vs a NULL/inf row there
+    n = F.count("*")
     wide = base.agg(
-        F.count("*").cast("double").alias("n_docs"),
+        n.cast("double").alias("n_docs"),
         F.sum("n_tokens").cast("double").alias("total_tokens"),
-        (F.sum("n_tokens").cast("double") / F.count("*")).alias("mean_tokens"),
+        F.when(n > 0, F.sum("n_tokens").cast("double") / n).alias("mean_tokens"),
         F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
-        (
-            F.lit(1.0)
-            - F.count_distinct("text").cast("double") / F.count("*")
+        F.when(
+            n > 0, F.lit(1.0) - F.count_distinct("text").cast("double") / n
         ).alias("dup_fraction"),
-        (
-            F.count(F.when(F.col("lang") == "en", 1)).cast("double") / F.count("*")
+        F.when(
+            n > 0,
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double") / n,
         ).alias("frac_en"),
-    )
+    ).where(F.col("n_docs") > 0)
     stacked = wide.selectExpr(
         "stack(6, 'n_docs', n_docs, 'total_tokens', total_tokens,"
         " 'mean_tokens', mean_tokens, 'p50_tokens', p50_tokens,"

@@ -378,3 +378,14 @@ def test_spearman_overflow_safe_at_55k_distinct(spark, tmp_path):
     row = stats_spearman_rank(spark, str(tmp_path)).collect()[0]
     assert row["n_docs"] == n
     assert -1.0 <= row["rho_spearman"] <= 1.0
+
+
+def test_dataset_card_empty_corpus_yields_no_rows(spark, tmp_path):
+    """Empty documents table: the card must emit ZERO rows (matching
+    the oracle's HAVING), not crash on an ANSI divide-by-zero."""
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from kinesis2sse_spark.queries.llm_text import stats_dataset_card
+
+    assert stats_dataset_card(spark, str(tmp_path)).count() == 0
