@@ -42,6 +42,7 @@ def compact_lake(
     partition_col: str = "event_date",
     partitions: list | None = None,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    schema=None,
 ) -> DataFrame:
     """Rewrite the named partitions (default: all) of a partitioned
     parquet lake into size-targeted files; returns the lazy read of the
@@ -68,7 +69,13 @@ def compact_lake(
     instead — the standard hourly/daily layout at scale)."""
     import shutil
 
-    lake = spark.read.parquet(path)  # via _spark_metadata if present
+    # optional explicit schema: an empty lake (zero-event stream) has
+    # no part files to infer from, and a compaction job must handle the
+    # empty partition-set gracefully rather than throw at the listing
+    def _read():
+        return (spark.read.schema(schema) if schema is not None else spark.read)
+
+    lake = _read().parquet(path)  # via _spark_metadata if present
     if partitions is not None:
         lake = lake.filter(F.col(partition_col).isin(list(partitions)))
     n_files = max(1, math.ceil(_on_disk_bytes(path) / target_file_bytes))
@@ -81,4 +88,4 @@ def compact_lake(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     shutil.rmtree(os.path.join(path, "_spark_metadata"), ignore_errors=True)
-    return spark.read.parquet(path)
+    return _read().parquet(path)

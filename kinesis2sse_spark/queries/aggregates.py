@@ -134,6 +134,13 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known engine-semantic edge (applies to the whole grouping-set
+    family here: rollup/cube/grouping_id/grouping_sets): on an EMPTY
+    input, DuckDB emits the () grand-total row (count 0, SQL-standard
+    global-aggregate behavior) while Spark emits zero rows. Documented
+    rather than papered over — synthesizing a grand-total row would
+    distort the operator under test, and the driver fixtures are never
+    empty (found by the round-7 empty-fixture differential audit)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")

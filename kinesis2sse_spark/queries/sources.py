@@ -63,13 +63,13 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning available — the layout a 100 TB table actually uses."""
     src = load_table(spark, sf_dir, "orders")
     path = f"/tmp/k2s_rt_part_{os.path.basename(sf_dir.rstrip('/'))}"
-    (
-        src.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
-        .write.mode("overwrite")
-        .partitionBy("month")
-        .parquet(path)
-    )
-    back = spark.read.parquet(path)
+    out = src.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+    out.write.mode("overwrite").partitionBy("month").parquet(path)
+    # read back with the WRITTEN schema: a zero-row input (empty
+    # micro-batch / filtered-out partition) leaves no part files, and
+    # schema inference over the bare directory throws — the sink must
+    # round-trip empty relations too
+    back = spark.read.schema(out.schema).parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
     )

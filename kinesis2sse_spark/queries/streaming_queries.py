@@ -329,7 +329,11 @@ def streaming_archive_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    return spark.read.parquet(f"{root}/lake").select(
+    # explicit schema on the read-back: a zero-event stream commits no
+    # part files, and schema inference over the bare lake dir throws —
+    # an archive must round-trip the empty stream too
+    archived = s.withColumn("event_date", F.to_date("ts")).schema
+    return spark.read.schema(archived).parquet(f"{root}/lake").select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
 
@@ -364,7 +368,8 @@ def pipeline_lake_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     q.awaitTermination()
-    return compact_lake(spark, f"{root}/lake").select(
+    archived = s.withColumn("event_date", F.to_date("ts")).schema
+    return compact_lake(spark, f"{root}/lake", schema=archived).select(
         "event_id", "event_type", F.round("value", 2).alias("value")
     )
 
