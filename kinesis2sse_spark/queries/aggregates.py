@@ -688,9 +688,11 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
     )
     SELECT CAST(max(n) AS BIGINT) AS n_rows,
-           floor(sqrt((CAST(sum(t) AS DOUBLE) / 1000000000000)
-                      / (max(n) * least(max(r) - 1, max(c) - 1)))
-                 * 1000000 + 0.5) / 1000000 AS cramers_v
+           CASE WHEN max(n) * least(max(r) - 1, max(c) - 1) > 0 THEN
+             floor(sqrt((CAST(sum(t) AS DOUBLE) / 1000000000000)
+                        / (max(n) * least(max(r) - 1, max(c) - 1)))
+                   * 1000000 + 0.5) / 1000000
+           END AS cramers_v
     FROM chi
     """,
 )
@@ -736,13 +738,15 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
         )
     )
-    v = F.sqrt(
-        (F.sum("t").cast("double") / 1000000000000)
-        / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
-    )
+    # V is undefined on a 1x1 table (min(r-1, c-1) = 0): emit NULL, not
+    # an ANSI divide-by-zero — same CASE guard as the oracle
+    denom = F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1)
+    v = F.sqrt((F.sum("t").cast("double") / 1000000000000) / denom)
     return chi.agg(
         F.max("n").cast("bigint").alias("n_rows"),
-        (F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias("cramers_v"),
+        F.when(denom > 0, F.floor(v * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cramers_v"
+        ),
     )
 
 
@@ -869,13 +873,18 @@ s AS (
   FROM j
 )
 SELECT n AS n_docs,
-       floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
-              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-             / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
-             * 1000000 + 0.5) / 1000000 AS rho_spearman
+       CASE WHEN CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+             AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0 THEN
+         floor((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                         - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000
+       END AS rho_spearman
 FROM s
 """
 
@@ -937,10 +946,18 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_d, sa_d, sb_d = [F.col(c).cast("double") for c in ("n", "sa", "sb")]
     sab_d, saa_d, sbb_d = [F.col(c).cast("double") for c in ("sab", "saa", "sbb")]
     num = n_d * sab_d - sa_d * sb_d
-    den = F.sqrt((n_d * saa_d - sa_d * sa_d) * (n_d * sbb_d - sb_d * sb_d))
+    va = n_d * saa_d - sa_d * sa_d
+    vb = n_d * sbb_d - sb_d * sb_d
+    den = F.sqrt(va * vb)
+    # rho is undefined when either metric has zero rank variance (n=1,
+    # or an all-tied column): NULL, not an ANSI 0/0 — same CASE as the
+    # oracle
     return s.select(
         F.col("n").alias("n_docs"),
-        (F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000).alias("rho_spearman"),
+        F.when(
+            (va > 0) & (vb > 0),
+            F.floor(num / den * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("rho_spearman"),
     )
 
 

@@ -8,9 +8,13 @@ dataset-card, and empty-lake-read-back defects.
 
 Known accepted divergence: the rollup/cube/grouping-set family, where
 DuckDB emits the SQL-standard () grand-total row on empty input and
-Spark emits zero rows (documented at agg_rollup).
+Spark emits zero rows (documented at agg_rollup). With 0 < rows < 32,
+the PQ/IVF retrieval family is skipped: those operators' documented
+input contract requires the corpus to contain the codebook/centroid
+seed vectors (vec_id < 32), so a sub-codebook corpus violates their
+preconditions rather than exposing a defect.
 
-Usage: python tools/empty_audit.py
+Usage: python tools/empty_audit.py [rows-per-table]  (default 0)
 """
 
 from __future__ import annotations
@@ -31,17 +35,25 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 KNOWN_DIVERGENT = {"agg_rollup", "agg_cube", "agg_grouping_id", "agg_grouping_sets"}
+KNOWN_MODEL_INPUT = {
+    "sim_recall_pq", "sim_recall_ivf", "sim_recall_ivfpq", "sim_recall_lsh",
+    "sim_topk_pq", "sim_topk_ivf", "sim_topk_ivfpq",
+}
 
 
 def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     spark = build_session(app_name="empty_audit", shuffle_partitions=4)
     d = tempfile.mkdtemp(prefix="k2s_empty_audit_")
     for t in TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 0)
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, rows)
         pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
     qs, osql = all_queries(), all_oracles()
+    skip = KNOWN_MODEL_INPUT if 0 < rows < 32 else set()
     mismatch, crash = [], []
     for name in sorted(osql):
+        if name in skip:
+            continue
         try:
             sn = len(qs[name](spark, d).collect())
         except Exception as ex:  # noqa: BLE001 - audit must survive anything
