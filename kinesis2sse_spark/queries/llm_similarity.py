@@ -1476,3 +1476,123 @@ def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("balance_factor"),
     )
+
+
+PCA_ITERS = 6
+
+
+_PCA_ORACLE = f"""
+WITH RECURSIVE g0 AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                             * CAST(embedding[j.j + 1] AS DOUBLE)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS gq
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS i) i,
+       LATERAL (SELECT unnest(range(len(embedding))) AS j) j
+  WHERE j.j >= i.i
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT i, j, CAST(gq AS DOUBLE) / 1000000000000 AS g FROM g0
+  UNION ALL
+  SELECT j, i, CAST(gq AS DOUBLE) / 1000000000000 FROM g0 WHERE i <> j
+),
+px(it, j, x) AS (
+  SELECT 0, CAST(t.j AS BIGINT), CAST(0.125 AS DOUBLE) FROM range(64) t(j)
+  UNION ALL
+  SELECT it + 1, i,
+         floor(yq / sqrt(CAST(s2 AS DOUBLE) / 1000000) * 1000000000 + 0.5)
+           / 1000000000
+  FROM (
+    SELECT it, i, yq,
+           sum(CAST(floor(yq * yq * 1000000 + 0.5) AS BIGINT))
+             OVER (PARTITION BY it) AS s2
+    FROM (
+      SELECT px.it AS it, g.i AS i,
+             CAST(sum(CAST(floor(g.g * px.x * 1000000000000 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000000000 AS yq
+      FROM px JOIN g ON g.j = px.j
+      WHERE px.it < {PCA_ITERS}
+      GROUP BY px.it, g.i
+    ) t1
+  ) t2
+)
+SELECT j AS dim, x AS loading FROM px WHERE it = {PCA_ITERS} ORDER BY dim
+"""
+
+
+@register("emb_pca_power_iteration", oracle=_PCA_ORACLE)
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by FIXED-count
+    power iteration over the distributed gram matrix — the eigensolve
+    emb_gram_matrix's docstring left "out of engine scope" brought in
+    scope declaratively: whitening / anisotropy diagnostics (embedding
+    corpora are notoriously dominated by one direction) run this before
+    any cosine-based dedup or retrieval.
+
+    The corpus is touched ONCE (the gram reduction — O(d^2) partial
+    sums per partition); every iterate then works on the d x d = 4096-
+    row relation, so 100x more vectors changes only the first reduction.
+    Determinism is the full ladder: gram cells are 1e-12-quantized
+    exact integers; each matrix-vector product quantizes per-term
+    before the order-free integer sum; the norm squares quantize at
+    1e6 (int64 headroom for |y| up to ~1e6); and the iterate
+    re-quantizes at 1e-9 each step so drift cannot compound across
+    iterations. The DuckDB oracle replays all PCA_ITERS steps in one
+    recursive CTE (aggregation + a PARTITION BY window inside the
+    recursive term — the pagerank oracle's pattern, one level deeper).
+    Sign is pinned by the all-positive start vector (1/8 = exact
+    binary), not left to eigensolver convention."""
+    g_up = emb_gram_matrix(spark, sf_dir)
+    g = (
+        g_up.unionByName(
+            g_up.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
+        # pinned: referenced in every iteration; without it each step
+        # would re-run the corpus-wide gram reduction
+        .localCheckpoint(eager=True)
+    )
+    x = spark.range(64).select(
+        F.col("id").cast("bigint").alias("j"),
+        F.lit(0.125).cast("double").alias("x"),
+    )
+    for _ in range(PCA_ITERS):
+        y = (
+            g.join(x, "j")
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("g") * F.col("x") * 1000000000000 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / 1000000000000
+                ).alias("yq")
+            )
+        )
+        s2 = y.agg(
+            F.sum(
+                F.floor(F.col("yq") * F.col("yq") * 1000000 + F.lit(0.5)).cast("long")
+            ).alias("s2")
+        )
+        x = (
+            y.crossJoin(F.broadcast(s2))
+            .select(
+                F.col("i").alias("j"),
+                (
+                    F.floor(
+                        F.col("yq")
+                        / F.sqrt(F.col("s2").cast("double") / 1000000)
+                        * 1000000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000000
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select(F.col("j").alias("dim"), F.col("x").alias("loading"))

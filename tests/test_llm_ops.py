@@ -892,3 +892,34 @@ def test_embedding_cosine_finds_planted_near_dups(spark, tmp_path):
     num = sum(x * y for x, y in zip(base, nearly))
     den = math.sqrt(sum(x * x for x in base)) * math.sqrt(sum(x * x for x in nearly))
     assert num / den >= 0.95
+
+
+def test_pca_power_iteration_recovers_planted_direction(spark, tmp_path):
+    """A corpus drawn along one dominant direction: the returned
+    loading vector must be unit-norm (to quantization) and nearly
+    collinear with the planted direction; and the output plan must not
+    rescan the corpus (the gram reduction is checkpointed once)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    u = [rng.uniform(-1, 1) for _ in range(64)]
+    un = math.sqrt(sum(c * c for c in u))
+    u = [c / un for c in u]
+    rows = []
+    for vid in range(200):
+        s = rng.uniform(0.5, 2.0) * (1 if rng.random() < 0.8 else -1)
+        vec = [s * c + rng.gauss(0, 0.05) for c in u]
+        rows.append((vid, [float(x) for x in vec], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from kinesis2sse_spark.queries.llm_similarity import emb_pca_power_iteration
+
+    out = emb_pca_power_iteration(spark, str(tmp_path))
+    loadings = {r["dim"]: r["loading"] for r in out.collect()}
+    assert len(loadings) == 64
+    x = [loadings[i] for i in range(64)]
+    assert abs(math.sqrt(sum(c * c for c in x)) - 1.0) < 1e-6
+    cos = abs(sum(a * b for a, b in zip(x, u)))
+    assert cos > 0.99, cos
