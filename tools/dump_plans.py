@@ -112,6 +112,7 @@ SHOW = [
     "pipeline_incremental_agg",
     "stats_spearman_rank",
     "stats_gini_concentration",
+    "emb_pca_power_iteration",
 ]
 
 
