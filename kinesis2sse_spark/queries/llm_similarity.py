@@ -1596,3 +1596,118 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return x.select(F.col("j").alias("dim"), F.col("x").alias("loading"))
+
+
+KMEANS_TRAIN_K = 8
+KMEANS_TRAIN_ITERS = 3
+
+
+_KMEANS_TRAIN_ORACLE = f"""
+WITH RECURSIVE cent(it, cell, d, v) AS (
+  SELECT 0, CAST(vec_id AS BIGINT), CAST(dd.d AS BIGINT),
+         CAST(embedding[dd.d + 1] AS DOUBLE)
+  FROM embeddings, LATERAL (SELECT unnest(range(64)) AS d) dd
+  WHERE vec_id < {KMEANS_TRAIN_K}
+  UNION ALL
+  SELECT it + 1, cell, d,
+         floor(CAST(s AS DOUBLE) / n + 0.5) / 1000000000
+  FROM (
+    SELECT asg.it AS it, asg.cell AS cell, dd.d AS d,
+           sum(CAST(floor(CAST(asg.emb[dd.d + 1] AS DOUBLE)
+                          * 1000000000 + 0.5) AS BIGINT)) AS s,
+           count(*) AS n
+    FROM (
+      SELECT it, vec_id, emb,
+             (min(struct_pack(ds := dist, c := cell))).c AS cell
+      FROM (
+        SELECT c.it AS it, e.vec_id AS vec_id, e.embedding AS emb, c.cell AS cell,
+               sum(CAST(floor((CAST(e.embedding[c.d + 1] AS DOUBLE) - c.v)
+                              * (CAST(e.embedding[c.d + 1] AS DOUBLE) - c.v)
+                              * 1000000000 + 0.5) AS BIGINT)) AS dist
+        FROM cent c, embeddings e
+        WHERE c.it < {KMEANS_TRAIN_ITERS}
+        GROUP BY 1, 2, 3, 4
+      ) dists
+      GROUP BY it, vec_id, emb
+    ) asg, LATERAL (SELECT unnest(range(64)) AS d) dd
+    GROUP BY 1, 2, 3
+  ) upd
+)
+SELECT cell, d AS dim, v AS centroid
+FROM cent WHERE it = {KMEANS_TRAIN_ITERS}
+"""
+
+
+@register("ml_kmeans_train", oracle=_KMEANS_TRAIN_ORACLE)
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL distributed Lloyd training loop — ml_kmeans_assign and
+    ml_kmeans_update composed over KMEANS_TRAIN_ITERS fixed iterations
+    (fixed, like pagerank/BPE/PCA, so the oracle can replay it): seed
+    centroids = the first K vectors, then per iteration (1) every
+    vector joins the broadcast K x d centroid relation and takes the
+    argmin centroid by INTEGER-EXACT squared L2 — per-dimension terms
+    floor-quantize at 1e9 before the order-free integer sum, so the
+    argmin has no FP boundary to disagree on, with the lexicographic
+    (dist, cell) struct-min fixing ties to the lowest cell — and
+    (2) new centroids are per-(cell, dim) means of 1e9-quantized
+    components (exact integer sums; one double division, re-quantized
+    at 1e-9). Cells that lose every vector die (documented semantics:
+    no empty-cell reseeding; the fixture's 8 cells all survive).
+
+    Scale shape: per iteration the corpus is touched exactly twice
+    (distance pass + update pass) against a BROADCAST centroid
+    relation of K*d rows — the corpus never shuffles on anything wider
+    than the cell id; 100x more vectors is 100x those two map-side
+    passes, nothing else. The exploded (vec, dim) relation is cached
+    across all iterations. The DuckDB oracle replays the whole loop in
+    one recursive CTE (nested aggregation + struct-min argmin inside
+    the recursive term), byte-exact at all three SFs."""
+    from pyspark import StorageLevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.posexplode("embedding").alias("d", "xf"),
+        )
+        .select("vec_id", F.col("d").cast("bigint").alias("d"), F.col("xf").cast("double").alias("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent = ed.where(F.col("vec_id") < KMEANS_TRAIN_K).select(
+        F.col("vec_id").alias("cell"), "d", F.col("x").alias("v")
+    )
+    for _ in range(KMEANS_TRAIN_ITERS):
+        diff = F.col("x") - F.col("v")
+        dists = (
+            ed.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    F.floor(diff * diff * 1000000000 + F.lit(0.5)).cast("long")
+                ).alias("dist")
+            )
+        )
+        asg = dists.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cell"))["cell"].alias("cell")
+        )
+        cent = (
+            ed.join(asg, "vec_id")
+            .groupBy("cell", "d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1000000000 + F.lit(0.5)).cast("long")
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cell",
+                "d",
+                (
+                    F.floor(F.col("s").cast("double") / F.col("n") + F.lit(0.5))
+                    / 1000000000
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    return cent.select("cell", F.col("d").alias("dim"), F.col("v").alias("centroid"))
