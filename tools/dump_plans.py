@@ -113,6 +113,7 @@ SHOW = [
     "stats_spearman_rank",
     "stats_gini_concentration",
     "emb_pca_power_iteration",
+    "ml_kmeans_train",
 ]
 
 
