@@ -1711,3 +1711,164 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ed.unpersist()
     return cent.select("cell", F.col("d").alias("dim"), F.col("v").alias("centroid"))
+
+
+RIDGE_LAMBDA = 0.1
+RIDGE_JACOBI_ITERS = 8
+
+
+_RIDGE_ORACLE = f"""
+WITH RECURSIVE nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+g0 AS (
+  SELECT i.i AS i, j.j AS j,
+         CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE)
+                             * CAST(embedding[j.j + 1] AS DOUBLE)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS gq
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS i) i,
+       LATERAL (SELECT unnest(range(len(embedding))) AS j) j
+  WHERE j.j >= i.i GROUP BY 1, 2
+),
+a AS (
+  SELECT i, j, CAST(gq AS DOUBLE) / 1000000000000 / n
+              + CASE WHEN i = j THEN {RIDGE_LAMBDA} ELSE 0.0 END AS a
+  FROM (SELECT i, j, gq FROM g0
+        UNION ALL SELECT j, i, gq FROM g0 WHERE i <> j) m, nn
+),
+b AS (
+  SELECT dd.d AS d,
+         CAST(sum(CAST(floor(CAST(embedding[dd.d + 1] AS DOUBLE)
+                             * CAST(label AS DOUBLE)
+                             * 1000000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000000 / max(n) AS b
+  FROM embeddings, nn, LATERAL (SELECT unnest(range(64)) AS d) dd
+  GROUP BY dd.d
+),
+w(it, d, wv) AS (
+  SELECT 0, CAST(t.d AS BIGINT), CAST(0.0 AS DOUBLE) FROM range(64) t(d)
+  UNION ALL
+  SELECT it + 1, i,
+         floor((bv - CAST(off AS DOUBLE) / 1000000000000) / ad
+               * 1000000000 + 0.5) / 1000000000
+  FROM (
+    SELECT w.it AS it, a.i AS i,
+           sum(CASE WHEN a.j <> a.i
+                    THEN CAST(floor(a.a * w.wv * 1000000000000 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS off
+    FROM w JOIN a ON a.j = w.d
+    WHERE w.it < {RIDGE_JACOBI_ITERS}
+    GROUP BY 1, 2
+  ) s
+  JOIN (SELECT i AS di, a AS ad FROM a WHERE i = j) diag ON diag.di = s.i
+  JOIN (SELECT d AS bd, b AS bv FROM b) bb ON bb.bd = s.i
+)
+SELECT d AS dim, wv AS weight FROM w WHERE it = {RIDGE_JACOBI_ITERS}
+"""
+
+
+@register("ml_ridge_probe_train", oracle=_RIDGE_ORACLE)
+def ml_ridge_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge linear probe over the embedding corpus — the standard
+    representation-quality diagnostic (fit label from embedding,
+    judge the embedding by the fit), completing the train-in-the-engine
+    family (PCA direction, Lloyd k-means, and now a supervised probe).
+    Solved via the NORMAL EQUATIONS: A = X'X/n + lambda*I and b = X'y/n
+    are one-pass corpus reductions (the gram shape — O(d^2) partials
+    per partition), then RIDGE_JACOBI_ITERS Jacobi iterations
+    w_i <- (b_i - sum_{{j!=i}} A_ij w_j) / A_ii run entirely on the
+    4096-row matrix relation: the corpus is touched a constant three
+    times total (count, A, b) REGARDLESS of iteration count — the property that
+    makes normal-equations probes the right shape at 100 TB (contrast
+    gradient descent, which rescans the corpus per step). Ridge
+    regularization makes A diagonally dominant, so Jacobi contracts.
+
+    Determinism: the same ladder as emb_pca_power_iteration — 1e-12
+    quantized A/b cells, per-term quantized off-diagonal products with
+    order-free integer sums, and a 1e-9 re-quantized iterate per step;
+    the oracle replays all iterations in one recursive CTE. Byte-exact
+    at sf0.001/0.01/0.1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # n folds in as a broadcast 1-row total, NOT an eager count() at
+    # construction time (the sim_topk_lsh lesson: plan builds must not
+    # trigger corpus jobs)
+    ncnt = e.agg(F.count("*").cast("double").alias("n"))
+    g_up = emb_gram_matrix(spark, sf_dir)
+    a = (
+        g_up.unionByName(
+            g_up.where(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "g"
+            )
+        )
+        .crossJoin(F.broadcast(ncnt))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("g") / F.col("n")
+                + F.when(F.col("i") == F.col("j"), F.lit(RIDGE_LAMBDA)).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    xy = e.select(
+        F.col("label").cast("double").alias("y"),
+        F.posexplode("embedding").alias("d", "xf"),
+    )
+    b = (
+        xy.groupBy(F.col("d").cast("bigint").alias("d"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("xf").cast("double") * F.col("y") * 1000000000000
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / 1000000000000
+            ).alias("bq")
+        )
+        .crossJoin(F.broadcast(ncnt))
+        .select("d", (F.col("bq") / F.col("n")).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    diag = a.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("di"), F.col("a").alias("ad")
+    )
+    w = spark.range(64).select(
+        F.col("id").cast("bigint").alias("d"), F.lit(0.0).cast("double").alias("wv")
+    )
+    for _ in range(RIDGE_JACOBI_ITERS):
+        off = (
+            a.join(w, a.j == w.d)
+            .groupBy(F.col("i"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("j") != F.col("i"),
+                        F.floor(
+                            F.col("a") * F.col("wv") * 1000000000000 + F.lit(0.5)
+                        ).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("off")
+            )
+        )
+        w = (
+            off.join(F.broadcast(diag), off.i == diag.di)
+            .join(F.broadcast(b), off.i == b.d)
+            .select(
+                F.col("i").alias("d"),
+                (
+                    F.floor(
+                        (F.col("b") - F.col("off").cast("double") / 1000000000000)
+                        / F.col("ad")
+                        * 1000000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000000
+                ).alias("wv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(F.col("d").alias("dim"), F.col("wv").alias("weight"))

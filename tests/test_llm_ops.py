@@ -971,3 +971,26 @@ def test_kmeans_train_recovers_planted_clusters(spark, tmp_path):
         assert best < 0.3, (cell, best)
     # the three blob-seeded cells all survive
     assert {0, 1, 2} <= set(by_cell)
+
+
+def test_ridge_probe_finds_planted_signal_dimension(spark, tmp_path):
+    """Labels depend on exactly one embedding dimension: the trained
+    probe's weight on that dimension must dominate every other weight
+    and carry the right sign."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for vid in range(300):
+        x = [rng.uniform(-1, 1) for _ in range(64)]
+        y = round(4 * x[7])  # signal lives only in dim 7
+        rows.append((vid, [float(c) for c in x], y))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    from kinesis2sse_spark.queries.llm_similarity import ml_ridge_probe_train
+
+    w = {r["dim"]: r["weight"] for r in ml_ridge_probe_train(spark, str(tmp_path)).collect()}
+    assert len(w) == 64
+    others = max(abs(w[j]) for j in range(64) if j != 7)
+    assert w[7] > 0 and w[7] > 3 * others, (w[7], others)
