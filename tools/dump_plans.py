@@ -114,6 +114,7 @@ SHOW = [
     "stats_gini_concentration",
     "emb_pca_power_iteration",
     "ml_kmeans_train",
+    "ml_ridge_probe_train",
 ]
 
 
