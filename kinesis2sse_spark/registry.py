@@ -240,6 +240,7 @@ def _ensure_loaded() -> None:
         llm_dedup,
         llm_similarity,
         llm_text,
+        ml_eval,
         multimodal,
         scalar_functions,
         setops,

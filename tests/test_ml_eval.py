@@ -1,0 +1,154 @@
+"""Model checks for the ml_eval operator family: exact tie-corrected
+ROC AUC vs a literal Python rank-sum replay on a synthetic corpus,
+confusion/kappa cell counts vs Python counts, calibration bin identity,
+and the degenerate-input edges (single-class AUC, chance-certain kappa).
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+DIM = 64
+
+
+def _w(i: int) -> int:
+    return ((i + 1) * 2654435761 % 1000000007) % 2001 - 1000
+
+
+def _score(emb) -> int:
+    return sum(
+        int(math.floor(float(x) * 1000000 + 0.5)) * _w(i) for i, x in enumerate(emb)
+    )
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+
+def _auc_model(scored):
+    """Literal tie-averaged Mann-Whitney AUC over (score, pos) pairs."""
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    if not pos or not neg:
+        return None
+    wins = sum(
+        1.0 if sp > sn else (0.5 if sp == sn else 0.0) for sp in pos for sn in neg
+    )
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_python_ranksum_with_ties(spark, tmp_path):
+    """Synthetic corpus engineered to hit ties both within and across
+    classes AND to straddle multiple 2^28 score buckets, so the
+    two-level prefix rank path is exercised, not just the trivial
+    single-bucket case."""
+    rows = []
+    # 40 vectors: embedding = v * e_0 basis direction, so score = q(v)*w(0);
+    # duplicate values create cross-class ties, big v values cross buckets
+    vals = [0.0, 0.1, 0.1, 0.2, 0.3, 0.3, 0.3, 0.45, -0.2, -0.2] * 4
+    for k, v in enumerate(vals):
+        emb = [0.0] * DIM
+        emb[0] = v
+        emb[1] = 0.5 if k % 7 == 0 else -0.5  # second dim spreads scores
+        rows.append((k, emb, 9 if k % 3 == 0 else 1))
+    _write_embeddings(spark, tmp_path, rows)
+
+    from kinesis2sse_spark.queries.ml_eval import ml_auc_roc
+
+    got = ml_auc_roc(spark, str(tmp_path)).collect()[0]
+    scored = [(_score(emb), lab >= 5) for _, emb, lab in rows]
+    want = _auc_model(scored)
+    assert got["n_pos"] == sum(1 for _, p in scored if p)
+    assert got["n_neg"] == sum(1 for _, p in scored if not p)
+    assert got["auc"] == math.floor(want * 1000000 + 0.5) / 1000000
+
+
+def test_auc_single_class_is_null(spark, tmp_path):
+    rows = [(k, [0.1 * k] + [0.0] * (DIM - 1), 9) for k in range(5)]
+    _write_embeddings(spark, tmp_path, rows)
+    from kinesis2sse_spark.queries.ml_eval import ml_auc_roc
+
+    r = ml_auc_roc(spark, str(tmp_path)).collect()[0]
+    assert r["n_neg"] == 0 and r["auc"] is None
+
+
+def test_confusion_cells_match_python_counts(spark):
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.ml_eval import ml_confusion_threshold
+
+    got = ml_confusion_threshold(spark, SF_SMOKE).collect()[0]
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    tp = fp = fn = tn = 0
+    for r in rows:
+        pred = _score(r["embedding"]) >= 0
+        pos = r["label"] >= 5
+        tp += pos and pred
+        fp += (not pos) and pred
+        fn += pos and not pred
+        tn += (not pos) and not pred
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+    assert got["tp"] + got["fp"] + got["fn"] + got["tn"] == len(rows)
+    if tp + fp:
+        assert got["precision_"] == math.floor(tp / (tp + fp) * 1e6 + 0.5) / 1e6
+
+
+def test_calibration_bins_partition_corpus_and_order(spark):
+    """Bins tile the corpus exactly (counts sum to n), bin ids stay in
+    [0, CALIB_BINS), and mean_score is monotone nondecreasing in bin —
+    the property that makes an equal-width reliability diagram legible."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.ml_eval import CALIB_BINS, ml_calibration_bins
+
+    rows = ml_calibration_bins(spark, SF_SMOKE).collect()
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n
+    assert all(0 <= r["bin"] < CALIB_BINS for r in rows)
+    by_bin = sorted(rows, key=lambda r: r["bin"])
+    means = [r["mean_score"] for r in by_bin]
+    assert means == sorted(means)
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["n_pos"] <= r["n"]
+
+
+def test_kappa_known_value_and_chance_certain_null(spark, tmp_path):
+    """A 2x2 table with known kappa, then the pe=1 degenerate case
+    (both raters constant) must be NULL, not a 0/0 ANSI error."""
+    from kinesis2sse_spark.queries.ml_eval import (
+        KAPPA_CHARS_MIN,
+        KAPPA_TOKENS_MIN,
+        stats_cohens_kappa,
+    )
+
+    long_txt = " ".join(["tok"] * KAPPA_TOKENS_MIN)  # B says long
+    short_txt = "tok"
+    rows = []
+    # 6 agree-long, 2 agree-short, 1 A-only, 1 B-only
+    for k in range(6):
+        rows.append((k, long_txt, "en", "s", KAPPA_CHARS_MIN + 10))
+    for k in range(6, 8):
+        rows.append((k, short_txt, "en", "s", 10))
+    rows.append((8, short_txt, "en", "s", KAPPA_CHARS_MIN))  # A long, B short
+    rows.append((9, long_txt, "en", "s", 10))  # A short, B long
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = stats_cohens_kappa(spark, str(tmp_path)).collect()[0]
+    n, na, nb, agree = 10, 7, 7, 8
+    e = na * nb + (n - na) * (n - nb)
+    want = (n * agree - e) / (n * n - e)
+    assert got["n_docs"] == n and got["n_agree"] == agree
+    assert got["kappa"] == math.floor(want * 1e6 + 0.5) / 1e6
+
+    # degenerate: every doc long under both raters -> pe = 1 -> NULL
+    rows2 = [(k, long_txt, "en", "s", KAPPA_CHARS_MIN + 1) for k in range(4)]
+    spark.createDataFrame(rows2, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got2 = stats_cohens_kappa(spark, str(tmp_path)).collect()[0]
+    assert got2["n_agree"] == 4 and got2["kappa"] is None

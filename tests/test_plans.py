@@ -727,3 +727,43 @@ def test_gini_window_is_domain_sized(spark):
         assert "Scan parquet" not in line, (
             "corpus-fed window:\n" + "\n".join(tail[:8])
         )
+
+
+def test_auc_rank_windows_are_histogram_sized(spark):
+    """ml_auc_roc's two-level prefix ranks: the score histogram is
+    cached once and feeds both levels (>=2 InMemoryTableScans), the
+    bucket offsets come back via broadcast (never a sort-merge), and
+    the single-partition bucket-subtotal window reads an aggregate
+    subtree, never a raw corpus scan."""
+    plan = _plan(spark, "ml_auc_roc")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        lines = seg.splitlines()
+        for line in lines[1:6]:
+            if "HashAggregate" in line or "InMemoryTableScan" in line:
+                break
+            assert "Scan parquet" not in line, (
+                "corpus-fed single-partition window:\n" + "\n".join(lines[:6])
+            )
+
+
+def test_confusion_and_kappa_are_single_aggregate_no_join(spark):
+    """The confusion matrix and kappa are each ONE map-side-combined
+    corpus aggregation: no grouped shuffle, no join of any kind."""
+    for name in ("ml_confusion_threshold", "stats_cohens_kappa"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 0, (name, plan)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert op not in plan, (name, op, plan)
+
+
+def test_calibration_minmax_broadcasts_onto_cached_scores(spark):
+    """ml_calibration_bins: the scored relation is cached (min/max pass
+    + binning pass read one materialization) and the 1-row min/max
+    rides back as a broadcast nested-loop join, never a shuffle."""
+    plan = _plan(spark, "ml_calibration_bins")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

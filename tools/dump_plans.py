@@ -115,6 +115,8 @@ SHOW = [
     "emb_pca_power_iteration",
     "ml_kmeans_train",
     "ml_ridge_probe_train",
+    "ml_auc_roc",
+    "ml_calibration_bins",
 ]
 
 
