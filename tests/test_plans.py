@@ -767,3 +767,53 @@ def test_calibration_minmax_broadcasts_onto_cached_scores(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_auc_by_slice_never_collapses_to_one_partition(spark):
+    """ml_auc_by_slice: every window/exchange is keyed by the slice
+    (lang) — a corpus-sized single-partition pass would mean the slice
+    machinery regressed to global sorting — the score histogram is
+    cached once for both prefix levels, and the offsets come back via
+    broadcast, never a sort-merge."""
+    plan = _plan(spark, "ml_auc_by_slice")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_ir_eval_is_broadcast_scan_with_topk_prune(spark):
+    """ir_eval_retrieval: the query set and label histogram ride
+    broadcasts over ONE corpus pass per relation, and WindowGroupLimit
+    prunes the per-query top-k map-side before the rank shuffle."""
+    plan = _plan(spark, "ir_eval_retrieval")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_context_chunks_is_shuffle_free(spark):
+    """pipeline_context_chunks is a pure per-row explode: any Exchange
+    in the plan means the chunker started shuffling the corpus."""
+    plan = _plan(spark, "pipeline_context_chunks")
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan, plan
+
+
+def test_welch_ttest_is_one_reduce(spark):
+    """stats_welch_ttest: one map-side-combined aggregate — the only
+    exchange is the 1-row final reduce; no grouped shuffle, no join."""
+    plan = _plan(spark, "stats_welch_ttest")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, (op, plan)
+
+
+def test_brier_ece_reuses_cached_scores(spark):
+    """ml_brier_ece: min/max pass + residual pass read one cached
+    materialization of the scored relation; the 1-row min/max rides a
+    broadcast nested-loop join."""
+    plan = _plan(spark, "ml_brier_ece")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -117,6 +117,9 @@ SHOW = [
     "ml_ridge_probe_train",
     "ml_auc_roc",
     "ml_calibration_bins",
+    "ml_auc_by_slice",
+    "ir_eval_retrieval",
+    "pipeline_context_chunks",
 ]
 
 
