@@ -765,3 +765,95 @@ def bfs_hops(
     und.unpersist()
     e.unpersist()
     return dist
+
+
+KCORE_ITERS = 8  # fixed h-index rounds (converges on cliquish graphs in 1-2)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    {_UND_CTE},
+    core(it, node, c) AS (
+      SELECT 0, node, CAST(d AS BIGINT) FROM deg
+      UNION ALL
+      SELECT core.it + 1, e.src,
+             CAST(list_max(list_transform(list(core.c), x ->
+               least(x, len(list_filter(list(core.c), y -> y >= x))))) AS BIGINT)
+      FROM und e JOIN core ON core.node = e.dst
+      WHERE core.it < {KCORE_ITERS}
+      GROUP BY core.it + 1, e.src
+    )
+    SELECT node AS doc_id, c AS coreness
+    FROM core WHERE it = {KCORE_ITERS}
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core decomposition of the near-dup graph via the iterated
+    h-index operator (Lü et al. 2016): start every node at its degree,
+    then repeatedly set c(v) = H({c(u) : u ~ v}); the sequence is
+    pointwise nonincreasing and fixes at the exact coreness. Coreness
+    separates dense duplicate cliques (high core) from chains and
+    stars of borderline matches (core 1) — a sharper cluster-quality
+    signal than triangle counts for deciding which clusters are safe
+    to collapse aggressively. A FIXED {KCORE_ITERS} rounds so the
+    recursive-CTE oracle replays the identical computation; every
+    value is an exact integer, so there is nothing to quantize.
+
+    Per round: one shuffle (neighbor states grouped by node). The
+    h-index is evaluated WITHOUT ranking — H = max over neighbor
+    values x of least(x, #{{y : y >= x}}), an order-independent
+    list-lambda identity — so collect_list order can't matter. The
+    adjacency list per node is materialized once per round; the
+    near-dup graph's MAX_DF posting cap bounds every degree, and on a
+    graph with unbounded hubs the same rounds run with a (node)-keyed
+    rank window instead (no list), same results. Plans are truncated
+    per round with localCheckpoint (node-sized relation), the CC-loop
+    convention."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").cast("long").alias("a"), F.col("doc_b").cast("long").alias("b")
+    )
+    return coreness(pairs, KCORE_ITERS).select(
+        F.col("node").alias("doc_id"), F.col("c").alias("coreness")
+    )
+
+
+def coreness(edges: DataFrame, iters: int) -> DataFrame:
+    """Iterated-h-index core decomposition over an undirected edge
+    list (columns ``a``, ``b``; both directions need not be present);
+    returns (node, c) after exactly ``iters`` rounds. Algorithm and
+    determinism notes: see graph_kcore."""
+    from pyspark import StorageLevel
+
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    hindex = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda x: F.least(
+                x, F.size(F.filter(F.col("cs"), lambda y: y >= x)).cast("bigint")
+            ),
+        )
+    )
+    for _ in range(iters):
+        state = (
+            und.join(state.select(F.col("node").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.collect_list("c").alias("cs"))
+            .select("node", hindex.cast("bigint").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return state

@@ -713,3 +713,101 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("kappa"),
     )
+
+
+DRIFT_DIMS = 8  # audit the first 8 embedding dimensions
+DRIFT_BANDS = 10  # fixed equal-width bands at 0.1 granularity
+
+
+_FEATURE_DRIFT_ORACLE = f"""
+WITH x AS (
+  SELECT dim,
+         least(4, greatest(-5,
+           CAST(floor(CAST(embedding[dim + 1] AS DOUBLE) * 10) AS BIGINT))) AS b,
+         CASE WHEN label >= {EVAL_POS_LABEL_MIN} THEN 1 ELSE 0 END AS pos
+  FROM embeddings, (SELECT unnest(range(0, {DRIFT_DIMS})) AS dim)
+),
+cells AS (
+  SELECT dim, b,
+         count(*) FILTER (pos = 1) AS ca,
+         count(*) FILTER (pos = 0) AS cb
+  FROM x GROUP BY dim, b
+),
+tot AS (
+  SELECT dim, sum(ca) AS na, sum(cb) AS nb FROM cells GROUP BY dim
+),
+contrib AS (
+  SELECT c.dim,
+         CAST(floor(
+           ((ca + 0.5) / (na + {DRIFT_BANDS} * 0.5)
+            - (cb + 0.5) / (nb + {DRIFT_BANDS} * 0.5))
+           * ln(((ca + 0.5) / (na + {DRIFT_BANDS} * 0.5))
+                / ((cb + 0.5) / (nb + {DRIFT_BANDS} * 0.5)))
+           * 1000000000000 + 0.5) AS BIGINT) AS c,
+         na, nb
+  FROM cells c JOIN tot t ON c.dim = t.dim
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(max(na) AS BIGINT) AS n_pos,
+       CAST(max(nb) AS BIGINT) AS n_neg,
+       CAST(sum(c) AS DOUBLE) / 1000000000000 AS psi
+FROM contrib GROUP BY dim
+"""
+
+
+@register("ml_feature_drift", oracle=_FEATURE_DRIFT_ORACLE)
+def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FEATURE drift report: PSI of each of the first DRIFT_DIMS
+    embedding dimensions between the positive and negative label
+    cohorts — the feature-level monitoring view that tells you WHICH
+    input moved when the aggregate drift alarm (stats_psi_drift) fires,
+    and the per-dimension health check run before retraining a probe.
+    Same determinism recipe as stats_psi_drift: integer 0.1-granular
+    bands (float->double cast then floor, identical in both engines),
+    one grouped aggregate to (dim, band) cells, Laplace smoothing over
+    the FIXED {DRIFT_BANDS}-band domain, and per-cell contributions
+    floor-quantized to 1e-12-scaled integers before the per-dim sum
+    (the gram-matrix rule). Scale: the explode emits DRIFT_DIMS rows
+    per vector but they immediately collapse into the (dim, band)
+    cell aggregate — map-side combined, so the shuffle carries only
+    |dims| x |bands| cells per task, never the corpus."""
+    from pyspark import StorageLevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.slice("embedding", 1, DRIFT_DIMS)).alias("dim", "xv"),
+        (F.col("label") >= EVAL_POS_LABEL_MIN).cast("int").alias("pos"),
+    ).select(
+        "dim",
+        F.least(
+            F.lit(4).cast("bigint"),
+            F.greatest(
+                F.lit(-5).cast("bigint"),
+                F.floor(F.col("xv").cast("double") * 10),
+            ),
+        ).alias("b"),
+        "pos",
+    )
+    cells = (
+        x.groupBy("dim", "b")
+        .agg(
+            F.count(F.when(F.col("pos") == 1, 1)).alias("ca"),
+            F.count(F.when(F.col("pos") == 0, 1)).alias("cb"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = cells.groupBy("dim").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    sm = DRIFT_BANDS * 0.5
+    p = (F.col("ca") + 0.5) / (F.col("na") + sm)
+    q = (F.col("cb") + 0.5) / (F.col("nb") + sm)
+    contrib = cells.join(F.broadcast(tot), "dim").select(
+        "dim",
+        F.floor((p - q) * F.log(p / q) * 1000000000000 + F.lit(0.5)).alias("c"),
+        "na",
+        "nb",
+    )
+    return contrib.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.max("na").cast("bigint").alias("n_pos"),
+        F.max("nb").cast("bigint").alias("n_neg"),
+        (F.sum("c").cast("double") / 1000000000000).alias("psi"),
+    )

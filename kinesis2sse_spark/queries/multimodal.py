@@ -421,3 +421,62 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(cuts, schema="doc_id long, frame_idx long, delta double")
+
+
+@register(
+    "mm_dedup_binary",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(text) AS content_key,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    grp AS (
+      SELECT content_key,
+             CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      FROM keyed GROUP BY content_key
+    )
+    SELECT k.doc_id, k.content_key, g.canonical_doc_id,
+           g.n_copies,
+           CAST(k.doc_id <> g.canonical_doc_id AS BOOLEAN) AS is_dup,
+           g.total_bytes - k.n_bytes AS reclaimable_bytes
+    FROM keyed k JOIN grp g ON k.content_key = g.content_key
+    """,
+)
+def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dedup over opaque binary payloads — the exact
+    image/audio dedup step a multimodal pipeline runs before any decode
+    (two byte-identical blobs are the SAME asset no matter what the
+    metadata says): hash the payload (md5 here; the 128-bit key keeps
+    the birthday bound negligible at 100 TB, unlike a 64-bit key —
+    the dedup_span_removal lesson), group by digest, keep min(doc_id)
+    as canonical, and emit per-row the dup flag plus the bytes storage
+    would reclaim. One hash shuffle on the digest — payload bytes
+    never shuffle (only the 16-byte key + 8-byte size do), which is
+    the whole point at blob scale; the self-join back to rows is the
+    same digest-keyed exchange, co-partitioned, no second corpus scan
+    of the blob column thanks to the cached keyed relation."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    keyed = d.select(
+        "doc_id",
+        F.md5(payload).alias("content_key"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grp = keyed.groupBy("content_key").agg(
+        F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )
+    return keyed.join(grp, "content_key").select(
+        "doc_id",
+        "content_key",
+        "canonical_doc_id",
+        "n_copies",
+        (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_dup"),
+        (F.col("total_bytes") - F.col("n_bytes")).alias("reclaimable_bytes"),
+    )

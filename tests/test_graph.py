@@ -308,3 +308,55 @@ def test_random_graphs_bfs_matches_python_model(spark):
                 ).collect()
             }
             assert got == want, (n_nodes, n_edges, n_seeds, max_hops)
+
+
+def test_coreness_matches_peeling_model_on_random_graphs(spark):
+    """Iterated h-index coreness vs a literal Python peeling model
+    (repeatedly remove min-degree nodes) on seeded random graphs,
+    including a clique-plus-tail shape where coreness and triangle
+    membership disagree."""
+    import random
+
+    from kinesis2sse_spark.queries.graph import coreness
+
+    def model(edge_list):
+        adj: dict = {}
+        for a, b in edge_list:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core = {}
+        deg = {v: len(ns) for v, ns in adj.items()}
+        alive = set(adj)
+        k = 0
+        while alive:
+            k = max(k, min(deg[v] for v in alive))
+            peel = [v for v in alive if deg[v] <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        if deg[u] <= k:
+                            peel.append(u)
+        return core
+
+    rng = random.Random(7)
+    cases = []
+    # clique of 5 + tail chain + separate 4-cycle
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    tail = [(4, 10), (10, 11), (11, 12)]
+    cyc = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    cases.append(clique + tail + cyc)
+    for _ in range(3):
+        n = 30
+        es = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(60)}
+        cases.append(sorted(es))
+    for edge_list in cases:
+        df = spark.createDataFrame(edge_list, "a long, b long")
+        got = {r["node"]: r["c"] for r in coreness(df, 16).collect()}
+        want = model(edge_list)
+        assert got == want

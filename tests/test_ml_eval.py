@@ -279,3 +279,58 @@ def test_context_chunks_cover_and_reconstruct(spark):
             stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
         stitched.extend(rs[-1]["chunk_text"].split(" "))
         assert " ".join(stitched) == texts[doc_id]
+
+
+def test_feature_drift_identical_cohorts_near_zero_and_planted_shift(spark, tmp_path):
+    """PSI per dimension: cohorts drawn identically -> psi ~ 0 (only
+    Laplace noise); a planted mean shift on dim 2 for positives makes
+    dim 2 the clear argmax."""
+    from kinesis2sse_spark.queries.ml_eval import DRIFT_DIMS, ml_feature_drift
+
+    rows = []
+    for k in range(200):
+        base = [((k * 37 + i * 11) % 9 - 4) / 10.0 for i in range(DIM)]
+        lab = 9 if k % 2 == 0 else 0
+        if lab == 9:
+            base[2] = min(0.45, base[2] + 0.4)  # planted shift on dim 2
+        rows.append((k, base, lab))
+    _write_embeddings(spark, tmp_path, rows)
+    got = {r["dim"]: r for r in ml_feature_drift(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(DRIFT_DIMS))
+    for r in got.values():
+        assert r["n_pos"] == 100 and r["n_neg"] == 100
+        assert r["psi"] >= 0.0 or abs(r["psi"]) < 1e-9
+    top = max(got.values(), key=lambda r: r["psi"])
+    assert top["dim"] == 2 and top["psi"] > 0.5
+    others = [r["psi"] for r in got.values() if r["dim"] != 2]
+    assert all(p < top["psi"] / 4 for p in others)
+
+
+def test_mm_dedup_binary_flags_planted_copies(spark, tmp_path):
+    """Three docs share identical payload bytes -> one canonical (min
+    id), two dups, reclaimable = 2x payload size; unique docs reclaim
+    nothing and every content_key groups exactly its copies."""
+    from kinesis2sse_spark.queries.multimodal import mm_dedup_binary
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    rows = [
+        (0, "same bytes here", "en", "s", 15),
+        (3, "same bytes here", "en", "s", 15),
+        (7, "same bytes here", "en", "s", 15),
+        (1, "unique one", "en", "s", 10),
+        (2, "unique two", "en", "s", 10),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in mm_dedup_binary(spark, str(tmp_path)).collect()}
+    assert len(got) == 5
+    for d in (0, 3, 7):
+        assert got[d]["canonical_doc_id"] == 0
+        assert got[d]["n_copies"] == 3
+        assert got[d]["is_dup"] == (d != 0)
+        assert got[d]["reclaimable_bytes"] == 2 * len("same bytes here")
+    for d in (1, 2):
+        assert got[d]["n_copies"] == 1 and not got[d]["is_dup"]
+        assert got[d]["reclaimable_bytes"] == 0
+    assert len({got[d]["content_key"] for d in (0, 1, 2)}) == 3

@@ -817,3 +817,28 @@ def test_brier_ece_reuses_cached_scores(spark):
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_feature_drift_cells_cached_and_no_global_collapse(spark):
+    """ml_feature_drift: the (dim, band) cell relation is cached once
+    for the totals and contribution passes, totals ride back as a
+    broadcast, and nothing funnels the corpus into one partition."""
+    plan = _plan(spark, "ml_feature_drift")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_mm_dedup_binary_hashes_before_shuffling(spark):
+    """mm_dedup_binary: the blob column is scanned and hashed ONCE
+    (cached keyed relation), so only the 16-byte digest ever crosses an
+    exchange: both sides of the digest join read InMemoryTableScans of
+    the one materialization (FileScan lines only appear as the cached
+    relation's stored definition), and any exchange is keyed by the
+    digest, never fed by a raw parquet scan."""
+    plan = _plan(spark, "mm_dedup_binary")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "content_key" in head, plan

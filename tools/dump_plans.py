@@ -120,6 +120,8 @@ SHOW = [
     "ml_auc_by_slice",
     "ir_eval_retrieval",
     "pipeline_context_chunks",
+    "ml_feature_drift",
+    "mm_dedup_binary",
 ]
 
 
