@@ -1181,3 +1181,65 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("df"),
     )
+
+
+PCTL_ACCURACY = 100  # approx_percentile sketch accuracy: rank err <= n/100
+PCTL_EPS = 0.03  # contract window: exact quantiles at q +/- eps bracket it
+
+
+@register(
+    "agg_approx_percentile_contract",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(quantile_cont(n_chars, 0.5) * 1000000 + 0.5) / 1000000 AS p50_exact,
+           floor(quantile_cont(n_chars, 0.9) * 1000000 + 0.5) / 1000000 AS p90_exact,
+           true AS p50_within_bound,
+           true AS p90_within_bound
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error contract for the quantile sketch (approx_percentile), the
+    agg_approx_distinct_contract design: the sketch's value is not
+    SQL-expressible, but its rank-error guarantee (<= n/accuracy) is.
+    Per language group, one pass computes the exact continuous-rank
+    quantiles (p50/p90, plus the bracketing quantiles at q +/- eps) AND
+    the approx sketch at accuracy 100; the emitted booleans assert
+    the sketch landed inside the exact [q-eps, q+eps] value bracket,
+    where eps = 0.03 comfortably covers the guaranteed 1/100 rank
+    error for ANY partition-merge order — the guarantee, not a seed,
+    is what's contracted, so executor scheduling cannot flake the row.
+    The oracle recomputes exact quantiles (quantile_cont = Spark's
+    percentile, both the (n-1)p linear-interpolation definition) and
+    expects within_bound = true; a red row means the engine's sketch
+    broke its documented bound. Exact percentile on a grouped corpus
+    is a per-group sort internally — acceptable as the CONTRACT CHECK
+    run at validation time, while production reads only the sketch
+    (one pass, mergeable, no sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    lo50, hi50 = 0.5 - PCTL_EPS, 0.5 + PCTL_EPS
+    lo90, hi90 = 0.9 - PCTL_EPS, 0.9 + PCTL_EPS
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("percentile(n_chars, 0.5)").alias("e50"),
+        F.expr("percentile(n_chars, 0.9)").alias("e90"),
+        F.expr(f"percentile(n_chars, {lo50})").alias("e50lo"),
+        F.expr(f"percentile(n_chars, {hi50})").alias("e50hi"),
+        F.expr(f"percentile(n_chars, {lo90})").alias("e90lo"),
+        F.expr(f"percentile(n_chars, {hi90})").alias("e90hi"),
+        F.expr(f"approx_percentile(n_chars, 0.5, {PCTL_ACCURACY})").alias("a50"),
+        F.expr(f"approx_percentile(n_chars, 0.9, {PCTL_ACCURACY})").alias("a90"),
+    )
+    return g.select(
+        "lang",
+        "n",
+        (F.floor(F.col("e50") * 1000000 + F.lit(0.5)) / 1000000).alias("p50_exact"),
+        (F.floor(F.col("e90") * 1000000 + F.lit(0.5)) / 1000000).alias("p90_exact"),
+        ((F.col("a50") >= F.col("e50lo")) & (F.col("a50") <= F.col("e50hi"))).alias(
+            "p50_within_bound"
+        ),
+        ((F.col("a90") >= F.col("e90lo")) & (F.col("a90") <= F.col("e90hi"))).alias(
+            "p90_within_bound"
+        ),
+    )

@@ -811,3 +811,132 @@ def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nb").cast("bigint").alias("n_neg"),
         (F.sum("c").cast("double") / 1000000000000).alias("psi"),
     )
+
+
+LIFT_DECILES = 10
+
+_LIFT_ORACLE = f"""
+WITH {_SCORED_CTE},
+h AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS cp
+  FROM scored GROUP BY s
+),
+r AS (
+  SELECT s, c, cp,
+         CAST(sum(c) OVER (ORDER BY s DESC) - c AS BIGINT) AS before
+  FROM h
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS np FROM h
+),
+d AS (
+  SELECT (before * {LIFT_DECILES}) // n AS decile,
+         CAST(sum(c) AS BIGINT) AS n_d,
+         CAST(sum(cp) AS BIGINT) AS tp_d
+  FROM r, tot GROUP BY 1
+),
+cum AS (
+  SELECT decile, n_d, tp_d,
+         CAST(sum(n_d) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(sum(tp_d) OVER (ORDER BY decile) AS BIGINT) AS cum_tp
+  FROM d
+)
+SELECT decile, n_d, tp_d, cum_n, cum_tp,
+       floor(CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS precision_,
+       CASE WHEN np > 0 THEN
+         floor(CAST(cum_tp AS DOUBLE) / CAST(np AS DOUBLE) * 1000000 + 0.5)
+           / 1000000
+       END AS recall_,
+       CASE WHEN np > 0 THEN
+         floor((CAST(cum_tp AS DOUBLE) / CAST(cum_n AS DOUBLE))
+               / (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+           / 1000000
+       END AS lift
+FROM cum, tot
+"""
+
+
+@register("ml_lift_pr_deciles", oracle=_LIFT_ORACLE)
+def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift table with precision-recall by score
+    decile — 'if we keep only the top d/10 of the corpus by probe
+    score, what precision/recall/lift do we get?' — the report that
+    picks the retention threshold for a quality-filtering pass.
+    Deciles are EXACT global descending-rank bands computed from the
+    score histogram, with the deterministic tie convention that a
+    distinct-score group lands entirely in the decile of its FIRST
+    row ((rows_before * 10) div n) — tie groups never split, so both
+    engines agree bit-for-bit and a giant tie group may legitimately
+    swallow neighboring deciles. The histogram cumulates with the
+    same two-level prefix pattern as ml_auc_roc, ordered DESCENDING
+    (bucket key negated); everything through cum_tp is exact int64,
+    the three ratios floor-quantize at 1e6. The decile relation is
+    10 rows, so its cumulative window is trivially single-partition."""
+    from pyspark import StorageLevel
+
+    h = (
+        _scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
+        .withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ks = h.groupBy("k").agg(F.sum("c").alias("kc"))
+    wk = (
+        Window.orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = ks.select("k", (F.sum("kc").over(wk) - F.col("kc")).alias("off"))
+    ww = (
+        Window.partitionBy("k")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = h.join(F.broadcast(off), "k").select(
+        "c",
+        "cp",
+        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("before"),
+    )
+    tot = h.agg(
+        F.sum("c").cast("bigint").alias("n"), F.sum("cp").cast("bigint").alias("np")
+    )
+    d = (
+        r.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr(f"(before * {LIFT_DECILES}) div n").alias("decile"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_d"),
+            F.sum("cp").cast("bigint").alias("tp_d"),
+        )
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = d.select(
+        "decile",
+        "n_d",
+        "tp_d",
+        F.sum("n_d").over(wd).cast("bigint").alias("cum_n"),
+        F.sum("tp_d").over(wd).cast("bigint").alias("cum_tp"),
+    )
+    cumn, cumtp = F.col("cum_n").cast("double"), F.col("cum_tp").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_d",
+        "tp_d",
+        "cum_n",
+        "cum_tp",
+        (F.floor(cumtp / cumn * 1000000 + F.lit(0.5)) / 1000000).alias("precision_"),
+        F.when(
+            F.col("np") > 0,
+            F.floor(cumtp / F.col("np").cast("double") * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("recall_"),
+        F.when(
+            F.col("np") > 0,
+            F.floor(
+                (cumtp / cumn)
+                / (F.col("np").cast("double") / F.col("n").cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("lift"),
+    )

@@ -334,3 +334,62 @@ def test_mm_dedup_binary_flags_planted_copies(spark, tmp_path):
         assert got[d]["n_copies"] == 1 and not got[d]["is_dup"]
         assert got[d]["reclaimable_bytes"] == 0
     assert len({got[d]["content_key"] for d in (0, 1, 2)}) == 3
+
+
+def test_lift_deciles_match_python_model(spark):
+    """Replay the decile table in literal Python from the scored
+    corpus: same tie convention (a distinct score group lands in the
+    decile of its first descending-rank row), same cumulative stats."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.ml_eval import ml_lift_pr_deciles
+
+    got = {r["decile"]: r for r in ml_lift_pr_deciles(spark, SF_SMOKE).collect()}
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    scored = [(_score(r["embedding"]), 1 if r["label"] >= 5 else 0) for r in rows]
+    n = len(scored)
+    hist: dict = {}
+    for s, p in scored:
+        c, cp = hist.get(s, (0, 0))
+        hist[s] = (c + 1, cp + p)
+    before = 0
+    want: dict = {}
+    for s in sorted(hist, reverse=True):
+        c, cp = hist[s]
+        dec = before * 10 // n
+        nd, tpd = want.get(dec, (0, 0))
+        want[dec] = (nd + c, tpd + cp)
+        before += c
+    assert set(got) == set(want)
+    cum_n = cum_tp = 0
+    for dec in sorted(want):
+        nd, tpd = want[dec]
+        cum_n += nd
+        cum_tp += tpd
+        r = got[dec]
+        assert (r["n_d"], r["tp_d"], r["cum_n"], r["cum_tp"]) == (
+            nd,
+            tpd,
+            cum_n,
+            cum_tp,
+        )
+    # invariants: recall monotone nondecreasing, final recall = 1
+    recalls = [got[d]["recall_"] for d in sorted(got)]
+    assert recalls == sorted(recalls)
+    assert abs(recalls[-1] - 1.0) < 1e-9
+    assert got[max(got)]["cum_n"] == n
+
+
+def test_percentile_contract_holds_on_skewed_data(spark, tmp_path):
+    """The sketch bound must hold on adversarial skew (one huge tie
+    block + a long tail), not just the friendly fixture."""
+    from kinesis2sse_spark.queries.aggregates import agg_approx_percentile_contract
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    rows = [(k, "t", "en", "s", 100) for k in range(500)]  # giant tie
+    rows += [(500 + k, "t", "en", "s", 100 + k * 7) for k in range(100)]  # tail
+    rows += [(700 + k, "t", "de", "s", k * k % 997) for k in range(300)]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    for r in agg_approx_percentile_contract(spark, str(tmp_path)).collect():
+        assert r["p50_within_bound"] and r["p90_within_bound"], r

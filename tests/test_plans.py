@@ -842,3 +842,23 @@ def test_mm_dedup_binary_hashes_before_shuffling(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg.splitlines()[0]
         assert "content_key" in head, plan
+
+
+def test_lift_deciles_prefix_windows_are_histogram_sized(spark):
+    """ml_lift_pr_deciles: the descending cumulative ranks reuse the
+    two-level prefix pattern — cached histogram feeding both levels,
+    offsets broadcast back, and no single-partition window ever reads
+    a raw corpus scan (the only SinglePartition segments cumulate the
+    bucket-count and 10-row decile relations)."""
+    plan = _plan(spark, "ml_lift_pr_deciles")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        lines = seg.splitlines()
+        for line in lines[1:6]:
+            if "HashAggregate" in line or "InMemoryTableScan" in line:
+                break
+            assert "Scan parquet" not in line, (
+                "corpus-fed single-partition window:\n" + "\n".join(lines[:6])
+            )

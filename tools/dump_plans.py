@@ -122,6 +122,7 @@ SHOW = [
     "pipeline_context_chunks",
     "ml_feature_drift",
     "mm_dedup_binary",
+    "ml_lift_pr_deciles",
 ]
 
 
