@@ -1243,3 +1243,130 @@ def agg_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFram
             "p90_within_bound"
         ),
     )
+
+
+BOOT_REPLICAS = 32
+BOOT_P = 1000000007
+# Poisson(1) inverse-CDF thresholds scaled to BOOT_P, computed once and
+# inlined as integer literals into both engines: the bootstrap weight of
+# (doc, replica) is #{t_k <= u}, u the deterministic hash-uniform below.
+BOOT_T = (367879443, 735758887, 919698609, 981011849, 996340160, 999405822, 999916765)
+
+
+def _boot_w_sql(u: str) -> str:
+    return "(" + " + ".join(f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in BOOT_T) + ")"
+
+
+_BOOT_U = f"(((doc_id % {BOOT_P}) + b * 7919) * 2654435761) % {BOOT_P}"
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {BOOT_REPLICAS})) AS b),
+w AS (
+  SELECT b, {_boot_w_sql(_BOOT_U)} AS w, n_chars
+  FROM documents, reps
+),
+m AS (
+  SELECT b,
+         CAST(sum(w) AS BIGINT) AS n_b,
+         CAST(sum(w * n_chars) AS BIGINT) AS s_b
+  FROM w GROUP BY b
+),
+means AS (
+  SELECT b,
+         floor(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1000000 + 0.5)
+           / 1000000 AS mean_b,
+         row_number() OVER (
+           ORDER BY floor(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                          * 1000000 + 0.5), b) AS rk
+  FROM m
+),
+whole AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         floor(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS mean_full
+  FROM documents
+)
+SELECT f.n_docs, f.mean_full,
+       CAST({BOOT_REPLICAS} AS BIGINT) AS n_replicas,
+       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+FROM whole f,
+     (SELECT mean_b FROM means WHERE rk = 2) lo,
+     (SELECT mean_b FROM means WHERE rk = {BOOT_REPLICAS - 1}) hi
+"""
+
+
+@register("stats_bootstrap_ci", oracle=_BOOT_ORACLE)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the corpus mean document
+    length — the resampling CI a data-quality report attaches to any
+    headline statistic, made fully DETERMINISTIC so two engines (and
+    two runs) agree bit-for-bit: the Poisson(1) multinomial-approx
+    resampling weight of (doc, replica) is the inverse CDF evaluated
+    on a hash-uniform u = (((doc_id mod P) + b*7919) * 2654435761)
+    mod P — the replica offset is mixed BEFORE the multiplicative hash
+    so replicas decorrelate (a post-hash additive shift of ~4e4 would
+    leave all 32 replicas resampling the same pseudo-sample), and the
+    key is reduced mod P before the multiply (SPLIT_HASH overflow rule),
+    with the CDF breakpoints precomputed as P-scaled integer literals
+    inlined into both engines — no engine ever evaluates exp() or a
+    RNG at query time. Each of the 32 replicas is one conditional sum
+    in a single map-side-combined pass (the replica fan-out collapses
+    to 32 groups before the exchange; the corpus is scanned once), the
+    replica means are one fixed-shape IEEE division each (quantized at
+    1e6), and the 93.75% percentile-bootstrap interval takes the 2nd
+    smallest / 2nd largest of the 32 means (rank convention documented;
+    ties broken by replica id) in a 32-row window. Scale: the only
+    data-sized work is the weighted-sum pass; everything after is a
+    32-row relation."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = spark.range(BOOT_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
+    u = f"(((doc_id % {BOOT_P}) + b * 7919) * 2654435761) % {BOOT_P}"
+    w = d.crossJoin(F.broadcast(reps)).select(
+        "b", F.expr(_boot_w_sql(u)).alias("w"), "n_chars"
+    )
+    m = w.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("n_b"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("s_b"),
+    )
+    mean_b = (
+        F.floor(
+            F.col("s_b").cast("double") / F.col("n_b").cast("double") * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    wr = Window.orderBy(
+        F.floor(
+            F.col("s_b").cast("double") / F.col("n_b").cast("double") * 1000000
+            + F.lit(0.5)
+        ),
+        "b",
+    )
+    means = m.select("b", mean_b.alias("mean_b"), F.row_number().over(wr).alias("rk"))
+    full = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.floor(
+                F.sum("n_chars").cast("double")
+                / F.count("*").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_full"),
+    )
+    lo = means.filter(F.col("rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = means.filter(F.col("rk") == BOOT_REPLICAS - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_docs",
+            "mean_full",
+            F.lit(BOOT_REPLICAS).cast("bigint").alias("n_replicas"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -2400,3 +2400,62 @@ def pipeline_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             CAST(length(text) AS BIGINT) AS n_cp
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           floor(CAST(sum(n_bytes) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS bytes_per_token,
+           floor(CAST(sum(n_cp) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: UTF-8 bytes and Unicode code
+    points per (whitespace) token — the multilingual efficiency report
+    that decides per-language sampling budgets (a language whose
+    tokenizer burns 3x the bytes per token effectively gets 1/3 the
+    context window, and training mixes correct for exactly this).
+    Whitespace tokens stand in for the BPE tokenizer here; swap the
+    token counter for pipeline_bpe_encode's output to audit a real
+    vocabulary with the identical plan. One map-side-combined grouped
+    aggregate over exact integer byte/codepoint/token counts; the two
+    ratios are fixed-shape IEEE divisions floor-quantized at 1e6.
+    Byte vs codepoint matters: octet_length diverges from length on
+    any non-ASCII corpus (zh here), which is the fertility signal."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+        F.length("text").cast("bigint").alias("n_cp"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_cp").cast("bigint").alias("n_cp"),
+    )
+    bpt = F.col("n_bytes").cast("double") / F.col("n_tokens").cast("double")
+    cpt = F.col("n_cp").cast("double") / F.col("n_tokens").cast("double")
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        (F.floor(bpt * 1000000 + F.lit(0.5)) / 1000000).alias("bytes_per_token"),
+        (F.floor(cpt * 1000000 + F.lit(0.5)) / 1000000).alias("chars_per_token"),
+    )

@@ -96,7 +96,7 @@ FROM agg
 """
 
 
-@register("ml_auc_roc", oracle=_AUC_ORACLE)
+@register("ml_auc_roc", oracle=_AUC_ORACLE, bench=True)
 def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-corrected ROC AUC of the deterministic linear probe
     against the binary label — the Mann-Whitney rank-sum form

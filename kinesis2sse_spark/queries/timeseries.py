@@ -1102,3 +1102,261 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias(f"forecast_{HOLT_HORIZON}d"),
     )
+
+
+PACF_MAX_LAG = 7
+
+
+def _durbin_levinson_stages(K: int) -> list[tuple[str, str]]:
+    """Unrolled Durbin-Levinson recursion as (column_name, sql_expr)
+    stages over ACF columns r1..rK — ONE symbolic expansion consumed
+    by BOTH engines (Spark selectExpr and the DuckDB oracle's chained
+    CTEs), so the floating-point shapes cannot drift apart. Each stage
+    may reference columns from earlier stages only."""
+    stages: list[tuple[str, str]] = [("p_1_1", "r1")]
+    for k in range(2, K + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"p_{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"p_{k - 1}_{j} * r{j}" for j in range(1, k)
+        ) + ")"
+        stages.append(
+            (f"p_{k}_{k}", f"CASE WHEN abs({den}) > 1e-12 THEN ({num}) / ({den}) END")
+        )
+        for j in range(1, k):
+            stages.append(
+                (f"p_{k}_{j}", f"p_{k - 1}_{j} - p_{k}_{k} * p_{k - 1}_{k - j}")
+            )
+    return stages
+
+
+def _pacf_quant(k: int) -> str:
+    return f"floor(p_{k}_{k} * 1000000 + 0.5) / 1000000"
+
+
+_PACF_STAGES = _durbin_levinson_stages(PACF_MAX_LAG)
+
+_PACF_ORACLE = (
+    f"""
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT sum(n) / count(*) AS m, count(*) AS nd FROM daily),
+    dn AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS d,
+             n
+      FROM daily
+    ),
+    s0 AS (SELECT sum((n - m) * (n - m)) AS v FROM dn, mu),
+    rr AS (
+      SELECT CAST(k.k AS BIGINT) AS lag,
+             sum((x.n - mu.m) * (y.n - mu.m)) AS cov
+      FROM dn x, LATERAL (SELECT unnest(range(1, {PACF_MAX_LAG} + 1)) AS k) k
+      JOIN dn y ON y.d = x.d + k.k
+      CROSS JOIN mu
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT """
+    + ", ".join(
+        f"max(CASE WHEN lag = {k} THEN cov END) / max(s0.v) AS r{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    + """
+      FROM rr, s0
+    )"""
+    + "".join(
+        f",\n    lvl{i} AS (SELECT *, {expr} AS {name} FROM "
+        + ("base" if i == 0 else f"lvl{i - 1}")
+        + ")"
+        for i, (name, expr) in enumerate(_PACF_STAGES)
+    )
+    + f"\n    "
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, {_pacf_quant(k)} AS pacf "
+        f"FROM lvl{len(_PACF_STAGES) - 1}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+)
+
+
+@register("timeseries_pacf", oracle=_PACF_ORACLE)
+def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..{K} via the Durbin-Levinson recursion — the AR-order picker
+    that complements stats_autocorrelation (ACF says lag 7 correlates;
+    PACF says whether that is a REAL weekly AR term or just lag-1
+    propagation). The corpus reduces once to the daily series; the
+    standard-normalized ACF (global mean, lag-0 variance denominator,
+    not per-lag Pearson) pivots to a single row, and the recursion is
+    UNROLLED at plan-build time from one symbolic expansion shared
+    verbatim with the oracle (chained scalar stages on a 1-row
+    relation), so both engines evaluate bit-identical IEEE shapes and
+    the only quantization is the final 1e6 floor per lag. Degenerate
+    guard: each level's innovation variance denominator yields NULL
+    (not a 0/0) when the recursion hits an exactly-predictable
+    series.""".replace("{K}", str(PACF_MAX_LAG))
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dn = daily.select(
+        F.datediff(F.col("day").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        "n",
+    )
+    mu = daily.agg(
+        (F.sum("n") / F.count("*")).alias("m"), F.count("*").alias("nd")
+    )
+    dnm = dn.crossJoin(F.broadcast(mu))
+    s0 = dnm.agg(F.sum((F.col("n") - F.col("m")) * (F.col("n") - F.col("m"))).alias("v"))
+    ks = dnm.crossJoin(
+        F.broadcast(
+            ev.sparkSession.range(1, PACF_MAX_LAG + 1).select(
+                F.col("id").cast("bigint").alias("lag")
+            )
+        )
+    )
+    y = dn.select(F.col("d").alias("d2"), F.col("n").alias("y"))
+    rr = (
+        ks.join(y, F.col("d2") == F.col("d") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum((F.col("n") - F.col("m")) * (F.col("y") - F.col("m"))).alias("cov"))
+    )
+    base = (
+        rr.crossJoin(F.broadcast(s0))
+        .agg(
+            *[
+                (
+                    F.max(F.when(F.col("lag") == k, F.col("cov"))) / F.max("v")
+                ).alias(f"r{k}")
+                for k in range(1, PACF_MAX_LAG + 1)
+            ]
+        )
+    )
+    cur = base
+    for name, expr in _PACF_STAGES:
+        cur = cur.selectExpr("*", f"{expr} AS {name}")
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), {_pacf_quant(k)}" for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return cur.selectExpr(f"stack({PACF_MAX_LAG}, {stack}) AS (lag, pacf)")
+
+
+_THEIL_SEN_ORACLE = """
+    WITH daily AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    dn AS (
+      SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS d,
+             n
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.d AS di, b.d AS dj,
+             (b.n - a.n) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM dn a JOIN dn b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, di, dj) AS rk,
+             count(*) OVER () AS m
+      FROM slopes
+    ),
+    med AS (
+      SELECT slope AS slope_med, CAST(m AS BIGINT) AS n_pairs
+      FROM ranked WHERE rk = (m + 1) // 2
+    ),
+    resid AS (
+      SELECT dn.n - med.slope_med * CAST(dn.d AS DOUBLE) AS r0,
+             row_number() OVER (
+               ORDER BY dn.n - med.slope_med * CAST(dn.d AS DOUBLE), dn.d
+             ) AS rk,
+             count(*) OVER () AS k
+      FROM dn, med
+    )
+    SELECT CAST(r.k AS BIGINT) AS n_days,
+           m.n_pairs,
+           floor(m.slope_med * 1000000 + 0.5) / 1000000 AS slope,
+           floor(r.r0 * 1000000 + 0.5) / 1000000 AS intercept
+    FROM med m, resid r
+    WHERE r.rk = (r.k + 1) // 2
+"""
+
+
+@register("timeseries_theil_sen", oracle=_THEIL_SEN_ORACLE)
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily event-count series: the
+    LOWER MEDIAN of all pairwise slopes (deterministic rank convention
+    rk = (m+1) div 2 with (slope, d_i, d_j) tiebreak — never an
+    averaged median, so no new FP shape), plus the matching lower-
+    median intercept of the residuals. Up to ~29% contaminated days
+    (outages, backfill spikes) cannot move this trend, which is why
+    it's the estimator for alerting baselines where OLS (stats_corr /
+    holt) chases outliers. The corpus reduces ONCE to the bounded
+    daily relation; the O(|days|^2) pair explode runs on that tiny
+    relation only (for multi-year horizons, bucket to months first or
+    use the repeated-median variant — same plan shape). Slopes are
+    single IEEE divisions of exact integer counts/day-numbers; the
+    published slope/intercept floor-quantize at 1e6."""
+    from pyspark import StorageLevel
+
+    ev = load_table(spark, sf_dir, "events")
+    dn = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .select(
+            F.datediff(F.col("day").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            "n",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    b = dn.select(F.col("d").alias("dj"), F.col("n").alias("nj"))
+    slopes = dn.join(b, F.col("dj") > F.col("d")).select(
+        F.col("d").alias("di"),
+        "dj",
+        ((F.col("nj") - F.col("n")) / (F.col("dj") - F.col("d")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    wr = Window.orderBy("slope", "di", "dj")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(m + 1) div 2")).select(
+        F.col("slope").alias("slope_med"), F.col("m").cast("bigint").alias("n_pairs")
+    )
+    resid = dn.crossJoin(F.broadcast(med)).select(
+        (F.col("n") - F.col("slope_med") * F.col("d").cast("double")).alias("r0"),
+        "d",
+        "slope_med",
+        "n_pairs",
+    )
+    wk = Window.orderBy("r0", "d")
+    rr = resid.select(
+        "r0",
+        "slope_med",
+        "n_pairs",
+        F.row_number().over(wk).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("k"),
+    )
+    return rr.filter(F.col("rk") == F.expr("(k + 1) div 2")).select(
+        F.col("k").cast("bigint").alias("n_days"),
+        "n_pairs",
+        (F.floor(F.col("slope_med") * 1000000 + F.lit(0.5)) / 1000000).alias("slope"),
+        (F.floor(F.col("r0") * 1000000 + F.lit(0.5)) / 1000000).alias("intercept"),
+    )

@@ -994,3 +994,27 @@ def test_ridge_probe_finds_planted_signal_dimension(spark, tmp_path):
     assert len(w) == 64
     others = max(abs(w[j]) for j in range(64) if j != 7)
     assert w[7] > 0 and w[7] > 3 * others, (w[7], others)
+
+
+def test_tokenizer_fertility_nonascii_signal(spark):
+    """bytes_per_token > chars_per_token exactly for languages whose
+    corpus contains multi-byte codepoints (zh here), equal for pure
+    ASCII; totals replay in Python."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import text_tokenizer_fertility
+
+    got = {r["lang"]: r for r in text_tokenizer_fertility(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    agg: dict = {}
+    for r in docs:
+        t, b, c = len(r["text"].split(" ")), len(r["text"].encode("utf-8")), len(r["text"])
+        n, tt, bb, cc = agg.get(r["lang"], (0, 0, 0, 0))
+        agg[r["lang"]] = (n + 1, tt + t, bb + b, cc + c)
+    assert set(got) == set(agg)
+    for lang, (n, tt, bb, cc) in agg.items():
+        assert got[lang]["n_docs"] == n
+        assert got[lang]["n_tokens"] == tt
+        assert got[lang]["n_bytes"] == bb
+        assert got[lang]["bytes_per_token"] >= got[lang]["chars_per_token"]
+        if bb > cc:  # multi-byte content present
+            assert got[lang]["bytes_per_token"] > got[lang]["chars_per_token"]

@@ -393,3 +393,39 @@ def test_percentile_contract_holds_on_skewed_data(spark, tmp_path):
     )
     for r in agg_approx_percentile_contract(spark, str(tmp_path)).collect():
         assert r["p50_within_bound"] and r["p90_within_bound"], r
+
+
+def test_bootstrap_ci_matches_python_replay(spark):
+    """Literal Python replay of the deterministic bootstrap: same hash
+    uniforms, same Poisson inverse-CDF thresholds, same rank-2 /
+    rank-31 selection."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.aggregates import (
+        BOOT_P,
+        BOOT_REPLICAS,
+        BOOT_T,
+        stats_bootstrap_ci,
+    )
+
+    got = stats_bootstrap_ci(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()
+    means = []
+    for b in range(BOOT_REPLICAS):
+        n_b = s_b = 0
+        for r in docs:
+            u = ((r["doc_id"] % BOOT_P) + b * 7919) * 2654435761 % BOOT_P
+            w = sum(1 for t in BOOT_T if u >= t)
+            n_b += w
+            s_b += w * r["n_chars"]
+        means.append((math.floor(s_b / n_b * 1e6 + 0.5) / 1e6, b))
+    means.sort()
+    assert got["n_docs"] == len(docs)
+    assert got["n_replicas"] == BOOT_REPLICAS
+    assert got["ci_lo"] == means[1][0]
+    assert got["ci_hi"] == means[BOOT_REPLICAS - 2][0]
+    assert got["ci_lo"] <= got["ci_hi"]
+    full = math.floor(sum(r["n_chars"] for r in docs) / len(docs) * 1e6 + 0.5) / 1e6
+    assert got["mean_full"] == full
+    # the interval is a CI for the mean: it must contain the full-corpus
+    # mean on this non-degenerate fixture
+    assert got["ci_lo"] <= got["mean_full"] <= got["ci_hi"]

@@ -862,3 +862,34 @@ def test_lift_deciles_prefix_windows_are_histogram_sized(spark):
             assert "Scan parquet" not in line, (
                 "corpus-fed single-partition window:\n" + "\n".join(lines[:6])
             )
+
+
+def test_bootstrap_ci_single_corpus_pass_no_shuffle_join(spark):
+    """stats_bootstrap_ci: the replica fan-out collapses map-side into
+    32 groups (one hashpartitioning exchange keyed by b at most), the
+    CI selection rides broadcasts, and no sort-merge join appears —
+    the corpus is never shuffled."""
+    plan = _plan(spark, "stats_bootstrap_ci")
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "b#" in head, head
+
+
+def test_tokenizer_fertility_is_one_grouped_reduce(spark):
+    """text_tokenizer_fertility: one grouped aggregate, no joins."""
+    plan = _plan(spark, "text_tokenizer_fertility")
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, (op, plan)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_trend_estimators_reduce_corpus_once(spark):
+    """timeseries_pacf / timeseries_theil_sen: the corpus collapses to
+    the daily relation in ONE scan+aggregate; every pair/recursion
+    stage runs on cached or broadcast day-sized relations."""
+    for name in ("timeseries_pacf", "timeseries_theil_sen"):
+        plan = _plan(spark, name)
+        scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+        assert scans, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)

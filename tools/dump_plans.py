@@ -123,6 +123,10 @@ SHOW = [
     "ml_feature_drift",
     "mm_dedup_binary",
     "ml_lift_pr_deciles",
+    "stats_bootstrap_ci",
+    "timeseries_pacf",
+    "timeseries_theil_sen",
+    "text_tokenizer_fertility",
 ]
 
 
