@@ -1370,3 +1370,144 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+PERM_REPLICAS = 64
+
+
+_PERM_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {PERM_REPLICAS})) AS b),
+obs AS (
+  SELECT CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents
+),
+perm AS (
+  SELECT b,
+         CAST(sum(g) AS BIGINT) AS pn1,
+         CAST(sum(g * n_chars) AS BIGINT) AS ps1,
+         CAST(count(*) AS BIGINT) AS pn,
+         CAST(sum(n_chars) AS BIGINT) AS ps
+  FROM (
+    SELECT b, n_chars,
+           CASE WHEN ((doc_id % {BOOT_P} + (b + {BOOT_REPLICAS}) * 7919)
+                      * 2654435761) % {BOOT_P}
+                     < CAST((SELECT n1 FROM obs) * ({BOOT_P} / CAST((SELECT n FROM obs) AS DOUBLE)) AS BIGINT)
+                THEN 1 ELSE 0 END AS g
+    FROM documents, reps
+  ) GROUP BY b
+),
+diffs AS (
+  SELECT b,
+         CASE WHEN pn1 > 0 AND pn1 < pn THEN
+           abs(CAST(ps1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+               - CAST(ps - ps1 AS DOUBLE) / CAST(pn - pn1 AS DOUBLE))
+         END AS adiff
+  FROM perm
+),
+od AS (
+  SELECT abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+             - CAST(s - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE)) AS aobs
+  FROM obs
+)
+SELECT (SELECT n1 FROM obs) AS n_group1,
+       floor(aobs * 1000000 + 0.5) / 1000000 AS obs_absdiff,
+       CAST(sum(CASE WHEN adiff >= aobs THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(count(adiff) AS BIGINT) AS n_replicas,
+       floor((sum(CASE WHEN adiff >= aobs THEN 1 ELSE 0 END) + 1.0)
+             / (count(adiff) + 1.0) * 1000000 + 0.5) / 1000000 AS p_value
+FROM diffs, od
+GROUP BY aobs, (SELECT n1 FROM obs)
+"""
+
+
+@register("stats_permutation_test", oracle=_PERM_ORACLE)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo permutation test for the en-vs-rest mean document
+    length — the distribution-free companion to stats_welch_ttest
+    (same question, no normality assumption): under H0 the group
+    labels are exchangeable, so re-split the corpus 64 times with
+    the DETERMINISTIC hash-uniform (replica index mixed BEFORE the
+    multiplicative hash, offset past the bootstrap's replica ids so
+    the two operators' randomness never overlaps) at the observed
+    group-1 rate, and report how often a random split's |mean diff|
+    reaches the observed one. p = (n_extreme + 1)/(B + 1), the
+    add-one convention that keeps p > 0 honest. ONE corpus pass
+    computes all replica sums map-side (the fan-out collapses to 64
+    groups before the exchange) plus the observed moments; every
+    accumulator is exact int64 and each replica contributes a single
+    fixed-shape IEEE |mean difference|. Replicas whose random split
+    degenerates (all docs one side) are excluded from both count and
+    denominator (NULL adiff), identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    is1 = F.col("lang") == TTEST_LANG
+    obs = d.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("n_chars")).otherwise(0)).cast("bigint").alias("s1"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+    )
+    reps = spark.range(PERM_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
+    u = (
+        f"((doc_id % {BOOT_P} + (b + {BOOT_REPLICAS}) * 7919) * 2654435761) "
+        f"% {BOOT_P}"
+    )
+    fan = (
+        d.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "b",
+            "n_chars",
+            F.when(
+                F.expr(u)
+                < F.expr(f"CAST(n1 * ({BOOT_P} / CAST(n AS DOUBLE)) AS BIGINT)"),
+                1,
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    perm = fan.groupBy("b").agg(
+        F.sum("g").cast("bigint").alias("pn1"),
+        F.sum(F.col("g") * F.col("n_chars")).cast("bigint").alias("ps1"),
+        F.count("*").cast("bigint").alias("pn"),
+        F.sum("n_chars").cast("bigint").alias("ps"),
+    )
+    adiff = F.when(
+        (F.col("pn1") > 0) & (F.col("pn1") < F.col("pn")),
+        F.abs(
+            F.col("ps1").cast("double") / F.col("pn1").cast("double")
+            - (F.col("ps") - F.col("ps1")).cast("double")
+            / (F.col("pn") - F.col("pn1")).cast("double")
+        ),
+    )
+    diffs = perm.select("b", adiff.alias("adiff"))
+    aobs = F.abs(
+        F.col("s1").cast("double") / F.col("n1").cast("double")
+        - (F.col("s") - F.col("s1")).cast("double")
+        / (F.col("n") - F.col("n1")).cast("double")
+    )
+    od = obs.select("n1", aobs.alias("aobs"))
+    joined = diffs.crossJoin(F.broadcast(od))
+    return joined.groupBy("n1", "aobs").agg(
+        F.sum(F.when(F.col("adiff") >= F.col("aobs"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_extreme"),
+        F.count("adiff").cast("bigint").alias("n_replicas"),
+    ).select(
+        F.col("n1").alias("n_group1"),
+        (F.floor(F.col("aobs") * 1000000 + F.lit(0.5)) / 1000000).alias("obs_absdiff"),
+        "n_extreme",
+        "n_replicas",
+        (
+            F.floor(
+                (F.col("n_extreme") + 1.0)
+                / (F.col("n_replicas") + 1.0)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("p_value"),
+    )

@@ -1872,3 +1872,51 @@ def ml_ridge_probe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return w.select(F.col("d").alias("dim"), F.col("wv").alias("weight"))
+
+
+RANGE_COS_MIN = 0.3  # radius threshold ~ the 99th pct of query-corpus cosine
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE cos_sim >= {RANGE_COS_MIN}
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL neighbors with cosine >=
+    threshold, not a fixed top-k — what dedup-ish consumers actually
+    want ('everything basically identical to this query'), where top-k
+    either truncates a dense neighborhood or pads a sparse one. Same
+    single corpus scan against the broadcast query set as
+    sim_topk_bruteforce (round(cos, 6) convention), but the threshold
+    is a plain FILTER, so there's no window, no shuffle, and no
+    per-query state at all — strictly cheaper than top-k at any scale;
+    the LSH/IVF bucketed variants prune the same predicate by bucket
+    (sim_topk_lsh's band tables serve radius queries unchanged, since
+    a cosine floor lower-bounds collision probability)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= RANGE_COS_MIN)
+    )

@@ -429,3 +429,84 @@ def test_bootstrap_ci_matches_python_replay(spark):
     # the interval is a CI for the mean: it must contain the full-corpus
     # mean on this non-degenerate fixture
     assert got["ci_lo"] <= got["mean_full"] <= got["ci_hi"]
+
+
+def test_permutation_test_matches_python_replay(spark):
+    """Literal replay of the deterministic permutation test: same hash
+    splits, same degenerate-replica exclusion, same add-one p-value."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.aggregates import (
+        BOOT_P,
+        BOOT_REPLICAS,
+        PERM_REPLICAS,
+        TTEST_LANG,
+        stats_permutation_test,
+    )
+
+    got = stats_permutation_test(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    n = len(docs)
+    n1 = sum(1 for r in docs if r["lang"] == TTEST_LANG)
+    s1 = sum(r["n_chars"] for r in docs if r["lang"] == TTEST_LANG)
+    s = sum(r["n_chars"] for r in docs)
+    aobs = abs(s1 / n1 - (s - s1) / (n - n1))
+    thr = int(n1 * (BOOT_P / n))
+    n_extreme = n_rep = 0
+    for b in range(PERM_REPLICAS):
+        pn1 = ps1 = 0
+        for r in docs:
+            u = (r["doc_id"] % BOOT_P + (b + BOOT_REPLICAS) * 7919) * 2654435761 % BOOT_P
+            if u < thr:
+                pn1 += 1
+                ps1 += r["n_chars"]
+        if 0 < pn1 < n:
+            n_rep += 1
+            if abs(ps1 / pn1 - (s - ps1) / (n - pn1)) >= aobs:
+                n_extreme += 1
+    assert got["n_group1"] == n1
+    assert got["n_extreme"] == n_extreme
+    assert got["n_replicas"] == n_rep
+    assert got["p_value"] == math.floor((n_extreme + 1) / (n_rep + 1) * 1e6 + 0.5) / 1e6
+    assert 0.0 < got["p_value"] <= 1.0
+
+
+def test_range_search_is_thresholded_subset_of_bruteforce_space(spark):
+    """Every returned pair clears the threshold; the result equals the
+    Python-filtered exact pair set over the broadcast query block."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        N_QUERIES,
+        RANGE_COS_MIN,
+        sim_range_search,
+    )
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in sim_range_search(spark, SF_SMOKE).collect()
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    import math as _m
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    want = {}
+    for q in range(N_QUERIES):
+        for c, v in vecs.items():
+            if c == q:
+                continue
+            cs = cos(vecs[q], v)
+            if cs >= RANGE_COS_MIN:
+                want[(q, c)] = cs
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 2e-6
+        assert got[k] >= RANGE_COS_MIN

@@ -893,3 +893,23 @@ def test_trend_estimators_reduce_corpus_once(spark):
         scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
         assert scans, (name, plan)
         assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_permutation_fanout_collapses_map_side(spark):
+    """stats_permutation_test: replica sums collapse to 64 groups
+    map-side (exchanges keyed by b, or by the 64-row (n1, aobs)
+    reduce); the corpus never rides a sort-merge join."""
+    plan = _plan(spark, "stats_permutation_test")
+    assert "SortMergeJoin" not in plan, plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "b#" in head or "n1#" in head, head
+
+
+def test_range_search_has_no_window_or_shuffle(spark):
+    """sim_range_search: one broadcast-joined corpus scan + filter —
+    strictly cheaper than top-k (no Window, no rank shuffle)."""
+    plan = _plan(spark, "sim_range_search")
+    assert "Window" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

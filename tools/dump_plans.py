@@ -127,6 +127,8 @@ SHOW = [
     "timeseries_pacf",
     "timeseries_theil_sen",
     "text_tokenizer_fertility",
+    "stats_permutation_test",
+    "sim_range_search",
 ]
 
 
