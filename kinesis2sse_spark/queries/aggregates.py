@@ -1394,7 +1394,8 @@ perm AS (
     SELECT b, n_chars,
            CASE WHEN ((doc_id % {BOOT_P} + (b + {BOOT_REPLICAS}) * 7919)
                       * 2654435761) % {BOOT_P}
-                     < CAST((SELECT n1 FROM obs) * ({BOOT_P} / CAST((SELECT n FROM obs) AS DOUBLE)) AS BIGINT)
+                      % (SELECT n FROM obs)
+                     < (SELECT n1 FROM obs)
                 THEN 1 ELSE 0 END AS g
     FROM documents, reps
   ) GROUP BY b
@@ -1432,7 +1433,10 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DETERMINISTIC hash-uniform (replica index mixed BEFORE the
     multiplicative hash, offset past the bootstrap's replica ids so
     the two operators' randomness never overlaps) at the observed
-    group-1 rate, and report how often a random split's |mean diff|
+    group-1 rate — membership is the pure-integer test u mod n < n1,
+    so no engine ever rounds or truncates a double threshold (CAST of
+    a double truncates in Spark but ROUNDS in DuckDB; caught in
+    review before any fixture hit the boundary) — and report how often a random split's |mean diff|
     reaches the observed one. p = (n_extreme + 1)/(B + 1), the
     add-one convention that keeps p > 0 honest. ONE corpus pass
     computes all replica sums map-side (the fan-out collapses to 64
@@ -1460,11 +1464,7 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "b",
             "n_chars",
-            F.when(
-                F.expr(u)
-                < F.expr(f"CAST(n1 * ({BOOT_P} / CAST(n AS DOUBLE)) AS BIGINT)"),
-                1,
-            )
+            F.when(F.expr(u) % F.col("n") < F.col("n1"), 1)
             .otherwise(0)
             .alias("g"),
         )

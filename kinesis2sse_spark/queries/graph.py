@@ -767,7 +767,9 @@ def bfs_hops(
     return dist
 
 
-KCORE_ITERS = 8  # fixed h-index rounds (converges on cliquish graphs in 1-2)
+KCORE_ITERS = 16  # fixed h-index rounds: cliques converge in 1-2, and a
+# chain component needs ~radius rounds, so 16 covers diameter-32 chains —
+# wider than any near-dup cluster the MAX_DF-capped pair generation emits
 
 
 @register(
@@ -800,6 +802,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     to collapse aggressively. A FIXED {KCORE_ITERS} rounds so the
     recursive-CTE oracle replays the identical computation; every
     value is an exact integer, so there is nothing to quantize.
+    Convergence caveat: the h-operator needs about one round per hop
+    of eccentricity, so a path component longer than 2x{KCORE_ITERS}
+    hops would still read c=2 at its center — on such a graph raise
+    the constant (both sides) or stop on a driver-side fixpoint count.
 
     Per round: one shuffle (neighbor states grouped by node). The
     h-index is evaluated WITHOUT ranking — H = max over neighbor

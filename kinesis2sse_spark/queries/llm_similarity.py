@@ -35,9 +35,12 @@ def _corpus_rows(sf_dir: str, table: str) -> int:
     return ds.dataset(os.path.join(sf_dir, f"{table}.parquet")).count_rows()
 
 
-def _with_norm(e):
+def _with_norm(e, extra_cols=()):
+    """Double-cast embedding + fold-norm (the convention every cosine
+    oracle replays byte-exactly); ``extra_cols`` pass through untouched
+    (e.g. ``label`` for the retrieval-evaluation consumers)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select("vec_id", v.alias("v")).withColumn(
+    return e.select("vec_id", *extra_cols, v.alias("v")).withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
 

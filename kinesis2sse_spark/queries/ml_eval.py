@@ -61,6 +61,46 @@ _SCORED_CTE = f"""scored AS (
 AUC_BUCKET = 1 << 28  # score-range bucket for the two-level prefix sum
 
 
+def _with_prefix_counts(h: DataFrame, keys: tuple = (), descending: bool = False) -> DataFrame:
+    """Two-level distributed prefix counts over a score histogram —
+    the shared machinery of ml_auc_roc / ml_auc_by_slice /
+    ml_lift_pr_deciles (one implementation so the bucketing and tie
+    conventions cannot drift between them).
+
+    ``h``: relation (*keys, s, c, cp), which the CALLER must persist —
+    it feeds both the bucket-subtotal aggregate and the within-bucket
+    rank join here (and often a totals aggregate at the call site).
+    Returns (*keys, c, cp, less) where ``less`` is the exact count of
+    rows strictly before this score group in (keys-partitioned) score
+    order. Bucket offsets cumulate in a window over the tiny
+    (*keys, bucket) relation and broadcast back; within-bucket counts
+    ride a (*keys, bucket)-partitioned window — never a corpus-sized
+    single partition."""
+    h = h.withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
+    kcol = F.col("k").desc() if descending else F.col("k")
+    scol = F.col("s").desc() if descending else F.col("s")
+    ks = h.groupBy(*keys, "k").agg(F.sum("c").alias("kc"))
+    wk = (
+        Window.partitionBy(*keys)
+        .orderBy(kcol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = ks.select(
+        *keys, "k", (F.sum("kc").over(wk) - F.col("kc")).alias("off")
+    )
+    ww = (
+        Window.partitionBy(*keys, "k")
+        .orderBy(scol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.join(F.broadcast(off), [*keys, "k"]).select(
+        *keys,
+        "c",
+        "cp",
+        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
+    )
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
@@ -117,28 +157,13 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment accumulator to DECIMAL(38,0) (same plan)."""
     from pyspark import StorageLevel
 
-    # persisted: the histogram feeds BOTH the bucket-subtotal aggregate
-    # and the within-bucket rank join
     h = (
         _scored(spark, sf_dir)
         .groupBy("s")
         .agg(F.count("*").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
-        .withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ks = h.groupBy("k").agg(F.sum("c").alias("kc"))
-    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    off = ks.select("k", (F.sum("kc").over(wk) - F.col("kc")).alias("off"))
-    ww = (
-        Window.partitionBy("k")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = h.join(F.broadcast(off), "k").select(
-        "c",
-        "cp",
-        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
-    )
+    r = _with_prefix_counts(h)
     agg = r.agg(
         F.sum("cp").cast("bigint").alias("n_pos"),
         F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n_neg"),
@@ -443,29 +468,9 @@ def ml_auc_by_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.join(d, "vec_id")
         .groupBy("lang", "s")
         .agg(F.count("*").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
-        .withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ks = h.groupBy("lang", "k").agg(F.sum("c").alias("kc"))
-    wk = (
-        Window.partitionBy("lang")
-        .orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = ks.select(
-        "lang", "k", (F.sum("kc").over(wk) - F.col("kc")).alias("off")
-    )
-    ww = (
-        Window.partitionBy("lang", "k")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = h.join(F.broadcast(off), ["lang", "k"]).select(
-        "lang",
-        "c",
-        "cp",
-        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
-    )
+    r = _with_prefix_counts(h, keys=("lang",))
     agg = r.groupBy("lang").agg(
         F.sum("cp").cast("bigint").alias("n_pos"),
         F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n_neg"),
@@ -642,10 +647,9 @@ def ir_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_label_norm(e: DataFrame) -> DataFrame:
-    v = F.transform("embedding", lambda x: x.cast("double"))
-    return e.select("vec_id", "label", v.alias("v")).withColumn(
-        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    )
+    from kinesis2sse_spark.queries.llm_similarity import _with_norm
+
+    return _with_norm(e, extra_cols=("label",))
 
 
 KAPPA_CHARS_MIN = 300  # rater A: long-document gate on raw chars
@@ -727,11 +731,18 @@ WITH x AS (
          CASE WHEN label >= {EVAL_POS_LABEL_MIN} THEN 1 ELSE 0 END AS pos
   FROM embeddings, (SELECT unnest(range(0, {DRIFT_DIMS})) AS dim)
 ),
-cells AS (
+cells0 AS (
   SELECT dim, b,
          count(*) FILTER (pos = 1) AS ca,
          count(*) FILTER (pos = 0) AS cb
   FROM x GROUP BY dim, b
+),
+cells AS (
+  SELECT s.dim, s.b, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+  FROM (SELECT d.dim, bb.b
+        FROM (SELECT unnest(range(0, {DRIFT_DIMS})) AS dim) d,
+             (SELECT unnest(range(-5, 5)) AS b) bb) s
+  LEFT JOIN cells0 c ON c.dim = s.dim AND c.b = s.b
 ),
 tot AS (
   SELECT dim, sum(ca) AS na, sum(cb) AS nb FROM cells GROUP BY dim
@@ -764,8 +775,9 @@ def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-dimension health check run before retraining a probe.
     Same determinism recipe as stats_psi_drift: integer 0.1-granular
     bands (float->double cast then floor, identical in both engines),
-    one grouped aggregate to (dim, band) cells, Laplace smoothing over
-    the FIXED {DRIFT_BANDS}-band domain, and per-cell contributions
+    one grouped aggregate to (dim, band) cells joined onto the FIXED
+    {DRIFT_BANDS}-band spine (so bands empty in both cohorts still
+    contribute their smoothed mass and the Laplace masses sum to 1), and per-cell contributions
     floor-quantized to 1e-12-scaled integers before the per-dim sum
     (the gram-matrix rule). Scale: the explode emits DRIFT_DIMS rows
     per vector but they immediately collapse into the (dim, band)
@@ -788,12 +800,23 @@ def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         "pos",
     )
-    cells = (
-        x.groupBy("dim", "b")
-        .agg(
-            F.count(F.when(F.col("pos") == 1, 1)).alias("ca"),
-            F.count(F.when(F.col("pos") == 0, 1)).alias("cb"),
+    cells0 = x.groupBy("dim", "b").agg(
+        F.count(F.when(F.col("pos") == 1, 1)).alias("ca"),
+        F.count(F.when(F.col("pos") == 0, 1)).alias("cb"),
+    )
+    # fixed band domain: a band empty in BOTH cohorts still carries its
+    # smoothed contribution (nonzero whenever na != nb) — without the
+    # spine the Laplace masses would not sum to 1 over the 10 bands
+    spine = (
+        spark.range(DRIFT_DIMS)
+        .select(F.col("id").cast("int").alias("dim"))
+        .crossJoin(
+            spark.range(-5, 5).select(F.col("id").cast("bigint").alias("b"))
         )
+    )
+    cells = (
+        spine.join(cells0, ["dim", "b"], "left")
+        .fillna(0, subset=["ca", "cb"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = cells.groupBy("dim").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
@@ -879,25 +902,9 @@ def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scored(spark, sf_dir)
         .groupBy("s")
         .agg(F.count("*").cast("bigint").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
-        .withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ks = h.groupBy("k").agg(F.sum("c").alias("kc"))
-    wk = (
-        Window.orderBy(F.col("k").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = ks.select("k", (F.sum("kc").over(wk) - F.col("kc")).alias("off"))
-    ww = (
-        Window.partitionBy("k")
-        .orderBy(F.col("s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = h.join(F.broadcast(off), "k").select(
-        "c",
-        "cp",
-        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("before"),
-    )
+    r = _with_prefix_counts(h, descending=True).withColumnRenamed("less", "before")
     tot = h.agg(
         F.sum("c").cast("bigint").alias("n"), F.sum("cp").cast("bigint").alias("np")
     )

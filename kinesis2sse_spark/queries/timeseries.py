@@ -1141,32 +1141,45 @@ _PACF_ORACLE = (
     f"""
     WITH daily AS (
       SELECT time_bucket(INTERVAL '1 day', ts) AS day,
-             CAST(count(*) AS DOUBLE) AS n
+             CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1
     ),
-    mu AS (SELECT sum(n) / count(*) AS m, count(*) AS nd FROM daily),
     dn AS (
       SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(day AS DATE)) AS BIGINT) AS d,
              n
       FROM daily
     ),
-    s0 AS (SELECT sum((n - m) * (n - m)) AS v FROM dn, mu),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM dn
+    ),
     rr AS (
       SELECT CAST(k.k AS BIGINT) AS lag,
-             sum((x.n - mu.m) * (y.n - mu.m)) AS cov
+             CAST(count(*) AS BIGINT) AS mk,
+             CAST(sum(x.n * y.n) AS BIGINT) AS sxy,
+             CAST(sum(x.n) AS BIGINT) AS sxa,
+             CAST(sum(y.n) AS BIGINT) AS sya
       FROM dn x, LATERAL (SELECT unnest(range(1, {PACF_MAX_LAG} + 1)) AS k) k
       JOIN dn y ON y.d = x.d + k.k
-      CROSS JOIN mu
       GROUP BY 1
     ),
     base AS (
       SELECT """
     + ", ".join(
-        f"max(CASE WHEN lag = {k} THEN cov END) / max(s0.v) AS r{k}"
+        f"(max(CASE WHEN lag = {k} THEN CAST(sxy AS DOUBLE) END)"
+        f" - (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+        f" * max(CASE WHEN lag = {k} THEN CAST(sxa + sya AS DOUBLE) END)"
+        f" + max(CASE WHEN lag = {k} THEN CAST(mk AS DOUBLE) END)"
+        f" * (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+        f" * (CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)))"
+        f" / (CAST(sxx AS DOUBLE)"
+        f" - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE)) AS r{k}"
         for k in range(1, PACF_MAX_LAG + 1)
     )
     + """
-      FROM rr, s0
+      FROM rr, tot GROUP BY nd, sx, sxx
     )"""
     + "".join(
         f",\n    lvl{i} AS (SELECT *, {expr} AS {name} FROM "
@@ -1202,23 +1215,23 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
-    daily = (
+    dn = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.count("*").cast("double").alias("n"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.datediff(F.col("day").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("bigint")
+            .alias("d"),
+            "n",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dn = daily.select(
-        F.datediff(F.col("day").cast("date"), F.lit("1992-01-01").cast("date"))
-        .cast("bigint")
-        .alias("d"),
-        "n",
+    tot = dn.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sxx"),
     )
-    mu = daily.agg(
-        (F.sum("n") / F.count("*")).alias("m"), F.count("*").alias("nd")
-    )
-    dnm = dn.crossJoin(F.broadcast(mu))
-    s0 = dnm.agg(F.sum((F.col("n") - F.col("m")) * (F.col("n") - F.col("m"))).alias("v"))
-    ks = dnm.crossJoin(
+    ks = dn.crossJoin(
         F.broadcast(
             ev.sparkSession.range(1, PACF_MAX_LAG + 1).select(
                 F.col("id").cast("bigint").alias("lag")
@@ -1229,18 +1242,36 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = (
         ks.join(y, F.col("d2") == F.col("d") + F.col("lag"))
         .groupBy("lag")
-        .agg(F.sum((F.col("n") - F.col("m")) * (F.col("y") - F.col("m"))).alias("cov"))
-    )
-    base = (
-        rr.crossJoin(F.broadcast(s0))
         .agg(
-            *[
-                (
-                    F.max(F.when(F.col("lag") == k, F.col("cov"))) / F.max("v")
-                ).alias(f"r{k}")
-                for k in range(1, PACF_MAX_LAG + 1)
-            ]
+            F.count("*").cast("bigint").alias("mk"),
+            F.sum(F.col("n") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum("n").cast("bigint").alias("sxa"),
+            F.sum("y").cast("bigint").alias("sya"),
         )
+    )
+    # r_k from exact int64 moments, centered algebraically with the
+    # IDENTICAL expression shape as the oracle (a direct sum of
+    # centered double products would be partial-aggregation-order
+    # dependent; integer sums are not)
+    def rk(k: int):
+        mud = "(CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+        num = (
+            f"(max(CASE WHEN lag = {k} THEN CAST(sxy AS DOUBLE) END)"
+            f" - {mud} * max(CASE WHEN lag = {k} THEN CAST(sxa + sya AS DOUBLE) END)"
+            f" + max(CASE WHEN lag = {k} THEN CAST(mk AS DOUBLE) END)"
+            f" * {mud} * {mud})"
+        )
+        den = (
+            "(CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nd AS DOUBLE))"
+        )
+        return F.expr(f"{num} / {den}").alias(f"r{k}")
+
+    base = (
+        rr.crossJoin(F.broadcast(tot))
+        .groupBy("nd", "sx", "sxx")
+        .agg(*[rk(k) for k in range(1, PACF_MAX_LAG + 1)])
+        .drop("nd", "sx", "sxx")
     )
     cur = base
     for name, expr in _PACF_STAGES:

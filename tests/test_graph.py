@@ -355,8 +355,11 @@ def test_coreness_matches_peeling_model_on_random_graphs(spark):
         n = 30
         es = {tuple(sorted(rng.sample(range(n), 2))) for _ in range(60)}
         cases.append(sorted(es))
+    from kinesis2sse_spark.queries.graph import KCORE_ITERS
+
     for edge_list in cases:
         df = spark.createDataFrame(edge_list, "a long, b long")
-        got = {r["node"]: r["c"] for r in coreness(df, 16).collect()}
+        # the SHIPPED iteration count must already be converged here
+        got = {r["node"]: r["c"] for r in coreness(df, KCORE_ITERS).collect()}
         want = model(edge_list)
         assert got == want

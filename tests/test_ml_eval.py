@@ -452,13 +452,12 @@ def test_permutation_test_matches_python_replay(spark):
     s1 = sum(r["n_chars"] for r in docs if r["lang"] == TTEST_LANG)
     s = sum(r["n_chars"] for r in docs)
     aobs = abs(s1 / n1 - (s - s1) / (n - n1))
-    thr = int(n1 * (BOOT_P / n))
     n_extreme = n_rep = 0
     for b in range(PERM_REPLICAS):
         pn1 = ps1 = 0
         for r in docs:
             u = (r["doc_id"] % BOOT_P + (b + BOOT_REPLICAS) * 7919) * 2654435761 % BOOT_P
-            if u < thr:
+            if u % n < n1:
                 pn1 += 1
                 ps1 += r["n_chars"]
         if 0 < pn1 < n:
