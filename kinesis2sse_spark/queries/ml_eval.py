@@ -947,3 +947,118 @@ def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("lift"),
     )
+
+
+_AP_ORACLE = f"""
+WITH ranked AS (
+  SELECT query_id, rel, rn FROM (
+    SELECT q.vec_id AS query_id,
+           CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {IR_QUERIES}
+  ) WHERE rn <= {IR_K}
+),
+hits AS (
+  SELECT query_id, rel, rn,
+         CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rn) AS BIGINT) AS h
+  FROM ranked
+),
+nrel AS (
+  SELECT q.vec_id AS query_id,
+         CAST((SELECT count(*) FROM embeddings c
+               WHERE c.label = q.label AND c.vec_id <> q.vec_id) AS BIGINT) AS n_rel
+  FROM embeddings q WHERE q.vec_id < {IR_QUERIES}
+),
+perq AS (
+  SELECT query_id,
+         CAST(sum(rel * h * {_RECIP_LIST}[rn]) AS BIGINT) AS ap_s
+  FROM hits GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel, p.ap_s,
+       CASE WHEN n.n_rel > 0 THEN
+         floor(CAST(p.ap_s AS DOUBLE)
+               / (1000000.0 * CAST(least(n.n_rel, {IR_K}) AS DOUBLE))
+               * 1000000 + 0.5) / 1000000
+       END AS avg_precision
+FROM nrel n JOIN perq p ON n.query_id = p.query_id
+"""
+
+
+@register("ir_eval_average_precision", oracle=_AP_ORACLE)
+def ir_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision at 10 per query — the third leg of the ranked-
+    retrieval scorecard (nDCG grades the whole ranking shape, MRR the
+    first hit; AP integrates precision over every relevant hit, the
+    quantity whose macro average is MAP). Same proven ranking
+    convention as ir_eval_retrieval; precision@r uses the SAME
+    1e6-scaled reciprocal literal table inlined into both engines, so
+    the per-query statistic ap_s = sum(rel_r * hits_r * R6[r]) is
+    exact int64 (the metric is DEFINED with quantized reciprocals —
+    documented convention, identical on both sides; |error| vs true
+    AP < 1e-5). Normalized by min(n_rel, k), the standard cutoff-aware
+    denominator. The cumulative-hit window partitions by query over
+    k-row groups — never corpus-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_label_norm(e)
+    queries = corpus.filter(F.col("vec_id") < IR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ranked = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+            "vec_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IR_K)
+    )
+    wh = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = ranked.withColumn("h", F.sum("rel").over(wh).cast("bigint"))
+    recip = F.element_at(F.array(*[F.lit(v) for v in _RECIP]), F.col("rn"))
+    perq = hits.groupBy("query_id", "qlabel").agg(
+        F.sum(F.col("rel") * F.col("h") * recip).cast("bigint").alias("ap_s")
+    )
+    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
+    perq = perq.join(F.broadcast(lc), perq["qlabel"] == lc["label"]).withColumn(
+        "n_rel", (F.col("lcnt") - 1).cast("bigint")
+    )
+    return perq.select(
+        "query_id",
+        "n_rel",
+        "ap_s",
+        F.when(
+            F.col("n_rel") > 0,
+            F.floor(
+                F.col("ap_s").cast("double")
+                / (
+                    1000000.0
+                    * F.least(F.col("n_rel"), F.lit(IR_K)).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("avg_precision"),
+    )

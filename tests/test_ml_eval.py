@@ -509,3 +509,49 @@ def test_range_search_is_thresholded_subset_of_bruteforce_space(spark):
     for k in got:
         assert abs(got[k] - want[k]) < 2e-6
         assert got[k] >= RANGE_COS_MIN
+
+
+def test_average_precision_matches_python_replay(spark):
+    """Literal AP replay from the engine's own ranking convention,
+    plus the metric's defining invariants (perfect prefix -> 1.0 when
+    n_rel >= hits at every rank; ap <= 1; zero hits -> ap = 0)."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.ml_eval import (
+        _RECIP,
+        IR_K,
+        IR_QUERIES,
+        ir_eval_average_precision,
+    )
+
+    got = {
+        r["query_id"]: r
+        for r in ir_eval_average_precision(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == IR_QUERIES
+    vecs = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for q in range(IR_QUERIES):
+        qv, ql = vecs[q]
+        scored = sorted(
+            ((-cos(qv, v), c, 1 if lab == ql else 0) for c, (v, lab) in vecs.items() if c != q),
+        )[:IR_K]
+        h = 0
+        ap_s = 0
+        for r, (_, _, rel) in enumerate(scored, start=1):
+            h += rel
+            ap_s += rel * h * _RECIP[r - 1]
+        n_rel = sum(1 for c, (v, lab) in vecs.items() if c != q and lab == ql)
+        assert got[q]["ap_s"] == ap_s
+        assert got[q]["n_rel"] == n_rel
+        want = math.floor(ap_s / (1e6 * min(n_rel, IR_K)) * 1e6 + 0.5) / 1e6
+        assert got[q]["avg_precision"] == want
+        assert 0.0 <= got[q]["avg_precision"] <= 1.0 + 1e-9

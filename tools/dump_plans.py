@@ -129,6 +129,7 @@ SHOW = [
     "text_tokenizer_fertility",
     "stats_permutation_test",
     "sim_range_search",
+    "ir_eval_average_precision",
 ]
 
 
