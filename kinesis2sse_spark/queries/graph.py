@@ -830,8 +830,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def coreness(edges: DataFrame, iters: int) -> DataFrame:
     """Iterated-h-index core decomposition over an undirected edge
     list (columns ``a``, ``b``; both directions need not be present);
-    returns (node, c) after exactly ``iters`` rounds. Algorithm and
-    determinism notes: see graph_kcore."""
+    returns the state after AT MOST ``iters`` rounds, stopping early
+    at the first fixpoint. Early exit is oracle-safe: once no node's
+    c changes, every further h-operator round is the identity, so the
+    capped-round recursive-CTE oracle computes the same relation — and
+    on real near-dup graphs (cliquish, small diameter) the fixpoint
+    lands in 2-3 rounds, saving ~13 blocking checkpoint jobs of pure
+    fixed overhead. Algorithm and determinism notes: see graph_kcore."""
     from pyspark import StorageLevel
 
     und = (
@@ -854,12 +859,21 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
         )
     )
     for _ in range(iters):
-        state = (
+        nxt = (
             und.join(state.select(F.col("node").alias("dst"), "c"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.collect_list("c").alias("cs"))
             .select("node", hindex.cast("bigint").alias("c"))
             .localCheckpoint(eager=True)
         )
+        # fixpoint check on the two node-sized checkpointed relations:
+        # the h-operator is pointwise nonincreasing, so total c strictly
+        # drops until convergence — a 1-row sum compare detects it
+        changed = (
+            nxt.agg(F.sum("c")).first()[0] != state.agg(F.sum("c")).first()[0]
+        )
+        state = nxt
+        if not changed:
+            break
     und.unpersist()
     return state

@@ -315,3 +315,20 @@ def test_span_removal_matches_bruteforce_model(spark, tmp_path):
     # the fixture must exercise both branches
     assert want[30] == (SPAN_LEN, SPAN_LEN, "")   # fully removed
     assert want[32] == (1, 0, "solo")             # untouched short doc
+
+
+def test_hindex_list_identity_matches_rank_definition():
+    """graph_kcore evaluates H(multiset) as max_x least(x, #{y >= x})
+    over the multiset's own values — property-check that identity
+    against the textbook sorted-rank definition H = max_i min(i, c_(i))
+    on random multisets (the identity is what makes the operator
+    order-independent and therefore collect_list-safe)."""
+    import random
+
+    rng = random.Random(13)
+    for _ in range(300):
+        vals = [rng.randint(0, 12) for _ in range(rng.randint(1, 25))]
+        via_values = max(min(x, sum(1 for y in vals if y >= x)) for x in vals)
+        ranked = sorted(vals, reverse=True)
+        via_ranks = max(min(i + 1, v) for i, v in enumerate(ranked))
+        assert via_values == via_ranks, vals
