@@ -2459,3 +2459,113 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(bpt * 1000000 + F.lit(0.5)) / 1000000).alias("bytes_per_token"),
         (F.floor(cpt * 1000000 + F.lit(0.5)) / 1000000).alias("chars_per_token"),
     )
+
+
+BATCH_BUCKET_BASE = 16  # length buckets: [16*2^k, 16*2^(k+1)) tokens
+
+
+@register(
+    "pipeline_length_bucket_batching",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT greatest(CAST(floor(log2(CAST(greatest(n_tokens, 1) AS DOUBLE)
+                                       / {BATCH_BUCKET_BASE})) AS BIGINT), -1) + 1
+               AS bucket,
+             n_tokens
+      FROM t
+    ),
+    g AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(max(n_tokens) AS BIGINT) AS max_tokens
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(max(n_tokens) AS BIGINT) AS gmax,
+             CAST(sum(n_tokens) AS BIGINT) AS gsum,
+             CAST(count(*) AS BIGINT) AS gn
+      FROM b
+    )
+    SELECT bucket, n_docs, sum_tokens, max_tokens,
+           n_docs * max_tokens - sum_tokens AS pad_tokens,
+           floor(CAST(n_docs * max_tokens - sum_tokens AS DOUBLE)
+                 / CAST(n_docs * max_tokens AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS pad_frac,
+           floor(CAST(n_docs * gmax - sum_tokens AS DOUBLE)
+                 / CAST(n_docs * gmax AS DOUBLE) * 1000000 + 0.5)
+             / 1000000 AS pad_frac_unbucketed
+    FROM g, tot
+    """,
+)
+def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching: assign
+    every document to a power-of-two token-length bucket
+    ([16*2^k, 16*2^(k+1))) and report, per bucket, the pad tokens a
+    batch padded to the bucket max would waste vs padding everything
+    to the GLOBAL max — the report that justifies (and sizes) bucketed
+    batching in a trainer: pad_frac_unbucketed - pad_frac is compute
+    recovered per bucket. Bucket ids come from floor(log2(n/16)) — a
+    fixed-shape double log on exact integer token counts, identical in
+    both engines because log2 of the same IEEE double is the same
+    double and floor() collapses any sub-ulp worry except exactly at
+    powers of two, where log2 is EXACT in IEEE (2^k representable), so
+    the boundary is deterministic too. One grouped aggregate plus a
+    broadcast 1-row total; everything after the log is exact int64."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"))
+    b = t.select(
+        (
+            F.greatest(
+                F.floor(
+                    F.log2(
+                        F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+                        / BATCH_BUCKET_BASE
+                    )
+                ).cast("bigint"),
+                F.lit(-1).cast("bigint"),
+            )
+            + 1
+        ).alias("bucket"),
+        "n_tokens",
+    )
+    from pyspark import StorageLevel
+
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    g = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )
+    tot = b.agg(F.max("n_tokens").cast("bigint").alias("gmax"))
+    pad = F.col("n_docs") * F.col("max_tokens") - F.col("sum_tokens")
+    padu = F.col("n_docs") * F.col("gmax") - F.col("sum_tokens")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        "max_tokens",
+        pad.alias("pad_tokens"),
+        (
+            F.floor(
+                pad.cast("double")
+                / (F.col("n_docs") * F.col("max_tokens")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("pad_frac"),
+        (
+            F.floor(
+                padu.cast("double")
+                / (F.col("n_docs") * F.col("gmax")).cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("pad_frac_unbucketed"),
+    )

@@ -1018,3 +1018,38 @@ def test_tokenizer_fertility_nonascii_signal(spark):
         assert got[lang]["bytes_per_token"] >= got[lang]["chars_per_token"]
         if bb > cc:  # multi-byte content present
             assert got[lang]["bytes_per_token"] > got[lang]["chars_per_token"]
+
+
+def test_length_bucket_batching_replay_and_savings(spark):
+    """Python replay of bucket assignment and pad accounting; bucketed
+    padding never wastes more than global-max padding."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import (
+        BATCH_BUCKET_BASE,
+        pipeline_length_bucket_batching,
+    )
+
+    got = {
+        r["bucket"]: r
+        for r in pipeline_length_bucket_batching(spark, SF_SMOKE).collect()
+    }
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    buckets: dict = {}
+    for r in docs:
+        n = len(r["text"].split(" "))
+        k = max(math.floor(math.log2(max(n, 1) / BATCH_BUCKET_BASE)), -1) + 1
+        buckets.setdefault(k, []).append(n)
+    assert set(got) == set(buckets)
+    gmax = max(max(v) for v in buckets.values())
+    for k, ns in buckets.items():
+        r = got[k]
+        assert r["n_docs"] == len(ns)
+        assert r["sum_tokens"] == sum(ns)
+        assert r["max_tokens"] == max(ns)
+        assert r["pad_tokens"] == len(ns) * max(ns) - sum(ns)
+        assert r["pad_frac"] <= r["pad_frac_unbucketed"] + 1e-9
+        # bucket max within its power-of-two band
+        if k > 0:
+            assert BATCH_BUCKET_BASE * 2 ** (k - 1) <= max(ns) < BATCH_BUCKET_BASE * 2**k
