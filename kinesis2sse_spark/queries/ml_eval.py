@@ -514,8 +514,10 @@ _DISC_LIST = "[" + ", ".join(str(d) for d in _DISC) + "]"
 _IDCG_LIST = "[" + ", ".join(str(v) for v in _IDCG[1:]) + "]"
 _RECIP_LIST = "[" + ", ".join(str(v) for v in _RECIP) + "]"
 
-_IR_ORACLE = f"""
-WITH ranked AS (
+# shared oracle fragments: the label-relevance top-k ranking and the
+# per-query relevant-total — ONE definition so the two IR operators'
+# oracles cannot drift from each other (mirrors _ir_ranked below)
+_RANKED_CTE = f"""ranked AS (
   SELECT query_id, neighbor_id, rel, rn FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
@@ -528,13 +530,18 @@ WITH ranked AS (
     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
     WHERE q.vec_id < {IR_QUERIES}
   ) WHERE rn <= {IR_K}
-),
-nrel AS (
+)"""
+
+_NREL_CTE = f"""nrel AS (
   SELECT q.vec_id AS query_id,
          CAST((SELECT count(*) FROM embeddings c
                WHERE c.label = q.label AND c.vec_id <> q.vec_id) AS BIGINT) AS n_rel
   FROM embeddings q WHERE q.vec_id < {IR_QUERIES}
-),
+)"""
+
+_IR_ORACLE = f"""
+WITH {_RANKED_CTE},
+{_NREL_CTE},
 perq AS (
   SELECT query_id,
          CAST(sum(rel) AS BIGINT) AS hits,
@@ -560,20 +567,13 @@ FROM nrel n JOIN perq p ON n.query_id = p.query_id
 """
 
 
-@register("ir_eval_retrieval", oracle=_IR_ORACLE)
-def ir_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality report per query: nDCG@10, reciprocal rank,
-    and recall@10 of exact cosine top-k against the label-match
-    relevance signal — the evaluation loop a RAG / embedding-training
-    pipeline runs after building an index (sim_topk_* are the systems
-    under test; this is their scorecard). Ranking reuses the proven
-    sim_topk_bruteforce convention (round(cos, 6) DESC, id tiebreak);
-    the log2 discounts are 1e6-scaled INTEGER LITERAL tables inlined
-    into both engines at build time, so DCG/IDCG/RR are exact int64
-    and the only floating point is the final ratios, floor-quantized
-    at 1e6. n_rel comes from the 10-row label histogram (broadcast);
-    the corpus is scanned once against the broadcast query set and
-    WindowGroupLimit prunes the top-k map-side."""
+def _ir_ranked(spark: SparkSession, sf_dir: str):
+    """Label-relevance cosine top-k ranking shared by the IR
+    evaluation operators (the Spark twin of _RANKED_CTE): returns
+    (ranked, e) where ranked = (query_id, qlabel, neighbor_id, rel,
+    rn <= IR_K) using the proven sim_topk_bruteforce convention
+    (round(cos, 6) DESC, id tiebreak), corpus scanned once against the
+    broadcast query set with WindowGroupLimit pruning map-side."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_label_norm(e)
     queries = corpus.filter(F.col("vec_id") < IR_QUERIES).select(
@@ -601,16 +601,39 @@ def ir_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= IR_K)
     )
+    return ranked, e
+
+
+def _with_nrel(perq: DataFrame, e: DataFrame) -> DataFrame:
+    """Join the 10-row label histogram (broadcast) and derive n_rel."""
+    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
+    return perq.join(F.broadcast(lc), perq["qlabel"] == lc["label"]).withColumn(
+        "n_rel", (F.col("lcnt") - 1).cast("bigint")
+    )
+
+
+@register("ir_eval_retrieval", oracle=_IR_ORACLE)
+def ir_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report per query: nDCG@10, reciprocal rank,
+    and recall@10 of exact cosine top-k against the label-match
+    relevance signal — the evaluation loop a RAG / embedding-training
+    pipeline runs after building an index (sim_topk_* are the systems
+    under test; this is their scorecard). Ranking reuses the proven
+    sim_topk_bruteforce convention (round(cos, 6) DESC, id tiebreak);
+    the log2 discounts are 1e6-scaled INTEGER LITERAL tables inlined
+    into both engines at build time, so DCG/IDCG/RR are exact int64
+    and the only floating point is the final ratios, floor-quantized
+    at 1e6. n_rel comes from the 10-row label histogram (broadcast);
+    the corpus is scanned once against the broadcast query set and
+    WindowGroupLimit prunes the top-k map-side."""
+    ranked, e = _ir_ranked(spark, sf_dir)
     disc = F.element_at(F.array(*[F.lit(d) for d in _DISC]), F.col("rn"))
     perq = ranked.groupBy("query_id", "qlabel").agg(
         F.sum("rel").cast("bigint").alias("hits"),
         F.sum(F.col("rel") * disc).cast("bigint").alias("dcg_s"),
         F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
     )
-    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
-    perq = perq.join(
-        F.broadcast(lc), perq["qlabel"] == lc["label"]
-    ).withColumn("n_rel", (F.col("lcnt") - 1).cast("bigint"))
+    perq = _with_nrel(perq, e)
     idcg = F.element_at(
         F.array(*[F.lit(v) for v in _IDCG[1:]]),
         F.greatest(F.least(F.col("n_rel"), F.lit(IR_K)), F.lit(1)).cast("int"),
@@ -950,31 +973,13 @@ def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AP_ORACLE = f"""
-WITH ranked AS (
-  SELECT query_id, rel, rn FROM (
-    SELECT q.vec_id AS query_id,
-           CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(
-                        CAST(q.embedding AS DOUBLE[]),
-                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
-                      c.vec_id) AS rn
-    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-    WHERE q.vec_id < {IR_QUERIES}
-  ) WHERE rn <= {IR_K}
-),
+WITH {_RANKED_CTE},
 hits AS (
   SELECT query_id, rel, rn,
          CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rn) AS BIGINT) AS h
   FROM ranked
 ),
-nrel AS (
-  SELECT q.vec_id AS query_id,
-         CAST((SELECT count(*) FROM embeddings c
-               WHERE c.label = q.label AND c.vec_id <> q.vec_id) AS BIGINT) AS n_rel
-  FROM embeddings q WHERE q.vec_id < {IR_QUERIES}
-),
+{_NREL_CTE},
 perq AS (
   SELECT query_id,
          CAST(sum(rel * h * {_RECIP_LIST}[rn]) AS BIGINT) AS ap_s
@@ -1004,32 +1009,7 @@ def ir_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     AP < 1e-5). Normalized by min(n_rel, k), the standard cutoff-aware
     denominator. The cumulative-hit window partitions by query over
     k-row groups — never corpus-sized."""
-    e = load_table(spark, sf_dir, "embeddings")
-    corpus = _with_label_norm(e)
-    queries = corpus.filter(F.col("vec_id") < IR_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("label").alias("qlabel"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id")
-    )
-    ranked = (
-        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "qlabel",
-            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
-            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
-            "vec_id",
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IR_K)
-    )
+    ranked, e = _ir_ranked(spark, sf_dir)
     wh = (
         Window.partitionBy("query_id")
         .orderBy("rn")
@@ -1040,10 +1020,7 @@ def ir_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     perq = hits.groupBy("query_id", "qlabel").agg(
         F.sum(F.col("rel") * F.col("h") * recip).cast("bigint").alias("ap_s")
     )
-    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
-    perq = perq.join(F.broadcast(lc), perq["qlabel"] == lc["label"]).withColumn(
-        "n_rel", (F.col("lcnt") - 1).cast("bigint")
-    )
+    perq = _with_nrel(perq, e)
     return perq.select(
         "query_id",
         "n_rel",
