@@ -332,3 +332,52 @@ def test_hindex_list_identity_matches_rank_definition():
         ranked = sorted(vals, reverse=True)
         via_ranks = max(min(i + 1, v) for i, v in enumerate(ranked))
         assert via_values == via_ranks, vals
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab 字é"),  # spaces -> empty tokens
+            min_size=0,
+            max_size=400,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_context_chunks_reconstruct_any_text(spark, docs):
+    """pipeline_context_chunks on adversarial random texts (repeated
+    spaces -> empty tokens, non-ASCII, empty strings): stitching
+    stride-prefixes + the last chunk reconstructs every document
+    byte-for-byte, and chunk counts obey the ceil formula."""
+    from kinesis2sse_spark.queries.llm_text import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        pipeline_context_chunks,
+    )
+    import math
+    import os
+    import tempfile
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        chunks = pipeline_context_chunks(spark, tmp).collect()
+    bydoc: dict = {}
+    for r in chunks:
+        bydoc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(docs):
+        toks = t.split(" ")
+        n = len(toks)
+        rs = sorted(bydoc[i], key=lambda r: r["chunk_id"])
+        want_chunks = math.ceil(max(n - CHUNK_LEN, 0) / CHUNK_STRIDE) + 1
+        assert len(rs) == want_chunks
+        stitched: list = []
+        for r in rs[:-1]:
+            stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+        stitched.extend(rs[-1]["chunk_text"].split(" "))
+        assert " ".join(stitched) == t
