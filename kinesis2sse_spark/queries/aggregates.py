@@ -1511,3 +1511,104 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("p_value"),
     )
+
+
+_MWU_ORACLE = f"""
+WITH m AS (
+  SELECT n_chars AS s,
+         CASE WHEN lang = '{TTEST_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+h AS (
+  SELECT s, count(*) AS c, CAST(sum(pos) AS BIGINT) AS cp
+  FROM m GROUP BY s
+),
+r AS (
+  SELECT c, cp,
+         CAST(sum(c) OVER (ORDER BY s) - c AS BIGINT) AS less
+  FROM h
+),
+agg AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS n1,
+         CAST(sum(c - cp) AS BIGINT) AS n0,
+         CAST(sum(cp * (2 * less + c + 1)) AS BIGINT) AS r2,
+         CAST(sum(c * (c - 1) * (c + 1)) AS BIGINT) AS tie3
+  FROM r
+)
+SELECT n1 AS n_group1, n0 AS n_group0,
+       r2 - n1 * (n1 + 1) AS u2_stat,
+       CASE WHEN n1 > 0 AND n0 > 0
+             AND ((CAST(n1 + n0 AS DOUBLE) + 1.0)
+                  - CAST(tie3 AS DOUBLE)
+                    / (CAST(n1 + n0 AS DOUBLE)
+                       * (CAST(n1 + n0 AS DOUBLE) - 1.0))) > 0 THEN
+         floor((CAST(r2 - n1 * (n1 + 1) AS DOUBLE)
+                - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) / 2.0
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0
+                      * ((CAST(n1 + n0 AS DOUBLE) + 1.0)
+                         - CAST(tie3 AS DOUBLE)
+                           / (CAST(n1 + n0 AS DOUBLE)
+                              * (CAST(n1 + n0 AS DOUBLE) - 1.0))))
+               * 1000000 + 0.5) / 1000000
+       END AS z_score
+FROM agg
+"""
+
+
+@register("stats_mann_whitney", oracle=_MWU_ORACLE)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test for en-vs-rest document length — the
+    classical rank-based two-sample test completing the trio with
+    stats_welch_ttest (parametric) and stats_permutation_test
+    (resampling). The U statistic IS the tie-corrected rank sum the
+    AUC machinery computes (U = AUC * n1 * n0 — same doubled-rank
+    trick): with ties U itself is half-integer-granular, so the
+    operator reports u2_stat = 2U = r2 - n1(n1+1), exact int64, and
+    folds the halving into the z expression. The normal approximation applies the standard
+    tie-corrected variance n1*n0/12 * ((N+1) - sum(t^3-t)/(N(N-1)))
+    with sum(t^3-t) = sum c(c-1)(c+1) accumulated exactly per distinct
+    length; z floor-quantizes at 1e6 and is NULL when ties are so
+    total that the variance degenerates. At corpus scale the length
+    histogram replaces the corpus (the ml_eval prefix pattern; at
+    document-length cardinality a plain window suffices — lengths are
+    bounded — so no bucket level is needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("n_chars").alias("s"),
+        (F.col("lang") == TTEST_LANG).cast("int").alias("pos"),
+    )
+    h = m.groupBy("s").agg(
+        F.count("*").alias("c"), F.sum("pos").cast("bigint").alias("cp")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = h.select(
+        "c",
+        "cp",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("less"),
+    )
+    agg = r.agg(
+        F.sum("cp").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n0"),
+        F.sum(F.col("cp") * (2 * F.col("less") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r2"),
+        F.sum(F.col("c") * (F.col("c") - 1) * (F.col("c") + 1))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    nd = n1d + n0d
+    u2 = (F.col("r2") - F.col("n1") * (F.col("n1") + 1)).cast("bigint")
+    tie_term = F.col("tie3").cast("double") / (nd * (nd - 1.0))
+    var = n1d * n0d / 12.0 * ((nd + 1.0) - tie_term)
+    z = (u2.cast("double") - n1d * n0d) / 2.0 / F.sqrt(var)
+    return agg.select(
+        F.col("n1").alias("n_group1"),
+        F.col("n0").alias("n_group0"),
+        u2.alias("u2_stat"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0) & (((nd + 1.0) - tie_term) > 0),
+            F.floor(z * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("z_score"),
+    )

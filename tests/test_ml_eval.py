@@ -555,3 +555,29 @@ def test_average_precision_matches_python_replay(spark):
         want = math.floor(ap_s / (1e6 * min(n_rel, IR_K)) * 1e6 + 0.5) / 1e6
         assert got[q]["avg_precision"] == want
         assert 0.0 <= got[q]["avg_precision"] <= 1.0 + 1e-9
+
+
+def test_mann_whitney_u_matches_pairwise_definition(spark):
+    """u2_stat equals the literal pairwise definition 2*#(en > other)
+    + #(ties), and z matches the tie-corrected normal approximation
+    replayed in Python."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.aggregates import TTEST_LANG, stats_mann_whitney
+
+    got = stats_mann_whitney(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("lang", "n_chars").collect()
+    g1 = [r["n_chars"] for r in docs if r["lang"] == TTEST_LANG]
+    g0 = [r["n_chars"] for r in docs if r["lang"] != TTEST_LANG]
+    wins = sum(1 for a in g1 for b in g0 if a > b)
+    ties = sum(1 for a in g1 for b in g0 if a == b)
+    u2 = 2 * wins + ties
+    assert got["n_group1"] == len(g1) and got["n_group0"] == len(g0)
+    assert got["u2_stat"] == u2
+    n1, n0 = len(g1), len(g0)
+    nd = n1 + n0
+    from collections import Counter
+
+    tie3 = sum(c * (c - 1) * (c + 1) for c in Counter(x["n_chars"] for x in docs).values())
+    var = n1 * n0 / 12.0 * ((nd + 1.0) - tie3 / (nd * (nd - 1.0)))
+    z = (u2 - n1 * n0) / 2.0 / math.sqrt(var)
+    assert abs(got["z_score"] - z) < 2e-6
