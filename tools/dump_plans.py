@@ -130,6 +130,8 @@ SHOW = [
     "stats_permutation_test",
     "sim_range_search",
     "ir_eval_average_precision",
+    "stats_mann_whitney",
+    "pipeline_length_bucket_batching",
 ]
 
 
