@@ -2291,14 +2291,20 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the nav-bars and license headers that are globally common without
     being anyone's duplicate.
 
-    Plan: explode grams once, ONE shuffle keyed on the gram for the
-    distinct-doc DF aggregate, join the |vocab|-row DF relation back
-    onto the (persisted) gram relation on the same key — the shuffle
-    partitioning is REUSED, not repeated — then a per-doc count.
-    At 100 TB the gram key compresses to xxhash64 (8 bytes) exactly as
-    the jaccard inverted index does; raw strings here so the oracle
-    can replay membership. The fraction floor-quantizes at 1e6 from an
-    exact integer pair."""
+    Plan: explode grams once, hash each gram to an 8-byte xxhash64 key
+    AT THE SCAN (the raw ~20-byte string never leaves the map side —
+    the same key convention as the jaccard inverted index,
+    llm_dedup.py), persist only (doc_id, gh), ONE shuffle keyed on the
+    hash for the distinct-doc DF aggregate, join the |vocab|-row DF
+    relation back onto the persisted gram relation on the same key —
+    the shuffle partitioning is REUSED, not repeated — then a per-doc
+    count. At 100 TB the hashed key cuts shuffle volume ~10x vs raw
+    strings and keeps every exchange fixed-width; a 64-bit collision
+    (odds ~n^2/2^65) merges two grams' DF counts, which only matters
+    if it crosses the BOILERPLATE_DF boundary — negligible and
+    deterministic. The oracle replays the identical semantics over raw
+    grams. The fraction floor-quantizes at 1e6 from an exact integer
+    pair."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
@@ -2310,16 +2316,16 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size(toks) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
                 )
-            ).alias("g"),
+            ).alias("gh"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    df = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    df = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("df"))
     boiler = (F.col("df") >= BOILERPLATE_DF).cast("long")
     return (
-        grams.join(df, "g")
+        grams.join(df, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

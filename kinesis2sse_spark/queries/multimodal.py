@@ -99,7 +99,15 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
     stage = f"/tmp/k2s_binfiles_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stage, exist_ok=True)
-    for row in d.select("doc_id", "text").collect():
+    rows = d.select("doc_id", "text").collect()
+    # Driver-side staging is ONLY safe because the filter above bounds the
+    # fixture set; fail loudly if a future edit widens it into a funnel.
+    assert len(rows) <= 10, (
+        f"source_binary_files staged {len(rows)} rows on the driver; "
+        "the collect() is bounded by design — widen via a distributed "
+        "write (df.write.format('binaryFile'-equivalent)), not this loop"
+    )
+    for row in rows:
         with open(os.path.join(stage, f"{row['doc_id']:05d}.bin"), "wb") as f:
             f.write(row["text"].encode("utf-8"))
     files = spark.read.format("binaryFile").load(stage)

@@ -68,40 +68,22 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # in git history); _ordered() layers it between the automatic red
 # re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 window (curated per the r06 verdict; the r05 composition
-    # this replaces is in git history at 4e64582). Contents: the one
-    # red row first (also auto-fronted by the red-re-front rule in
-    # _ordered — listed anyway so the policy reads in one place), then
-    # re-proofs whose latest green row predates a later rewrite of the
-    # code under test: sim_recall_lsh (probe budget went
-    # corpus-stats-adaptive in r06 AFTER its r05 row), the
-    # connected-components consumers pipeline_split_by_cluster /
-    # dedup_select_canonical (the r06 verdict asked for a
-    # post-pointer-doubling re-proof), and the queries round 7 itself
-    # touches (text_heavy_hitters candidate pass vectorized;
-    # sim_topk_lsh radius derivation de-eagered; stats_js_divergence
-    # smoothing convention; sim_mmr_rerank / pipeline_bpe_train if
-    # they gain real oracles this round). Names not (yet) registered
-    # are skipped, so entries can be listed ahead of the code landing.
-    # New round-7 operators are NOT listed: they are never-checked and
-    # front automatically right behind this list (rule 3) — keep
-    # len(list) + len(never-checked) <= 50 when registering.
-    "pipeline_shard_assignment",
-    "sim_recall_lsh",
-    "pipeline_split_by_cluster",
-    "dedup_select_canonical",
-    "text_heavy_hitters",
-    "sim_topk_lsh",
-    "stats_js_divergence",
-    "sim_mmr_rerank",
-    "pipeline_bpe_train",
-    # late-round-7 retunes: these three queries were fixture-degenerate
-    # (predicates that could never produce a row on this corpus) and
-    # changed semantics mid-round — their r3/r4 green rows attest the
-    # OLD queries, so they must re-earn rows under the new predicates
-    "except_distinct",
-    "subquery_nested_correlated_having",
-    "q11_important_part_value",
+    # Round-8 window (the r07 composition lives in git history). The
+    # r07 verdict prescribes leaving this NEARLY empty so the
+    # least-recently-checked rotation re-proves the ~40 stale round-1/
+    # round-3 rows — with exactly the "rewrite landed on an
+    # already-checked query" exceptions it carves out:
+    # - sim_topk_ivfpq: its latest driver row (r05, err no_oracle)
+    #   predates the byte-exact oracle it gained in r06, and LRC places
+    #   it at index ~136 — it can only re-earn an oracle-backed row by
+    #   fronting now. (sim_topk_ivf, the same situation, already sits
+    #   inside the window at index ~22 via its r01-vintage row, so it
+    #   is deliberately NOT listed.)
+    "sim_topk_ivfpq",
+    # - text_boilerplate_fraction: round 8 rewired its shuffle/join key
+    #   from raw gram strings to xxhash64 (the r07 verdict's one
+    #   perf-weak item), so its r07 green row attests the old plan.
+    "text_boilerplate_fraction",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
@@ -109,7 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # round or later — so re-proof entries (which already hold OLD rows)
 # keep fronting until the round actually runs, fixing the r06 failure
 # mode where a re-proof list spent itself instantly against stale rows.
-DRIVER_PRIORITY_ROUND = 7
+DRIVER_PRIORITY_ROUND = 8
 
 
 def _driver_rows() -> dict[str, tuple[int, dict]]:

@@ -1053,3 +1053,32 @@ def test_length_bucket_batching_replay_and_savings(spark):
         # bucket max within its power-of-two band
         if k > 0:
             assert BATCH_BUCKET_BASE * 2 ** (k - 1) <= max(ns) < BATCH_BUCKET_BASE * 2**k
+
+
+def test_source_binary_files_staging_is_bounded(spark):
+    """source_binary_files stages fixture files via a driver-side
+    collect(); the r07 verdict asked for an explicit guard so a future
+    filter edit can't silently turn the loop into a driver funnel. The
+    query itself must still run green, and the guard must trip when the
+    bounded filter is widened."""
+    from unittest import mock
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries import multimodal
+
+    # normal path: bounded, runs, returns the 10 fixture rows
+    assert multimodal.source_binary_files(spark, SF_SMOKE).count() == 10
+
+    # widened path: patch load_table so the doc_id<10 filter matches >10
+    # rows and assert the assertion fires instead of staging them all
+    real = load_table(spark, SF_SMOKE, "documents")
+    widened = real.withColumn("doc_id", F.col("doc_id") % 5)
+    with mock.patch.object(
+        multimodal, "load_table", return_value=widened
+    ):
+        try:
+            multimodal.source_binary_files(spark, SF_SMOKE)
+        except AssertionError as e:
+            assert "driver" in str(e)
+        else:
+            raise AssertionError("widened staging collect did not trip the guard")

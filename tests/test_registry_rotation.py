@@ -131,26 +131,25 @@ def test_never_checked_sort_ahead_of_checked_behind_priority(monkeypatch):
     assert rest == never + checked
 
 
-def test_current_window_contains_the_r06_red_row():
-    # the one assertion against the REAL repo state round 7 depends on:
-    # pipeline_shard_assignment (red in r06) must sit inside the
-    # driver's first-50 window. This stays true after it re-earns a
-    # green row because the name is also in DRIVER_PRIORITY for round
-    # 7, and becomes vacuous (list spent, never re-fails) after.
+def test_current_window_contains_the_r08_reproof_targets():
+    # the assertions against the REAL repo state round 8 depends on:
+    # sim_topk_ivf and sim_topk_ivfpq must BOTH sit inside the driver's
+    # first-50 window so they re-earn oracle-backed rows (their latest
+    # rows predate the byte-exact oracles they gained in r06) — ivfpq
+    # via DRIVER_PRIORITY, ivf via its r01-vintage LRC position. Also
+    # text_boilerplate_fraction (shuffle key rewritten r08). Vacuous
+    # (list spent, rotation moved on) once all three hold rows from
+    # round >= 8.
     names = list(registry.all_queries())[:50]
     rows = registry._driver_rows()
-    rec = rows.get("pipeline_shard_assignment")
-    latest_red = rec is not None and any(
-        rec[1].get(k) is False
-        for k in ("rows_match", "schema_match", "hash_match")
-    )
-    spent = all(
-        n in rows and rows[n][0] >= registry.DRIVER_PRIORITY_ROUND
-        for n in registry.DRIVER_PRIORITY
-        if n in registry._REGISTRY
-    )
-    if latest_red or not spent:
-        assert "pipeline_shard_assignment" in names
+    for target in (
+        "sim_topk_ivf",
+        "sim_topk_ivfpq",
+        "text_boilerplate_fraction",
+    ):
+        rec = rows.get(target)
+        if rec is None or rec[0] < 8:
+            assert target in names, f"{target} missing from the r08 window"
 
 
 def test_every_registered_query_is_windowable():
@@ -212,3 +211,36 @@ def test_checked_segment_cycles_least_recently_checked_first(monkeypatch):
     assert ordered[:3] == stale
     # within the same round, registration order is preserved
     assert ordered[3:] == [n for n in names if n not in stale]
+
+
+def test_coverage_header_counts_match_registry():
+    """Doc-lint (r07 verdict item 4): COVERAGE.md's headline counts must
+    match the live registry so they can never silently drift again. The
+    header states '<N> registered queries (<M> DuckDB-oracle-checked'
+    and names each rows-only query in backticks within the opening
+    paragraph."""
+    import os
+    import re
+
+    registry._ensure_loaded()
+    n_reg = len(registry._REGISTRY)
+    n_oracle = sum(1 for rq in registry._REGISTRY.values() if rq.oracle is not None)
+    rows_only = sorted(
+        n for n, rq in registry._REGISTRY.items() if rq.oracle is None
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        head = f.read(2000)
+    m = re.search(r"(\d+) registered queries \((\d+) DuckDB-oracle-checked", head)
+    assert m, "COVERAGE.md headline count sentence missing or reworded"
+    assert int(m.group(1)) == n_reg, (
+        f"COVERAGE.md says {m.group(1)} registered, registry has {n_reg}"
+    )
+    assert int(m.group(2)) == n_oracle, (
+        f"COVERAGE.md says {m.group(2)} oracle-checked, registry has {n_oracle}"
+    )
+    for name in rows_only:
+        assert f"`{name}`" in head, (
+            f"rows-only query {name} not named in COVERAGE.md header"
+        )
