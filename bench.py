@@ -96,29 +96,52 @@ def _run(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = build_session(app_name="kinesis2sse_spark_bench")
+# Fixed single-threaded DuckDB scan+aggregate used as the AMBIENT-LOAD
+# CONTROL (r07 verdict item 7): its runtime tracks host contention, not
+# anything this repo changes, so a >20% start-vs-end drift marks the
+# sweep as load-contaminated and triggers a resweep. CPU-bound and big
+# enough (~0.1 s at sf0.1) to sample load reliably, small enough to be
+# free.
+_CONTROL_SQL = (
+    "SELECT count(*), sum(l_extendedprice * (1 - l_discount)), "
+    "count(DISTINCT l_partkey) FROM lineitem"
+)
+_CONTROL_DRIFT_GATE = 1.2
+_MAX_SWEEP_ATTEMPTS = 3
 
-    queries = bench_queries()
-    for name, fn in queries.items():  # warmup: JIT + codegen caches
-        try:
-            _run(fn, spark, WARMUP_SF_DIR)
-        except Exception:
-            pass
-    spark.catalog.clearCache()  # drop warmup-persisted sf0.001 relations
 
+def _control_sec(sf_dir: str) -> float:
+    """Median-of-3 of the fixed control query; 0.0 if DuckDB is absent
+    (the gate then degrades to a single ungated sweep)."""
+    try:
+        import duckdb
+    except ImportError:
+        return 0.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(_CONTROL_SQL).fetchall()
+        runs.append(time.perf_counter() - t0)
+    con.close()
+    return statistics.median(runs)
+
+
+def _sweep(queries, spark, sf_dir):
+    """One full pass over the headline set: per query best-of-3, plus up
+    to three more runs while the spread exceeds 30% (this box shows ±50%
+    ambient noise on shuffle-heavy queries, and load spikes can span
+    several seconds — min-of-n is the stable estimator, and extra reps
+    only trigger when the measurements disagree). The median rides along
+    so a noisy round is distinguishable from a plan regression without
+    rerunning."""
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in queries.items():
-        # best-of-3, plus up to three more runs while the spread exceeds
-        # 30% (this box shows ±50% ambient noise on shuffle-heavy
-        # queries, and load spikes can span several seconds — min-of-n
-        # is the stable estimator, and extra reps only trigger when the
-        # measurements disagree). The median rides along so a noisy
-        # round is distinguishable from a plan regression without
-        # rerunning.
         runs = [_run(fn, spark, sf_dir) for _ in range(3)]
         while len(runs) < 6 and max(runs) - min(runs) > 0.3 * max(runs):
             runs.append(_run(fn, spark, sf_dir))
@@ -132,6 +155,43 @@ def main() -> None:
         # full sweep doesn't accumulate cached relations whose eviction
         # pressure skews later queries' timings.
         spark.catalog.clearCache()
+    return timings, medians
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = build_session(app_name="kinesis2sse_spark_bench")
+
+    queries = bench_queries()
+    for name, fn in queries.items():  # warmup: JIT + codegen caches
+        try:
+            _run(fn, spark, WARMUP_SF_DIR)
+        except Exception:
+            pass
+    spark.catalog.clearCache()  # drop warmup-persisted sf0.001 relations
+
+    # Control-gated sweeps: bracket each sweep with the DuckDB control;
+    # if the control drifts >20% the host load shifted mid-sweep, so the
+    # numbers conflate code and contention — resweep (bounded). Across
+    # attempts keep per-query BEST-OF (min is the load-robust estimator;
+    # medians come from the quietest attempt so they stay one-sweep
+    # coherent).
+    attempts = []
+    timings: dict[str, float] = {}
+    for attempt in range(_MAX_SWEEP_ATTEMPTS):
+        c0 = _control_sec(sf_dir)
+        t, m = _sweep(queries, spark, sf_dir)
+        c1 = _control_sec(sf_dir)
+        drift = max(c0, c1) / max(min(c0, c1), 1e-9) if c0 and c1 else 1.0
+        attempts.append({"drift": round(drift, 3), "control_sec": round(c0, 4),
+                         "timings": t, "medians": m})
+        for name, v in t.items():
+            timings[name] = min(v, timings.get(name, float("inf")))
+        if drift <= _CONTROL_DRIFT_GATE:
+            break
+    best = min(attempts, key=lambda a: a["drift"])
+    medians = best["medians"]
 
     print(
         json.dumps(
@@ -149,6 +209,16 @@ def main() -> None:
                     sum(v for k, v in medians.items() if k in R01_BASELINE_QUERIES), 4
                 ),
                 "queries_duckdb": _duckdb_timings(list(queries), sf_dir),
+                "protocol": (
+                    "per-query best-of-3..6 (spread-gated); sweeps "
+                    "bracketed by a DuckDB control query — control "
+                    f"drift >{_CONTROL_DRIFT_GATE} triggers a resweep "
+                    f"(max {_MAX_SWEEP_ATTEMPTS}); queries = best-of "
+                    "across attempts, medians from the quietest attempt"
+                ),
+                "sweep_attempts": [
+                    {k: a[k] for k in ("drift", "control_sec")} for a in attempts
+                ],
                 "sf": sf,
             }
         )

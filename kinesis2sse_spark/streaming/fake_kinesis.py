@@ -23,6 +23,18 @@ testable. This is test infrastructure, but it is also the working
 example of how a real connector slots into the seam: swap
 ``source_format="fake_kinesis"`` for the real format name and drop the
 ``recordsPath`` option.
+
+Resharding (round-8 addition, mirroring KCL shard-sync under shard
+split/merge, service.go:134-151): each record may carry a ``shard``
+field (default ``"0"``), and the streaming offset is a per-shard
+consumed-count map ``{"shards": {shard_id: n}}``. A shard id first
+seen in a later ``latestOffset`` poll — a child born from a split or
+merge — is absent from the start offset, and ``partitions`` treats the
+missing entry as 0: children are consumed from their TRIM_HORIZON,
+exactly the KCL rule, so a reshard can never drop records. Closed
+parents simply stop growing; their offset entries persist so no
+re-delivery occurs. ``test_kinesis_reshard_no_loss`` asserts the
+no-gap/no-dup invariant across a split and a merge.
 """
 
 from __future__ import annotations
@@ -44,8 +56,9 @@ SCHEMA = (
 
 def _load_records(path: str) -> list[dict]:
     """Read the backing stream file: one JSON object per line with
-    ``ts`` (ms since epoch), ``data`` (str), optional ``partitionKey``.
-    Line number = sequence number, so appends never renumber."""
+    ``ts`` (ms since epoch), ``data`` (str), optional ``partitionKey``
+    and ``shard`` (default "0"). Within a shard, arrival order = file
+    order, so appends never renumber earlier records."""
     out = []
     with open(path) as f:
         for line in f:
@@ -55,9 +68,18 @@ def _load_records(path: str) -> list[dict]:
     return out
 
 
+def _by_shard(recs: list[dict]) -> dict[str, list[dict]]:
+    """shard_id -> its records in file (= arrival) order."""
+    out: dict[str, list[dict]] = {}
+    for r in recs:
+        out.setdefault(str(r.get("shard", "0")), []).append(r)
+    return out
+
+
 class _Range(InputPartition):
-    def __init__(self, path: str, start: int, end: int) -> None:
+    def __init__(self, path: str, shard: str, start: int, end: int) -> None:
         self.path = path
+        self.shard = shard
         self.start = start
         self.end = end
 
@@ -72,37 +94,53 @@ class _FakeKinesisStreamReader(DataSourceStreamReader):
         pos = (options.get("startingPosition")
                or options.get("startingposition") or "LATEST").upper()
         ts_ms = options.get("startingTimestamp") or options.get("startingtimestamp")
-        n = len(_load_records(self._path))
+        shards = _by_shard(_load_records(self._path))
         if pos == "TRIM_HORIZON":
-            self._initial = 0
+            self._initial = {s: 0 for s in shards}
         elif pos == "AT_TIMESTAMP":
             if ts_ms is None:
                 raise ValueError("AT_TIMESTAMP requires startingTimestamp")
             want = int(ts_ms)
-            recs = _load_records(self._path)
-            self._initial = next(
-                (i for i, r in enumerate(recs) if int(r["ts"]) >= want), n
-            )
+            # per-shard seek, as the real service does shard-by-shard
+            self._initial = {
+                s: next(
+                    (i for i, r in enumerate(rs) if int(r["ts"]) >= want),
+                    len(rs),
+                )
+                for s, rs in shards.items()
+            }
         else:  # LATEST: records appended after query start
-            self._initial = n
+            self._initial = {s: len(rs) for s, rs in shards.items()}
 
     def initialOffset(self) -> dict:
-        return {"seq": self._initial}
+        return {"shards": self._initial}
 
     def latestOffset(self) -> dict:
-        return {"seq": len(_load_records(self._path))}
+        return {
+            "shards": {
+                s: len(rs) for s, rs in _by_shard(_load_records(self._path)).items()
+            }
+        }
 
     def partitions(self, start: dict, end: dict):
-        return [_Range(self._path, start["seq"], end["seq"])]
+        # A shard in `end` but not `start` was discovered mid-stream (a
+        # split/merge child): .get(s, 0) consumes it from TRIM_HORIZON,
+        # the KCL child-shard rule — a reshard can never drop records.
+        s0 = start["shards"]
+        return [
+            _Range(self._path, shard, s0.get(shard, 0), n)
+            for shard, n in end["shards"].items()
+            if n > s0.get(shard, 0)
+        ] or [_Range(self._path, "0", 0, 0)]  # Spark requires >=1 partition
 
     def read(self, partition: _Range):
-        recs = _load_records(partition.path)
-        for i in range(partition.start, min(partition.end, len(recs))):
-            r = recs[i]
+        rs = _by_shard(_load_records(partition.path)).get(partition.shard, [])
+        for i in range(partition.start, min(partition.end, len(rs))):
+            r = rs[i]
             yield (
-                str(r.get("partitionKey", "0")),
+                str(r.get("partitionKey", partition.shard)),
                 r["data"].encode("utf-8"),
-                str(i),
+                f"{partition.shard}:{i}",
                 datetime.fromtimestamp(int(r["ts"]) / 1000.0, tz=timezone.utc),
             )
 

@@ -520,6 +520,79 @@ def test_kinesis_seam_latest_skips_history(spark, tmp_path):
     assert got.count() == 0
 
 
+def test_kinesis_reshard_no_loss(spark, tmp_path):
+    """Shard split/merge mid-stream (KCL shard-sync, service.go:134-151):
+    a parent shard is consumed, then SPLITS into two children, which are
+    later MERGED into one — each reshard surfaces new shard ids between
+    micro-batches. The delivered set must have no gap and no duplicate:
+    every record exactly once, children consumed from TRIM_HORIZON even
+    though they were unknown at the start offset, closed parents never
+    re-delivered."""
+    import json
+
+    from kinesis2sse_spark.streaming import fake_kinesis
+    from kinesis2sse_spark.streaming.source import kinesis_stream
+
+    fake_kinesis.register(spark)
+    path = tmp_path / "stream.jsonl"
+    parent = [{"ts": 1000 * i, "data": f"p{i}", "shard": "shard-p"} for i in range(4)]
+    path.write_text("".join(json.dumps(r) + "\n" for r in parent))
+
+    df = kinesis_stream(
+        spark, "my-stream", "us-east-1",
+        start="trim_horizon",
+        source_format="fake_kinesis",
+        recordsPath=str(path),
+    )
+    q = (
+        df.selectExpr(
+            "CAST(data AS STRING) AS data", "sequenceNumber", "partitionKey"
+        )
+        .writeStream.format("memory")
+        .queryName("fk_reshard")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        # SPLIT: parent closes (no more appends), two children appear
+        children = [
+            {"ts": 5000 + 1000 * i, "data": f"c{i}", "shard": f"shard-c{i % 2}"}
+            for i in range(6)
+        ]
+        with open(path, "a") as f:
+            f.writelines(json.dumps(r) + "\n" for r in children)
+        q.processAllAvailable()
+
+        # MERGE: both children close, one merged shard appears
+        merged = [
+            {"ts": 20000 + 1000 * i, "data": f"m{i}", "shard": "shard-m"}
+            for i in range(3)
+        ]
+        with open(path, "a") as f:
+            f.writelines(json.dumps(r) + "\n" for r in merged)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM fk_reshard").collect()
+    want = [r["data"] for r in parent + children + merged]
+    got = [r["data"] for r in rows]
+    assert sorted(got) == sorted(want), "reshard lost or duplicated records"
+    # sequence numbers are shard-scoped and contiguous per shard
+    seqs = sorted((r["sequenceNumber"] for r in rows))
+    assert len(seqs) == len(set(seqs))
+    per_shard: dict = {}
+    for r in rows:
+        s, i = r["sequenceNumber"].split(":")
+        per_shard.setdefault(s, []).append(int(i))
+    for s, idxs in per_shard.items():
+        assert sorted(idxs) == list(range(len(idxs))), f"gap in shard {s}: {idxs}"
+    assert set(per_shard) == {"shard-p", "shard-c0", "shard-c1", "shard-m"}
+
+
 # ---- archive sink (exactly-once partitioned parquet) -----------------------
 
 
