@@ -104,15 +104,18 @@ def _run(fn, spark, sf_dir) -> float:
 # free.
 _CONTROL_SQL = (
     "SELECT count(*), sum(l_extendedprice * (1 - l_discount)), "
-    "count(DISTINCT l_partkey) FROM lineitem"
+    "count(DISTINCT l_partkey), count(DISTINCT l_orderkey), "
+    "median(l_extendedprice) FROM lineitem"
 )
 _CONTROL_DRIFT_GATE = 1.2
 _MAX_SWEEP_ATTEMPTS = 3
 
 
 def _control_sec(sf_dir: str) -> float:
-    """Median-of-3 of the fixed control query; 0.0 if DuckDB is absent
-    (the gate then degrades to a single ungated sweep)."""
+    """Median-of-5 of the fixed control query (~0.25 s quiet at sf0.1 —
+    long enough that a load spike can't hide between samples); 0.0 if
+    DuckDB is absent (the gate then degrades to a single ungated
+    sweep)."""
     try:
         import duckdb
     except ImportError:
@@ -123,7 +126,7 @@ def _control_sec(sf_dir: str) -> float:
         f"read_parquet('{sf_dir}/lineitem.parquet')"
     )
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         con.execute(_CONTROL_SQL).fetchall()
         runs.append(time.perf_counter() - t0)

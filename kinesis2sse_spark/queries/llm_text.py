@@ -1618,10 +1618,10 @@ def stats_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_perplexity_bigram",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Laplace-smoothed bigram NLL, shared verbatim by text_perplexity_bigram
+# and filter_perplexity_band so the model convention cannot drift
+# between the scorer and the band filter built on it.
+_PPL_ORACLE_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     pairs AS (
       SELECT doc_id, t[i] AS a, t[i + 1] AS b
       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
@@ -1642,12 +1642,21 @@ def stats_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cab ON cab.a = p.a AND cab.b = p.b
       JOIN uni ua ON ua.term = p.a
       CROSS JOIN vocab
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           floor(CAST(sum(c) AS DOUBLE) / 1000000000000 / count(*)
-                 * 1000000 + 0.5) / 1000000 AS nll
-    FROM scored GROUP BY doc_id
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             floor(CAST(sum(c) AS DOUBLE) / 1000000000000 / count(*)
+                   * 1000000 + 0.5) / 1000000 AS nll
+      FROM scored GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle=f"""
+    WITH {_PPL_ORACLE_CTES}
+    SELECT doc_id, n_bigrams, nll FROM perdoc
     """,
 )
 def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,6 +1717,97 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000
         ).alias("nll"),
+    )
+
+
+PPL_BAND_BUCKET = 1 << 28  # integer-NLL bucket for the two-level prefix rank
+PPL_BAND_NAMES = ("head", "middle", "tail")
+
+
+@register(
+    "filter_perplexity_band",
+    oracle=f"""
+    WITH {_PPL_ORACLE_CTES},
+    si AS (
+      SELECT doc_id, n_bigrams, nll,
+             CAST(floor(nll * 1000000 + 0.5) AS BIGINT) AS s
+      FROM perdoc
+    ),
+    h AS (SELECT s, count(*) AS c FROM si GROUP BY s),
+    r AS (
+      SELECT s, CAST(sum(c) OVER (ORDER BY s) - c AS BIGINT) AS less
+      FROM h
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM si),
+    bands AS (
+      SELECT s, CAST(least(2, less * 3 // n) AS BIGINT) AS band
+      FROM r, total
+    )
+    SELECT si.doc_id, si.n_bigrams, si.nll, b.band,
+           CASE b.band WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                       ELSE 'tail' END AS band_name
+    FROM si JOIN bands b USING (s)
+    """,
+)
+def filter_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail banding (Wenzek et al. 2020): score every
+    document with the corpus-trained bigram LM (text_perplexity_bigram,
+    shared CTE so the model convention cannot drift), then split the
+    corpus into perplexity TERCILES — head = most fluent third, kept
+    outright; middle = kept or re-sampled; tail = usually dropped. The
+    standard decision CCNet pipelines publish per language bucket.
+
+    The tercile rank is EXACT but never uses a corpus-sized
+    single-partition window: ranks come from the two-level distributed
+    prefix pattern (ml_auc_roc's machinery) — bucket the integer NLL by
+    div 2^28, cumulate bucket subtotals in a window over the tiny
+    bucket relation, broadcast the offsets back, and rank within
+    buckets only. The |distinct NLL| band table then broadcasts onto
+    the scored corpus, so at 100 TB the corpus-sized relations cross
+    one exchange (the NLL histogram's) and the banding itself is
+    map-side. Ties share a rank, hence a band, on both engines; the
+    band key is the exact integer floor(nll*1e6 + 0.5), immune to the
+    (k/1e6)*1e6 ulp trap."""
+    from pyspark import StorageLevel
+
+    perdoc = text_perplexity_bigram(spark, sf_dir)
+    si = perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        "nll",
+        F.floor(F.col("nll") * 1000000 + F.lit(0.5)).cast("bigint").alias("s"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    h = si.groupBy("s").agg(F.count("*").alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ks = h.withColumn("k", F.expr(f"s div {PPL_BAND_BUCKET}"))
+    koff = ks.groupBy("k").agg(F.sum("c").alias("kc"))
+    wk = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = koff.select("k", (F.sum("kc").over(wk) - F.col("kc")).alias("off"))
+    ww = (
+        Window.partitionBy("k")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = ks.join(F.broadcast(off), "k").select(
+        "s",
+        (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
+    )
+    total = si.agg(F.count("*").cast("bigint").alias("n"))
+    bands = ranked.crossJoin(F.broadcast(total)).select(
+        "s",
+        F.least(F.lit(2), F.expr("(less * 3) div n")).cast("bigint").alias("band"),
+    )
+    name = (
+        F.when(F.col("band") == 0, PPL_BAND_NAMES[0])
+        .when(F.col("band") == 1, PPL_BAND_NAMES[1])
+        .otherwise(PPL_BAND_NAMES[2])
+    )
+    return si.join(F.broadcast(bands), "s").select(
+        "doc_id", "n_bigrams", "nll", "band", name.alias("band_name")
     )
 
 
@@ -2574,4 +2674,66 @@ def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
             )
             / 1000000
         ).alias("pad_frac_unbucketed"),
+    )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(string_split(text, ' ')) AS st,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(list_distinct(st)) AS BIGINT) AS n_types,
+           CAST(len(list_filter(range(1, n_tokens + 1),
+                  i -> (i = 1 OR st[i] != st[i-1])
+                   AND (i = n_tokens OR st[i] != st[i+1])))
+             AS BIGINT) AS n_hapax,
+           floor(len(list_distinct(st)) * 1000000.0 / n_tokens + 0.5)
+             / 1000000 AS ttr
+    FROM t WHERE n_tokens > 0
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals: per-document type-token ratio
+    (distinct/total tokens — low TTR flags keyword-stuffed or template
+    text) and hapax-legomena count (tokens occurring exactly once —
+    high hapax mass marks gibberish/OCR noise, near-zero marks
+    boilerplate). Both are standard corpus-quality features alongside
+    text_quality_score's length/punct ratios and feed the same
+    downstream percentile filter.
+
+    Everything is per-row array arithmetic inside whole-stage codegen —
+    sort the token array once, then hapax = elements differing from
+    BOTH neighbors in sorted order (O(n log n) per doc, never the
+    O(n²) count-each-token form) — so the operator is shuffle-free and
+    embarrassingly parallel at any corpus size. TTR floor-quantizes at
+    1e6 from an exact integer pair."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.array_sort(toks).alias("st"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    neighbors_differ = (
+        "size(filter(sequence(1, int(n_tokens)), i -> "
+        "(i = 1 OR element_at(st, i) != element_at(st, i - 1)) "
+        "AND (i = int(n_tokens) OR element_at(st, i) != element_at(st, i + 1))))"
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("st")).cast("bigint").alias("n_types"),
+        F.expr(neighbors_differ).cast("bigint").alias("n_hapax"),
+        (
+            F.floor(
+                F.size(F.array_distinct("st")) * 1000000.0 / F.col("n_tokens")
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("ttr"),
     )

@@ -439,3 +439,91 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     ).select("event_id", "user_id", "ts", "dim_value")
     return run_to_memory(joined, _qname("pit"), "append")
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'signup'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 4 HOURS AS w
+    ),
+    matched AS (
+      SELECT s.user_id,
+             s.event_id AS signup_event_id,
+             p.event_id AS purchase_event_id,
+             round(p.value, 2) AS purchase_value
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+       AND s.event_type = 'signup' AND p.event_type = 'purchase'
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOURS
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT s.user_id, s.event_id AS signup_event_id,
+           CAST(NULL AS BIGINT) AS purchase_event_id,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM events s CROSS JOIN wm
+    WHERE s.event_type = 'signup'
+      AND s.ts + INTERVAL 2 HOURS < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM matched m WHERE m.signup_event_id = s.event_id
+      )
+    """,
+)
+def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the conversion-funnel
+    shape "every signup, with its purchase if one came within 2 hours":
+    matched pairs emit immediately, but an UNMATCHED signup can only
+    emit its null row once the watermark proves no purchase can still
+    arrive for it (s_ts + 2h < watermark). That expiry-driven null
+    emission is a genuinely different semantic class from the inner
+    join: state must hold every unmatched left row until the global
+    watermark — min across BOTH inputs' (max event time − 4h) — passes
+    its match horizon, and Spark emits the nulls in the no-data batch
+    that advances the watermark. The oracle replays exactly that rule:
+    matched pairs, plus unmatched signups whose horizon expired; late
+    signups (within 4h+2h of stream end) stay in state and are
+    correctly ABSENT from both sides. Same bounded-state story as the
+    inner join at 100 TB: the time-range condition lets both sides
+    evict as the watermark advances."""
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    return run_to_memory(
+        joined.select(
+            F.col("s_user").alias("user_id"),
+            "signup_event_id",
+            "purchase_event_id",
+            F.round("value", 2).alias("purchase_value"),
+        ),
+        _qname("ssj_lo"),
+        "append",
+        shuffle_partitions=8,
+    )

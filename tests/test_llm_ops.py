@@ -1082,3 +1082,130 @@ def test_source_binary_files_staging_is_bounded(spark):
             assert "driver" in str(e)
         else:
             raise AssertionError("widened staging collect did not trip the guard")
+
+
+def test_semantic_dedup_matches_python_model(spark):
+    """Replay SemDeDup in pure Python (numpy assignment + pairwise
+    cosine) and compare kept/removed sets exactly."""
+    import numpy as np
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_dedup import (
+        SEMDEDUP_CELLS,
+        SEMDEDUP_TAU,
+        dedup_semantic_clusters,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    # nearest seed, tiebreak smallest cell (round cosine first, as both
+    # engines do)
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            (cell for cell in range(SEMDEDUP_CELLS)),
+            key=lambda c: (cos(v, vecs[c]), -c),
+        )
+        assign[vid] = best
+    removed = set()
+    for vid, v in vecs.items():
+        for other, w in vecs.items():
+            if other < vid and assign[other] == assign[vid] and cos(v, w) >= SEMDEDUP_TAU:
+                removed.add(vid)
+                break
+
+    got = {r["vec_id"]: (r["cell"], r["is_kept"]) for r in
+           dedup_semantic_clusters(spark, SF_SMOKE).collect()}
+    assert set(got) == set(vecs)
+    for vid, (cell, kept) in got.items():
+        assert cell == assign[vid], f"vec {vid}: cell {cell} != model {assign[vid]}"
+        assert kept == (vid not in removed), f"vec {vid}: kept flag diverges"
+    assert removed, "fixture should produce at least one removal"
+
+
+def test_perplexity_band_is_monotone_and_balanced(spark):
+    """Bands must be monotone in nll (head <= middle <= tail) and the
+    tercile sizes exact up to tie granularity: every doc strictly below
+    a band's docs sits in a lower-or-equal band, and band boundaries
+    fall at floor(rank*3/n)."""
+    from kinesis2sse_spark.queries.llm_text import filter_perplexity_band
+
+    rows = filter_perplexity_band(spark, SF_SMOKE).collect()
+    assert rows
+    by_nll = sorted(rows, key=lambda r: (r["nll"], r["doc_id"]))
+    # monotone: band never decreases as nll rises
+    bands = [r["band"] for r in by_nll]
+    assert all(a <= b for a, b in zip(bands, bands[1:], strict=False))
+    # ties share a band
+    from collections import defaultdict
+
+    nll_band = defaultdict(set)
+    for r in rows:
+        nll_band[r["nll"]].add(r["band"])
+    assert all(len(s) == 1 for s in nll_band.values())
+    # exact rank rule: band = min(2, 3 * (#docs with strictly smaller nll) // n)
+    n = len(rows)
+    import bisect
+
+    nlls = sorted(r["nll"] for r in rows)
+    for r in rows:
+        less = bisect.bisect_left(nlls, r["nll"])
+        assert r["band"] == min(2, less * 3 // n)
+        assert r["band_name"] == ("head", "middle", "tail")[r["band"]]
+
+
+def test_lexical_diversity_python_model_and_edges(spark):
+    """Counter-based model over the fixture docs, plus the degenerate
+    shapes: all-same-token text and all-distinct text."""
+    from collections import Counter
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import text_lexical_diversity
+
+    got = {r["doc_id"]: r for r in text_lexical_diversity(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    assert set(got) == {d["doc_id"] for d in docs}
+    import math
+
+    for d in docs:
+        c = Counter(d["text"].split(" "))
+        r = got[d["doc_id"]]
+        n = sum(c.values())
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(c)
+        assert r["n_hapax"] == sum(1 for v in c.values() if v == 1)
+        assert r["ttr"] == math.floor(len(c) * 1e6 / n + 0.5) / 1e6
+    # degenerate shapes never divide by zero or drop rows
+    extremes = spark.createDataFrame(
+        [(100000, "x x x x x"), (100001, "a b c d e")], "doc_id long, text string"
+    )
+    from unittest import mock
+
+    from kinesis2sse_spark.queries import llm_text
+
+    with mock.patch.object(llm_text, "load_table", return_value=extremes):
+        rows = {r["doc_id"]: r for r in
+                text_lexical_diversity(spark, SF_SMOKE).collect()}
+    assert rows[100000]["n_types"] == 1 and rows[100000]["n_hapax"] == 0
+    assert rows[100001]["n_types"] == 5 and rows[100001]["n_hapax"] == 5
+
+
+def test_stream_stream_left_outer_null_rows_are_exclusive(spark):
+    """A signup emits EITHER matched rows or exactly one null row, never
+    both; matched purchase values are non-null."""
+    from kinesis2sse_spark.registry import all_queries
+
+    rows = all_queries()["streaming_stream_stream_left_outer"](
+        spark, SF_SMOKE
+    ).collect()
+    matched = {r["signup_event_id"] for r in rows if r["purchase_event_id"] is not None}
+    null_rows = [r for r in rows if r["purchase_event_id"] is None]
+    assert matched and null_rows, "fixture should exercise both emission paths"
+    null_ids = [r["signup_event_id"] for r in null_rows]
+    assert len(null_ids) == len(set(null_ids)), "duplicate null emission"
+    assert not (matched & set(null_ids)), "signup emitted both matched and null"
+    assert all(r["purchase_value"] is None for r in null_rows)

@@ -913,3 +913,55 @@ def test_range_search_has_no_window_or_shuffle(spark):
     assert "Window" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semantic_dedup_broadcasts_seeds_and_blocks_pairs(spark):
+    """dedup_semantic_clusters (SemDeDup): the seed centroids must
+    BROADCAST onto the corpus scan (k x dim, never a corpus shuffle for
+    assignment), and the within-cell pair stage must be an equi-join on
+    the cell key (pairs expand inside hash groups) — no CartesianProduct
+    / BroadcastNestedLoopJoin anywhere."""
+    plan = _plan(spark, "dedup_semantic_clusters")
+    # assignment: corpus x seeds is a broadcast cross-join against the
+    # 8-row seed relation (BNLJ BuildRight over a BroadcastExchange —
+    # the ml_kmeans_assign plan), never a CartesianProduct
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # pair stage: an EQUI-join keyed on the cell id (hash/sort-merge),
+    # so pair expansion happens inside hash groups, never corpus x corpus
+    import re
+
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cell#\d+L\], \[cell#\d+L\]", plan), (
+        "within-cell pair stage must equi-join on the cell key"
+    )
+
+
+def test_perplexity_band_never_single_partition_windows(spark):
+    """filter_perplexity_band: every Window in the plan must be
+    partitioned (the two-level prefix rank) — a corpus-sized
+    single-partition window is the scale failure this operator exists
+    to avoid. The tiny bucket-offset window over the |buckets| relation
+    is the one allowed unpartitioned window; it must sit on a relation
+    bounded by the bucket count, which the plan shows as a
+    HashAggregate feeding it."""
+    plan = _plan(spark, "filter_perplexity_band")
+    import re
+
+    # unpartitioned windows: "Window [...], [k ASC..." has no
+    # "partitionBy"-style spec; in the text form a partitioned window
+    # prints as 'Window [...], [col1], [col2 ASC...]' (3 bracket groups)
+    # and an unpartitioned one as 'Window [...], [ord ASC...]' (2).
+    unpart = [
+        l for l in plan.splitlines()
+        if re.search(r"^\s*[:+\-\s]*\*?\(?\d*\)?\s*Window \[", l)
+        and ", [" in l and l.count("], [") == 1
+    ]
+    # at most the bucket-offset window is unpartitioned
+    assert len(unpart) <= 1, f"unexpected unpartitioned windows: {unpart}"
+
+
+def test_lexical_diversity_is_shuffle_free(spark):
+    """text_lexical_diversity is per-row array arithmetic: the plan must
+    contain NO exchange of any kind."""
+    plan = _plan(spark, "text_lexical_diversity")
+    assert "Exchange" not in plan
