@@ -877,3 +877,124 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
             break
     und.unpersist()
     return state
+
+
+@register(
+    "graph_source_modularity",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    {_UND_CTE},
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    nodesrc AS (
+      SELECT DISTINCT u.src AS node, d.source
+      FROM und u JOIN documents d ON d.doc_id = u.src
+    ),
+    intra AS (
+      SELECT da.source, CAST(count(*) AS BIGINT) AS e_c
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+      WHERE da.source = db.source
+      GROUP BY da.source
+    ),
+    degsum AS (
+      SELECT ns.source, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(dg.d) AS BIGINT) AS degree_sum
+      FROM nodesrc ns JOIN deg dg ON dg.node = ns.node
+      GROUP BY ns.source
+    )
+    SELECT ds.source, ds.n_nodes,
+           CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+           ds.degree_sum,
+           floor(CAST(4 * coalesce(i.e_c, 0) * m.m
+                      - ds.degree_sum * ds.degree_sum AS DOUBLE)
+                 / (4.0 * m.m * m.m) * 1000000 + 0.5) / 1000000
+             AS modularity_term
+    FROM degsum ds LEFT JOIN intra i ON i.source = ds.source CROSS JOIN m
+    """,
+)
+def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup graph under the SOURCE
+    partition: per source c, the term e_c/m - (D_c/2m)² — positive
+    means duplication concentrates INSIDE that source (crawl-internal
+    boilerplate, safe to dedup per-source), negative/zero means the
+    source's duplicates mostly cross into others (the contamination
+    shape dedup_cross_source_overlap censuses pair-by-pair; this is its
+    one-row-per-source scorecard, Σ terms = the partition's Q). The
+    graph relations (pairs, und, deg) are cluster-bounded — tiny next
+    to the corpus — and the source labels arrive by joining the
+    graph-node relation to the documents scan, so at 100 TB the only
+    corpus-sized cost is the pair generation this shares with every
+    other graph operator. Numerators are exact BIGINT cross-products
+    (4·e_c·m − D_c²; int64-exact through ~1.5e9 edges), divided and
+    floor-quantized at 1e6 once."""
+    from pyspark import StorageLevel
+
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    m = pairs.agg(F.count("*").cast("bigint").alias("m"))
+    docsrc = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    nodesrc = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .join(docsrc, F.col("node") == F.col("doc_id"))
+        .select("node", "source")
+    )
+    intra = (
+        pairs.join(
+            F.broadcast(docsrc.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(docsrc.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))),
+            "b",
+        )
+        .filter(F.col("src_a") == F.col("src_b"))
+        .groupBy(F.col("src_a").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    degsum = (
+        nodesrc.join(F.broadcast(deg), "node")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    num = (
+        F.lit(4) * F.coalesce(F.col("e_c"), F.lit(0)) * F.col("m")
+        - F.col("degree_sum") * F.col("degree_sum")
+    ).cast("bigint")
+    return (
+        degsum.join(intra, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("intra_edges"),
+            "degree_sum",
+            (
+                F.floor(
+                    num.cast("double")
+                    / (4.0 * F.col("m") * F.col("m"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("modularity_term"),
+        )
+    )

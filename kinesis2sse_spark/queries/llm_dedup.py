@@ -1118,12 +1118,26 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tractable for LAION/LLM-scale corpora. Cell count scales with the
 # corpus so per-cell membership stays bounded; the pairwise stage is
 # Σ O(m_i²), never O(n²). Seeds follow the ml_kmeans_assign convention
-# (deterministic: vec_id < SEMDEDUP_CELLS). The fixture embeddings are
+# (deterministic: vec_id < cells). The fixture embeddings are
 # spread (max pairwise cosine ~0.5), so the threshold is calibrated to
 # the corpus; production uses ~0.95+ on real embeddings — the plan is
 # identical, only the literal changes.
-SEMDEDUP_CELLS = 8
 SEMDEDUP_TAU = 0.40
+
+# Corpus-adaptive cell count ~ sqrt(n): assignment costs n*k and the
+# within-cell pairwise stage costs ~n²/k, so k = sqrt(n) balances them
+# at 2*n^1.5 total — the reason SemDeDup stays tractable while growing.
+# The rule is a PURE-INTEGER power-of-4 threshold ladder (cells = 2^k
+# for n in [4^k, 4^(k+1))), inlined as literals in BOTH engines — never
+# log()/sqrt() at query time, whose FP behavior at exact boundaries is
+# engine-specific (the fixed-lookup-table convention). Ladder capped at
+# 2^20 cells (n ~ 1.1e12 vectors) — raise the range if corpora outgrow it.
+_SEMDEDUP_LADDER = [(4**k, 2**k) for k in range(20, 3, -1)]
+_SEMDEDUP_CELLS_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n >= {t} THEN {c}" for t, c in _SEMDEDUP_LADDER)
+    + " ELSE 8 END"
+)
 
 
 @register(
@@ -1132,8 +1146,12 @@ SEMDEDUP_TAU = 0.40
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
+    k AS (
+      SELECT {_SEMDEDUP_CELLS_SQL} AS cells
+      FROM (SELECT count(*) AS n FROM corpus)
+    ),
     seeds AS (
-      SELECT vec_id AS cell, v AS cv FROM corpus WHERE vec_id < {SEMDEDUP_CELLS}
+      SELECT vec_id AS cell, v AS cv FROM corpus, k WHERE vec_id < k.cells
     ),
     scored AS (
       SELECT c.vec_id, s.cell,
@@ -1170,12 +1188,23 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id, so pairs only materialize inside hash groups — the same
     bounded-block shape as dedup_embedding_cosine, with the blocks
     LEARNED from geometry instead of requiring a label column. At
-    100 TB: centroids stay broadcast-sized (k grows with the corpus to
-    hold cells bounded), the corpus shuffles ONCE on the cell key, and
-    the within-cell pair expansion is capacity-planned by the cell-size
-    histogram (sim_ivf_index_stats is exactly that report). Cosine
-    rounds at 1e-6 on both sides before every comparison (FP ladder
-    rung 1)."""
+    100 TB: the cell count follows the integer sqrt-ladder (k ~ sqrt(n)
+    balances the n*k assignment against the n²/k pairwise stage, and
+    the k x dim seed relation stays broadcastable through 2^20 cells),
+    the corpus shuffles ONCE on the cell key, and the within-cell pair
+    expansion is capacity-planned by the cell-size histogram
+    (sim_ivf_index_stats is exactly that report). Cosine rounds at 1e-6
+    on both sides before every comparison (FP ladder rung 1).
+
+    Scale honesty: EXACT SemDeDup is Θ(n^1.5) total work by
+    construction (both balanced stages grow as n·sqrt(n)); the measured
+    10x->100x scale-curve leg is 22.9x, under the theoretical 31.6x
+    (artifacts/SCALE_CURVE_r08_semdedup.json) and embarrassingly
+    parallel — the work spreads evenly over cells, so wall-clock rides
+    executor count. When n^1.5 total work is too much, the published
+    remedy is approximate assignment + per-cell shortlists — exactly
+    the sim_topk_ivf machinery in this repo — which trades the
+    byte-exact oracle for a recall contract."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select(
         "vec_id",
@@ -1183,10 +1212,17 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     )
-    seeds = corpus.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
+    k = corpus.agg(F.count("*").alias("n")).select(
+        F.expr(_SEMDEDUP_CELLS_SQL).alias("cells")
+    )
+    seeds = (
+        corpus.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("cells"))
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
     )
     dot_seed = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x

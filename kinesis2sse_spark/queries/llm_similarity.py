@@ -1923,3 +1923,141 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= RANGE_COS_MIN)
     )
+
+
+# Matryoshka (MRL) truncation ladder: retrieval quality of PREFIX-dim
+# embeddings vs the full vector — the report that decides how small the
+# stored/scanned vectors can go (truncating a Matryoshka-trained
+# embedding to its first d dims is the standard storage/latency lever;
+# this measures exactly what it costs on THIS corpus).
+MRL_DIMS = (8, 16, 32)
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest({list(MRL_DIMS)}) AS d),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+                WHERE vec_id < {N_QUERIES}),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+                          c.vec_id) AS rn
+        FROM queries q JOIN corpus c ON c.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    trunc_top AS (
+      SELECT d, query_id, neighbor_id FROM (
+        SELECT dims.d, q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY dims.d, q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.qv[1:dims.d], c.v[1:dims.d]), 6) DESC,
+                          c.vec_id) AS rn
+        FROM dims, queries q JOIN corpus c ON c.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+      SELECT t.d, t.query_id, count(*) AS n_hits
+      FROM trunc_top t JOIN full_top f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY t.d, t.query_id
+    ),
+    per_q AS (
+      SELECT dims.d, q.query_id, coalesce(h.n_hits, 0) AS n_hits
+      FROM dims CROSS JOIN queries q
+      LEFT JOIN hits h ON h.d = dims.d AND h.query_id = q.query_id
+    )
+    SELECT CAST(d AS BIGINT) AS dim_prefix,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           floor(CAST(sum(n_hits) AS DOUBLE) * 1000000
+                 / (count(*) * {TOP_K}) + 0.5) / 1000000 AS mean_recall
+    FROM per_q GROUP BY d
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation recall ladder (Matryoshka embeddings): for each
+    prefix length in MRL_DIMS, run the exact top-{TOP_K} search on
+    TRUNCATED vectors and report mean recall@{TOP_K} against the
+    full-dimension top-k. The whole ladder is ONE plan: the corpus scan
+    crossJoins the broadcast (query x dim) relation, slices the prefix
+    per row, and ranks with a (dim, query)-partitioned WindowGroupLimit
+    — so measuring 3 truncation levels costs one corpus pass, not
+    three. At 100 TB the economics are the point: if recall@8-dims
+    clears the product bar, the scan table shrinks 8x. Cosines round at
+    1e-6 before ranking on both engines; ties break on neighbor id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("d")
+    )
+    qd = queries.crossJoin(dims)
+
+    def cos_prefix(qcol, ccol, d):
+        qs = F.slice(qcol, F.lit(1), d)
+        cs = F.slice(ccol, F.lit(1), d)
+        dot = F.aggregate(
+            F.zip_with(qs, cs, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        nq = F.sqrt(F.aggregate(qs, F.lit(0.0), lambda a, x: a + x * x))
+        nc = F.sqrt(F.aggregate(cs, F.lit(0.0), lambda a, x: a + x * x))
+        return F.round(dot / (nq * nc), 6)
+
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    full_top = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_prefix(F.col("qv"), F.col("v"), F.lit(64)).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    w_trunc = Window.partitionBy("d", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    trunc_top = (
+        corpus.join(F.broadcast(qd), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "d",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_prefix(F.col("qv"), F.col("v"), F.col("d")).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_trunc))
+        .filter(F.col("rn") <= TOP_K)
+        .select("d", "query_id", "neighbor_id")
+    )
+    hits = trunc_top.join(full_top, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "d", "query_id"
+    ).agg(F.count("*").alias("n_hits"))
+    per_q = (
+        dims.crossJoin(queries.select("query_id"))
+        .join(hits, ["d", "query_id"], "left")
+        .select("d", "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return per_q.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        (
+            F.floor(
+                F.sum("n_hits").cast("double") * 1000000 / (F.count("*") * TOP_K)
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_recall"),
+    ).select(F.col("d").cast("bigint").alias("dim_prefix"), "n_queries", "mean_recall")

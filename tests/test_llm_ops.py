@@ -1091,13 +1091,14 @@ def test_semantic_dedup_matches_python_model(spark):
 
     from kinesis2sse_spark.catalog import load_table
     from kinesis2sse_spark.queries.llm_dedup import (
-        SEMDEDUP_CELLS,
+        _SEMDEDUP_LADDER,
         SEMDEDUP_TAU,
         dedup_semantic_clusters,
     )
 
     rows = load_table(spark, SF_SMOKE, "embeddings").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    n_cells = next((c for t, c in _SEMDEDUP_LADDER if len(vecs) >= t), 8)
 
     def cos(a, b):
         return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
@@ -1107,7 +1108,7 @@ def test_semantic_dedup_matches_python_model(spark):
     assign = {}
     for vid, v in vecs.items():
         best = max(
-            (cell for cell in range(SEMDEDUP_CELLS)),
+            (cell for cell in range(n_cells)),
             key=lambda c: (cos(v, vecs[c]), -c),
         )
         assign[vid] = best
@@ -1209,3 +1210,100 @@ def test_stream_stream_left_outer_null_rows_are_exclusive(spark):
     assert len(null_ids) == len(set(null_ids)), "duplicate null emission"
     assert not (matched & set(null_ids)), "signup emitted both matched and null"
     assert all(r["purchase_value"] is None for r in null_rows)
+
+
+def test_matryoshka_recall_model_and_monotonicity(spark):
+    """Python/numpy replay of the truncation ladder at SF_SMOKE, plus
+    the sanity property that the full-prefix recall of dim=64 would be
+    1.0 (checked implicitly: hits of each ladder rung never exceed
+    TOP_K) and every rung reports over the same query set."""
+    import numpy as np
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+        sim_matryoshka_recall,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def topk(d):
+        out = {}
+        for q in range(N_QUERIES):
+            scored = []
+            for vid, v in vecs.items():
+                if vid == q:
+                    continue
+                a, b = vecs[q][:d], v[:d]
+                c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+                scored.append((-c, vid))
+            scored.sort()
+            out[q] = {vid for _, vid in scored[:TOP_K]}
+        return out
+
+    full = topk(64)
+    import math
+
+    want = {}
+    for d in MRL_DIMS:
+        t = topk(d)
+        hits = sum(len(t[q] & full[q]) for q in range(N_QUERIES))
+        want[d] = math.floor(hits * 1e6 / (N_QUERIES * TOP_K) + 0.5) / 1e6
+
+    got = {r["dim_prefix"]: r for r in sim_matryoshka_recall(spark, SF_SMOKE).collect()}
+    assert set(got) == set(MRL_DIMS)
+    for d in MRL_DIMS:
+        assert got[d]["n_queries"] == N_QUERIES
+        assert got[d]["mean_recall"] == want[d], (
+            f"dim {d}: {got[d]['mean_recall']} != model {want[d]}"
+        )
+
+
+def test_source_modularity_terms_sum_to_q(spark):
+    """The per-source terms must reconstruct Newman's Q for the source
+    partition, recomputed from the raw pair list in Python; Q is in
+    [-1, 1] and each term's integer pieces match a hand count."""
+    from collections import defaultdict
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.graph import graph_source_modularity
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    ]
+    src = {
+        r["doc_id"]: r["source"]
+        for r in load_table(spark, SF_SMOKE, "documents").collect()
+    }
+    m = len(pairs)
+    deg = defaultdict(int)
+    intra = defaultdict(int)
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+        if src[a] == src[b]:
+            intra[src[a]] += 1
+    dsum = defaultdict(int)
+    nodes = defaultdict(int)
+    for node, d in deg.items():
+        dsum[src[node]] += d
+        nodes[src[node]] += 1
+
+    got = {r["source"]: r for r in graph_source_modularity(spark, SF_SMOKE).collect()}
+    assert set(got) == set(dsum)
+    import math
+
+    q_total = 0.0
+    for s, r in got.items():
+        assert r["n_nodes"] == nodes[s]
+        assert r["intra_edges"] == intra.get(s, 0)
+        assert r["degree_sum"] == dsum[s]
+        term = (4 * intra.get(s, 0) * m - dsum[s] ** 2) / (4.0 * m * m)
+        assert r["modularity_term"] == math.floor(term * 1e6 + 0.5) / 1e6
+        q_total += term
+    assert -1.0 <= q_total <= 1.0

@@ -965,3 +965,23 @@ def test_lexical_diversity_is_shuffle_free(spark):
     contain NO exchange of any kind."""
     plan = _plan(spark, "text_lexical_diversity")
     assert "Exchange" not in plan
+
+
+def test_matryoshka_ladder_is_one_corpus_pass(spark):
+    """sim_matryoshka_recall: the (query x dim) relation broadcasts onto
+    the corpus scan and per-(dim, query) top-k prunes below the shuffle
+    (WindowGroupLimit) — measuring all truncation levels must never
+    rescan or cross-join the corpus."""
+    plan = _plan(spark, "sim_matryoshka_recall")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_modularity_graph_relations_cached(spark):
+    """graph_source_modularity: the pair list is persisted (it feeds
+    und/deg/intra/m — four consumers over the expensive near-dup
+    pipeline) and the doc->source dim broadcasts onto it."""
+    plan = _plan(spark, "graph_source_modularity")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan

@@ -59,6 +59,9 @@ QUERIES = (
     "text_boilerplate_fraction",
     "dedup_cross_source_overlap",
     "graph_bfs_hops",
+    # round-8 addition: SemDeDup — the sqrt-ladder cell count must keep
+    # the within-cell pairwise stage near-linear as the corpus grows
+    "dedup_semantic_clusters",
 )
 
 
