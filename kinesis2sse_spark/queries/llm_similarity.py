@@ -2061,3 +2061,157 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("mean_recall"),
     ).select(F.col("d").cast("bigint").alias("dim_prefix"), "n_queries", "mean_recall")
+
+
+# Logistic probe by GRADIENT DESCENT — deliberately the OTHER training
+# shape vs ml_ridge_probe_train's normal equations: GD rescans the
+# corpus per step (2 bounded passes each), which is exactly what you
+# buy when the loss is non-quadratic or d is too large for the d² gram
+# relation. The link is the HARD sigmoid clamp(u/4 + 0.5, 0, 1): pure
+# arithmetic, so no engine-specific exp()/ln() ever runs at query time
+# (the fixed-function-table rule) and the oracle stays byte-exact.
+LOGIT_STEPS = 3
+LOGIT_ETA = 0.5   # exact in binary
+LOGIT_L2 = 0.01
+LOGIT_POS_LABEL_MIN = 5  # y = 1 iff label >= 5 (ml_eval convention)
+
+
+_LOGIT_ORACLE = f"""
+WITH RECURSIVE nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+w(it, wv) AS (
+  SELECT 0, list_transform(range(64), d -> CAST(0.0 AS DOUBLE))
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(64), d ->
+           floor((wv[d+1] - {LOGIT_ETA} * (g[d+1] + {LOGIT_L2} * wv[d+1]))
+                 * 1000000000 + 0.5) / 1000000000)
+  FROM (
+    SELECT it, wv, list(gd ORDER BY d) AS g
+    FROM (
+      SELECT w.it AS it, w.wv AS wv, dd.d AS d,
+             CAST(sum(CAST(floor(CAST(e.embedding[dd.d + 1] AS DOUBLE) * m.r
+                                 * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT)
+               / 1000000000000.0 / max(nn.n) AS gd
+      FROM w
+      CROSS JOIN LATERAL (
+        SELECT vec_id,
+               greatest(0.0, least(1.0,
+                 CAST(CAST(list_sum(list_transform(
+                        list_zip(CAST(embedding AS DOUBLE[]), w.wv),
+                        p -> CAST(floor(p[1] * p[2] * 1000000000000 + 0.5)
+                               AS BIGINT)))
+                   AS BIGINT) AS DOUBLE)
+                 / 1000000000000 / 4.0 + 0.5))
+               - CASE WHEN label >= {LOGIT_POS_LABEL_MIN} THEN 1.0 ELSE 0.0 END AS r
+        FROM embeddings
+      ) m
+      JOIN embeddings e ON e.vec_id = m.vec_id
+      CROSS JOIN nn,
+      LATERAL (SELECT unnest(range(64)) AS d) dd
+      WHERE w.it < {LOGIT_STEPS}
+      GROUP BY w.it, w.wv, dd.d
+    ) per_d
+    GROUP BY it, wv
+  ) s
+)
+SELECT CAST(t.d AS BIGINT) AS dim, wv[t.d + 1] AS weight
+FROM w, LATERAL (SELECT unnest(range(64)) AS d) t
+WHERE it = {LOGIT_STEPS}
+"""
+
+
+@register("ml_logistic_probe_gd", oracle=_LOGIT_ORACLE)
+def ml_logistic_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic probe trained by {LOGIT_STEPS} full-batch gradient
+    steps with L2 decay: w <- w - eta*(X'(p - y)/n + lambda*w), where
+    p = hard_sigmoid(x·w). Complements ml_ridge_probe_train by
+    demonstrating the rescan-per-step training shape Spark ML itself
+    uses (LBFGS/GD): per step the CACHED exploded corpus is touched
+    twice — a margin pass (dot against the broadcast 64-row weight
+    relation) and a gradient pass — and nothing corpus-sized ever
+    crosses an exchange on a new key: the exploded relation is
+    repartitioned ONCE by vec_id at build time, so both the per-vec
+    margin aggregate and the (vec_id)-keyed residual join reuse that
+    partitioning every step; only the n-row residual relation shuffles
+    per step. At 100 TB: steps x 2 map-side passes, weights broadcast,
+    gradient reduces to 64 rows.
+
+    Determinism ladder: per-term products floor-quantize at 1e-12
+    before order-free integer sums (margins AND gradients), the hard
+    sigmoid is pure arithmetic (u/4 is exact in binary; no exp), eta =
+    0.5 is exact, and the iterate re-quantizes at 1e-9 per step; the
+    oracle replays all steps in one recursive CTE over a LIST-typed
+    weight state (list_zip keeps the correlation outside the lambda —
+    DuckDB lambdas cannot capture outer columns). Byte-exact tri-scale."""
+    from pyspark import StorageLevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = (
+        e.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "d", "x"
+            ),
+        )
+        .select("vec_id", F.col("d").cast("bigint").alias("d"), "x")
+        .repartition("vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ylab = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        (F.col("label") >= LOGIT_POS_LABEL_MIN).cast("double").alias("y"),
+    )
+    nn = e.agg(F.count("*").cast("double").alias("n"))
+    w_rel = spark.range(64).select(
+        F.col("id").alias("d"), F.lit(0.0).alias("wv")
+    )
+    q12 = F.lit(1000000000000)
+    for _ in range(LOGIT_STEPS):
+        u = (
+            ed.join(F.broadcast(w_rel), "d")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.col("wv") * q12 + F.lit(0.5)).cast("long")
+                ).alias("uq")
+            )
+        )
+        p = F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.col("uq").cast("double") / 1000000000000 / 4.0 + 0.5,
+            ),
+        )
+        r = u.join(ylab, "vec_id").select("vec_id", (p - F.col("y")).alias("r"))
+        grad = (
+            ed.join(r, "vec_id")
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * F.col("r") * q12 + F.lit(0.5)).cast("long")
+                ).alias("gq")
+            )
+        )
+        gd = F.col("gq").cast("double") / 1000000000000 / F.col("n")
+        w_rel = (
+            w_rel.join(grad, "d")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "d",
+                (
+                    F.floor(
+                        (
+                            F.col("wv")
+                            - LOGIT_ETA * (gd + LOGIT_L2 * F.col("wv"))
+                        )
+                        * 1000000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000000
+                ).alias("wv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ed.unpersist()
+    return w_rel.select(F.col("d").cast("bigint").alias("dim"), F.col("wv").alias("weight"))

@@ -581,3 +581,46 @@ def test_mann_whitney_u_matches_pairwise_definition(spark):
     var = n1 * n0 / 12.0 * ((nd + 1.0) - tie3 / (nd * (nd - 1.0)))
     z = (u2 - n1 * n0) / 2.0 / math.sqrt(var)
     assert abs(got["z_score"] - z) < 2e-6
+
+
+def test_logistic_probe_gd_matches_python_replay(spark):
+    """Replay all gradient steps in Python with the identical
+    quantization ladder; weights must match exactly. Also: the probe's
+    hard-sigmoid scores must separate the classes at least weakly
+    (training sanity, not a quality bar)."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        LOGIT_ETA,
+        LOGIT_L2,
+        LOGIT_POS_LABEL_MIN,
+        LOGIT_STEPS,
+        ml_logistic_probe_gd,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    X = [[float(v) for v in r["embedding"]] for r in rows]
+    y = [1.0 if r["label"] >= LOGIT_POS_LABEL_MIN else 0.0 for r in rows]
+    n = len(X)
+    d = 64
+    w = [0.0] * d
+    for _ in range(LOGIT_STEPS):
+        grads_q = [0] * d
+        for xi, yi in zip(X, y, strict=True):
+            uq = sum(int(math.floor(x * wv * 1e12 + 0.5)) for x, wv in zip(xi, w, strict=True))
+            p = max(0.0, min(1.0, uq / 1e12 / 4.0 + 0.5))
+            r = p - yi
+            for j in range(d):
+                grads_q[j] += int(math.floor(xi[j] * r * 1e12 + 0.5))
+        w = [
+            math.floor((w[j] - LOGIT_ETA * (grads_q[j] / 1e12 / n + LOGIT_L2 * w[j]))
+                       * 1e9 + 0.5) / 1e9
+            for j in range(d)
+        ]
+    got = {r["dim"]: r["weight"] for r in ml_logistic_probe_gd(spark, SF_SMOKE).collect()}
+    assert len(got) == d
+    for j in range(d):
+        assert got[j] == w[j], f"dim {j}: {got[j]} != {w[j]}"
+    assert any(abs(v) > 0 for v in w), "all-zero weights: training did nothing"
