@@ -915,3 +915,120 @@ def test_available_now_backfill_processes_in_bounded_batches(spark, tmp_path):
         assert all(b.num_input_rows == 10 for b in batches), batches
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_stream_stream_left_outer_multibatch_expiry(spark, tmp_path):
+    """The genuinely-streaming semantics of the left-outer interval join,
+    with arrival order CONTROLLED (the single-batch oracle can't see
+    this): a purchase arriving in a LATER micro-batch still matches its
+    signup if it's within the join horizon, and an unmatched signup's
+    null row emits exactly once — only after the watermark passes its
+    s_ts + 2h match horizon — never before, never twice."""
+    import os
+
+    d = staged_batch_dir("ssj_lo_mb")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    # batch 0: two signups at t0 (user 1, user 2) and a watermark carrier
+    t0 = _ts("2024-01-01 10:00:00")
+    _write_batch(
+        spark, d, "b0",
+        [(1, 1, "signup", t0, 0.0), (2, 2, "signup", t0, 0.0)],
+        schema,
+    )
+    signups = (
+        _read_stream(spark, d, schema)
+        .filter(F.col("event_type") == "signup")
+        .selectExpr("user_id AS s_user", "event_id AS signup_event_id", "ts AS s_ts")
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, d, schema)
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id AS p_user", "event_id AS purchase_event_id",
+            "ts AS p_ts", "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    ).select("s_user", "signup_event_id", "purchase_event_id", "value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_lo_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got0 = spark.sql("SELECT * FROM ssj_lo_mb").collect()
+        # nothing can emit yet: no purchase arrived, no watermark progress
+        assert got0 == []
+
+        # batch 1: user 1's purchase arrives LATE (a later micro-batch)
+        # but within the 2h horizon — must match; no null row for user 1
+        _write_batch(
+            spark, d, "b1",
+            [(3, 1, "purchase", _ts("2024-01-01 11:00:00"), 9.5)],
+            schema,
+        )
+        q.processAllAvailable()
+
+        # batch 2: a far-future event drives both watermarks past
+        # t0 + 2h, expiring user 2's signup -> exactly one null row
+        _write_batch(
+            spark, d, "b2",
+            [(4, 99, "purchase", _ts("2024-01-02 10:00:00"), 1.0),
+             (5, 99, "signup", _ts("2024-01-02 10:00:00"), 0.0)],
+            schema,
+        )
+        q.processAllAvailable()
+        # one more empty-ish batch so the no-data watermark commit runs
+        _write_batch(
+            spark, d, "b3",
+            [(6, 98, "purchase", _ts("2024-01-02 11:00:00"), 1.0)],
+            schema,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM ssj_lo_mb").collect()
+    by_signup = {}
+    for r in rows:
+        by_signup.setdefault(r["signup_event_id"], []).append(r)
+    # user 1: matched across micro-batches, exactly once, never a null row
+    assert [r["purchase_event_id"] for r in by_signup[1]] == [3]
+    assert by_signup[1][0]["value"] == 9.5
+    # user 2: exactly one null row, emitted by watermark expiry
+    assert [r["purchase_event_id"] for r in by_signup[2]] == [None]
+
+
+def test_kinesis_at_timestamp_seeks_per_shard(spark, tmp_path):
+    """AT_TIMESTAMP over a MULTI-shard stream must seek independently in
+    each shard (the real service seeks shard-by-shard): records before
+    the instant are skipped in every shard, records at/after it are
+    delivered from every shard — interleaved arrival order between
+    shards must not leak earlier records through."""
+    import json as _json
+
+    base = int(datetime(2024, 3, 1).timestamp() * 1000)
+    rows = []
+    # shard A: events at t+0..t+5min; shard B interleaved at t+30s..t+5.5min
+    for i in range(6):
+        rows.append({"ts": base + 60_000 * i, "data": f"a{i}", "shard": "A"})
+        rows.append({"ts": base + 60_000 * i + 30_000, "data": f"b{i}", "shard": "B"})
+    path = _fake_stream_file(tmp_path, rows)
+    got = _consume_kinesis(
+        spark, path, datetime(2024, 3, 1, 0, 3), "fk_at_ts_shards"
+    )
+    want = sorted([f"a{i}" for i in range(3, 6)] + [f"b{i}" for i in range(3, 6)])
+    # b2 (t+2.5min) is before the instant and must NOT appear even though
+    # shard B's offsets differ from shard A's
+    assert sorted(r["data"] for r in got.collect()) == want
