@@ -381,3 +381,44 @@ def test_context_chunks_reconstruct_any_text(spark, docs):
             stitched.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
         stitched.extend(rs[-1]["chunk_text"].split(" "))
         assert " ".join(stitched) == t
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab 字é"),  # spaces -> empty tokens
+            min_size=0,
+            max_size=300,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_lexical_diversity_matches_counter_model(spark, docs):
+    """text_lexical_diversity vs a Counter model on adversarial random
+    texts: empty strings, consecutive spaces (empty tokens), and
+    non-ASCII tokens must all agree — the sorted-neighbor hapax count
+    is exactly 'tokens with frequency 1'."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from kinesis2sse_spark.queries.llm_text import text_lexical_diversity
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {r["doc_id"]: r for r in text_lexical_diversity(spark, tmp).collect()}
+    for i, t in enumerate(docs):
+        c = Counter(t.split(" "))
+        n = sum(c.values())
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(c)
+        assert r["n_hapax"] == sum(1 for v in c.values() if v == 1)
+        assert r["ttr"] == math.floor(len(c) * 1e6 / n + 0.5) / 1e6
