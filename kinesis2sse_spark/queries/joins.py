@@ -191,12 +191,22 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '1998-06-01')
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: LAPSED customers — no order since the cutoff. The
+    orders side filters BEFORE the anti join (predicate pushed to the
+    fact scan, then the anti join sees only the recent slice). The
+    original every-order form was fixture-degenerate at the driver SF
+    (every sf0.01 customer has some order → 0 rows attested nothing);
+    the dated form returns 3/8/142 rows at sf0.001/0.01/0.1 and is the
+    churn query real pipelines actually run."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-06-01"
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -496,14 +496,24 @@ def dedup_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture-calibrated: the synthetic embeddings are spread (max pairwise
+# cosine ~0.5), so 0.40 marks the high-similarity tail — 5/5/86 pairs at
+# sf0.001/0.01/0.1. The r07-era 0.95 literal (production's usual bar on
+# real embeddings) was fixture-DEGENERATE: no corpus in the fixture
+# family could ever produce a row, so its green driver rows attested
+# nothing. Plan is threshold-independent.
+EMB_COSINE_THRESHOLD = 0.40
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.95
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= {EMB_COSINE_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,7 +538,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(F.round(cos, 6) >= 0.95)
+        .filter(F.round(cos, 6) >= EMB_COSINE_THRESHOLD)
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     )
 

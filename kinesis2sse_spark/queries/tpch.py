@@ -838,7 +838,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT round(avg(c_acctbal), 6) FROM customer
           WHERE c_acctbal > 0.0 AND c_custkey % 7 IN (0, 1, 2, 3)
         )
-        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1998-06-01')
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode
@@ -852,11 +853,20 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IN-list keeping the same selectivity structure. The average is
     rounded to 6 decimals on both sides before the comparison so
     summation order cannot flip membership. Anti join shuffles orders
-    once on custkey; at scale the threshold row broadcasts."""
+    once on custkey; at scale the threshold row broadcasts. "Never
+    ordered" is scoped to orders since 1998-06-01 (TPC-H Q22's
+    substitution-parameter spirit): the unscoped form was
+    fixture-degenerate at the driver SF — every sf0.01 customer has
+    SOME order, so the anti join could never pass a row to the rollup
+    and the green driver row attested nothing."""
     c = load_table(spark, sf_dir, "customer").filter(
         (F.col("c_custkey") % 7).isin(0, 1, 2, 3)
     ).select("c_custkey", "c_acctbal")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-06-01")
+        .select("o_custkey")
+    )
     thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
         F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
     )

@@ -84,6 +84,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #   from raw gram strings to xxhash64 (the r07 verdict's one
     #   perf-weak item), so its r07 green row attests the old plan.
     "text_boilerplate_fraction",
+    # - dedup_embedding_cosine: its 0.95 threshold was fixture-degenerate
+    #   (0 rows at every SF — the predicate could never fire on this
+    #   corpus family, the same class as r07's except_distinct retune);
+    #   round 8 recalibrated it to 0.40 (5/5/86 pairs tri-scale), so it
+    #   must re-earn a row under the new predicate.
+    "dedup_embedding_cosine",
+    # - join_left_anti / q22: both anti-joined "customers with NO order",
+    #   which at the driver SF matches nobody (0 rows attested nothing);
+    #   round 8 scoped the anti join to orders since 1998-06-01 (lapsed
+    #   customers — 8 rows / 1 group at sf0.01), so both re-earn rows
+    #   under the new predicate.
+    "join_left_anti",
+    "q22_global_sales_opportunity",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
