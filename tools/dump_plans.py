@@ -132,6 +132,13 @@ SHOW = [
     "ir_eval_average_precision",
     "stats_mann_whitney",
     "pipeline_length_bucket_batching",
+    # round-8 additions
+    "dedup_semantic_clusters",
+    "filter_perplexity_band",
+    "text_lexical_diversity",
+    "sim_matryoshka_recall",
+    "graph_source_modularity",
+    "ml_logistic_probe_gd",
 ]
 
 
