@@ -937,6 +937,14 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin (the connected_components rule): this query fans pairs
+    # into FOUR consumers (m, und, intra, and through und the deg/
+    # nodesrc chain) that land in PARALLEL stages of one action — an
+    # unpopulated cache then races, and the expensive pair pipeline
+    # computes ~2x concurrently (measured 659 s vs 276 s at the 100x
+    # curve point). One count() serializes cache population; everything
+    # downstream reads memory.
+    pairs.count()
     und = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
