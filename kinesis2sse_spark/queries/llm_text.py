@@ -1688,6 +1688,12 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "a", F.expr("t[i + 1]").alias("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pins (the connected_components rule): pairs feeds the
+    # bigram-count aggregate AND the scoring join's probe side; uni
+    # feeds the vocab total AND the broadcast model join — independent
+    # stages of one action race an unpopulated cache and re-run the
+    # corpus explodes concurrently ("Block rdd_N already exists").
+    pairs.count()
     cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
     uni = (
         d.select(F.explode(toks).alias("term"))
@@ -1695,6 +1701,7 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_t"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    uni.count()
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
     nll_term = -F.log(
         (F.col("n_ab") + 1.0) / (F.col("n_t") + F.col("v"))
@@ -1777,6 +1784,12 @@ def filter_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nll",
         F.floor(F.col("nll") * 1000000 + F.lit(0.5)).cast("bigint").alias("s"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager pin (the connected_components rule): si's subtree is the
+    # ENTIRE perplexity pipeline (explode + model joins + per-doc agg),
+    # and three independent branches of one action consume it (the
+    # histogram, the total, and the final join) — an unpopulated cache
+    # races and the pipeline computes concurrently more than once.
+    si.count()
     h = si.groupBy("s").agg(F.count("*").alias("c")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -2422,6 +2435,17 @@ def text_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin (the connected_components rule): the DF aggregate's map
+    # stage and the join's probe-side map stage are INDEPENDENT stages
+    # of one action, so an unpopulated cache races and the explode
+    # computes TWICE concurrently ("Block rdd_N already exists" warns).
+    # Measured at the 100x curve point: wall-clock neutral on this idle
+    # 32-core box (the duplicate ran on spare cores), but the duplicate
+    # WORK is real — on a busy cluster it's half the stage's throughput
+    # — and for fan-outs where the duplicated subtree is a whole
+    # shuffle pipeline it doubles wall-clock too (graph_source_
+    # modularity: 659 -> 292 s from this same pin). count() once.
+    grams.count()
     df = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("df"))
     boiler = (F.col("df") >= BOILERPLATE_DF).cast("long")
     return (
