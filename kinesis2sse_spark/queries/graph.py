@@ -951,24 +951,42 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin: und feeds deg AND the nodesrc node list — independent
+    # branches of one action; an unpopulated cache races the
+    # union+distinct shuffle subtree and computes it twice.
+    und.count()
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("d")
     )
     m = pairs.agg(F.count("*").cast("bigint").alias("m"))
     docsrc = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # Source labels: semi-join the CORPUS-SIZED documents projection down
+    # to the graph-node set by a plain equi-join (AQE broadcasts the tiny
+    # node list), producing the cluster-bounded node -> source map. Never
+    # broadcast docsrc itself: at 1e10 docs that projection is ~160 GB,
+    # far past Spark's 8 GB broadcast ceiling, and a forced hint would
+    # disable AQE's fallback. nodesrc IS broadcastable — it carries one
+    # row per graph node, bounded by the near-dup cluster mass.
     nodesrc = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .join(docsrc, F.col("node") == F.col("doc_id"))
         .select("node", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin: nodesrc feeds degsum and BOTH sides of the intra join.
+    nodesrc.count()
     intra = (
         pairs.join(
-            F.broadcast(docsrc.select(F.col("doc_id").alias("a"), F.col("source").alias("src_a"))),
+            F.broadcast(
+                nodesrc.select(F.col("node").alias("a"), F.col("source").alias("src_a"))
+            ),
             "a",
         )
         .join(
-            F.broadcast(docsrc.select(F.col("doc_id").alias("b"), F.col("source").alias("src_b"))),
+            F.broadcast(
+                nodesrc.select(F.col("node").alias("b"), F.col("source").alias("src_b"))
+            ),
             "b",
         )
         .filter(F.col("src_a") == F.col("src_b"))

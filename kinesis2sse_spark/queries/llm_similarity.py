@@ -509,11 +509,23 @@ def ml_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.round(dot / (F.col("norm") * F.col("cnorm")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cell")
+    # Nearest-cell argmax as a max_by aggregate (not a row_number
+    # window): the n x k scored rows partial-aggregate MAP-SIDE to one
+    # candidate per vec_id per partition, so the exchange carries n
+    # rows, never n x k. struct ordering (cos_sim, -cell) == the
+    # window's ORDER BY cos_sim DESC, cell ASC, and is unique per row.
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "cos_sim"),
+                F.struct(F.col("cos_sim").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select(F.col("best.cell").alias("cell"), F.col("best.cos_sim").alias("cos_sim"))
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("cell")
+        best.groupBy("cell")
         .agg(
             F.count("*").alias("n_members"),
             F.round(F.avg("cos_sim"), 6).alias("avg_cos"),
@@ -580,11 +592,16 @@ def ml_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.round(dot / (F.col("norm") * F.col("cnorm")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "cell")
+    # max_by argmax (see ml_kmeans_assign): n rows shuffle, not n x k.
     members = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cell", "v")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cell", "v"),
+                F.struct(F.col("cos_sim").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select(F.col("best.cell").alias("cell"), F.col("best.v").alias("v"))
     )
     return (
         members.select("cell", F.posexplode("v").alias("pos", "comp"))
@@ -2157,6 +2174,10 @@ def ml_logistic_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin (the connected_components rule): ed feeds the margin
+    # and gradient map stages, which race on step 1 of the GD loop as
+    # independent branches of one action.
+    ed.count()
     ylab = e.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
         (F.col("label") >= LOGIT_POS_LABEL_MIN).cast("double").alias("y"),

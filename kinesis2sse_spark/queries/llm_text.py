@@ -1667,10 +1667,17 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for LLM corpus filtering, usually thresholded downstream with
     filter_quality_percentile). One explode builds the per-doc bigram
     stream; the model tables (bigram counts, unigram counts, vocab
-    size) aggregate to vocabulary-bounded relations that BROADCAST
-    back onto it — at 100 TB the model is megabytes while the corpus
-    is the 100 TB, so scoring is one map-side join pass. Per-bigram
-    NLL terms floor-quantize to scaled integers before the per-doc sum
+    size) join back onto it by equi-key. The joins carry NO forced
+    broadcast hint: on real web text, distinct bigram TYPES grow
+    near-linearly with corpus size (heaps' law on pairs), so at 100 TB
+    the (a, b, n_ab) model relation is hundreds of GB — far past
+    Spark's 8 GB broadcast ceiling — and a forced hint would disable
+    AQE's size-based fallback and kill the job the day the vocabulary
+    opens up. Instead AQE picks the strategy from measured sizes:
+    broadcast while the model is small (this fixture's closed
+    vocabulary), shuffle-hash/sort-merge on the equi-keys once it
+    isn't. Only the ONE-ROW vocab total keeps a hint. Per-bigram NLL
+    terms floor-quantize to scaled integers before the per-doc sum
     (the gram-matrix rule), so within-doc summation order is exact."""
     from pyspark import StorageLevel
 
@@ -1707,8 +1714,8 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_ab") + 1.0) / (F.col("n_t") + F.col("v"))
     )
     scored = (
-        pairs.join(F.broadcast(cab), ["a", "b"])
-        .join(F.broadcast(uni.select(F.col("term").alias("a"), "n_t")), "a")
+        pairs.join(cab, ["a", "b"])
+        .join(uni.select(F.col("term").alias("a"), "n_t"), "a")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
@@ -1793,6 +1800,10 @@ def filter_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = si.groupBy("s").agg(F.count("*").alias("c")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Eager pin: h feeds two independent branches of the final action
+    # (the koff/off bucket-offset chain and the within-bucket ranked
+    # side) — same cache-population race class as si above.
+    h.count()
     ks = h.withColumn("k", F.expr(f"s div {PPL_BAND_BUCKET}"))
     koff = ks.groupBy("k").agg(F.sum("c").alias("kc"))
     wk = (

@@ -102,11 +102,14 @@ def source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = d.select("doc_id", "text").collect()
     # Driver-side staging is ONLY safe because the filter above bounds the
     # fixture set; fail loudly if a future edit widens it into a funnel.
-    assert len(rows) <= 10, (
-        f"source_binary_files staged {len(rows)} rows on the driver; "
-        "the collect() is bounded by design — widen via a distributed "
-        "write (df.write.format('binaryFile'-equivalent)), not this loop"
-    )
+    # A hard raise, not `assert` — asserts vanish under `python -O` and
+    # this guard must survive optimized mode.
+    if len(rows) > 10:
+        raise RuntimeError(
+            f"source_binary_files staged {len(rows)} rows on the driver; "
+            "the collect() is bounded by design — widen via a distributed "
+            "write (df.write.format('binaryFile'-equivalent)), not this loop"
+        )
     for row in rows:
         with open(os.path.join(stage, f"{row['doc_id']:05d}.bin"), "wb") as f:
             f.write(row["text"].encode("utf-8"))

@@ -68,35 +68,28 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # in git history); _ordered() layers it between the automatic red
 # re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 window (the r07 composition lives in git history). The
-    # r07 verdict prescribes leaving this NEARLY empty so the
-    # least-recently-checked rotation re-proves the ~40 stale round-1/
-    # round-3 rows — with exactly the "rewrite landed on an
-    # already-checked query" exceptions it carves out:
-    # - sim_topk_ivfpq: its latest driver row (r05, err no_oracle)
-    #   predates the byte-exact oracle it gained in r06, and LRC places
-    #   it at index ~136 — it can only re-earn an oracle-backed row by
-    #   fronting now. (sim_topk_ivf, the same situation, already sits
-    #   inside the window at index ~22 via its r01-vintage row, so it
-    #   is deliberately NOT listed.)
-    "sim_topk_ivfpq",
-    # - text_boilerplate_fraction: round 8 rewired its shuffle/join key
-    #   from raw gram strings to xxhash64 (the r07 verdict's one
-    #   perf-weak item), so its r07 green row attests the old plan.
-    "text_boilerplate_fraction",
-    # - dedup_embedding_cosine: its 0.95 threshold was fixture-degenerate
-    #   (0 rows at every SF — the predicate could never fire on this
-    #   corpus family, the same class as r07's except_distinct retune);
-    #   round 8 recalibrated it to 0.40 (5/5/86 pairs tri-scale), so it
-    #   must re-earn a row under the new predicate.
-    "dedup_embedding_cosine",
-    # - join_left_anti / q22: both anti-joined "customers with NO order",
-    #   which at the driver SF matches nobody (0 rows attested nothing);
-    #   round 8 scoped the anti join to orders since 1998-06-01 (lapsed
-    #   customers — 8 rows / 1 group at sf0.01), so both re-earn rows
-    #   under the new predicate.
-    "join_left_anti",
-    "q22_global_sales_opportunity",
+    # Round-9 window (the r08 composition lives in git history): ONLY
+    # the "rewrite landed on an already-checked query" re-proofs the
+    # r08 verdict prescribes (items 1-3) — every entry's green row
+    # attests a plan round 9 replaced, so each must re-earn its row:
+    # - text_perplexity_bigram / filter_perplexity_band: the forced
+    #   F.broadcast() on the bigram-count and unigram-count model
+    #   relations (corpus-growing on real text — the r08 top perf-weak
+    #   item) is dropped; AQE now picks the scoring-join strategy.
+    "text_perplexity_bigram",
+    "filter_perplexity_band",
+    # - graph_source_modularity: the intra join no longer force-
+    #   broadcasts the corpus-sized documents (doc_id, source)
+    #   projection; it broadcasts the cluster-bounded node->source map
+    #   (plus und/nodesrc eager cache pins).
+    "graph_source_modularity",
+    # - dedup_semantic_clusters / ml_kmeans_assign / ml_kmeans_update:
+    #   nearest-cell assignment rewired from a row_number window over
+    #   the n x k scored expansion to a map-side-combined max_by
+    #   aggregate (only n rows cross the exchange).
+    "dedup_semantic_clusters",
+    "ml_kmeans_assign",
+    "ml_kmeans_update",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
@@ -104,7 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # round or later — so re-proof entries (which already hold OLD rows)
 # keep fronting until the round actually runs, fixing the r06 failure
 # mode where a re-proof list spent itself instantly against stale rows.
-DRIVER_PRIORITY_ROUND = 8
+DRIVER_PRIORITY_ROUND = 9
 
 
 def _driver_rows() -> dict[str, tuple[int, dict]]:

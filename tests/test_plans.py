@@ -11,6 +11,18 @@ from kinesis2sse_spark.registry import all_queries
 from tests.conftest import SF_CORRECTNESS
 
 
+def _analyzed(spark, name: str) -> str:
+    """Analyzed LOGICAL plan — where user-forced broadcast hints still
+    print as `ResolvedHint (strategy=broadcast)` nodes, before the
+    optimizer folds them into join nodes. Used to lock the ABSENCE of
+    forced hints on corpus-growing relations (the planner/AQE may still
+    CHOOSE broadcast from measured sizes; that is fine and invisible
+    here)."""
+    spark.catalog.clearCache()
+    df = all_queries()[name](spark, SF_CORRECTNESS)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
 def _plan(spark, name: str) -> str:
     # clear cross-query cache state first: a persist() registered by an
     # earlier test's query (e.g. sessions_max_concurrency caching the
@@ -985,3 +997,52 @@ def test_source_modularity_graph_relations_cached(spark):
     plan = _plan(spark, "graph_source_modularity")
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_perplexity_model_join_not_force_broadcast(spark):
+    """text_perplexity_bigram: on real web text distinct bigram TYPES
+    grow near-linearly with the corpus (far past Spark's 8 GB broadcast
+    ceiling at 100 TB), so the model-scoring joins must carry NO forced
+    broadcast hint — AQE picks broadcast vs shuffle from measured sizes.
+    Exactly ONE hint is allowed: the one-row vocab total. The scoring
+    joins must still be equi-key joins (hash/sort-merge/broadcast all
+    acceptable), never a cartesian expansion."""
+    ap = _analyzed(spark, "text_perplexity_bigram")
+    assert ap.count("ResolvedHint") == 1, (
+        f"expected only the one-row vocab hint, got {ap.count('ResolvedHint')}"
+    )
+    plan = _plan(spark, "text_perplexity_bigram")
+    assert "CartesianProduct" not in plan
+
+
+def test_modularity_never_force_broadcasts_documents_scan(spark):
+    """graph_source_modularity: every forced broadcast must sit over a
+    GRAPH-BOUNDED relation (node->source map, degree aggregate, edge
+    total) — never over a raw documents scan, which is corpus-sized at
+    100 TB. Locked by checking that no ResolvedHint's immediate subtree
+    is a bare parquet relation (graph-bounded sides start with
+    Aggregate/Join/Deduplicate nodes first)."""
+    ap = _analyzed(spark, "graph_source_modularity")
+    lines = ap.splitlines()
+    for i, l in enumerate(lines):
+        if "ResolvedHint" not in l:
+            continue
+        nxt = " ".join(lines[i + 1 : i + 4])
+        assert "parquet" not in nxt, (
+            f"forced broadcast directly over a parquet scan: {nxt[:200]}"
+        )
+
+
+def test_argmax_assignment_is_aggregate_not_window(spark):
+    """dedup_semantic_clusters / ml_kmeans_assign / ml_kmeans_update:
+    nearest-cell assignment is a max_by AGGREGATE (map-side partial
+    combine — n rows cross the exchange), never a row_number window
+    over the n x k scored expansion (which would shuffle all n x k
+    rows). The plan must contain partial+final aggregate pairs and no
+    Window node at all."""
+    for name in ("ml_kmeans_assign", "ml_kmeans_update", "dedup_semantic_clusters"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, f"{name} still windows the n x k expansion"
+        assert plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count(
+            "ObjectHashAggregate"
+        ) >= 2, f"{name} lost the partial/final aggregate pair"
