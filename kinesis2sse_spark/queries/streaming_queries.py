@@ -527,3 +527,165 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
         "append",
         shuffle_partitions=8,
     )
+
+
+def _ssj_streams(spark: SparkSession, sf_dir: str):
+    """The signup/purchase watermarked stream pair shared by every
+    stream-stream outer-join variant — one definition so the interval
+    condition and watermark delay cannot drift between them."""
+    signups = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "4 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    cond = (
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    return signups, purchases, cond
+
+
+# Watermark-expiry oracle pieces shared by the RIGHT/FULL outer variants:
+# wm = global watermark at end of input = min over inputs of max(ts) - 4h.
+# A left (signup) row's null emission needs its whole match horizon past:
+# s_ts + 2h < wm — STRICT (probed: a signup whose horizon equals the
+# watermark exactly stays in state and emits nothing). A right (purchase)
+# row matches only EARLIER signups (s_ts < p_ts), so its horizon is its
+# own timestamp and the boundary is NON-STRICT: p_ts <= wm emits (probed:
+# a purchase exactly AT the watermark nulls out in that same batch —
+# Spark's interval-derived state watermarks carry a ±1 ms asymmetry
+# between the two sides, so never assume the boundaries mirror).
+_SSJ_ORACLE_WM = """
+    wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'signup'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 4 HOURS AS w
+    ),
+    matched AS (
+      SELECT s.user_id,
+             s.event_id AS signup_event_id,
+             p.event_id AS purchase_event_id,
+             round(p.value, 2) AS purchase_value
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+       AND s.event_type = 'signup' AND p.event_type = 'purchase'
+       AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 2 HOURS
+    ),
+    unmatched_right AS (
+      SELECT p.user_id,
+             CAST(NULL AS BIGINT) AS signup_event_id,
+             p.event_id AS purchase_event_id,
+             round(p.value, 2) AS purchase_value
+      FROM events p CROSS JOIN wm
+      WHERE p.event_type = 'purchase'
+        AND p.ts <= wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM matched m WHERE m.purchase_event_id = p.event_id
+        )
+    ),
+    unmatched_left AS (
+      SELECT s.user_id,
+             s.event_id AS signup_event_id,
+             CAST(NULL AS BIGINT) AS purchase_event_id,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM events s CROSS JOIN wm
+      WHERE s.event_type = 'signup'
+        AND s.ts + INTERVAL 2 HOURS < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM matched m WHERE m.signup_event_id = s.event_id
+        )
+    )
+"""
+
+
+@register(
+    "streaming_stream_stream_right_outer",
+    oracle=f"""
+    WITH {_SSJ_ORACLE_WM}
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched_right
+    """,
+)
+def streaming_stream_stream_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER stream-stream interval join — "every purchase, with
+    its signup if one preceded it by at most 2 hours": matched pairs
+    emit immediately; an unmatched purchase emits its null row once the
+    watermark proves no matching signup can still arrive. Because the
+    condition only admits EARLIER signups (s_ts < p_ts), a purchase's
+    expiry horizon is its own timestamp — it nulls out when p_ts <= wm
+    (non-strict, unlike the left side's strict horizon — both probed),
+    with wm = min across both inputs of (max event time − 4h). The
+    oracle replays that rule: matched pairs plus unmatched purchases
+    past the watermark; purchases within 4h of stream end stay in state
+    and are correctly absent. Bounded state at 100 TB/day exactly as
+    the left-outer variant: both sides evict as the watermark advances,
+    and the join itself shuffles each side once on user_id."""
+    signups, purchases, cond = _ssj_streams(spark, sf_dir)
+    joined = signups.join(purchases, cond, "rightOuter")
+    return run_to_memory(
+        joined.select(
+            F.col("p_user").alias("user_id"),
+            "signup_event_id",
+            "purchase_event_id",
+            F.round("value", 2).alias("purchase_value"),
+        ),
+        _qname("ssj_ro"),
+        "append",
+        shuffle_partitions=8,
+    )
+
+
+@register(
+    "streaming_stream_stream_full_outer",
+    oracle=f"""
+    WITH {_SSJ_ORACLE_WM}
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unmatched_left
+    UNION ALL
+    SELECT * FROM unmatched_right
+    """,
+)
+def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the union of both outer
+    semantics in one pass: matched pairs emit immediately; unmatched
+    signups null out when the watermark strictly passes their 2-hour
+    match horizon (s_ts + 2h < wm); unmatched purchases null out when
+    it reaches their own timestamp (p_ts <= wm — earlier-signups-only
+    condition; the boundary asymmetry is Spark's, probed empirically).
+    The user_id survives from whichever side is non-null.
+    State and eviction are identical to the single-sided variants —
+    full outer costs nothing extra at 100 TB beyond emitting both
+    expiry streams, because the state rows were already held for the
+    match attempt."""
+    signups, purchases, cond = _ssj_streams(spark, sf_dir)
+    joined = signups.join(purchases, cond, "fullOuter")
+    return run_to_memory(
+        joined.select(
+            F.coalesce(F.col("s_user"), F.col("p_user")).alias("user_id"),
+            "signup_event_id",
+            "purchase_event_id",
+            F.round("value", 2).alias("purchase_value"),
+        ),
+        _qname("ssj_fo"),
+        "append",
+        shuffle_partitions=8,
+    )

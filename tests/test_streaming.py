@@ -1010,6 +1010,107 @@ def test_stream_stream_left_outer_multibatch_expiry(spark, tmp_path):
     assert [r["purchase_event_id"] for r in by_signup[2]] == [None]
 
 
+def test_stream_stream_full_outer_expiry_boundaries(spark, tmp_path):
+    """FULL OUTER interval join: both expiry classes in one query, with
+    the boundary asymmetry pinned (probed on pyspark 4.1.2, relied on
+    by the right/full outer oracles): an unmatched LEFT row expires only
+    when the watermark STRICTLY passes its match horizon (s_ts + 2h <
+    wm — at equality it stays in state), while an unmatched RIGHT row
+    expires as soon as the watermark REACHES its own timestamp (p_ts <=
+    wm — at equality it nulls out). Matched pairs across micro-batches
+    emit exactly once with no null echo from either side."""
+    d = staged_batch_dir("ssj_fo_mb")
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    t0 = _ts("2024-01-01 09:00:00")
+    # user 1: signup at 9:00, purchase arrives batch 1 (matched pair)
+    # user 2: signup at 9:00, never purchases (left expiry, horizon 11:00)
+    # user 7: purchase at 11:00, no signup (right expiry AT the boundary)
+    _write_batch(
+        spark, d, "b0",
+        [(1, 1, "signup", t0, 0.0),
+         (2, 2, "signup", t0, 0.0),
+         (3, 7, "purchase", _ts("2024-01-01 11:00:00"), 5.0)],
+        schema,
+    )
+    signups = (
+        _read_stream(spark, d, schema)
+        .filter(F.col("event_type") == "signup")
+        .selectExpr("user_id AS s_user", "event_id AS signup_event_id", "ts AS s_ts")
+        .withWatermark("s_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, d, schema)
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "user_id AS p_user", "event_id AS purchase_event_id",
+            "ts AS p_ts", "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 2 HOURS")),
+        "fullOuter",
+    ).select("signup_event_id", "purchase_event_id", "value")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_fo_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ssj_fo_mb").collect() == []
+
+        # batch 1: user 1's purchase (cross-batch match) + carriers that
+        # advance BOTH watermarks to exactly 11:00 — the signups' match
+        # horizon AND user 7's purchase timestamp
+        _write_batch(
+            spark, d, "b1",
+            [(4, 1, "purchase", _ts("2024-01-01 10:00:00"), 9.5),
+             (5, 99, "signup", _ts("2024-01-01 12:00:00"), 0.0),
+             (6, 99, "purchase", _ts("2024-01-01 12:00:00"), 0.0)],
+            schema,
+        )
+        q.processAllAvailable()
+        got1 = {
+            (r["signup_event_id"], r["purchase_event_id"])
+            for r in spark.sql("SELECT * FROM ssj_fo_mb").collect()
+        }
+        # matched pair emitted; RIGHT row at p_ts == wm already nulled
+        # out (non-strict); LEFT row at horizon == wm still in state
+        # (strict). The 12:00 carriers matched each other? No — p_ts >
+        # s_ts fails at equality, but they are both within horizon, so
+        # neither has expired yet either.
+        assert (1, 4) in got1, got1
+        assert (None, 3) in got1, "right row at p_ts == wm must null out"
+        assert not any(s == 2 for s, _ in got1), (
+            "left row at horizon == wm must stay in state"
+        )
+
+        # batch 2: one more second of watermark -> user 2's signup expires
+        _write_batch(
+            spark, d, "b2",
+            [(7, 98, "signup", _ts("2024-01-01 12:00:01"), 0.0),
+             (8, 98, "purchase", _ts("2024-01-01 12:00:01"), 0.0)],
+            schema,
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM ssj_fo_mb").collect()
+    pairs = {(r["signup_event_id"], r["purchase_event_id"]) for r in rows}
+    assert (2, None) in pairs, "left expiry null row missing"
+    # exactly one row per participant — no double emission anywhere
+    assert len(rows) == len(pairs)
+    assert [p for s, p in pairs if s == 1] == [4]
+
+
 def test_kinesis_at_timestamp_seeks_per_shard(spark, tmp_path):
     """AT_TIMESTAMP over a MULTI-shard stream must seek independently in
     each shard (the real service seeks shard-by-shard): records before
