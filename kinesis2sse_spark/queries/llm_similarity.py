@@ -2236,3 +2236,171 @@ def ml_logistic_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ed.unpersist()
     return w_rel.select(F.col("d").cast("bigint").alias("dim"), F.col("wv").alias("weight"))
+
+
+# int8 scalar quantization (the FAISS SQ8 shape): normalize, learn
+# per-dimension [min, max] over the corpus, linear-quantize each
+# component to 8 bits, search on exact INTEGER dot products. The other
+# standard embedding-compression axis next to the Matryoshka dim
+# ladder: 4x smaller vectors, integer SIMD dots, small recall cost.
+INT8_LEVELS = 255  # quantization levels (codes -128..127 after centering)
+
+
+def _int8_quantized(spark: SparkSession, sf_dir: str):
+    """Shared SQ8 machinery: the corpus with each NORMALIZED vector
+    linear-quantized to int8 codes per dimension. Per-dim min/max come
+    from one exploded aggregate (64 rows), collected into two aligned
+    arrays on a ONE-ROW relation broadcast back onto the corpus scan —
+    the corpus itself is never shuffled, and quantization is pure
+    map-side column arithmetic. Constant dimensions (max == min)
+    quantize to code 0."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = _with_norm(e).select(
+        "vec_id",
+        F.zip_with("v", F.array_repeat("norm", 64), lambda x, n: x / n).alias("u"),
+    )
+    dimstats = (
+        nv.select(F.posexplode("u").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dimstats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    rng = F.zip_with("mns", "mxs", lambda a, b: F.struct(a.alias("mn"), b.alias("mx")))
+    code = lambda x, s: (
+        F.when(s["mx"] == s["mn"], F.lit(0).cast("bigint")).otherwise(
+            F.floor(
+                (x - s["mn"]) / (s["mx"] - s["mn"]) * INT8_LEVELS + F.lit(0.5)
+            ).cast("bigint")
+            - 128
+        )
+    )
+    return nv.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.zip_with(F.col("u"), rng, code).alias("q")
+    )
+
+
+_INT8_ORACLE_CTES = f"""corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    nv AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_reduce(
+               list_prepend(0.0, list_transform(v, y -> y * y)),
+               (a, y) -> a + y))) AS u
+      FROM corpus
+    ),
+    dimstats AS (
+      SELECT dim, min(x) AS mn, max(x) AS mx
+      FROM (SELECT unnest(u) AS x, generate_subscripts(u, 1) AS dim FROM nv)
+      GROUP BY dim
+    ),
+    stats AS (
+      SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      FROM dimstats
+    ),
+    quant AS (
+      SELECT vec_id,
+             list_transform(
+               list_zip(u, s.mns, s.mxs),
+               p -> CASE WHEN p[3] = p[2] THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor((p[1] - p[2]) / (p[3] - p[2])
+                                    * {INT8_LEVELS} + 0.5) AS BIGINT) - 128 END
+             ) AS q
+      FROM nv, stats s
+    )"""
+
+
+@register(
+    "sim_topk_int8",
+    oracle=f"""
+    WITH {_INT8_ORACLE_CTES},
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(list_zip(q.q, c.q),
+                                           p -> p[1] * p[2])),
+               (a, x) -> a + x) AS BIGINT) AS dot_q
+      FROM quant q JOIN quant c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, dot_q
+    FROM (
+      SELECT query_id, neighbor_id, dot_q,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot_q DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) top-k — the FAISS SQ8 rung: vectors are
+    normalized, each dimension linear-quantized to 8-bit codes against
+    corpus-learned per-dim [min, max], and search ranks by the EXACT
+    integer dot product of code vectors (approximates cosine since
+    inputs are unit vectors). 4x memory compression and integer-SIMD
+    dots at 100 TB, complementing the Matryoshka dimension ladder as
+    the other standard embedding-compression axis; accuracy vs the
+    full-precision ranking is held by sim_recall_int8.
+
+    Plan shape is sim_topk_bruteforce's: one corpus scan, the 64-row
+    dim-stats aggregate collapses to a ONE-ROW array relation broadcast
+    back for map-side quantization, the quantized query set broadcasts
+    onto the quantized corpus, and WindowGroupLimit prunes the top-k
+    below the exchange. Every score is BIGINT arithmetic (|dot| <=
+    64 * 128^2 < 2^21), so the oracle matches byte-exactly with no FP
+    ladder at all — the one FP step (normalize + quantize) is identical
+    IEEE arithmetic in both engines."""
+    quant = _int8_quantized(spark, sf_dir)
+    queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "q", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = quant.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot.alias("dot_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+INT8_RECALL_FLOOR = 0.55  # set below the measured per-query minimum
+
+
+@register(
+    "sim_recall_int8",
+    oracle=f"""
+    SELECT vec_id AS query_id, true AS recall_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the SQ8 rung: every query's recall@{TOP_K}
+    vs sim_topk_bruteforce meets INT8_RECALL_FLOOR. 8-bit scalar
+    quantization perturbs every pairwise score by at most the per-dim
+    step size, so neighbors separated by more than the quantization
+    noise keep their order — the floor flags a real codec regression
+    (wrong scale, broken centering), not tie-break jitter."""
+    return _recall_contract(
+        sim_topk_bruteforce(spark, sf_dir),
+        sim_topk_int8(spark, sf_dir),
+        INT8_RECALL_FLOOR,
+    )

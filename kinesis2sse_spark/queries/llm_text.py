@@ -1835,6 +1835,190 @@ def filter_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR (Data Selection with Importance Resampling, Xie et al., NeurIPS
+# 2023): fixed hashed-bigram feature space, so the model relation is
+# B-bounded BY CONSTRUCTION — corpus-independent and legitimately
+# broadcastable, unlike the open-vocabulary bigram LM above.
+DSIR_BUCKETS = 8192
+DSIR_TARGET_SOURCE = "src0"  # the "target domain" corpus slice
+DSIR_K = 100  # resample size
+# char-fold word hash shared with text_fingerprint: h=7; h=(h*31+c)%1e9+7
+_DSIR_WORD_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split_regex({w}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (h, c) -> (h * 31 + c) % 1000000007)"
+)
+
+
+@register(
+    "filter_dsir_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, source, t[i] AS a, t[i + 1] AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+      WHERE len(t) >= 2
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             ({_DSIR_WORD_HASH_SQL.format(w='a')} * 31
+              + {_DSIR_WORD_HASH_SQL.format(w='b')}) % {DSIR_BUCKETS} AS bucket
+      FROM pairs
+    ),
+    tcnt AS (
+      SELECT bucket, count(*) AS tb FROM feats
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ),
+    scnt AS (
+      SELECT bucket, count(*) AS sb FROM feats
+      WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY bucket
+    ),
+    tt AS (SELECT CAST(coalesce(sum(tb), 0) AS DOUBLE) AS t_total FROM tcnt),
+    st AS (SELECT CAST(sum(sb) AS DOUBLE) AS s_total FROM scnt),
+    model AS (
+      SELECT s.bucket,
+             CAST(floor((ln((coalesce(t.tb, 0) + 1.0) / (tt.t_total + {DSIR_BUCKETS}))
+                       - ln((s.sb + 1.0) / (st.s_total + {DSIR_BUCKETS})))
+                        * 1000000000000 + 0.5) AS BIGINT) AS c
+      FROM scnt s LEFT JOIN tcnt t USING (bucket), tt, st
+    ),
+    perdoc AS (
+      SELECT f.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(m.c) AS BIGINT) AS s
+      FROM feats f JOIN model m USING (bucket)
+      WHERE f.source <> '{DSIR_TARGET_SOURCE}'
+      GROUP BY f.doc_id
+    ),
+    gum AS (
+      SELECT doc_id, n_bigrams, s,
+             CAST(floor(-ln(-ln(
+               (CAST((doc_id % 1000003) * 2654435761 % 1000003 AS DOUBLE) + 1.0)
+               / 1000004.0)) * 1000000000000 + 0.5) AS BIGINT) AS g
+      FROM perdoc
+    )
+    SELECT doc_id, n_bigrams,
+           floor(CAST(s AS DOUBLE) / 1000000000000 * 1000000 + 0.5) / 1000000
+             AS logw
+    FROM gum
+    ORDER BY s + g DESC, doc_id
+    LIMIT {DSIR_K}
+    """,
+)
+def filter_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every
+    raw-corpus document by its target-over-source likelihood ratio
+    under two Laplace-smoothed bag-of-hashed-bigram models — the target
+    model fit on the DSIR_TARGET_SOURCE slice, the source model on
+    everything else — then resample the top-k via deterministic Gumbel-top-k
+    (log w_i + Gumbel(hash(doc_id)) is a weighted sample without
+    replacement, the standard trick, made replayable by deriving the
+    Gumbel uniform from the overflow-safe multiplicative doc_id hash).
+
+    Scale shape at 100 TB: one corpus explode into bigrams, char-fold
+    word hashing entirely map-side (the same fingerprint fold both
+    engines verify bit-for-bit), TWO B-bounded aggregates (B = 8192
+    buckets FIXED by construction — this model relation legitimately
+    broadcasts, in contrast to text_perplexity_bigram's open-vocabulary
+    model where a forced hint would eventually exceed the 8 GB
+    ceiling), one n-row doc-keyed shuffle for the per-doc sum, and a
+    global top-k via TakeOrderedAndProject — never a full sort. The
+    hashed feature relation persists once with an eager pin (three
+    consumers: both model aggregates and the scoring probe).
+
+    FP ladder: per-bucket log-ratios floor-quantize to 1e12-scaled
+    BIGINTs before the per-doc integer sum (gram-matrix rule), and the
+    Gumbel perturbation quantizes on the same scale, so the selection
+    ORDER BY is a pure-integer comparison in both engines."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def whash(col):
+        return F.aggregate(
+            F.transform(F.split(col, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(7).cast("long"),
+            lambda h, c: (h * 31 + c) % 1000000007,
+        )
+
+    feats = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
+            ).alias("i", "a"),
+            toks.alias("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            ((whash(F.col("a")) * 31 + whash(F.expr("t[i + 1]")))
+             % DSIR_BUCKETS).alias("bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Eager pin (the connected_components rule): feats feeds the two
+    # model aggregates and the scoring probe — independent stages.
+    feats.count()
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    tcnt = feats.where(is_target).groupBy("bucket").agg(
+        F.count("*").alias("tb")
+    )
+    scnt = feats.where(~is_target).groupBy("bucket").agg(
+        F.count("*").alias("sb")
+    )
+    tt = tcnt.agg(F.coalesce(F.sum("tb"), F.lit(0)).cast("double").alias("t_total"))
+    st = scnt.agg(F.sum("sb").cast("double").alias("s_total"))
+    lr = F.log(
+        (F.coalesce(F.col("tb"), F.lit(0)) + 1.0)
+        / (F.col("t_total") + F.lit(float(DSIR_BUCKETS)))
+    ) - F.log((F.col("sb") + 1.0) / (F.col("s_total") + F.lit(float(DSIR_BUCKETS))))
+    model = (
+        scnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "bucket",
+            F.floor(lr * 1000000000000 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+    )
+    perdoc = (
+        feats.where(~is_target)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+    )
+    u = (
+        (F.col("doc_id") % 1000003) * F.lit(2654435761) % 1000003
+    ).cast("double") + F.lit(1.0)
+    g = F.floor(
+        -F.log(-F.log(u / 1000004.0)) * 1000000000000 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        perdoc.withColumn("score_q", F.col("s") + g)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.floor(
+                    F.col("s").cast("double") / 1000000000000 * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("logw"),
+        )
+    )
+
+
 # Same overflow-safe multiplicative hash family as SPLIT_HASH, keyed on
 # doc_id alone: the within-band shuffle key.
 CURRICULUM_SHUFFLE = "((doc_id % 1000000007) * 2654435761) % 1000000007"

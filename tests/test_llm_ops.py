@@ -1307,3 +1307,122 @@ def test_source_modularity_terms_sum_to_q(spark):
         assert r["modularity_term"] == math.floor(term * 1e6 + 0.5) / 1e6
         q_total += term
     assert -1.0 <= q_total <= 1.0
+
+
+def test_dsir_resample_matches_python_model(spark):
+    """Replay DSIR end-to-end in pure Python (Counter models, libm log,
+    the same integer quantization and Gumbel-top-k) and require the
+    identical selected set, weights included."""
+    import math
+    from collections import Counter
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import (
+        DSIR_BUCKETS,
+        DSIR_K,
+        DSIR_TARGET_SOURCE,
+        filter_dsir_resample,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    def whash(w):
+        h = 7
+        for ch in w:
+            h = (h * 31 + ord(ch)) % 1000000007
+        return h
+
+    tcnt, scnt = Counter(), Counter()
+    docs = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        bs = [
+            (whash(a) * 31 + whash(b)) % DSIR_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        ]
+        if not bs:
+            continue
+        if r["source"] == DSIR_TARGET_SOURCE:
+            tcnt.update(bs)
+        else:
+            scnt.update(bs)
+            docs[r["doc_id"]] = bs
+    T, S = float(sum(tcnt.values())), float(sum(scnt.values()))
+    c = {
+        b: math.floor(
+            (
+                math.log((tcnt.get(b, 0) + 1.0) / (T + DSIR_BUCKETS))
+                - math.log((sb + 1.0) / (S + DSIR_BUCKETS))
+            )
+            * 1e12
+            + 0.5
+        )
+        for b, sb in scnt.items()
+    }
+    scored = []
+    for did, bs in docs.items():
+        s = sum(c[b] for b in bs)
+        u = (((did % 1000003) * 2654435761) % 1000003 + 1.0) / 1000004.0
+        g = math.floor(-math.log(-math.log(u)) * 1e12 + 0.5)
+        scored.append((s + g, did, len(bs), s))
+    top = sorted(scored, key=lambda t: (-t[0], t[1]))[:DSIR_K]
+    expect = {
+        (did, n, math.floor(s / 1e12 * 1e6 + 0.5) / 1e6) for _, did, n, s in top
+    }
+    got = {
+        (r["doc_id"], r["n_bigrams"], r["logw"])
+        for r in filter_dsir_resample(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # the selection must be weight-driven, not a uniform sample: the
+    # selected docs' mean log-weight clears the population mean
+    sel = {did for _, did, _, _ in top}
+    mean_sel = sum(s for _, did, _, s in scored if did in sel) / len(sel)
+    mean_all = sum(s for _, _, _, s in scored) / len(scored)
+    assert mean_sel > mean_all
+
+
+def test_int8_quantizer_matches_numpy_model(spark):
+    """Replay the SQ8 codec in Python (left-fold norm, per-dim min/max,
+    floor-quantize, center) and require identical code vectors, plus
+    codes within int8 range and non-degenerate spread."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        INT8_LEVELS,
+        _int8_quantized,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:  # ascending-dim left fold — matches F.aggregate
+            acc += x * x
+        return math.sqrt(acc)
+
+    U = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = norm(v)
+        U[r["vec_id"]] = [x / n for x in v]
+    dims = len(next(iter(U.values())))
+    mn = [min(u[d] for u in U.values()) for d in range(dims)]
+    mx = [max(u[d] for u in U.values()) for d in range(dims)]
+
+    def code(x, d):
+        if mx[d] == mn[d]:
+            return 0
+        return math.floor((x - mn[d]) / (mx[d] - mn[d]) * INT8_LEVELS + 0.5) - 128
+
+    expect = {vid: [code(x, d) for d, x in enumerate(u)] for vid, u in U.items()}
+    got = {r["vec_id"]: list(r["q"]) for r in _int8_quantized(spark, SF_SMOKE).collect()}
+    assert got == expect
+    flat = [c for q in got.values() for c in q]
+    assert min(flat) >= -128 and max(flat) <= 127
+    assert min(flat) == -128 and max(flat) == 127, (
+        "corpus-learned [min, max] must map the extremes to the range ends"
+    )

@@ -1046,3 +1046,28 @@ def test_argmax_assignment_is_aggregate_not_window(spark):
         assert plan.count("HashAggregate") + plan.count("SortAggregate") + plan.count(
             "ObjectHashAggregate"
         ) >= 2, f"{name} lost the partial/final aggregate pair"
+
+
+def test_dsir_model_broadcasts_and_topk_avoids_full_sort(spark):
+    """filter_dsir_resample: the hashed-feature relation is persisted
+    (three consumers), the B-bounded model broadcasts onto the scoring
+    probe (B = 8192 FIXED — corpus-independent, so the hint is
+    legitimate, unlike an open-vocabulary model), and the global
+    resample top-k runs as TakeOrderedAndProject — never a full sort
+    of the scored corpus."""
+    plan = _plan(spark, "filter_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_int8_search_is_one_scan_with_pruned_topk(spark):
+    """sim_topk_int8: dim stats collapse to a one-row broadcast array
+    relation, the quantized query set broadcasts onto the quantized
+    corpus scan, and WindowGroupLimit prunes the per-query top-k below
+    the exchange — the corpus itself never hash-exchanges, and there is
+    no cartesian expansion."""
+    plan = _plan(spark, "sim_topk_int8")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
