@@ -2404,3 +2404,168 @@ def sim_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_topk_int8(spark, sf_dir),
         INT8_RECALL_FLOOR,
     )
+
+
+@register(
+    "sim_topk_binary",
+    oracle=f"""
+    WITH {_INT8_ORACLE_CTES.replace('quant AS', 'quant_unused AS')},
+    mid AS (
+      SELECT list_transform(list_zip(mns, mxs), p -> (p[1] + p[2]) / 2.0) AS mids
+      FROM stats
+    ),
+    bits AS (
+      SELECT nv.vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(nv.u[1:32], m.mids[1:32],
+                                       list_transform(range(0, 32), d -> CAST(d AS BIGINT))),
+                 p -> CASE WHEN p[1] > p[2]
+                           THEN CAST(1 AS BIGINT) << CAST(p[3] AS INTEGER)
+                           ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a | x) AS lo,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(nv.u[33:64], m.mids[33:64],
+                                       list_transform(range(0, 32), d -> CAST(d AS BIGINT))),
+                 p -> CASE WHEN p[1] > p[2]
+                           THEN CAST(1 AS BIGINT) << CAST(p[3] AS INTEGER)
+                           ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a | x) AS hi
+      FROM nv, mid m
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                  AS BIGINT) AS hamming
+      FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, hamming
+    FROM (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized top-k — the 1-bit rung below SQ8: each
+    normalized vector becomes 64 BITS (one per dimension, set when the
+    component clears the corpus-learned per-dim MIDRANGE (min+max)/2 —
+    midrange, not mean, because min/max are order-independent
+    aggregates while a parallel double mean is not reproducible), packed
+    into two 32-bit halves, and search ranks by exact integer HAMMING
+    distance (bit_count of xor). 64x memory compression and 2-instruction
+    distances at 100 TB — the coarse first pass real systems run before
+    an int8 or full-precision re-rank; accuracy held by
+    sim_recall_binary against a re-rank-depth shortlist.
+
+    Plan shape: the same one-row broadcast stats relation as
+    sim_topk_int8, bit packing entirely map-side (fold of shifted OR
+    terms — pure BIGINT arithmetic, byte-exact in both engines), query
+    codes broadcast, WindowGroupLimit pruning the per-query top-k. The
+    corpus never shuffles."""
+    return _binary_topn(spark, sf_dir, TOP_K)
+
+
+def _binary_topn(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Shared binary-code search: per-query top-``n`` by exact Hamming
+    distance over midrange-thresholded sign bits (see sim_topk_binary).
+    ``n`` = TOP_K for the codec-exactness query, BQ_RERANK for the
+    prefilter-shortlist recall contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = _with_norm(e).select(
+        "vec_id",
+        F.zip_with("v", F.array_repeat("norm", 64), lambda x, n: x / n).alias("u"),
+    )
+    dimstats = (
+        nv.select(F.posexplode("u").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dimstats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    mids = F.zip_with("mns", "mxs", lambda a, b: (a + b) / 2.0)
+
+    # bit weights as a literal array — a shift by a COLUMN amount is not
+    # expressible with shiftleft(col, int); distinct powers of two sum
+    # exactly like an OR pack and stay within BIGINT
+    pow2 = F.array(*[F.lit(1 << d).cast("long") for d in range(32)])
+
+    def pack(lo_idx: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("u", lo_idx + 1, 32),
+                F.zip_with(
+                    F.slice("mid", lo_idx + 1, 32),
+                    pow2,
+                    lambda t, w: F.struct(t.alias("t"), w.alias("w")),
+                ),
+                lambda x, s: F.when(x > s["t"], s["w"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    bits = (
+        nv.crossJoin(F.broadcast(stats.select(mids.alias("mid"))))
+        .select("vec_id", pack(0).alias("lo"), pack(32).alias("hi"))
+    )
+    queries = bits.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+        + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+    ).cast("bigint")
+    scored = bits.join(
+        F.broadcast(queries), F.col("query_id") != F.col("vec_id")
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), hamming.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(F.col("hamming").asc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )
+
+
+# Binary codes are the coarse FIRST pass of a two-stage search: the
+# Hamming shortlist feeds an exact re-rank. The shortlist depth is the
+# recall/cost dial; 500 is 1% of the sf0.1 corpus, the same order as
+# PQ_RERANK. Floor sits below the measured per-query minimum (0.6 at
+# sf0.1; 1.0 at the smaller fixtures, where the shortlist spans the
+# corpus).
+BQ_RERANK = 500
+BINARY_RECALL_FLOOR = 0.55
+
+
+@register(
+    "sim_recall_binary",
+    oracle=f"""
+    SELECT vec_id AS query_id, true AS recall_met
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    """,
+)
+def sim_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the binary rung, stated the way binary codes
+    are actually used — as a PREFILTER: every query's exact cosine
+    top-{TOP_K} must be {BINARY_RECALL_FLOOR:.0%}+ contained in the
+    Hamming top-{BQ_RERANK} shortlist (the set an exact re-rank would
+    then order perfectly). 1-bit codes are deliberately coarse; ranking
+    quality at depth {TOP_K} is the re-rank stage's job, containment at
+    re-rank depth is the codec's — this contract pins the latter."""
+    return _recall_contract(
+        sim_topk_bruteforce(spark, sf_dir),
+        _binary_topn(spark, sf_dir, BQ_RERANK),
+        BINARY_RECALL_FLOOR,
+    )

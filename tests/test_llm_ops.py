@@ -1426,3 +1426,60 @@ def test_int8_quantizer_matches_numpy_model(spark):
     assert min(flat) == -128 and max(flat) == 127, (
         "corpus-learned [min, max] must map the extremes to the range ends"
     )
+
+
+def test_binary_codes_match_python_model(spark):
+    """Replay the binary codec in Python (left-fold norm, midrange
+    thresholds, bit packing into two 32-bit halves) and require
+    identical packed codes plus the Hamming identity on a few pairs."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import _binary_topn
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    U = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        n = norm(v)
+        U[r["vec_id"]] = [x / n for x in v]
+    dims = len(next(iter(U.values())))
+    mid = [
+        (min(u[d] for u in U.values()) + max(u[d] for u in U.values())) / 2.0
+        for d in range(dims)
+    ]
+    codes = {}
+    for vid, u in U.items():
+        lo = sum(1 << d for d in range(32) if u[d] > mid[d])
+        hi = sum(1 << d for d in range(32) if u[32 + d] > mid[32 + d])
+        codes[vid] = (lo, hi)
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    got = _binary_topn(spark, SF_SMOKE, 5).collect()
+    for r in got:
+        q, nb = codes[r["query_id"]], codes[r["neighbor_id"]]
+        assert r["hamming"] == ham(q, nb), (
+            f"hamming mismatch for ({r['query_id']}, {r['neighbor_id']})"
+        )
+    # full argmin check for one query: the model's closest-5 set equals
+    # the query's (same tiebreak: hamming asc, neighbor asc)
+    q0 = min(codes)
+    model5 = sorted(
+        ((ham(codes[q0], c), vid) for vid, c in codes.items() if vid != q0)
+    )[:5]
+    got5 = sorted(
+        (r["hamming"], r["neighbor_id"]) for r in got if r["query_id"] == q0
+    )
+    assert got5 == model5
+    # codes must be non-degenerate: not all vectors on one side per half
+    los = {c[0] for c in codes.values()}
+    assert len(los) > 1

@@ -1071,3 +1071,13 @@ def test_int8_search_is_one_scan_with_pruned_topk(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binary_search_is_one_scan_with_pruned_topk(spark):
+    """sim_topk_binary: identical scale shape to sim_topk_int8 — one-row
+    broadcast stats, map-side bit packing, broadcast query codes,
+    WindowGroupLimit below the exchange, no cartesian expansion."""
+    plan = _plan(spark, "sim_topk_binary")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
