@@ -462,6 +462,81 @@ def dedup_select_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    cc(node, label) AS (
+      SELECT x, x FROM nodes
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(label) AS cluster_id FROM cc GROUP BY node
+    ),
+    sized AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labeled GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(s.cluster_size, 1) AS cluster_size,
+           floor(1.0 / coalesce(s.cluster_size, 1) * 1000000 + 0.5) / 1000000
+             AS weight
+    FROM documents d
+    LEFT JOIN labeled l USING (doc_id)
+    LEFT JOIN sized s ON s.cluster_id = l.cluster_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication — DOWN-WEIGHT duplicates instead of dropping
+    them: every document gets training weight 1/|near-dup cluster| (the
+    SoftDeDup policy: each duplicate cluster contributes one document's
+    worth of gradient mass in aggregate, preserving coverage that a
+    hard keep-one would throw away). Singletons weigh 1. Composes the
+    existing pipeline end-to-end: near-dup pairs -> connected
+    components -> cluster sizes -> a weight column every downstream
+    sampler (sample_weighted_pps, mix_domain_weights) can consume. At
+    100 TB the only corpus-sized relation is the documents scan itself:
+    the label and size relations are cluster-bounded and join back as
+    broadcasts (AQE-chosen — no forced hint on anything). Weight =
+    1/size rounds identically in both engines at 1e-6 (exact double
+    division of small integers, then the floor ladder)."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
+            (
+                F.floor(
+                    F.lit(1.0)
+                    / F.coalesce(F.col("cluster_size"), F.lit(1).cast("bigint"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("weight"),
+        )
+    )
+
+
 # Cluster-anchored split hash: identical overflow-safe multiplicative
 # scheme as llm_text.SPLIT_HASH, keyed on the cluster anchor instead of
 # the doc — the reduced anchor stays < 1e9+7, times 2654435761 stays

@@ -2569,3 +2569,65 @@ def sim_recall_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         _binary_topn(spark, sf_dir, BQ_RERANK),
         BINARY_RECALL_FLOOR,
     )
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c
+        ON q.label <> c.label
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim
+    FROM (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the ANCE /
+    RocketQA recipe): for each query vector, the top-{TOP_K} most
+    cosine-similar vectors with a DIFFERENT label — maximally confusable
+    non-matches, the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; same-label neighbors are
+    potential false negatives and are excluded by construction, which is
+    the denoising step those papers emphasize). Same plan as
+    sim_topk_bruteforce with the label-mismatch predicate fused into the
+    broadcast join condition: one corpus scan, no shuffle before the
+    WindowGroupLimit-pruned per-query top-k. The label filter runs
+    JVM-side in the join, so at 100 TB no same-label pair is ever
+    scored, let alone shuffled."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e, extra_cols=("label",))
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_label") != F.col("label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

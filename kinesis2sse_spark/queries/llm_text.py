@@ -1835,6 +1835,101 @@ def filter_perplexity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher quality rules (Rae et al. 2021, A1.1), fixture-calibrated:
+# the published bounds are word count [50, 100k] and mean word length
+# [3, 10]; this corpus is a bounded synthetic keyword stream (words
+# 3.7-5.3 chars, docs 10-99 words), so the thresholds move inside the
+# observed range to keep every rule NON-DEGENERATE (both pass and fail
+# rows at the driver SF — the r8 fixture-degeneracy discipline). The
+# symbol-ratio, bullet-line, and alphabetic-word rules are omitted
+# outright: the fixture has no symbols, no newlines, and alpha_frac is
+# 1.0 on every row, so their flags would attest nothing.
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_MWL = 4   # mean word length bounds, applied integer-exactly:
+GOPHER_MAX_MWL = 5   # sum(len) >= 4*n  and  sum(len) <= 5*n
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+@register(
+    "filter_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_reduce(list_prepend(0, list_transform(w, x -> len(x))),
+                              (a, b) -> a + b) AS BIGINT) AS chars_sum,
+             CAST(len(list_filter(w, x -> x IN ({_sql_list(GOPHER_STOPWORDS)})))
+                  AS BIGINT) AS stop_hits
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT doc_id, n_words,
+           floor(chars_sum * 1.0 / n_words * 1000000 + 0.5) / 1000000
+             AS mean_word_len,
+           stop_hits,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS ok_word_count,
+           chars_sum >= {GOPHER_MIN_MWL} * n_words
+             AND chars_sum <= {GOPHER_MAX_MWL} * n_words AS ok_mean_word_len,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND chars_sum >= {GOPHER_MIN_MWL} * n_words
+             AND chars_sum <= {GOPHER_MAX_MWL} * n_words
+             AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS keep
+    FROM m
+    """,
+)
+def filter_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021): per-document
+    boolean flags for each heuristic — word-count bounds, mean-word-
+    length bounds, minimum stop-word hits — plus the conjunctive keep
+    decision, emitted per rule so downstream reporting can attribute
+    WHY a document was dropped (the per-rule attribution is the point;
+    a bare keep flag hides which heuristic fired). Pure map-side array
+    arithmetic: zero shuffles, zero joins — the plan is a single scan
+    projection at any corpus size. The mean-word-length bounds apply as
+    integer cross-multiplications (chars_sum >= 4*n_words), so no FP
+    comparison sits on a rule boundary; the reported mean itself floor-
+    quantizes at 1e-6. Thresholds are fixture-calibrated (see the
+    constants above) so every rule has both pass and fail rows."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    m = d.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, b: a + b,
+        ).cast("bigint").alias("chars_sum"),
+        F.size(
+            F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))
+        ).cast("bigint").alias("stop_hits"),
+    )
+    ok_wc = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = (
+        F.col("chars_sum") >= GOPHER_MIN_MWL * F.col("n_words")
+    ) & (F.col("chars_sum") <= GOPHER_MAX_MWL * F.col("n_words"))
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return m.select(
+        "doc_id",
+        "n_words",
+        (
+            F.floor(
+                F.col("chars_sum").cast("double") / F.col("n_words") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_word_len"),
+        "stop_hits",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_stop).alias("keep"),
+    )
+
+
 # DSIR (Data Selection with Importance Resampling, Xie et al., NeurIPS
 # 2023): fixed hashed-bigram feature space, so the model relation is
 # B-bounded BY CONSTRUCTION — corpus-independent and legitimately

@@ -1070,7 +1070,10 @@ def test_source_binary_files_staging_is_bounded(spark):
     assert multimodal.source_binary_files(spark, SF_SMOKE).count() == 10
 
     # widened path: patch load_table so the doc_id<10 filter matches >10
-    # rows and assert the assertion fires instead of staging them all
+    # rows and assert the guard fires instead of staging them all. The
+    # guard is a RuntimeError, NOT `assert` — asserts are stripped under
+    # `python -O`, which would silently remove the protection (r08
+    # advice item).
     real = load_table(spark, SF_SMOKE, "documents")
     widened = real.withColumn("doc_id", F.col("doc_id") % 5)
     with mock.patch.object(
@@ -1078,7 +1081,7 @@ def test_source_binary_files_staging_is_bounded(spark):
     ):
         try:
             multimodal.source_binary_files(spark, SF_SMOKE)
-        except AssertionError as e:
+        except RuntimeError as e:
             assert "driver" in str(e)
         else:
             raise AssertionError("widened staging collect did not trip the guard")
@@ -1483,3 +1486,129 @@ def test_binary_codes_match_python_model(spark):
     # codes must be non-degenerate: not all vectors on one side per half
     los = {c[0] for c in codes.values()}
     assert len(los) > 1
+
+
+def test_gopher_rules_match_python_model(spark):
+    """Replay the Gopher rule battery in pure Python and require
+    identical flags; every rule must be non-degenerate on the fixture
+    (both pass and fail rows) or its green row attests nothing."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        filter_gopher_rules,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        n, cs = len(w), sum(len(x) for x in w)
+        sh = sum(1 for x in w if x in GOPHER_STOPWORDS)
+        ok_wc = GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+        ok_mwl = GOPHER_MIN_MWL * n <= cs <= GOPHER_MAX_MWL * n
+        ok_stop = sh >= GOPHER_MIN_STOP_HITS
+        expect[r["doc_id"]] = (
+            n,
+            math.floor(cs / n * 1e6 + 0.5) / 1e6,
+            sh,
+            ok_wc,
+            ok_mwl,
+            ok_stop,
+            ok_wc and ok_mwl and ok_stop,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mean_word_len"], r["stop_hits"],
+            r["ok_word_count"], r["ok_mean_word_len"], r["ok_stopwords"], r["keep"],
+        )
+        for r in filter_gopher_rules(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for i, rule in ((3, "word_count"), (4, "mean_word_len"), (5, "stopwords")):
+        vals = {v[i] for v in got.values()}
+        assert vals == {True, False}, f"rule {rule} is fixture-degenerate: {vals}"
+
+
+def test_soft_weights_conserve_cluster_mass(spark):
+    """dedup_soft_weights invariants: every document appears exactly
+    once; singletons weigh exactly 1.0; within every near-dup cluster
+    the weights sum to 1.0 (up to the 1e-6 quantization x size), so the
+    corpus' total gradient mass equals clusters + singletons — the
+    SoftDeDup conservation property."""
+    from collections import defaultdict
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.graph import dedup_soft_weights
+
+    rows = dedup_soft_weights(spark, SF_SMOKE).collect()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    clusters = defaultdict(list)
+    for r in rows:
+        if r["cluster_size"] == 1:
+            assert r["weight"] == 1.0 and r["cluster_id"] == r["doc_id"]
+        else:
+            clusters[r["cluster_id"]].append(r)
+    assert clusters, "fixture should contain at least one near-dup cluster"
+    for cid, members in clusters.items():
+        assert len(members) == members[0]["cluster_size"]
+        total = sum(m["weight"] for m in members)
+        assert abs(total - 1.0) <= len(members) * 1e-6, (cid, total)
+
+
+def test_hard_negatives_match_python_model(spark):
+    """Replay hard-negative mining in pure Python (left-fold norms,
+    different-label filter, cosine top-k with the engine tiebreak) and
+    require the identical mined set."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        N_QUERIES,
+        TOP_K,
+        mine_hard_negatives,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    V = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in rows
+    }
+    expect = set()
+    for q in range(N_QUERIES):
+        qv, ql = V[q]
+        qn = norm(qv)
+        scored = []
+        for vid, (v, lab) in V.items():
+            if lab == ql:
+                continue
+            acc = 0.0
+            for a, b in zip(qv, v):
+                acc += a * b
+            scored.append((-round(acc / (qn * norm(v)), 6), vid))
+        for negc, vid in sorted(scored)[:TOP_K]:
+            expect.add((q, vid, -negc))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in mine_hard_negatives(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    # and the exclusion property itself
+    labels = {vid: lab for vid, (_, lab) in V.items()}
+    for q, vid, _ in got:
+        assert labels[q] != labels[vid]

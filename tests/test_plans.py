@@ -1081,3 +1081,39 @@ def test_binary_search_is_one_scan_with_pruned_topk(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """filter_gopher_rules is per-row array arithmetic — the plan must
+    contain NO exchange, join, or window of any kind."""
+    plan = _plan(spark, "filter_gopher_rules")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_soft_weights_prunes_documents_scan(spark):
+    """dedup_soft_weights joins the cluster-bounded label/size relations
+    back to a documents scan that must read ONLY doc_id — the text
+    column belongs to the (separate) pair-generation scan. A scan that
+    dragged text through the weight join would ship the whole corpus
+    body through an exchange at 100 TB."""
+    plan = _plan(spark, "dedup_soft_weights")
+    doc_scans = [
+        l for l in plan.splitlines()
+        if "Scan parquet" in l and "documents" in l and "ReadSchema" in l
+    ]
+    assert doc_scans, "no documents scan with ReadSchema found"
+    assert any("text" not in l for l in doc_scans), (
+        "the weight join's documents scan must prune down to doc_id"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_is_broadcast_scan_with_pruned_topk(spark):
+    """mine_hard_negatives: query set broadcasts with the label-mismatch
+    predicate fused into the join (same-label pairs never score), and
+    the per-query top-k prunes below the exchange."""
+    plan = _plan(spark, "mine_hard_negatives")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
