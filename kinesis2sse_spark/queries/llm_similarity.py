@@ -2631,3 +2631,146 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. 2009) of a
+# dense (cosine) ranker over embeddings and a lexical (token-set
+# Jaccard) ranker over documents. RRF_K=60 is the published constant;
+# each system contributes a DEPTH-bounded shortlist.
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH dense_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    dense AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id)
+                  AS BIGINT) AS dense_rank_
+      FROM dense_scored
+      QUALIFY dense_rank_ <= {RRF_DEPTH}
+    ),
+    toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+    ),
+    lex_scored AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+             round(len(list_distinct(list_intersect(q.t, c.t))) * 1.0
+                   / (len(q.t) + len(c.t)
+                      - len(list_distinct(list_intersect(q.t, c.t)))), 6) AS jac
+      FROM toks q JOIN toks c ON q.doc_id <> c.doc_id
+      WHERE q.doc_id < {N_QUERIES}
+    ),
+    lex AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY jac DESC, neighbor_id)
+                  AS BIGINT) AS lex_rank_
+      FROM lex_scored
+      QUALIFY lex_rank_ <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, dense_rank_, lex_rank_,
+             coalesce(1.0 / ({RRF_K} + dense_rank_), 0.0)
+               + coalesce(1.0 / ({RRF_K} + lex_rank_), 0.0) AS s
+      FROM dense FULL JOIN lex USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id,
+           floor(s * 1000000000 + 0.5) / 1000000000 AS rrf_score,
+           dense_rank_, lex_rank_
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, neighbor_id) AS rn
+      FROM fused
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, k=60 — the constant every hybrid search deployment ships):
+    a DENSE ranker (exact cosine over the embeddings corpus) and a
+    LEXICAL ranker (token-set Jaccard over the documents corpus) each
+    produce a depth-{RRF_DEPTH} shortlist per query; fusion scores
+    every candidate 1/(k+rank) per system it appears in and re-ranks.
+    Candidate universes may differ (each system indexes what it has) —
+    the FULL OUTER rank join is the point: a hit found by only one
+    system still fuses. Both rankers are the repo's existing verified
+    shapes (broadcast query set onto a single corpus scan, top-k pruned
+    below the exchange); the fusion join operates on two
+    (queries x depth)-bounded relations, so at 100 TB the fusion stage
+    costs nothing — the corpus-sized work stays in the two rankers.
+    Ranks are integers, the two-term RRF sum is a fixed-order IEEE
+    expression, and the output quantizes at 1e-9."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    dense = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+        .withColumn("dense_rank_", F.row_number().over(wd).cast("bigint"))
+        .filter(F.col("dense_rank_") <= RRF_DEPTH)
+        .select("query_id", "neighbor_id", "dense_rank_")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    qtoks = toks.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    inter = F.size(F.array_intersect("qt", "t"))
+    jac = F.round(
+        inter.cast("double") / (F.size("qt") + F.size("t") - inter), 6
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("jac").desc(), "neighbor_id")
+    lex = (
+        toks.join(F.broadcast(qtoks), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            jac.alias("jac"),
+        )
+        .withColumn("lex_rank_", F.row_number().over(wl).cast("bigint"))
+        .filter(F.col("lex_rank_") <= RRF_DEPTH)
+        .select("query_id", "neighbor_id", "lex_rank_")
+    )
+    s = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank_")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank_")), F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+    return (
+        dense.join(lex, ["query_id", "neighbor_id"], "outer")
+        .withColumn("s", s)
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("s") * 1000000000 + F.lit(0.5)) / 1000000000).alias(
+                "rrf_score"
+            ),
+            "dense_rank_",
+            "lex_rank_",
+        )
+    )

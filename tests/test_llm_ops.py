@@ -1612,3 +1612,73 @@ def test_hard_negatives_match_python_model(spark):
     labels = {vid: lab for vid, (_, lab) in V.items()}
     for q, vid, _ in got:
         assert labels[q] != labels[vid]
+
+
+def test_hybrid_rrf_matches_python_model(spark):
+    """Replay RRF fusion in pure Python — dense cosine ranks, lexical
+    token-set Jaccard ranks, 1/(k+r) fusion, depth and top-k cuts —
+    and require the identical fused ranking. Also checks the fusion
+    property the operator exists for: at least one fused hit that only
+    one system shortlisted."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        N_QUERIES,
+        RRF_DEPTH,
+        RRF_K,
+        TOP_K,
+        search_hybrid_rrf,
+    )
+
+    erows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    drows = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    V = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in erows}
+    T = {r["doc_id"]: set(r["text"].split(" ")) for r in drows}
+
+    def ranks(scored):
+        # scored: list of (score, neighbor) — rank by score desc, id asc
+        out = {}
+        for i, (_, nid) in enumerate(
+            sorted(scored, key=lambda p: (-p[0], p[1]))[:RRF_DEPTH]
+        ):
+            out[nid] = i + 1
+        return out
+
+    expect = set()
+    for q in range(N_QUERIES):
+        qn = norm(V[q])
+        dense = ranks([
+            (round(sum(a * b for a, b in zip(V[q], v)) / (qn * norm(v)), 6), vid)
+            for vid, v in V.items() if vid != q
+        ])
+        lex = ranks([
+            (round(len(T[q] & t) / len(T[q] | t), 6), did)
+            for did, t in T.items() if did != q
+        ])
+        fused = []
+        for nid in set(dense) | set(lex):
+            s = (1.0 / (RRF_K + dense[nid]) if nid in dense else 0.0) + (
+                1.0 / (RRF_K + lex[nid]) if nid in lex else 0.0
+            )
+            fused.append((s, nid))
+        for s, nid in sorted(fused, key=lambda p: (-p[0], p[1]))[:TOP_K]:
+            expect.add((
+                q, nid, math.floor(s * 1e9 + 0.5) / 1e9,
+                dense.get(nid), lex.get(nid),
+            ))
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rrf_score"],
+         r["dense_rank_"], r["lex_rank_"])
+        for r in search_hybrid_rrf(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    single_system = [x for x in got if x[3] is None or x[4] is None]
+    assert single_system, "fixture should fuse at least one one-system hit"

@@ -1117,3 +1117,14 @@ def test_hard_negatives_is_broadcast_scan_with_pruned_topk(spark):
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fusion_joins_bounded_relations(spark):
+    """search_hybrid_rrf: both rankers are broadcast-query scans with
+    WindowGroupLimit pruning; the fusion join itself only ever touches
+    two (queries x depth)-bounded rank relations — no cartesian
+    expansion anywhere."""
+    plan = _plan(spark, "search_hybrid_rrf")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
