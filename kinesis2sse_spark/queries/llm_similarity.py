@@ -2774,3 +2774,168 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank_",
         )
     )
+
+
+# Embedding-space decontamination: the held-out set is the first
+# N_EVAL_VECS vectors; a corpus vector is contaminated when its cosine
+# to ANY eval vector clears the threshold. tau = 0.35 is calibrated on
+# this corpus family so both sides of the flag are populated at every
+# SF (16/24/90 contaminated at sf0.001/0.01/0.1) — the published
+# practice filters at much higher tau on real corpora; the dial is the
+# operator, the constant is fixture calibration.
+N_EVAL_VECS = 20
+DECON_EMB_TAU = 0.35
+
+
+@register(
+    "decontaminate_embedding",
+    oracle=f"""
+    SELECT c.vec_id,
+           max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6))
+             AS max_eval_cos,
+           max(round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6))
+             < {DECON_EMB_TAU} AS is_clean
+    FROM embeddings c JOIN embeddings q ON q.vec_id < {N_EVAL_VECS}
+    WHERE c.vec_id >= {N_EVAL_VECS}
+    GROUP BY c.vec_id
+    """,
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination — the
+    complement of decontaminate_ngram's exact 5-gram overlap: a corpus
+    vector is CONTAMINATED when its cosine to any held-out eval vector
+    clears tau, catching paraphrased or reformatted eval leakage that
+    token n-grams miss (the decontamination recipe current model
+    reports pair with the n-gram pass). Emits every corpus vector with
+    its max-eval-cosine and the is_clean flag rather than silently
+    dropping rows, so the audit attests both populations. Plan: the
+    eval set broadcasts onto one corpus scan (same shape as
+    sim_topk_bruteforce), the per-vector max partial-aggregates
+    map-side, and only n rows cross the exchange — at 100 TB this is
+    one pass over the corpus, no pair materialization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e).filter(F.col("vec_id") >= N_EVAL_VECS)
+    evalset = _with_norm(e).filter(F.col("vec_id") < N_EVAL_VECS).select(
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        corpus.crossJoin(F.broadcast(evalset))
+        .select(
+            "vec_id",
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cos_sim").alias("max_eval_cos"))
+        .select(
+            "vec_id",
+            "max_eval_cos",
+            (F.col("max_eval_cos") < DECON_EMB_TAU).alias("is_clean"),
+        )
+    )
+
+
+@register(
+    "sim_topk_binary_rerank",
+    oracle=f"""
+    WITH {_INT8_ORACLE_CTES.replace('quant AS', 'quant_unused AS')},
+    mid AS (
+      SELECT list_transform(list_zip(mns, mxs), p -> (p[1] + p[2]) / 2.0) AS mids
+      FROM stats
+    ),
+    bits AS (
+      SELECT nv.vec_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(nv.u[1:32], m.mids[1:32],
+                                       list_transform(range(0, 32), d -> CAST(d AS BIGINT))),
+                 p -> CASE WHEN p[1] > p[2]
+                           THEN CAST(1 AS BIGINT) << CAST(p[3] AS INTEGER)
+                           ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a | x) AS lo,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(nv.u[33:64], m.mids[33:64],
+                                       list_transform(range(0, 32), d -> CAST(d AS BIGINT))),
+                 p -> CASE WHEN p[1] > p[2]
+                           THEN CAST(1 AS BIGINT) << CAST(p[3] AS INTEGER)
+                           ELSE CAST(0 AS BIGINT) END)),
+               (a, x) -> a | x) AS hi
+      FROM nv, mid m
+    ),
+    hscored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+                  AS BIGINT) AS hamming
+      FROM bits q JOIN bits c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming ASC, neighbor_id) AS rn
+        FROM hscored
+      ) WHERE rn <= {{rerank}}
+    ),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM shortlist s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM rer
+    ) WHERE rn <= {TOP_K}
+    """.replace("{rerank}", str(BQ_RERANK)),
+)
+def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage binary search — the production shape the
+    sim_recall_binary contract describes: Hamming distance over 1-bit
+    codes prefilters the corpus to a {BQ_RERANK}-deep shortlist (64x
+    compressed scan, two bit_count instructions per candidate), then
+    EXACT cosine re-ranks only the shortlist and keeps the top-{TOP_K}.
+    At 100 TB the full-precision vectors are touched for queries x
+    {BQ_RERANK} rows only — the corpus-wide pass runs entirely on the
+    packed codes. Byte-exact end to end: integer Hamming, the verified
+    cosine convention on the shortlist, deterministic tiebreaks at both
+    stages."""
+    shortlist = _binary_topn(spark, sf_dir, BQ_RERANK).select(
+        "query_id", "neighbor_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    rer = (
+        shortlist.join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "v", "norm"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )

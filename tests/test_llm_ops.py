@@ -1682,3 +1682,68 @@ def test_hybrid_rrf_matches_python_model(spark):
     assert got == expect
     single_system = [x for x in got if x[3] is None or x[4] is None]
     assert single_system, "fixture should fuse at least one one-system hit"
+
+
+def test_decontaminate_embedding_model_and_nondegeneracy(spark):
+    """Replay embedding decontamination in pure Python and require
+    identical flags; the fixture must populate BOTH sides of is_clean
+    (a one-sided flag attests nothing)."""
+    import math
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_similarity import (
+        DECON_EMB_TAU,
+        N_EVAL_VECS,
+        decontaminate_embedding,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    V = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    evalset = {vid: v for vid, v in V.items() if vid < N_EVAL_VECS}
+    expect = {}
+    for vid, v in V.items():
+        if vid < N_EVAL_VECS:
+            continue
+        n = norm(v)
+        mx = max(
+            round(sum(a * b for a, b in zip(v, q)) / (n * norm(q)), 6)
+            for q in evalset.values()
+        )
+        expect[vid] = (mx, mx < DECON_EMB_TAU)
+    got = {
+        r["vec_id"]: (r["max_eval_cos"], r["is_clean"])
+        for r in decontaminate_embedding(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    flags = {v[1] for v in got.values()}
+    assert flags == {True, False}, f"is_clean degenerate: {flags}"
+
+
+def test_binary_rerank_equals_exact_when_shortlist_spans_corpus(spark):
+    """sim_topk_binary_rerank: at the smoke SF the Hamming shortlist
+    depth (500) covers the whole corpus, so the re-ranked top-k must
+    equal sim_topk_bruteforce EXACTLY — the re-rank stage provably
+    restores full-precision ordering over whatever the prefilter
+    passes. (At sf0.1 the shortlist is a real 25% cut and the recall
+    contract takes over.)"""
+    from kinesis2sse_spark.queries.llm_similarity import (
+        sim_topk_binary_rerank,
+        sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in sim_topk_bruteforce(spark, SF_SMOKE).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in sim_topk_binary_rerank(spark, SF_SMOKE).collect()
+    }
+    assert rer == exact

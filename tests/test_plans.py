@@ -1128,3 +1128,22 @@ def test_hybrid_rrf_fusion_joins_bounded_relations(spark):
     assert plan.count("WindowGroupLimit") >= 2
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_embedding_single_scan_partial_max(spark):
+    """decontaminate_embedding: the eval set broadcasts onto one corpus
+    scan and the per-vector max partial-aggregates map-side — n rows
+    cross the exchange, never the n x n_eval scored expansion."""
+    plan = _plan(spark, "decontaminate_embedding")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
+def test_binary_rerank_full_vectors_only_on_shortlist(spark):
+    """sim_topk_binary_rerank: the corpus-wide stage runs on packed
+    codes (WindowGroupLimit-pruned Hamming top-N); full-precision
+    vectors join only against the (queries x N)-bounded shortlist."""
+    plan = _plan(spark, "sim_topk_binary_rerank")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
