@@ -139,6 +139,16 @@ SHOW = [
     "sim_matryoshka_recall",
     "graph_source_modularity",
     "ml_logistic_probe_gd",
+    # round-9 additions
+    "filter_dsir_resample",
+    "sim_topk_int8",
+    "sim_topk_binary",
+    "sim_topk_binary_rerank",
+    "filter_gopher_rules",
+    "dedup_soft_weights",
+    "mine_hard_negatives",
+    "search_hybrid_rrf",
+    "decontaminate_embedding",
 ]
 
 
