@@ -70,3 +70,19 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     against the same names the DuckDB oracle pre-registers."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def pin_cache(df: DataFrame) -> DataFrame:
+    """persist + eager count as ONE primitive — the connected_components
+    rule (PERF.md rounds 8-9): a persist() consumed by two or more
+    independent branches of one action must be POPULATED before the
+    consumers' stages launch, or they race the empty cache and compute
+    the subtree concurrently ("Block rdd_N_M already exists" is the
+    tell; tools/sweep_oracles.py fails the sweep on it). Use via
+    ``df.transform(pin_cache)`` exactly where ``.persist(...)`` would
+    have been chained."""
+    from pyspark import StorageLevel
+
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 
@@ -416,7 +416,7 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         ev.where(F.col("value").isNotNull())
         .groupBy("value").agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.select(
@@ -488,7 +488,7 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("y"),
         )
         .agg(F.count("*").alias("nxy"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     mx = cells.groupBy("x").agg(F.sum("nxy").cast("double").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").cast("double").alias("ny"))
@@ -563,7 +563,7 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("event_type") == "click", 1)).alias("a"),
             F.count(F.when(F.col("event_type") == "view", 1)).alias("b"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = counts.select(
@@ -648,7 +648,7 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.unix_micros("ts") < F.col("mid"), 1)).alias("ca"),
             F.count(F.when(F.unix_micros("ts") >= F.col("mid"), 1)).alias("cb"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     sm = PSI_BUCKETS * 0.5
@@ -714,7 +714,7 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(5).cast("bigint"), F.floor(F.col("value") / 100)).alias("y"),
         )
         .agg(F.count("*").cast("double").alias("o"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     mx = cells.groupBy("x").agg(F.sum("o").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("o").alias("ny"))
@@ -822,7 +822,7 @@ def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("event_type") == "click", 1)).alias("ca"),
             F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = cells.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     sm = PSI_BUCKETS * 0.5
@@ -919,7 +919,7 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = d.select(
         F.col("n_chars").alias("a"),
         F.size(F.split("text", " ")).cast("bigint").alias("b"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
 
     def rank2(col: str) -> DataFrame:
         h = m.groupBy(col).agg(F.count("*").alias("c"))

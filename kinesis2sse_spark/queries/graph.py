@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.queries.llm_dedup import _ORACLE_CLUSTER_CTE, JACCARD_THRESHOLD
 from kinesis2sse_spark.registry import register
 
@@ -224,12 +224,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
         .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     deg = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("ds"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("dd"))
@@ -241,7 +241,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
         )
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     o1 = oriented
     o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
@@ -330,12 +330,12 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
         edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
         .unionByName(edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     deg = (
         und.groupBy(F.col("src").alias("node"))
         .agg(F.count("*").alias("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     edges_deg = (
         und.join(deg.select(F.col("node").alias("src"), "d"), "src")
@@ -678,7 +678,7 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
             edges.select(F.col("b").cast("long").alias("src"), F.col("a").cast("long").alias("dst"))
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -918,7 +918,7 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     state = (
         und.groupBy(F.col("src").alias("node"))

@@ -16,7 +16,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -743,7 +743,7 @@ def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_obs"))
     from pyspark import StorageLevel
 
-    obs = obs.persist(StorageLevel.MEMORY_AND_DISK)
+    obs = obs.transform(pin_cache)
     tot = obs.agg(F.sum("n_obs").alias("n"))
     benford = F.log10(1.0 + 1.0 / F.col("digit"))
     return obs.crossJoin(F.broadcast(tot)).select(

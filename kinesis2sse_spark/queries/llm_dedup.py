@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table, spread
+from kinesis2sse_spark.catalog import load_table, spread, pin_cache
 from kinesis2sse_spark.registry import register
 
 JACCARD_THRESHOLD = 0.5
@@ -630,7 +630,7 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("w"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     df = win.groupBy("w").agg(F.count_distinct("doc_id").alias("ndocs"))
     return (
@@ -708,7 +708,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     docs = d.select(
         "doc_id", F.split("text", " ").alias("t")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     win = (
         docs.filter(F.size("t") >= SPAN_LEN)
         .select(
@@ -739,7 +739,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", "p.i", "p.w")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     dupw = (
         win.groupBy("w")
@@ -754,7 +754,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.col("i"), F.col("i") + SPAN_LEN - 1)).alias("pos"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     covn = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
     tokpos = docs.select("doc_id", F.posexplode("t").alias("pos", "tok"))
@@ -926,7 +926,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(W.partitionBy(blk).orderBy("p_name", "p_partkey"))
         .alias("rn"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     a = recs.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
@@ -1078,7 +1078,7 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = (
         d.select("source", fp.alias("h"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     src_counts = hs.groupBy("source").agg(F.count("*").alias("n"))
     sets = (

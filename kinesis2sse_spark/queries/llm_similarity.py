@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 N_QUERIES = 10  # query set = vec_id < 10
@@ -718,7 +718,7 @@ def _pq_parts(sf_dir, spark):
             "vec_id",
             F.zip_with("v", F.array_repeat("norm", PQ_M * PQ_SUB), lambda x, n: x / n).alias("vn"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
     seq_k = F.sequence(F.lit(0), F.lit(PQ_K - 1))
@@ -1482,7 +1482,7 @@ def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         assigned.groupBy("cell")
         .agg(F.count("*").alias("n_vectors"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = occ.agg(F.sum("n_vectors").alias("n"), F.count("*").alias("k"))
     return occ.crossJoin(F.broadcast(tot)).select(
@@ -1691,7 +1691,7 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("embedding").alias("d", "xf"),
         )
         .select("vec_id", F.col("d").cast("bigint").alias("d"), F.col("xf").cast("double").alias("x"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     cent = ed.where(F.col("vec_id") < KMEANS_TRAIN_K).select(
         F.col("vec_id").alias("cell"), "d", F.col("x").alias("v")
@@ -2246,14 +2246,15 @@ def ml_logistic_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 INT8_LEVELS = 255  # quantization levels (codes -128..127 after centering)
 
 
-def _int8_quantized(spark: SparkSession, sf_dir: str):
-    """Shared SQ8 machinery: the corpus with each NORMALIZED vector
-    linear-quantized to int8 codes per dimension. Per-dim min/max come
-    from one exploded aggregate (64 rows), collected into two aligned
-    arrays on a ONE-ROW relation broadcast back onto the corpus scan —
-    the corpus itself is never shuffled, and quantization is pure
-    map-side column arithmetic. Constant dimensions (max == min)
-    quantize to code 0."""
+def _sq_normalized_stats(spark: SparkSession, sf_dir: str):
+    """Shared scalar-quantization front end for the int8 AND binary
+    codecs: (normalized corpus, one-row per-dim [min, max] arrays).
+    Per-dim min/max come from one exploded aggregate (64 rows),
+    collected into two aligned arrays on a ONE-ROW relation broadcast
+    back onto the corpus scan — the corpus itself is never shuffled.
+    min/max (not mean) because they are order-independent aggregates:
+    a parallel double mean is not bitwise reproducible across partition
+    layouts, and both codecs' oracles replay these exact stats."""
     e = load_table(spark, sf_dir, "embeddings")
     nv = _with_norm(e).select(
         "vec_id",
@@ -2272,6 +2273,15 @@ def _int8_quantized(spark: SparkSession, sf_dir: str):
             F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
         ).alias("mxs"),
     )
+    return nv, stats
+
+
+def _int8_quantized(spark: SparkSession, sf_dir: str):
+    """SQ8 codec: each normalized vector linear-quantized to int8 codes
+    per dimension against the corpus-learned [min, max] (see
+    _sq_normalized_stats). Quantization is pure map-side column
+    arithmetic; constant dimensions (max == min) quantize to code 0."""
+    nv, stats = _sq_normalized_stats(spark, sf_dir)
     rng = F.zip_with("mns", "mxs", lambda a, b: F.struct(a.alias("mn"), b.alias("mx")))
     code = lambda x, s: (
         F.when(s["mx"] == s["mn"], F.lit(0).cast("bigint")).otherwise(
@@ -2286,7 +2296,10 @@ def _int8_quantized(spark: SparkSession, sf_dir: str):
     )
 
 
-_INT8_ORACLE_CTES = f"""corpus AS (
+# Shared normalize + per-dim stats CTE prefix (the oracle twin of
+# _sq_normalized_stats), consumed by the int8 AND binary oracles —
+# factored so neither needs string surgery on the other's CTEs.
+_SQ_STATS_CTES = """corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     nv AS (
@@ -2304,8 +2317,9 @@ _INT8_ORACLE_CTES = f"""corpus AS (
     stats AS (
       SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
       FROM dimstats
-    ),
-    quant AS (
+    )"""
+
+_INT8_QUANT_CTE = f"""quant AS (
       SELECT vec_id,
              list_transform(
                list_zip(u, s.mns, s.mxs),
@@ -2320,7 +2334,8 @@ _INT8_ORACLE_CTES = f"""corpus AS (
 @register(
     "sim_topk_int8",
     oracle=f"""
-    WITH {_INT8_ORACLE_CTES},
+    WITH {_SQ_STATS_CTES},
+    {_INT8_QUANT_CTE},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(list_reduce(
@@ -2409,7 +2424,7 @@ def sim_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_binary",
     oracle=f"""
-    WITH {_INT8_ORACLE_CTES.replace('quant AS', 'quant_unused AS')},
+    WITH {_SQ_STATS_CTES},
     mid AS (
       SELECT list_transform(list_zip(mns, mxs), p -> (p[1] + p[2]) / 2.0) AS mids
       FROM stats
@@ -2473,24 +2488,7 @@ def _binary_topn(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     distance over midrange-thresholded sign bits (see sim_topk_binary).
     ``n`` = TOP_K for the codec-exactness query, BQ_RERANK for the
     prefilter-shortlist recall contract."""
-    e = load_table(spark, sf_dir, "embeddings")
-    nv = _with_norm(e).select(
-        "vec_id",
-        F.zip_with("v", F.array_repeat("norm", 64), lambda x, n: x / n).alias("u"),
-    )
-    dimstats = (
-        nv.select(F.posexplode("u").alias("d", "x"))
-        .groupBy("d")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    )
-    stats = dimstats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "mn"))), lambda s: s["mn"]
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("d", "mx"))), lambda s: s["mx"]
-        ).alias("mxs"),
-    )
+    nv, stats = _sq_normalized_stats(spark, sf_dir)
     mids = F.zip_with("mns", "mxs", lambda a, b: (a + b) / 2.0)
 
     # bit weights as a literal array — a shift by a COLUMN amount is not
@@ -2541,10 +2539,12 @@ def _binary_topn(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 
 # Binary codes are the coarse FIRST pass of a two-stage search: the
 # Hamming shortlist feeds an exact re-rank. The shortlist depth is the
-# recall/cost dial; 500 is 1% of the sf0.1 corpus, the same order as
-# PQ_RERANK. Floor sits below the measured per-query minimum (0.6 at
-# sf0.1; 1.0 at the smaller fixtures, where the shortlist spans the
-# corpus).
+# recall/cost dial. NOTE the fixture selectivity: 500 is 25% of the
+# sf0.1 embeddings corpus (2000 vectors) and spans the two smaller
+# fixtures entirely — on a real corpus the same depth is a 1e4-1e6x
+# cut, so tune depth against YOUR corpus, not this constant. Floor
+# sits below the measured per-query minimum (0.6 at sf0.1; 1.0 at the
+# smaller fixtures, where the shortlist covers everything).
 BQ_RERANK = 500
 BINARY_RECALL_FLOOR = 0.55
 
@@ -2842,7 +2842,7 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_topk_binary_rerank",
     oracle=f"""
-    WITH {_INT8_ORACLE_CTES.replace('quant AS', 'quant_unused AS')},
+    WITH {_SQ_STATS_CTES},
     mid AS (
       SELECT list_transform(list_zip(mns, mxs), p -> (p[1] + p[2]) / 2.0) AS mids
       FROM stats

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 BPE_ISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
@@ -230,7 +230,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
@@ -332,7 +332,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     k1, b = BM25_K1, BM25_B
@@ -637,7 +637,7 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     # tiny per-key summary: one row per distinct n_chars value
     key_sums = scored.groupBy("n_chars").agg(F.sum("n_tokens").alias("key_tokens"))
     wk = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
@@ -704,7 +704,7 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         (F.col("doc_id") - F.col("doc_id") % PACK_KEY_SPAN).alias("k"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     key_sums = t.groupBy("k").agg(F.sum("n_tokens").alias("key_tokens"))
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = key_sums.select(
@@ -806,7 +806,7 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     tot = per.agg(F.count("*").alias("k"), F.sum("n_docs").alias("total"))
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -846,7 +846,7 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     p = t.agg(F.round(F.percentile("n_tokens", F.lit(0.1)), 6).alias("p10"))
     return (
         t.join(F.broadcast(p), F.col("n_tokens") > F.col("p10"), "inner")
@@ -1421,13 +1421,13 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cab = (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n_ab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     uni = (
         d.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_t"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     totals = cab.agg(F.sum("n_ab").cast("double").alias("tp")).crossJoin(
         uni.agg(F.sum("n_t").cast("double").alias("tu"))
@@ -2164,10 +2164,10 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     counts = (
         t.groupBy("n_tokens").agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, -1)
     cum = counts.select(
@@ -2361,7 +2361,7 @@ def text_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("lang", "tok")
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = cells.groupBy("lang").agg(F.sum("c").alias("n"))
     p = F.col("c") * 1.0 / F.col("n")
@@ -2438,7 +2438,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    cnts = cnts.persist(StorageLevel.MEMORY_AND_DISK)
+    cnts = cnts.transform(pin_cache)
     ranked = cnts.withColumn(
         "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "tok"))
     )
@@ -2513,7 +2513,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         d.groupBy("lang")
         .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = per.agg(F.sum("n_tokens").alias("total"))
     s = F.col("n_tokens") * 1.0 / F.col("total")
@@ -2522,7 +2522,7 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         s.alias("s"),
         F.floor(F.pow(s, F.lit(MIX_ALPHA)) * 1000000000000 + F.lit(0.5)).alias("sq"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     norm = shares.agg(F.sum("sq").alias("z"))
     q = F.col("sq") * 1.0 / F.col("z")
     return shares.crossJoin(F.broadcast(norm)).select(
@@ -2954,7 +2954,7 @@ def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
     )
     from pyspark import StorageLevel
 
-    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    b = b.transform(pin_cache)
     g = b.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 # Deterministic linear probe score over the 64-dim embedding: each
@@ -286,7 +286,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 sums; pos_rate floor-quantizes at 1e6."""
     from pyspark import StorageLevel
 
-    s = _scored(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    s = _scored(spark, sf_dir).transform(pin_cache)
     mm = s.agg(
         F.min("s").cast("bigint").alias("mn"), F.max("s").cast("bigint").alias("mx")
     )
@@ -363,7 +363,7 @@ def ml_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     point is the two final ratios, floor-quantized at 1e6."""
     from pyspark import StorageLevel
 
-    s = _scored(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    s = _scored(spark, sf_dir).transform(pin_cache)
     mm = s.agg(
         F.min("s").cast("bigint").alias("mn"), F.max("s").cast("bigint").alias("mx")
     )
@@ -840,7 +840,7 @@ def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         spine.join(cells0, ["dim", "b"], "left")
         .fillna(0, subset=["ca", "cb"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = cells.groupBy("dim").agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     sm = DRIFT_BANDS * 0.5
@@ -925,7 +925,7 @@ def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scored(spark, sf_dir)
         .groupBy("s")
         .agg(F.count("*").cast("bigint").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     r = _with_prefix_counts(h, descending=True).withColumnRenamed("less", "before")
     tot = h.agg(

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 FRAME_BYTES = 16  # bytes per fake "frame"
@@ -477,7 +477,7 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(payload).alias("content_key"),
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(pin_cache)
     grp = keyed.groupBy("content_key").agg(
         F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
         F.count("*").cast("bigint").alias("n_copies"),

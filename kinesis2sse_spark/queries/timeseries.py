@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kinesis2sse_spark.catalog import load_table
+from kinesis2sse_spark.catalog import load_table, pin_cache
 from kinesis2sse_spark.registry import register
 
 
@@ -509,6 +509,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t1"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin (the connected_components rule): s1 feeds the s2 join
+    # AND the stage union — independent branches of one action race an
+    # unpopulated cache (this exact site was the first catch of the
+    # sweep's automated cache-race gate).
+    s1.count()
     s2 = (
         e.where(F.col("event_type") == "view")
         .join(s1, "user_id")
@@ -517,6 +522,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t2"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Eager pin: s2 feeds the s3 join and the stage union.
+    s2.count()
     s3 = (
         e.where(F.col("event_type") == "purchase")
         .join(s2, "user_id")
@@ -680,7 +687,7 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     times."""
     from pyspark import StorageLevel
 
-    sessions = sessionize_batch(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sessions = sessionize_batch(spark, sf_dir).transform(pin_cache)
     starts = sessions.select(
         F.col("session_start").alias("ts"), F.lit(1).alias("d"), "user_id", "session_id"
     )
@@ -690,7 +697,7 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = (
         starts.unionByName(ends)
         .withColumn("k", F.date_trunc("day", "ts"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     key_sums = deltas.groupBy("k").agg(F.sum("d").alias("kd"))
     wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -908,7 +915,7 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("ts").isNotNull())
         .groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = daily.agg(F.sum("c").alias("total"), F.count("*").alias("n"))
     wo = Window.orderBy("day")
@@ -1224,7 +1231,7 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
             "n",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     tot = dn.agg(
         F.count("*").cast("bigint").alias("nd"),
@@ -1352,7 +1359,7 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d"),
             "n",
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(pin_cache)
     )
     b = dn.select(F.col("d").alias("dj"), F.col("n").alias("nj"))
     slopes = dn.join(b, F.col("dj") > F.col("d")).select(
