@@ -3050,3 +3050,144 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("ttr"),
     )
+
+
+# UniMax (Chung et al. 2023): allocate a token budget across languages
+# by ascending-size waterfilling with a per-language epoch cap — small
+# languages get capped at C epochs, the remainder splits uniformly.
+# C = 1 (the paper's headline UniMax-1); the budget is 7/8 of the
+# corpus so the fixture produces BOTH populations (four capped
+# languages + uncapped en) at every SF.
+UNIMAX_EPOCH_CAP = 1
+UNIMAX_BUDGET_NUM = 7  # budget = total_tokens * 7 div 8
+UNIMAX_BUDGET_DEN = 8
+
+
+@register(
+    "sample_unimax_budget",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) * {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN}
+                  AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS l
+      FROM per
+    ),
+    ranked AS (
+      SELECT lang, n_tokens,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM per
+      WINDOW w AS (ORDER BY n_tokens, lang)
+    ),
+    feas AS (
+      SELECT r.*, t.b, t.l,
+             {UNIMAX_EPOCH_CAP} * n_tokens * (t.l - i + 1)
+               + {UNIMAX_EPOCH_CAP} * prefix AS f
+      FROM ranked r, tot t
+    ),
+    flagged AS (
+      SELECT *,
+             max(f) OVER (ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               <= b AS capped
+      FROM feas
+    ),
+    caps AS (
+      SELECT CAST(coalesce(sum(CASE WHEN capped THEN n_tokens END), 0)
+                  AS BIGINT) AS s_capped,
+             CAST(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_uncapped
+      FROM flagged
+    )
+    SELECT lang, n_tokens, capped,
+           CAST(CASE WHEN capped THEN {UNIMAX_EPOCH_CAP} * n_tokens
+                ELSE (b - {UNIMAX_EPOCH_CAP} * s_capped) // n_uncapped END
+                AS BIGINT) AS alloc_tokens,
+           floor(CAST(CASE WHEN capped THEN {UNIMAX_EPOCH_CAP} * n_tokens
+                      ELSE (b - {UNIMAX_EPOCH_CAP} * s_capped) // n_uncapped END
+                      AS DOUBLE) / n_tokens * 1000000 + 0.5) / 1000000
+             AS epochs
+    FROM flagged, caps
+    """,
+)
+def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023) — the epoch-capped
+    alternative to temperature mixing (sample_temperature_mix): given a
+    token budget, process languages by ASCENDING corpus size; a
+    language whose full C-epoch allocation fits under the running fair
+    share is CAPPED at C epochs (low-resource languages never over-
+    repeat), and the remaining budget splits uniformly over the
+    uncapped rest. The published closed form after sorting: language i
+    is capped iff C*n_i*(L-i+1) + C*prefix_{{i-1}} <= B holds for it and
+    every smaller language (a running max over the 5-row window), so
+    the whole waterfill is one |languages|-row window pass — at 100 TB
+    the only corpus-sized cost is the per-language token count
+    aggregate, identical to sample_temperature_mix's. Every quantity is
+    BIGINT (budget = total * 7 div 8, integer division for the uniform
+    split), so the oracle is exact; the epochs ratio floor-quantizes at
+    1e-6 for display only."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = per.agg(
+        (F.sum("n_tokens") * UNIMAX_BUDGET_NUM)
+        .cast("bigint")
+        .alias("bnum"),
+        F.count("*").cast("bigint").alias("l"),
+    ).select(F.expr(f"bnum div {UNIMAX_BUDGET_DEN}").alias("b"), "l")
+    wo = Window.orderBy("n_tokens", "lang")
+    ranked = per.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                wo.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("prefix"),
+    )
+    feas = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "f",
+        UNIMAX_EPOCH_CAP * F.col("n_tokens") * (F.col("l") - F.col("i") + 1)
+        + UNIMAX_EPOCH_CAP * F.col("prefix"),
+    )
+    wmax = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = feas.withColumn("capped", F.max("f").over(wmax) <= F.col("b"))
+    caps = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("n_tokens"))), F.lit(0)
+        ).cast("bigint").alias("s_capped"),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_uncapped"),
+    )
+    alloc = F.when(
+        F.col("capped"), UNIMAX_EPOCH_CAP * F.col("n_tokens")
+    ).otherwise(
+        F.expr(f"(b - {UNIMAX_EPOCH_CAP} * s_capped) div n_uncapped")
+    ).cast("bigint")
+    return (
+        flagged.crossJoin(F.broadcast(caps))
+        .select(
+            "lang",
+            "n_tokens",
+            "capped",
+            alloc.alias("alloc_tokens"),
+            (
+                F.floor(
+                    alloc.cast("double") / F.col("n_tokens") * 1000000 + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("epochs"),
+        )
+    )

@@ -1747,3 +1747,49 @@ def test_binary_rerank_equals_exact_when_shortlist_spans_corpus(spark):
         for r in sim_topk_binary_rerank(spark, SF_SMOKE).collect()
     }
     assert rer == exact
+
+
+def test_unimax_matches_sequential_waterfilling(spark):
+    """Replay UniMax as the paper states it — SEQUENTIAL waterfilling
+    (ascending size; cap if C epochs fit under the running fair share,
+    else uniform split of what remains) — and require the relational
+    closed form (prefix-max feasibility over the sorted window) to
+    produce identical allocations. Plus the budget invariants: capped
+    languages get exactly C*n, uncapped ones share equally, and the
+    total never exceeds the budget."""
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.queries.llm_text import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        sample_unimax_budget,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "documents").select("lang", "text").collect()
+    n = {}
+    for r in rows:
+        n[r["lang"]] = n.get(r["lang"], 0) + len(r["text"].split(" "))
+    budget = sum(n.values()) * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    order = sorted(n, key=lambda k: (n[k], k))
+    alloc, remaining, langs_left = {}, budget, len(order)
+    uncapped = []
+    for lang in order:
+        fair = remaining // langs_left  # integer fair share
+        want = UNIMAX_EPOCH_CAP * n[lang]
+        # the paper's cap test uses the real-valued fair share; keep it
+        # exact with a cross-multiplication instead of the division
+        if want * langs_left <= remaining:
+            alloc[lang] = want
+            remaining -= want
+            langs_left -= 1
+        else:
+            uncapped.append(lang)
+    for lang in uncapped:
+        alloc[lang] = remaining // len(uncapped)
+    got = {r["lang"]: (r["capped"], r["alloc_tokens"]) for r in
+           sample_unimax_budget(spark, SF_SMOKE).collect()}
+    for lang in order:
+        capped = lang not in uncapped
+        assert got[lang] == (capped, alloc[lang]), (lang, got[lang], alloc[lang])
+    assert sum(a for _, a in got.values()) <= budget
+    assert uncapped and len(uncapped) < len(order), "fixture must split"
