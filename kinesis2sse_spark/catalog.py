@@ -80,7 +80,16 @@ def pin_cache(df: DataFrame) -> DataFrame:
     the subtree concurrently ("Block rdd_N_M already exists" is the
     tell; tools/sweep_oracles.py fails the sweep on it). Use via
     ``df.transform(pin_cache)`` exactly where ``.persist(...)`` would
-    have been chained."""
+    have been chained.
+
+    Consequence for callers: building a query that goes through
+    pin_cache is NOT lazy — the eager count() runs real jobs at
+    DataFrame-construction time, and the pinned MEMORY_AND_DISK
+    relation lives until unpersist/clearCache/session teardown. Any
+    driver that constructs many queries in one session
+    (tools/sweep_oracles.py, tools/dump_plans.py, plan tests) must
+    ``spark.catalog.clearCache()`` between queries or it accumulates
+    every pinned relation for the session lifetime."""
     from pyspark import StorageLevel
 
     df.persist(StorageLevel.MEMORY_AND_DISK)

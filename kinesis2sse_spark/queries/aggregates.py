@@ -407,7 +407,6 @@ def hist_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative window: Spark sorts NULLS FIRST and DuckDB NULLS
     LAST by default, so an unfiltered NULL group would shift every
     bucket boundary between engines (the stats_ks_test divergence)."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     # counts is persisted and the grand total FOLDS from it (sum of
@@ -479,7 +478,6 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     all consume it — uncached, Spark re-instantiates the corpus
     aggregation once per consumer (four corpus scans where one
     suffices; the round-4 repeated-subtree rule)."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     cells = (
@@ -552,7 +550,6 @@ def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending window orders NULLs first while DuckDB defaults to NULLS
     LAST, so an unfiltered NULL bucket would enter the running CDF
     sums at opposite ends and shift every intermediate |F_a - F_b|."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
@@ -631,7 +628,6 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions (empty bands contribute smoothly instead of exploding
     the log). Contributions floor-quantize to scaled integers before
     the sum (the gram-matrix rule)."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
@@ -705,7 +701,6 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized to scaled integers pre-sum, normalized by
     n*min(r-1, c-1). Marginals and totals fold from the persisted
     cell relation — one corpus aggregation total."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     cells = (
@@ -805,7 +800,6 @@ def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence. Deliberate: a fixed denominator keeps the score
     comparable across corpora and snapshots (the monitoring use case),
     and both engines share it, so the oracle is exact either way."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     cells = (
@@ -911,7 +905,6 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, so each factor casts to DOUBLE FIRST and rho is one
     fixed-shape IEEE expression over those doubles on both engines,
     floor-quantized at 1e6."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     # persisted: consumed by BOTH histogram builds and the final join —

@@ -218,7 +218,6 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     consumers and und's lineage is the whole upstream pair pipeline
     (the round-4 repeated-subtree rule: every un-cached consumer
     re-instantiates it)."""
-    from pyspark import StorageLevel
 
     und = (
         edges.select(F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst"))
@@ -669,7 +668,6 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
     frequent label, ties broken to the LOWEST label — deterministic,
     so the result is value-checkable and retry-stable. Plan/scale
     notes: see graph_label_propagation."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     und = (
@@ -912,7 +910,6 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
     on real near-dup graphs (cliquish, small diameter) the fixpoint
     lands in 2-3 rounds, saving ~13 blocking checkpoint jobs of pure
     fixed overhead. Algorithm and determinism notes: see graph_kcore."""
-    from pyspark import StorageLevel
 
     und = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))

@@ -741,7 +741,6 @@ def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = cents.groupBy(
         F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
     ).agg(F.count("*").alias("n_obs"))
-    from pyspark import StorageLevel
 
     obs = obs.transform(pin_cache)
     tot = obs.agg(F.sum("n_obs").alias("n"))

@@ -615,7 +615,6 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and the roll-up join both consume it, and uncached each
     would re-run the scan + shingle-hash explode (16-byte rows cache
     far cheaper than the explode recomputes)."""
-    from pyspark import StorageLevel
 
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
@@ -703,7 +702,6 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(df²) pairs. A two-sided HOF membership probe (exists over a
     per-doc starts array) would have been O(n·k) per doc — the
     anti-join shape keeps fully-duplicated documents linear."""
-    from pyspark import StorageLevel
 
     d = spread(load_table(spark, sf_dir, "documents"), spark)
     docs = d.select(
@@ -912,7 +910,6 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook one; production runs multiple passes with different
     blocking keys and unions the pair sets. Match = levenshtein <= 3,
     exact integer on both engines."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window as W
 
     p = load_table(spark, sf_dir, "part")
@@ -1071,7 +1068,6 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership; at 100 TB swap to xxhash64 (8-byte shuffle key, same
     shape as dedup_exact). The coefficient floor-quantizes at 1e6
     from an exact integer pair."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " ")))))

@@ -700,7 +700,6 @@ def _pq_parts(sf_dir, spark):
     queries with ADC lookup tables). Everything is JVM higher-order
     functions over a deterministic codebook — no RNG, no training jobs,
     no Python."""
-    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
@@ -1477,7 +1476,6 @@ def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") == 1)
         .select("vec_id", "cell")
     )
-    from pyspark import StorageLevel
 
     occ = (
         assigned.groupBy("cell")
@@ -1682,7 +1680,6 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     across all iterations. The DuckDB oracle replays the whole loop in
     one recursive CTE (nested aggregation + struct-min argmin inside
     the recursive term), byte-exact at all three SFs."""
-    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
     ed = (

@@ -223,7 +223,6 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     .count() at plan-build time, which would run a separate full-scan
     job before the query even starts (and again per bench rep). No
     ML-lib dependency, no fixed-dim hashing collisions."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -314,7 +313,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |Q|-term summation order cannot move a score between engines;
     the top-10 ranks over floor-rounded scores with a doc_id tiebreak.
     idf uses the +1 ("Lucene") form, always positive."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
@@ -629,7 +627,6 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (small). The scored relation is persisted: it feeds both the
     key summary and the final join, and uncached each consumer would
     re-scan and re-split the full text column."""
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -696,7 +693,6 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (standard concat-then-chunk semantics). The token-count relation is
     persisted: the key summary and the final join both consume it, and
     uncached each would re-scan and re-split the full text column."""
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -800,7 +796,6 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the map-side-combined count. The k-row per-source summary is
     persisted — it feeds both the total and the final projection, and
     uncached each consumer re-runs the full scan-and-split aggregate."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
@@ -841,7 +836,6 @@ def filter_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs between engines. The token-count relation is persisted: the
     percentile aggregate and the filter join both consume it, and
     uncached each would re-scan and re-split the full text column."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -1412,7 +1406,6 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", F.expr("t[i + 1]").alias("b"))
     )
-    from pyspark import StorageLevel
 
     # cab and uni are each multi-consumer (scoring join + totals fold);
     # persisted so the corpus explodes exactly twice total, and the
@@ -2157,7 +2150,6 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering is a write-side repartitionByRange + sortWithinPartitions
     — the engine emits the KEYS; no global sort ever materializes in
     the query."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
@@ -2354,7 +2346,6 @@ def text_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantize to scaled integers before the per-lang sum (the
     gram-matrix rule) so partial-aggregation order cannot move the
     total between engines. Output is |langs| rows."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     cells = (
@@ -2436,7 +2427,6 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
-    from pyspark import StorageLevel
 
     cnts = cnts.transform(pin_cache)
     ranked = cnts.withColumn(
@@ -2507,7 +2497,6 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE double both engines derived, and the normalizer
     sums floor-quantized integers (the gram-matrix rule) so the
     k-term denominator cannot drift with aggregation order."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     per = (
@@ -2952,7 +2941,6 @@ def pipeline_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("bucket"),
         "n_tokens",
     )
-    from pyspark import StorageLevel
 
     b = b.transform(pin_cache)
     g = b.groupBy("bucket").agg(

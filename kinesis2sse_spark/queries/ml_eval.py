@@ -284,7 +284,6 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the per-bin stats are one map-side-combined aggregate. The bin
     mean score rounds to the nearest integer via one IEEE division of
     exact int64 sums; pos_rate floor-quantizes at 1e6."""
-    from pyspark import StorageLevel
 
     s = _scored(spark, sf_dir).transform(pin_cache)
     mm = s.agg(
@@ -361,7 +360,6 @@ def ml_brier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both metrics come out of ONE grouped aggregate over the cached
     scored relation plus the 1-row min/max broadcast; the only floating
     point is the two final ratios, floor-quantized at 1e6."""
-    from pyspark import StorageLevel
 
     s = _scored(spark, sf_dir).transform(pin_cache)
     mm = s.agg(
@@ -806,7 +804,6 @@ def ml_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector but they immediately collapse into the (dim, band)
     cell aggregate — map-side combined, so the shuffle carries only
     |dims| x |bands| cells per task, never the corpus."""
-    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
     x = e.select(
@@ -919,7 +916,6 @@ def ml_lift_pr_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket key negated); everything through cum_tp is exact int64,
     the three ratios floor-quantize at 1e6. The decile relation is
     10 rows, so its cumulative window is trivially single-partition."""
-    from pyspark import StorageLevel
 
     h = (
         _scored(spark, sf_dir)

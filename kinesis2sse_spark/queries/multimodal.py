@@ -469,7 +469,6 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole point at blob scale; the self-join back to rows is the
     same digest-keyed exchange, co-partitioned, no second corpus scan
     of the blob column thanks to the cached keyed relation."""
-    from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")

@@ -685,7 +685,6 @@ def sessions_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (read by the day-subtotal aggregate AND the run join) — the
     sessionize pipeline's shuffle+windows execute once, not four
     times."""
-    from pyspark import StorageLevel
 
     sessions = sessionize_batch(spark, sf_dir).transform(pin_cache)
     starts = sessions.select(
@@ -905,7 +904,6 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (persisted: the totals and the prefix pass both fold from it), a
     value-domain-bounded running-sum window over days, and a 1-row
     argmax — nothing corpus-sized past the first aggregate."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     daily = (
@@ -1219,7 +1217,6 @@ def timeseries_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard: each level's innovation variance denominator yields NULL
     (not a 0/0) when the recursion hits an exactly-predictable
     series.""".replace("{K}", str(PACF_MAX_LAG))
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     dn = (
@@ -1347,7 +1344,6 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the repeated-median variant — same plan shape). Slopes are
     single IEEE divisions of exact integer counts/day-numbers; the
     published slope/intercept floor-quantize at 1e6."""
-    from pyspark import StorageLevel
 
     ev = load_table(spark, sf_dir, "events")
     dn = (

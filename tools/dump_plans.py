@@ -169,6 +169,10 @@ def main() -> None:
         df = qs[name](spark, "/root/testdata/sf0.1")
         plan = df._jdf.queryExecution().executedPlan().toString()
         out.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+        # query builders are no longer lazy: pin_cache runs an eager
+        # count() at construction time, so without this each dumped
+        # query leaves MEMORY_AND_DISK relations pinned for the session
+        spark.catalog.clearCache()
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write(out.getvalue())
     print("wrote PLANS.md")

@@ -59,6 +59,11 @@ def _parent_reexec() -> None:
         [sys.executable, *sys.argv],
         env=env,
         stderr=subprocess.PIPE,
+        # JVM stderr is not guaranteed UTF-8 (native-lib banners, locale
+        # messages); strict decoding would abort the whole sweep wrapper
+        # on one bad byte, so degrade undecodable output to U+FFFD.
+        encoding="utf-8",
+        errors="replace",
         text=True,
     )
     lines: list[str] = []
@@ -72,8 +77,12 @@ def _parent_reexec() -> None:
     if races:
         print("CACHE RACES (unpinned multi-consumer persist — add an "
               "eager count() after the persist):")
+        # Executor WARN lines flush asynchronously, so a warning from
+        # query N's still-running stages can land after query N+1's
+        # marker — the named query may be off by one (blame it OR its
+        # predecessor in sweep order).
         for q, w in races:
-            print(f"  {q}: {w[:160]}")
+            print(f"  {q} (or its sweep predecessor): {w[:160]}")
     sys.exit(rc or (2 if races else 0))
 
 
