@@ -1,0 +1,290 @@
+"""Broadcast growth-class census — the mechanical allowlist behind
+PERF.md's "no forced broadcast grows with scale factor" claim.
+
+Every ``F.broadcast()`` call site in the package must be classified
+here by how the broadcast relation's size grows as the corpus grows
+(the round-9/10 audit classes). ``tests/test_broadcast_census.py``
+AST-scans the package and fails on any call site missing from this
+table — so a new hint cannot land unclassified — and on any stale
+entry whose call site no longer exists, so the table cannot rot.
+
+Growth classes (values of :data:`CENSUS`):
+
+- ``constant`` — size independent of corpus scale by construction:
+  1-row aggregates (totals, thresholds, min/max, resolved offsets),
+  fixed-parameter tables (seed/centroid sets with fixed k, fixed-B
+  hashed feature models, PQ codebooks, lag ranges, band ladders,
+  replica indexes), fixed query/eval sets, and the constant TPC-H
+  nation (25 rows) / region (5 rows) dims.
+- ``domain-bounded`` — one row per distinct value of a bounded value
+  domain (event types, languages, sources, length buckets, partition
+  ids): grows with the domain, not the corpus.
+- ``cluster-bounded`` — near-dup graph relations (node→source maps,
+  degree aggregates, cluster labels): bounded by duplicate-cluster
+  mass, not corpus size.
+- ``sublinear`` — corpus-adaptive but sub-linear: the SemDeDup cell
+  seed set grows as the power-of-4 ladder ~sqrt(n). Documented
+  headroom required (the 8 GB broadcast ceiling check lives in the
+  operator's docstring).
+- ``operator-demo`` — the hint IS the operator under test:
+  ``join_broadcast_inner`` is the §2.3 forced-broadcast-join surface,
+  so the hint is semantically required; a user applies it to a dim
+  they know is bounded.
+
+Classes deliberately ABSENT: anything linear in the corpus
+(customer/part/supplier dims, corpus-derived SCD2 histories, bigram
+LM models) — those hints were removed in rounds 9-10 and must not
+come back (locked per-query by tests/test_plans.py hint budgets and
+globally here).
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+GROWTH_CLASSES = frozenset(
+    {"constant", "domain-bounded", "cluster-bounded", "sublinear", "operator-demo"}
+)
+
+# (module filename, enclosing function, broadcast-arg source) -> class.
+# The arg source is ast.unparse of the first argument, so the key is
+# stable under line-number churn but breaks (loudly) when the hinted
+# relation itself changes — forcing a re-classification.
+CENSUS: dict[tuple[str, str, str], str] = {
+    # --- event pipeline / serving ---
+    ("asof.py", "replay_since", "resolved"): "constant",  # 1-row resolved offset
+    ("envelope.py", "retain_last", "hi"): "constant",  # 1-row max offset
+    ("event_pipeline.py", "retention_max_age", "hi"): "constant",
+    # --- statistics suite ---
+    ("aggregates.py", "hist_equi_depth", "total"): "constant",
+    ("aggregates.py", "stats_mutual_information", "mx"): "domain-bounded",
+    ("aggregates.py", "stats_mutual_information", "my"): "domain-bounded",
+    ("aggregates.py", "stats_mutual_information", "tot"): "constant",
+    ("aggregates.py", "stats_ks_test", "tot"): "constant",
+    ("aggregates.py", "stats_psi_drift", "bounds"): "constant",
+    ("aggregates.py", "stats_psi_drift", "tot"): "constant",
+    ("aggregates.py", "stats_cramers_v", "mx"): "domain-bounded",
+    ("aggregates.py", "stats_cramers_v", "my"): "domain-bounded",
+    ("aggregates.py", "stats_cramers_v", "tot"): "constant",
+    ("aggregates.py", "stats_js_divergence", "tot"): "constant",
+    ("aggregates.py", "stats_spearman_rank", "rank2('a')"): "domain-bounded",
+    ("aggregates.py", "stats_spearman_rank", "rank2('b')"): "domain-bounded",
+    ("aggregates.py", "stats_bootstrap_ci", "reps"): "constant",  # replica index
+    ("aggregates.py", "stats_bootstrap_ci", "lo"): "constant",
+    ("aggregates.py", "stats_bootstrap_ci", "hi"): "constant",
+    ("aggregates.py", "stats_permutation_test", "reps"): "constant",
+    ("aggregates.py", "stats_permutation_test", "obs"): "constant",
+    ("aggregates.py", "stats_permutation_test", "od"): "constant",
+    # --- graph (near-dup cluster mass bounds everything) ---
+    ("graph.py", "pagerank", "ncnt"): "constant",  # 1-row node count
+    ("graph.py", "pipeline_split_by_cluster", "labels"): "cluster-bounded",
+    (
+        "graph.py",
+        "graph_source_modularity",
+        "nodesrc.select(F.col('node').alias('a'), F.col('source').alias('src_a'))",
+    ): "cluster-bounded",
+    (
+        "graph.py",
+        "graph_source_modularity",
+        "nodesrc.select(F.col('node').alias('b'), F.col('source').alias('src_b'))",
+    ): "cluster-bounded",
+    ("graph.py", "graph_source_modularity", "deg"): "cluster-bounded",
+    ("graph.py", "graph_source_modularity", "m"): "constant",  # 1-row edge total
+    # --- joins / lakeops ---
+    ("joins.py", "join_broadcast_inner", "part"): "operator-demo",
+    ("lakeops.py", "stats_benford_deviation", "tot"): "constant",
+    # --- dedup ---
+    ("llm_dedup.py", "dedup_cross_source_overlap", "ca"): "cluster-bounded",
+    ("llm_dedup.py", "dedup_cross_source_overlap", "cb"): "cluster-bounded",
+    ("llm_dedup.py", "dedup_semantic_clusters", "k"): "constant",  # 1-row count
+    # power-of-4 cell ladder: |seeds| ~ sqrt(n); ~4 MB of 64-dim
+    # doubles at 100 TB — well inside the ceiling
+    ("llm_dedup.py", "dedup_semantic_clusters", "seeds"): "sublinear",
+    # --- similarity search (fixed query sets, fixed-k models) ---
+    ("llm_similarity.py", "sim_topk_bruteforce", "queries"): "constant",
+    ("llm_similarity.py", "sim_topk_lsh", "probes"): "constant",
+    ("llm_similarity.py", "sim_topk_ivf", "centroids"): "constant",  # IVF_K=16
+    ("llm_similarity.py", "sim_topk_ivf", "probes"): "constant",
+    ("llm_similarity.py", "sim_knn_classify", "queries"): "constant",
+    ("llm_similarity.py", "ml_kmeans_assign", "seeds"): "constant",  # fixed k
+    ("llm_similarity.py", "ml_kmeans_update", "seeds"): "constant",
+    ("llm_similarity.py", "_pq_parts", "cbrow"): "constant",  # PQ codebook
+    ("llm_similarity.py", "sim_topk_pq", "queries"): "constant",
+    ("llm_similarity.py", "sim_topk_ivfpq", "centroids"): "constant",
+    ("llm_similarity.py", "sim_topk_ivfpq", "probes"): "constant",
+    ("llm_similarity.py", "sim_mmr_rerank", "queries"): "constant",
+    ("llm_similarity.py", "sim_ivf_index_stats", "centroids"): "constant",
+    ("llm_similarity.py", "sim_ivf_index_stats", "tot"): "constant",
+    ("llm_similarity.py", "emb_pca_power_iteration", "s2"): "constant",  # d-bounded
+    ("llm_similarity.py", "ml_kmeans_train", "cent"): "constant",
+    ("llm_similarity.py", "ml_ridge_probe_train", "ncnt"): "constant",
+    ("llm_similarity.py", "ml_ridge_probe_train", "diag"): "constant",  # d x d
+    ("llm_similarity.py", "ml_ridge_probe_train", "b"): "constant",
+    ("llm_similarity.py", "sim_range_search", "queries"): "constant",
+    ("llm_similarity.py", "sim_matryoshka_recall", "queries"): "constant",
+    ("llm_similarity.py", "sim_matryoshka_recall", "qd"): "constant",
+    ("llm_similarity.py", "ml_logistic_probe_gd", "w_rel"): "constant",  # d-vector
+    ("llm_similarity.py", "ml_logistic_probe_gd", "nn"): "constant",
+    ("llm_similarity.py", "_int8_quantized", "stats"): "constant",  # 1-row
+    ("llm_similarity.py", "sim_topk_int8", "queries"): "constant",
+    (
+        "llm_similarity.py",
+        "_binary_topn",
+        "stats.select(mids.alias('mid'))",
+    ): "constant",
+    ("llm_similarity.py", "_binary_topn", "queries"): "constant",
+    ("llm_similarity.py", "mine_hard_negatives", "queries"): "constant",
+    ("llm_similarity.py", "search_hybrid_rrf", "queries"): "constant",
+    ("llm_similarity.py", "search_hybrid_rrf", "qtoks"): "constant",
+    ("llm_similarity.py", "decontaminate_embedding", "evalset"): "constant",
+    ("llm_similarity.py", "sim_topk_binary_rerank", "queries"): "constant",
+    # --- text pipeline ---
+    ("llm_text.py", "text_tfidf_top_terms", "n"): "constant",  # 1-row N
+    # tf pre-filtered to BM25_QUERY_TERMS -> df bounded by |Q|
+    ("llm_text.py", "text_bm25_search", "df"): "constant",
+    ("llm_text.py", "text_bm25_search", "stats"): "constant",
+    ("llm_text.py", "decontaminate_ngram", "bench_sh"): "constant",  # eval-bounded
+    ("llm_text.py", "select_token_budget", "offsets"): "domain-bounded",
+    ("llm_text.py", "pipeline_sequence_packing", "offsets"): "domain-bounded",
+    ("llm_text.py", "mix_domain_weights", "tot"): "constant",
+    ("llm_text.py", "filter_quality_percentile", "p"): "constant",  # 1-row pct
+    ("llm_text.py", "pipeline_negative_sampling", "n"): "constant",
+    ("llm_text.py", "text_cooccurrence_pmi", "totals"): "constant",
+    ("llm_text.py", "text_perplexity_bigram", "vocab"): "constant",  # 1-row |V|
+    ("llm_text.py", "filter_perplexity_band", "off"): "constant",  # band offsets
+    ("llm_text.py", "filter_perplexity_band", "total"): "constant",
+    ("llm_text.py", "filter_perplexity_band", "bands"): "constant",
+    ("llm_text.py", "filter_dsir_resample", "tt"): "constant",  # 1-row totals
+    ("llm_text.py", "filter_dsir_resample", "st"): "constant",
+    ("llm_text.py", "filter_dsir_resample", "model"): "constant",  # fixed-B buckets
+    ("llm_text.py", "pipeline_curriculum_order", "total"): "constant",
+    ("llm_text.py", "pipeline_curriculum_order", "bands"): "constant",
+    # candidate set bounded by 1/support-threshold
+    ("llm_text.py", "text_heavy_hitters", "candidates"): "constant",
+    ("llm_text.py", "text_heavy_hitters", "total"): "constant",
+    ("llm_text.py", "text_vocab_entropy", "tot"): "domain-bounded",  # per-language
+    ("llm_text.py", "text_zipf_slope", "sums"): "constant",
+    ("llm_text.py", "sample_temperature_mix", "tot"): "domain-bounded",  # per-source
+    ("llm_text.py", "sample_temperature_mix", "norm"): "constant",
+    ("llm_text.py", "pipeline_length_bucket_batching", "tot"): "constant",
+    ("llm_text.py", "sample_unimax_budget", "tot"): "domain-bounded",  # per-language
+    ("llm_text.py", "sample_unimax_budget", "caps"): "domain-bounded",
+    # --- model eval ---
+    ("ml_eval.py", "_with_prefix_counts", "off"): "domain-bounded",  # per-partition
+    ("ml_eval.py", "ml_calibration_bins", "mm"): "constant",  # 1-row minmax
+    ("ml_eval.py", "ml_brier_ece", "mm"): "constant",
+    ("ml_eval.py", "_ir_ranked", "queries"): "constant",
+    ("ml_eval.py", "_with_nrel", "lc"): "constant",  # per-query label counts
+    ("ml_eval.py", "ml_feature_drift", "tot"): "constant",
+    ("ml_eval.py", "ml_lift_pr_deciles", "tot"): "constant",
+    # --- time series ---
+    ("timeseries.py", "zscore_anomalies", "stats"): "domain-bounded",  # |types|
+    ("timeseries.py", "sessions_max_concurrency", "offsets"): "domain-bounded",
+    ("timeseries.py", "pipeline_winsorize", "p"): "constant",
+    (
+        "timeseries.py",
+        "stats_autocorrelation",
+        "ev.sparkSession.range(1, ACF_MAX_LAG + 1).select(F.col('id').cast('bigint').alias('lag'))",
+    ): "constant",
+    ("timeseries.py", "timeseries_cusum_changepoint", "tot"): "constant",
+    ("timeseries.py", "timeseries_seasonal_decompose", "seasonal"): "constant",  # 7-row
+    (
+        "timeseries.py",
+        "timeseries_pacf",
+        "ev.sparkSession.range(1, PACF_MAX_LAG + 1).select(F.col('id').cast('bigint').alias('lag'))",
+    ): "constant",
+    ("timeseries.py", "timeseries_pacf", "tot"): "constant",
+    ("timeseries.py", "timeseries_theil_sen", "med"): "constant",
+    # --- TPC-H: only the constant dims survive the round-10 sweep ---
+    ("tpch.py", "q5_local_supplier_volume", "n"): "constant",  # nation, 25 rows
+    ("tpch.py", "q5_local_supplier_volume", "r"): "constant",  # region, 5 rows
+    ("tpch.py", "q10_returned_items", "n"): "constant",
+    ("tpch.py", "q7_volume_shipping", "n1"): "constant",
+    ("tpch.py", "q7_volume_shipping", "n2"): "constant",
+    ("tpch.py", "q8_market_share", "n1"): "constant",
+    ("tpch.py", "q8_market_share", "r"): "constant",
+    ("tpch.py", "q8_market_share", "n2"): "constant",
+    ("tpch.py", "q9_product_type_profit", "n"): "constant",
+    ("tpch.py", "q22_global_sales_opportunity", "thresh"): "constant",  # 1-row
+    ("tpch.py", "q2_min_cost_supplier", "n"): "constant",
+    ("tpch.py", "q2_min_cost_supplier", "r"): "constant",
+    ("tpch.py", "q20_potential_promotion", "n"): "constant",
+}
+
+_PKG_ROOT = pathlib.Path(__file__).resolve().parent
+
+
+def scan_broadcast_sites(root: pathlib.Path | None = None):
+    """AST-scan every .py file under the package for ``*.broadcast(x)``
+    / ``broadcast(x)`` calls; yield (filename, enclosing_function,
+    arg_source) keys matching :data:`CENSUS`'s shape."""
+    sites: list[tuple[str, str, str]] = []
+    for p in sorted((root or _PKG_ROOT).rglob("*.py")):
+        tree = ast.parse(p.read_text())
+
+        class _V(ast.NodeVisitor):
+            def __init__(self) -> None:
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, n):  # noqa: N802
+                self.stack.append(n.name)
+                self.generic_visit(n)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, n):  # noqa: N802
+                f = n.func
+                name = (
+                    f.attr
+                    if isinstance(f, ast.Attribute)
+                    else (f.id if isinstance(f, ast.Name) else None)
+                )
+                if name == "broadcast" and n.args:
+                    sites.append(
+                        (p.name, self.stack[-1] if self.stack else "<module>",
+                         ast.unparse(n.args[0]))
+                    )
+                self.generic_visit(n)
+
+        _V().visit(tree)
+    return sites
+
+
+def unclassified(sites=None) -> list[tuple[str, str, str]]:
+    """Call sites present in the package but missing from CENSUS."""
+    return [s for s in (scan_broadcast_sites() if sites is None else sites)
+            if s not in CENSUS]
+
+
+def stale_entries(sites=None) -> list[tuple[str, str, str]]:
+    """CENSUS entries whose call site no longer exists (allowlist rot)."""
+    live = set(scan_broadcast_sites() if sites is None else sites)
+    return [k for k in CENSUS if k not in live]
+
+
+def census_table() -> str:
+    """Markdown census table generated from the allowlist (the artifact
+    PERF.md points at; regenerate via tools/broadcast_census_table.py)."""
+    by_class: dict[str, list[tuple[str, str, str]]] = {}
+    for key, cls in sorted(CENSUS.items()):
+        by_class.setdefault(cls, []).append(key)
+    lines = [
+        "# Forced-broadcast growth-class census",
+        "",
+        f"{len(CENSUS)} classified `F.broadcast()` call sites; no class grows",
+        "linearly with the corpus (generated from",
+        "`kinesis2sse_spark/broadcast_census.py`, enforced by",
+        "`tests/test_broadcast_census.py`).",
+        "",
+        "| class | sites |",
+        "|---|---|",
+    ]
+    for cls in sorted(by_class):
+        lines.append(f"| {cls} | {len(by_class[cls])} |")
+    lines += ["", "| module | function | relation | class |", "|---|---|---|---|"]
+    for (mod, fn, arg), cls in sorted(CENSUS.items()):
+        arg_short = arg if len(arg) <= 48 else arg[:45] + "..."
+        lines.append(f"| {mod} | {fn} | `{arg_short}` | {cls} |")
+    return "\n".join(lines) + "\n"

@@ -35,7 +35,11 @@ from kinesis2sse_spark.registry import register
 )
 def join_broadcast_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast hash join: fact ⋈ small dim — the dim ships to every
-    executor, the 100 TB fact table never shuffles."""
+    executor, the 100 TB fact table never shuffles. The forced hint
+    here IS the operator under test (§2.3's user-directed broadcast
+    join form — census class operator-demo): a user applies it to a
+    dim they know is bounded; the engine's own queries rely on
+    AQE/static sizing instead (see broadcast_census.py)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 20)
     return (

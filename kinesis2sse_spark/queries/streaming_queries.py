@@ -241,13 +241,19 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: streaming events enriched against the static
-    customer dim (broadcast — the dim never shuffles, the stream never
-    blocks), then aggregated."""
+    customer dim, then aggregated. The dim is unhinted — customer
+    grows linearly with scale, so the micro-batch planner chooses
+    broadcast at fixture scale (file stats) and an equi-key join
+    beyond the threshold."""
     from kinesis2sse_spark.catalog import load_table
 
     s = events_stream(spark, sf_dir)
     dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    # no forced hint: customer grows linearly with scale (census
+    # class 3) — the per-micro-batch planner broadcasts it from file
+    # stats at fixture scale and falls back to an equi-key join when
+    # the dim outgrows the threshold
+    joined = s.join(dim, s.user_id == dim.c_custkey)
     enriched = run_to_memory(
         joined.select("c_mktsegment", "value"), _qname("ssjoin"), "append"
     )
@@ -406,18 +412,20 @@ from kinesis2sse_spark.queries.lakeops import _PIT_ORACLE  # noqa: E402
 def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature enrichment ON THE STREAM — the feature-
     store online path: the SCD2 dimension (purchase-value history,
-    built batch-side exactly as pipeline_scd2_intervals does) is
-    broadcast onto the live view stream as a stream-static join whose
-    condition is the interval containment valid_from <= ts < valid_to,
-    so every in-flight event picks the feature version that was
-    current AT ITS OWN timestamp — never a later leak, the PIT
-    correctness property training/serving skew audits demand. Zero
-    streaming state; per-event latency is the micro-batch floor. The
-    oracle is the SAME declarative SQL as the batch join_scd2_point_in
-    _time — stream and batch provably produce identical enrichment
-    (the interval join is fine HERE because the dim is the broadcast
-    side; the batch operator's union-sort rewrite is for when both
-    sides are corpus-sized)."""
+    built batch-side exactly as pipeline_scd2_intervals does) joins
+    onto the live view stream as a stream-static join whose condition
+    is user_id equality plus the interval containment
+    valid_from <= ts < valid_to, so every in-flight event picks the
+    feature version that was current AT ITS OWN timestamp — never a
+    later leak, the PIT correctness property training/serving skew
+    audits demand. Zero streaming state; per-event latency is the
+    micro-batch floor. The dim carries no forced hint (it grows with
+    users × versions — census class 3): the equi component keys the
+    join, so the planner broadcasts at fixture scale and shuffles on
+    user_id at scale, the containment riding as a residual either
+    way. The oracle is the SAME declarative SQL as the batch
+    join_scd2_point_in_time — stream and batch provably produce
+    identical enrichment."""
     from pyspark.sql import Window
 
     from kinesis2sse_spark.catalog import load_table
@@ -432,8 +440,13 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
     )
     s = events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    # no forced hint: the SCD2 history grows with users x versions
+    # (corpus-derived, census class 3). The join keeps an equi
+    # component on user_id, so the per-micro-batch planner can pick
+    # broadcast at fixture scale or a user_id-keyed join at scale —
+    # the interval containment rides as a residual either way.
     joined = s.join(
-        F.broadcast(dim),
+        dim,
         (F.col("user_id") == F.col("d_user"))
         & (F.col("valid_from") <= F.col("ts"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),

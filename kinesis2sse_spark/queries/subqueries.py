@@ -135,7 +135,7 @@ def subquery_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("unit_price") == F.col("min_price")
     )
     return (
-        cheapest.join(F.broadcast(p), cheapest.l_partkey == p.p_partkey)
+        cheapest.join(p, cheapest.l_partkey == p.p_partkey)
         .select("p_partkey", "p_brand", "l_suppkey", "unit_price")
         .distinct()
     )
@@ -175,7 +175,7 @@ def subquery_nested_correlated_having(spark: SparkSession, sf_dir: str) -> DataF
         .select("p_partkey")
     )
     l = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part_keys), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        part_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     ).select("l_suppkey", "l_partkey", "l_quantity")
     per_supp_part = l.groupBy("l_suppkey", "l_partkey").agg(
         F.sum("l_quantity").alias("supp_qty")
