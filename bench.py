@@ -4,9 +4,19 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute) with a count-style action
-so results aren't pulled to the driver. A warmup pass on sf0.001 JITs the
-codegen paths first.
+Each query is timed end-to-end (plan + execute) with a UNIFORM full-row
+action — a noop-format write — so results aren't pulled to the driver
+AND every query measures full materialization. (Protocol change, round
+10: the r01-r09 action was `.count()`, which lets Catalyst prune an
+unpinned lazy plan down to the columns/relations the count needs, while
+eagerly-pinned queries always materialized fully — so the old numbers
+mixed two measurement semantics across queries. The noop write consumes
+every row of every column on all queries alike — what any real consumer
+does. The committed count-vs-noop A/B mapping per shared query lives in
+PERF.md §"Bench action unification"; deltas are small: the r01-subset
+total moves < 5%, so the 2x-of-baseline comparisons remain honest with
+that mapping note.) A warmup pass on sf0.001 JITs the codegen paths
+first.
 """
 
 from __future__ import annotations
@@ -91,8 +101,10 @@ def _duckdb_timings(names, sf_dir) -> dict[str, float]:
 def _run(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
+    # full-row no-op sink: consumes every row JVM-side (nothing crosses
+    # to the driver), immune to count-pruning — uniform across pinned
+    # and unpinned queries (see module docstring)
+    df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -213,9 +225,12 @@ def main() -> None:
                 ),
                 "queries_duckdb": _duckdb_timings(list(queries), sf_dir),
                 "protocol": (
-                    "per-query best-of-3..6 (spread-gated); sweeps "
-                    "bracketed by a DuckDB control query — control "
-                    f"drift >{_CONTROL_DRIFT_GATE} triggers a resweep "
+                    "action = full-row noop write (uniform since r10; "
+                    "r01-r09 used .count(), which count-pruned unpinned "
+                    "plans — mapping table in PERF.md); per-query "
+                    "best-of-3..6 (spread-gated); sweeps bracketed by a "
+                    "DuckDB control query — control drift "
+                    f">{_CONTROL_DRIFT_GATE} triggers a resweep "
                     f"(max {_MAX_SWEEP_ATTEMPTS}); queries = best-of "
                     "across attempts, medians from the quietest attempt"
                 ),
