@@ -104,8 +104,12 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # --- similarity search (fixed query sets, fixed-k models) ---
     ("llm_similarity.py", "sim_topk_bruteforce", "queries"): "constant",
     ("llm_similarity.py", "sim_topk_lsh", "probes"): "constant",
-    ("llm_similarity.py", "sim_topk_ivf", "centroids"): "constant",  # IVF_K=16
+    ("llm_similarity.py", "_ivf_assign", "centroids"): "constant",  # IVF_K=16
+    ("llm_similarity.py", "sim_topk_ivf", "centroids"): "constant",
     ("llm_similarity.py", "sim_topk_ivf", "probes"): "constant",
+    ("llm_similarity.py", "sim_topk_ivf_prebuilt", "centroids"): "constant",
+    # probes = queries x IVF_PROBES rows
+    ("llm_similarity.py", "sim_topk_ivf_prebuilt", "probes"): "constant",
     ("llm_similarity.py", "sim_knn_classify", "queries"): "constant",
     ("llm_similarity.py", "ml_kmeans_assign", "seeds"): "constant",  # fixed k
     ("llm_similarity.py", "ml_kmeans_update", "seeds"): "constant",
@@ -114,7 +118,6 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "sim_topk_ivfpq", "centroids"): "constant",
     ("llm_similarity.py", "sim_topk_ivfpq", "probes"): "constant",
     ("llm_similarity.py", "sim_mmr_rerank", "queries"): "constant",
-    ("llm_similarity.py", "sim_ivf_index_stats", "centroids"): "constant",
     ("llm_similarity.py", "sim_ivf_index_stats", "tot"): "constant",
     ("llm_similarity.py", "emb_pca_power_iteration", "s2"): "constant",  # d-bounded
     ("llm_similarity.py", "ml_kmeans_train", "cent"): "constant",

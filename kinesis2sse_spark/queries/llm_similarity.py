@@ -261,6 +261,53 @@ _IVF_DOT = (
     "(x, y) -> x + y)"
 )
 
+def _ivf_centroids(corpus):
+    """Deterministic coarse quantizer: the first IVF_K corpus vectors
+    (any fixed quantizer works for IVF; swap in k-means centroids from
+    ml_kmeans_update offline when the corpus has cluster structure)."""
+    return corpus.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+
+
+def _ivf_assign(corpus, centroids):
+    """Nearest-centroid assignment as a map-side max_by AGGREGATE (the
+    r9 SemDeDup/k-means argmax fix class, applied to the IVF rungs in
+    r10): the n x IVF_K scored expansion partial-aggregates to one
+    candidate per vec_id per partition BEFORE the exchange, so only n
+    rows (not n x k vector-bearing rows) ever shuffle. struct ordering
+    (csim, -cell) == the old window's ORDER BY csim DESC, cell ASC —
+    byte-exact vs the row_number oracle because (csim, cell) is unique
+    per scored row. Returns (vec_id, v, norm, cell)."""
+    adot = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        "norm",
+        "cell",
+        F.round(adot / (F.col("norm") * F.col("cnorm")), 6).alias("csim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("v", "norm", "cell"),
+                F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.norm").alias("norm"),
+            F.col("best.cell").alias("cell"),
+        )
+    )
+
+
 _IVF_ORACLE = f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -323,23 +370,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in sim_recall_ivf."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
-    centroids = corpus.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    # assign: nearest centroid by cosine, deterministic tiebreak on cell
-    adot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", F.round(adot / (F.col("norm") * F.col("cnorm")), 6))
-        .withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "norm", "cell")
-    )
+    centroids = _ivf_centroids(corpus)
+    # assign: nearest centroid by cosine via map-side max_by aggregate
+    # (deterministic low-cell tiebreak; see _ivf_assign)
+    assigned = _ivf_assign(corpus, centroids)
     centroids = centroids.select("cell", "cv")
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
@@ -351,6 +385,144 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UNNORMALIZED dot product (qdot, not cosine) — deliberate: this is
     # exactly what the byte-exact _IVF_ORACLE prober replays, so
     # "fixing" this to true cosine would break hash_match
+    wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", qdot)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "qv", "qnorm", "cell")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Deterministic lake location for the prebuilt IVF index, keyed by
+    fixture directory (sf0.001/sf0.01/sf0.1 each get their own)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/k2s_ivf_index/{base}"
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
+    """Materialize the IVF index as a lake artifact if absent: the cell
+    assignment (vec_id, v, norm) written PARTITIONED BY cell — the
+    physical layout that makes probing read ~probes/k of the corpus —
+    plus the IVF_K-row centroid table. Build runs eagerly at call time
+    (same non-laziness contract as pin_cache: callers are index
+    lifecycle operators, not lazy query builders). Content is
+    deterministic arithmetic (_ivf_assign), so a rebuild is
+    byte-identical and build-if-absent cannot go stale."""
+    import os
+
+    path = _ivf_index_path(sf_dir)
+    apath, cpath = f"{path}/assigned", f"{path}/centroids"
+    done = all(
+        os.path.exists(os.path.join(p, "_SUCCESS")) for p in (apath, cpath)
+    )
+    if rebuild or not done:
+        corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+        centroids = _ivf_centroids(corpus)
+        _ivf_assign(corpus, centroids).write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(apath)
+        centroids.write.mode("overwrite").parquet(cpath)
+    return apath, cpath
+
+
+@register(
+    "sim_ivf_index_build",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, v AS cv, norm AS cnorm
+      FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT c0.vec_id, c.cell,
+             row_number() OVER (PARTITION BY c0.vec_id
+               ORDER BY round({_IVF_DOT.format(a="c0.v", b="c.cv")}
+                              / (c0.norm * c.cnorm), 6) DESC, c.cell) AS arn
+      FROM corpus c0, cents c
+    )
+    SELECT cell, count(*) AS n_vectors
+    FROM cellr WHERE arn = 1
+    GROUP BY cell ORDER BY cell
+    """,
+)
+def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD as its own lifecycle operator — the two-phase
+    shape that makes ANN viable at 100 TB ingest cadence: production
+    systems amortize one index build across every query, where
+    sim_topk_ivf (kept as the self-contained reference rung)
+    recomputes the assignment per query. The build runs _ivf_assign
+    once (map-side max_by argmax — n rows cross the exchange) and
+    lands the assignment as parquet PARTITIONED BY cell plus the
+    centroid table (_ensure_ivf_index); a forced rebuild here makes
+    the driver row attest this round's build path, not a stale
+    artifact. Returns the per-cell occupancy read back FROM the
+    artifact, so the oracle (same deterministic assignment arithmetic
+    as _IVF_ORACLE's `assigned` CTE, aggregated per cell) verifies
+    both the assignment math and the write/read roundtrip."""
+    apath, _cpath = _ensure_ivf_index(spark, sf_dir, rebuild=True)
+    idx = spark.read.parquet(apath)
+    return (
+        idx.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+@register("sim_topk_ivf_prebuilt", oracle=_IVF_ORACLE)
+def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF PROBE against the prebuilt index — the query-time half of
+    the build/probe split (oracle identical to sim_topk_ivf's: the
+    split must not change a single result byte). The returned plan
+    reads ONLY the index artifact: queries, probes, and scoring all
+    derive from the cell-partitioned assignment parquet and the
+    IVF_K-row centroid table — no embeddings.parquet scan anywhere
+    (plan-locked), which is the point: at 100 TB the probe touches
+    ~probes/k of the index partitions (cell is the physical partition
+    key, so the probe join prunes partitions) and never the raw
+    corpus. Build-if-absent keeps the query self-sufficient for the
+    driver; production calls the build on ingest cadence instead."""
+    apath, cpath = _ensure_ivf_index(spark, sf_dir)
+    assigned = spark.read.parquet(apath).select(
+        "vec_id", "v", "norm", F.col("cell").cast("int").alias("cell")
+    )
+    centroids = spark.read.parquet(cpath).select("cell", "cv")
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    # probe ranking replays _IVF_ORACLE's prober byte-exactly (raw
+    # unnormalized dot, low-cell tiebreak — see sim_topk_ivf)
     wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), "cell")
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -966,13 +1138,25 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdot = F.aggregate(
         F.zip_with("vn", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.round(F.col("csim"), 6).desc(), "cell")
+    # nearest coarse cell via map-side max_by aggregate (same argmax
+    # class as _ivf_assign — n rows cross the exchange, not n x k);
+    # key (round(csim,6), -cell) == ORDER BY round DESC, cell ASC
     assigned = (
         encoded.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cdot)
-        .withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "vn", "code", "cell")
+        .select("vec_id", "vn", "code", "cell", F.round(cdot, 6).alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("vn", "code", "cell"),
+                F.struct(F.col("csim").alias("s"), (-F.col("cell")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.vn").alias("vn"),
+            F.col("best.code").alias("code"),
+            F.col("best.cell").alias("cell"),
+        )
     )
     qdot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -1460,22 +1644,8 @@ def sim_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF_K-row aggregate, no shuffle bigger than the cell count."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = _with_norm(e)
-    centroids = corpus.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").cast("int").alias("cell"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    adot = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
-    assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", F.round(adot / (F.col("norm") * F.col("cnorm")), 6))
-        .withColumn("arn", F.row_number().over(wa))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "cell")
-    )
+    centroids = _ivf_centroids(corpus)
+    assigned = _ivf_assign(corpus, centroids).select("vec_id", "cell")
 
     occ = (
         assigned.groupBy("cell")

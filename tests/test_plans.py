@@ -1220,3 +1220,32 @@ def test_vocab_relations_not_force_broadcast(spark):
     assert _analyzed(spark, "text_tfidf_top_terms").count("ResolvedHint") == 1
     assert _analyzed(spark, "text_cooccurrence_pmi").count("ResolvedHint") == 1
     assert _analyzed(spark, "text_bm25_search").count("ResolvedHint") == 2
+
+
+def test_ivf_prebuilt_probe_reads_only_index(spark):
+    """sim_topk_ivf_prebuilt: the probe half of the build/probe split
+    must never touch raw embeddings — every scan is the cell-partitioned
+    index artifact or the IVF_K-row centroid table, and the probe join
+    dynamically prunes index partitions (only the probed cells' files
+    are read — the ~probes/k I/O shape that makes prebuilt ANN viable
+    at 100 TB)."""
+    plan = _plan(spark, "sim_topk_ivf_prebuilt")
+    assert "embeddings.parquet" not in plan, plan
+    assert "k2s_ivf_index" in plan
+    assert "dynamicpruning" in plan.lower(), (
+        "probe join no longer prunes index partitions"
+    )
+
+
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """The IVF rungs' nearest-cell assignment is a max_by aggregate
+    (map-side combine, n rows cross the exchange), never a row_number
+    window over the n x IVF_K vector-bearing expansion — the same
+    argmax class fixed for SemDeDup/k-means in r9. Top-k windows keyed
+    by query_id remain; none may partition by vec_id."""
+    for name in ("sim_topk_ivf", "sim_topk_ivfpq"):
+        plan = _plan(spark, name)
+        assert "windowspecdefinition(vec_id" not in plan, (
+            f"{name} windows the n x k assignment expansion"
+        )
+    assert "Window" not in _plan(spark, "sim_ivf_index_stats")
