@@ -702,3 +702,104 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
         "append",
         shuffle_partitions=8,
     )
+
+
+from kinesis2sse_spark.streaming.dedup import (  # noqa: E402
+    DEDUP_BITS,
+    DEDUP_HORIZON_S,
+    DEDUP_TABLES,
+    dedup_weights,
+    streaming_near_dedup,
+)
+from kinesis2sse_spark.streaming.source import embeddings_stream  # noqa: E402
+
+
+def _streaming_dedup_oracle() -> str:
+    """Batch replay of the streaming near-dedup, generated from the SAME
+    Python-precomputed weight table the Spark plan inlines (registry
+    ladder: fixed lookup tables as literals in both engines). Entirely
+    integer arithmetic — quantized vectors, integer projection signs,
+    and the squared-threshold cosine test in HUGEINT — so the replay is
+    exact, not approximate."""
+    W = dedup_weights()
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(DEDUP_BITS):
+            wl = "[" + ", ".join(str(x) for x in W[t][p]) + "]"
+            proj = (
+                "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(list_zip(iq, {wl}), z -> z[1] * z[2])), "
+                "(a, b) -> a + b)"
+            )
+            terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    case = " ".join(
+        f"WHEN {t} THEN {bucket_expr(t)}" for t in range(DEDUP_TABLES)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS iq
+      FROM embeddings
+    ), based AS (
+      SELECT vec_id, iq,
+             list_reduce(list_transform(iq, x -> x * x), (a, b) -> a + b) AS n2
+      FROM base
+    ), bucketed AS (
+      SELECT vec_id, tt.t, CASE tt.t {case} END AS bucket
+      FROM based, LATERAL (SELECT unnest(range(0, {DEDUP_TABLES})) AS t) tt
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS xa, y.vec_id AS xb
+      FROM bucketed x JOIN bucketed y
+        ON x.t = y.t AND x.bucket = y.bucket
+       AND y.vec_id < x.vec_id
+       AND x.vec_id - y.vec_id <= {DEDUP_HORIZON_S}
+    ), scored AS (
+      SELECT c.xa, c.xb,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(a.iq, b.iq), z -> z[1] * z[2])),
+               (u, v) -> u + v) AS dot,
+             a.n2 AS n2a, b.n2 AS n2b
+      FROM cand c
+      JOIN based a ON a.vec_id = c.xa
+      JOIN based b ON b.vec_id = c.xb
+    ), matches AS (
+      SELECT xa AS vid, min(xb) AS dup_of
+      FROM scored
+      WHERE dot > 0
+        AND 25 * CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)
+            >= 4 * CAST(n2a AS HUGEINT) * CAST(n2b AS HUGEINT)
+      GROUP BY xa
+    )
+    SELECT e.vec_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+    FROM embeddings e LEFT JOIN matches m ON m.vid = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@register("streaming_dedup_embedding", oracle=_streaming_dedup_oracle())
+def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding near-dedup: every arriving vector probes the
+    recent corpus (LSH-banded state, event-time horizon) and is tagged
+    with the smallest earlier near-duplicate — the per-ingest twin of
+    the batch SemDeDup/LSH rungs and of dedup_incremental_probe (whose
+    batch-vs-batch shape this extends to continuous arrival). Bucketing
+    runs JVM-side (integer codegen); only the per-bucket probe is
+    pandas state (kinesis2sse_spark/streaming/dedup.py — bounded
+    keyspace AND horizon-evicted members, see module docstring). The
+    single-file fixture yields one micro-batch, so the event-time
+    replay is deterministic and the integer-exact batch oracle checks
+    every verdict byte; multi-batch state carry-over and horizon expiry
+    are pinned in tests/test_streaming.py with controlled arrival."""
+    s = embeddings_stream(spark, sf_dir).select("vec_id", "embedding", "ts")
+    probed = streaming_near_dedup(s)
+    out = run_to_memory(probed, _qname("nddedup"), "append", shuffle_partitions=8)
+    return (
+        out.groupBy("vec_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .select("vec_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+        .orderBy("vec_id")
+    )

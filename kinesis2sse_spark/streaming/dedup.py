@@ -1,0 +1,209 @@
+"""Streaming embedding near-dedup — the per-ingest twin of the batch
+SemDeDup/LSH rungs (``dropDuplicates`` is exact-key only; this is the
+shape a 100 TB pipeline actually runs at ingest cadence: every arriving
+document probes the recent corpus for near-duplicates and is tagged
+in-flight).
+
+Design: sign-random-projection LSH banding keyed into
+``applyInPandasWithState``. JVM-side (stateless, whole-stage codegen):
+quantize the embedding to integers and compute ``DEDUP_TABLES`` bucket
+ids of ``DEDUP_BITS`` sign bits each, explode to one row per (table,
+bucket). Stateful side: each (table, bucket) group's state holds the
+(vec_id, ts, quantized-vector, norm²) of arrivals within the event-time
+horizon; a new row probes the retained members with an exact
+integer-arithmetic cosine test and emits the smallest matching earlier
+vec_id (or null).
+
+State is bounded on BOTH axes: the keyspace is at most
+DEDUP_TABLES × 2^DEDUP_BITS buckets (512 here), and each bucket retains
+only members whose event time is within DEDUP_HORIZON_S of the newest
+arrival — older members are evicted as rows flow, so state size is
+O(arrival rate × horizon / 2^bits) per bucket regardless of stream
+length. The (tables, bits) pair is the recall/cost dial exactly as in
+the batch LSH rung: measured on the fixture corpus, 8×6-bit tables
+catch 35/59 of the cos ≥ 0.4 pairs with ~330 probes/doc (8×4 catches
+48/59 at ~570 — choose per deployment).
+
+Determinism ladder (registry.py): every FP-sensitive step is integer
+arithmetic so the batch replay oracle is EXACT, not approximate —
+(1) per-dim quantization iq = floor(x·10⁶ + 0.5) as int64;
+(2) projection weights are pure-integer multiplicative hashes
+    ((t·B+p)·8191 + d)·2654435761 mod 1000000007 − 500000003,
+    precomputed in Python and inlined as literals in BOTH engines
+    (never evaluated at query time);
+(3) the cosine threshold τ = 0.4 = 2/5 exactly, so
+    cos ≥ τ  ⇔  dot > 0 ∧ 25·dot² ≥ 4·‖a‖²·‖b‖² — pure integers
+    (Python bigints Spark-side, HUGEINT casts oracle-side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_TABLES = 8  # LSH OR-construction: candidate = same bucket in ANY table
+DEDUP_BITS = 6  # sign bits per table -> 64 buckets/table
+DEDUP_HORIZON_S = 600  # near-dup window (event-time seconds)
+DEDUP_DIM = 64
+# epoch seconds of the synthetic event time base (2026-01-01 00:00:00 UTC):
+# the fixture embeddings carry no timestamp, so arrival time is modeled
+# as base + vec_id seconds — deterministic and strictly increasing
+DEDUP_TS_BASE = 1767225600
+
+
+def dedup_weights() -> list[list[list[int]]]:
+    """[table][plane][dim] integer projection weights in
+    [-500000003, 500000003) — precomputed once, inlined as literals in
+    the Spark plan AND the DuckDB oracle (registry ladder: fixed lookup
+    tables never evaluate hashes at query time)."""
+    return [
+        [
+            [
+                ((t * DEDUP_BITS + p) * 8191 + d) * 2654435761 % 1000000007
+                - 500000003
+                for d in range(DEDUP_DIM)
+            ]
+            for p in range(DEDUP_BITS)
+        ]
+        for t in range(DEDUP_TABLES)
+    ]
+
+
+_WEIGHTS = dedup_weights()
+
+
+def with_dedup_buckets(df: DataFrame) -> DataFrame:
+    """JVM-side bucketing: (vec_id, embedding, ts) →
+    (vec_id, ts, ts_s, iq, t, bucket) with one row per LSH table.
+    All arithmetic is integer inside whole-stage codegen; the explode
+    multiplies rows by DEDUP_TABLES (a constant), never by data."""
+    iq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long"),
+    )
+    df = df.withColumn("iq", iq)
+    tables = []
+    for t in range(DEDUP_TABLES):
+        bucket = None
+        for p in range(DEDUP_BITS):
+            w = F.array(*[F.lit(wv).cast("long") for wv in _WEIGHTS[t][p]])
+            proj = F.aggregate(
+                F.zip_with("iq", w, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return df.withColumn("tb", F.explode(F.array(*tables))).select(
+        "vec_id",
+        "ts",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "iq",
+        F.col("tb.t").alias("t"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vids", T.ArrayType(T.LongType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+        T.StructField("n2s", T.ArrayType(T.LongType())),
+        T.StructField("iqs", T.ArrayType(T.ArrayType(T.LongType()))),
+    ]
+)
+
+DEDUP_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("match_id", T.LongType()),
+    ]
+)
+
+
+def _dedup_probe_fn(horizon_s: int):
+    def probe(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            vids, tss, n2s, iqs = state.get
+            members = [
+                (int(v), int(s), int(n2), np.asarray(q, dtype=np.int64))
+                for v, s, n2, q in zip(vids, tss, n2s, iqs)
+            ]
+        else:
+            members = []
+        chunks = [p for p in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_s", "vec_id"]
+            )
+            out_v: list[int] = []
+            out_m: list[int | None] = []
+            for vec_id, ts_s, iq in zip(
+                batch["vec_id"], batch["ts_s"], batch["iq"]
+            ):
+                vec_id, ts_s = int(vec_id), int(ts_s)
+                q = np.asarray(iq, dtype=np.int64)
+                # dot ≤ 64·10¹² and n2 ≤ 64·10¹² fit int64; the
+                # squared-threshold comparison (≈10²⁹) runs in Python
+                # bigints — overflow-free by construction
+                n2x = int(q.astype(object) @ q.astype(object))
+                members = [m for m in members if m[1] >= ts_s - horizon_s]
+                best: int | None = None
+                for mv, ms, mn2, mq in members:
+                    # only EARLIER event time counts as the original
+                    # (guards the verdict against out-of-order arrival
+                    # across micro-batches; within a batch the sort
+                    # already enforces it)
+                    if (ms, mv) >= (ts_s, vec_id):
+                        continue
+                    dot = int(mq @ q)
+                    if dot > 0 and 25 * dot * dot >= 4 * n2x * mn2:
+                        best = mv if best is None else min(best, mv)
+                out_v.append(vec_id)
+                out_m.append(best)
+                members.append((vec_id, ts_s, n2x, q))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.array(out_v, dtype="Int64"),
+                    "match_id": pd.array(out_m, dtype="Int64"),
+                }
+            )
+        state.update(
+            (
+                [m[0] for m in members],
+                [m[1] for m in members],
+                [m[2] for m in members],
+                [[int(x) for x in m[3]] for m in members],
+            )
+        )
+
+    return probe
+
+
+def streaming_near_dedup(
+    stream: DataFrame, horizon_s: int = DEDUP_HORIZON_S
+) -> DataFrame:
+    """Wire a (vec_id, embedding, ts) stream through bucketing + the
+    stateful probe. Returns the per-(table, bucket) probe results —
+    one row per (doc, table) with the smallest matching earlier vec_id
+    (null if none); aggregate min(match_id) per vec_id downstream for
+    the per-doc verdict (min over the union of tables == min over
+    per-table minima)."""
+    bucketed = with_dedup_buckets(stream).withWatermark("ts", "10 minutes")
+    return bucketed.groupBy("t", "bucket").applyInPandasWithState(
+        _dedup_probe_fn(horizon_s),
+        outputStructType=DEDUP_PROBE_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -83,6 +83,52 @@ def events_stream(
     return df
 
 
+EMBEDDINGS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def _staged_embeddings_dir(sf_dir: str) -> str:
+    """Directory-staged embeddings parquet (same symlink trick as
+    events)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/k2s_stream_{key}/embeddings"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        if os.path.lexists(link):
+            os.remove(link)
+        os.symlink(src, link)
+    return d
+
+
+def embeddings_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    staged_dir: str | None = None,
+) -> DataFrame:
+    """File-based streaming source over the embeddings table with a
+    synthetic, deterministic event time (the fixture carries none):
+    ts = 2026-01-01T00:00:00Z + vec_id seconds — strictly increasing,
+    so arrival order models ingest order. ``staged_dir`` lets tests
+    feed hand-written files for controlled multi-batch arrival."""
+    reader = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(staged_dir or _staged_embeddings_dir(sf_dir))
+    from kinesis2sse_spark.streaming.dedup import DEDUP_TS_BASE
+
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("vec_id"))
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Built-in rate source — synthetic (timestamp, value) rows, used for
     liveness tests of the serving layer."""

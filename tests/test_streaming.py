@@ -1133,3 +1133,84 @@ def test_kinesis_at_timestamp_seeks_per_shard(spark, tmp_path):
     # b2 (t+2.5min) is before the instant and must NOT appear even though
     # shard B's offsets differ from shard A's
     assert sorted(r["data"] for r in got.collect()) == want
+
+
+def test_streaming_dedup_carryover_and_horizon_expiry(spark):
+    """streaming_dedup_embedding's state machine, pinned with controlled
+    multi-batch arrival (one file per micro-batch, identical vectors so
+    cosine is exactly 1):
+    - carry-over: a doc arriving in a LATER batch is deduped against a
+      state member from an earlier batch (within horizon);
+    - expiry: once event time moves more than DEDUP_HORIZON_S past a
+      member, it is evicted — an identical later doc is NOT flagged."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming.dedup import (
+        DEDUP_HORIZON_S,
+        DEDUP_TS_BASE,
+        streaming_near_dedup,
+    )
+
+    assert DEDUP_HORIZON_S == 600  # offsets below assume it
+    d = staged_batch_dir("nddup")
+    schema = "vec_id long, embedding array<float>"
+    vec = [0.5] * 64
+    # vec_id doubles as the event-time offset (ts = BASE + vec_id s):
+    #   0 → first sight;  300 → within horizon of 0 (dup_of 0)
+    #   1000 → 0 and 300 both expired (Δ=1000, 700 > 600) → clean
+    #   1200 → within horizon of 1000 (dup_of 1000)
+    batches = [[(0, vec)], [(300, vec)], [(1000, vec)], [(1200, vec)]]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        _write_batch(spark, d, f"b{i}", rows, schema)
+        # distinct, increasing mtimes force FileStreamSource to deliver
+        # the files in event-time order (one per micro-batch)
+        part_dir = _os.path.join(d, f"b{i}")
+        for f in _os.listdir(part_dir):
+            _os.utime(_os.path.join(part_dir, f), (now + i, now + i))
+    stream = _read_stream(spark, d, schema).withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("vec_id"))
+    )
+    out = run_to_memory(streaming_near_dedup(stream), "t_nddup", "append")
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in out.groupBy("vec_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .collect()
+    }
+    assert got == {0: None, 300: 0, 1000: None, 1200: 1000}
+
+
+def test_streaming_dedup_within_batch_order_and_eviction(spark):
+    """Within one micro-batch the probe processes rows in event-time
+    order: a mid-batch doc dedupes against an earlier same-batch doc,
+    and eviction applies row-by-row (a doc beyond horizon of everything
+    earlier in the SAME batch stays clean)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming.dedup import (
+        DEDUP_TS_BASE,
+        streaming_near_dedup,
+    )
+
+    d = staged_batch_dir("nddup1b")
+    schema = "vec_id long, embedding array<float>"
+    vec = [-0.25] * 64
+    _write_batch(
+        spark, d, "b0", [(700, vec), (0, vec), (10, vec)], schema
+    )  # written out of order; the probe sorts by (ts, vec_id)
+    stream = _read_stream(spark, d, schema).withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("vec_id"))
+    )
+    out = run_to_memory(streaming_near_dedup(stream), "t_nddup1b", "append")
+    got = {
+        r["vec_id"]: r["dup_of"]
+        for r in out.groupBy("vec_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .collect()
+    }
+    # 10 dups against 0; 700 is >600s past both → both evicted → clean
+    assert got == {0: None, 10: 0, 700: None}
