@@ -68,28 +68,45 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # in git history); _ordered() layers it between the automatic red
 # re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 window (the r08 composition lives in git history): ONLY
-    # the "rewrite landed on an already-checked query" re-proofs the
-    # r08 verdict prescribes (items 1-3) — every entry's green row
-    # attests a plan round 9 replaced, so each must re-earn its row:
-    # - text_perplexity_bigram / filter_perplexity_band: the forced
-    #   F.broadcast() on the bigram-count and unigram-count model
-    #   relations (corpus-growing on real text — the r08 top perf-weak
-    #   item) is dropped; AQE now picks the scoring-join strategy.
-    "text_perplexity_bigram",
-    "filter_perplexity_band",
-    # - graph_source_modularity: the intra join no longer force-
-    #   broadcasts the corpus-sized documents (doc_id, source)
-    #   projection; it broadcasts the cluster-bounded node->source map
-    #   (plus und/nodesrc eager cache pins).
-    "graph_source_modularity",
-    # - dedup_semantic_clusters / ml_kmeans_assign / ml_kmeans_update:
-    #   nearest-cell assignment rewired from a row_number window over
-    #   the n x k scored expansion to a map-side-combined max_by
-    #   aggregate (only n rows cross the exchange).
-    "dedup_semantic_clusters",
-    "ml_kmeans_assign",
-    "ml_kmeans_update",
+    # Round-10 window (the r09 composition lives in git history):
+    # every entry is a "plan replaced under an already-green row"
+    # re-proof, so each must re-earn its row this round.
+    # - The de-hinting sweep (r9 verdict item 1): all TPC-H queries
+    #   whose customer/part/supplier broadcasts were dropped in favor
+    #   of AQE (nation/region hints kept; exact per-query budgets in
+    #   tests/test_plans.py TPCH_HINT_BUDGET):
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q20_potential_promotion",
+    # - Same sweep, class-4 vocabulary hints (TF-IDF df, PMI ua/ub):
+    "text_tfidf_top_terms",
+    "text_cooccurrence_pmi",
+    # - Same sweep, census-discovered growing hints outside tpch.py
+    #   (stream-static customer dim, streaming PIT SCD2 history, the
+    #   two subquery part relations):
+    "streaming_stream_static_join",
+    "streaming_pit_enrich",
+    "subquery_correlated_scalar_min",
+    "subquery_nested_correlated_having",
+    # - IVF family: nearest-cell assignment rewired from a row_number
+    #   window over the n x IVF_K expansion to the shared max_by
+    #   aggregate helper (_ivf_assign) feeding the new build/probe
+    #   split:
+    "sim_topk_ivf",
+    "sim_topk_ivfpq",
+    "sim_ivf_index_stats",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
@@ -97,7 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # round or later — so re-proof entries (which already hold OLD rows)
 # keep fronting until the round actually runs, fixing the r06 failure
 # mode where a re-proof list spent itself instantly against stale rows.
-DRIVER_PRIORITY_ROUND = 9
+DRIVER_PRIORITY_ROUND = 10
 
 
 def _driver_rows() -> dict[str, tuple[int, dict]]:
