@@ -495,6 +495,74 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_APPEND_SPLIT = 400  # vec_id < 400 = base index; >= 400 = new arrivals
+
+
+@register(
+    "sim_ivf_index_append",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id AS INT) AS cell, v AS cv, norm AS cnorm
+      FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT c0.vec_id, c.cell,
+             row_number() OVER (PARTITION BY c0.vec_id
+               ORDER BY round({_IVF_DOT.format(a="c0.v", b="c.cv")}
+                              / (c0.norm * c.cnorm), 6) DESC, c.cell) AS arn
+      FROM corpus c0, cents c
+    ), assigned AS (SELECT vec_id, cell FROM cellr WHERE arn = 1)
+    SELECT cell,
+           count(*) FILTER (WHERE vec_id < {IVF_APPEND_SPLIT}) AS n_base,
+           count(*) FILTER (WHERE vec_id >= {IVF_APPEND_SPLIT}) AS n_new
+    FROM assigned GROUP BY cell ORDER BY cell
+    """,
+)
+def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance — the third lifecycle operator of the
+    build/probe split: new arrivals (vec_id >= IVF_APPEND_SPLIT) are
+    assigned to the EXISTING coarse quantizer (no retrain — the
+    production incremental path; retraining is a deliberate rebuild
+    triggered by sim_ivf_index_stats' balance census) and APPENDED to
+    the cell-partitioned artifact. Only the new batch is scanned,
+    assigned (map-side max_by, batch-sized exchange) and written —
+    at 100 TB ingest cadence the append touches the arrival batch,
+    never the standing index (the partitioned layout makes the append
+    pure new files inside existing cell directories). Returns combined
+    per-cell occupancy split by base/new so the oracle verifies the
+    assignment arithmetic, the no-retrain rule (same centroids for
+    both phases — first IVF_K vectors, all < split), AND the append
+    roundtrip. Base rebuild + append both run here so the driver row
+    attests this round's write path."""
+    import os
+
+    path = os.path.join(_ivf_index_path(sf_dir) + "_incr", "assigned")
+    corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    base = corpus.filter(F.col("vec_id") < IVF_APPEND_SPLIT)
+    centroids = _ivf_centroids(base)
+    _ivf_assign(base, centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+    newb = corpus.filter(F.col("vec_id") >= IVF_APPEND_SPLIT)
+    _ivf_assign(newb, centroids).write.partitionBy("cell").mode("append").parquet(
+        path
+    )
+    idx = spark.read.parquet(path)
+    return (
+        idx.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.when(F.col("vec_id") < IVF_APPEND_SPLIT, 1)).alias("n_base"),
+            F.count(F.when(F.col("vec_id") >= IVF_APPEND_SPLIT, 1)).alias("n_new"),
+        )
+        .orderBy("cell")
+    )
+
+
 @register("sim_topk_ivf_prebuilt", oracle=_IVF_ORACLE)
 def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF PROBE against the prebuilt index — the query-time half of

@@ -803,3 +803,104 @@ def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
         .orderBy("vec_id")
     )
+
+
+from kinesis2sse_spark.streaming.dedup import (  # noqa: E402
+    MINHASH_BANDS,
+    MINHASH_HORIZON_S,
+    MINHASH_P,
+    MINHASH_ROWS,
+    MINHASH_SHINGLE,
+    minhash_perms,
+    streaming_minhash_dedup,
+)
+from kinesis2sse_spark.streaming.source import documents_stream  # noqa: E402
+
+
+def _streaming_minhash_oracle() -> str:
+    """Batch replay of the streaming MinHash dedup — entirely integer
+    (char-rolling shingle hashes, literal-coefficient universal-hash
+    permutations, band-equality match rule), so the replay is exact.
+    Generated from the SAME minhash_perms() table the Spark plan
+    inlines."""
+    perms = minhash_perms()
+    sh = MINHASH_SHINGLE
+    shingle_words = ", ".join(f"w[i + {j}]" for j in range(sh))
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in perms
+    )
+    band_sig = " ".join(
+        "WHEN {b} THEN concat_ws('-', {parts})".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * MINHASH_ROWS + r + 1}] AS VARCHAR)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shing AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= {sh}
+                  THEN list_transform(range(1, len(w) - {sh - 2}),
+                                      i -> concat_ws(' ', {shingle_words}))
+                  ELSE [] END AS ss
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(ss, s ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split_regex(s, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (h, c) -> (h * 31 + c) % {MINHASH_P})) AS hs
+      FROM shing
+    ), sigs AS (
+      SELECT doc_id, [{sig_exprs}] AS sig
+      FROM hashed WHERE len(hs) > 0
+    ), banded AS (
+      SELECT doc_id, bb.b AS band, CASE bb.b {band_sig} END AS bsig
+      FROM sigs, LATERAL (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) bb
+    ), matches AS (
+      SELECT x.doc_id AS did, min(y.doc_id) AS dup_of
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bsig = y.bsig
+       AND y.doc_id < x.doc_id
+       AND x.doc_id - y.doc_id <= {MINHASH_HORIZON_S}
+      GROUP BY x.doc_id
+    )
+    SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN matches m ON m.did = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("streaming_dedup_minhash", oracle=_streaming_minhash_oracle())
+def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dedup over the documents stream — the
+    token-shingle twin of streaming_dedup_embedding, and the
+    ORACLE-BACKED sibling of the rows-only batch dedup_minhash_lsh
+    (whose xxhash64 buckets DuckDB cannot replay; here every hash is
+    literal-coefficient integer arithmetic both engines evaluate
+    identically). Signature pipeline runs JVM-side; the per-(band,
+    signature) probe holds only (doc_id, ts) pairs in horizon-evicted
+    state — state mass is the duplicate mass inside the window, not the
+    corpus. Verdict = smallest earlier doc sharing a full band within
+    the horizon (estimated-Jaccard drop rule; exact pair verification
+    remains the batch rung's job). Single-file fixture → one
+    micro-batch → the integer-exact batch oracle checks every byte;
+    multi-batch carry-over/expiry share the machinery pinned in
+    tests/test_streaming.py."""
+    s = documents_stream(spark, sf_dir).select("doc_id", "text", "ts")
+    probed = streaming_minhash_dedup(s)
+    out = run_to_memory(probed, _qname("mhdedup"), "append", shuffle_partitions=8)
+    return (
+        out.groupBy("doc_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
+        .orderBy("doc_id")
+    )

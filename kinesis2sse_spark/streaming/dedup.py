@@ -207,3 +207,159 @@ def streaming_near_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming MinHash (token-shingle) near-dedup -----------------------
+# The documents twin of the embedding path above, and the ORACLE-BACKED
+# sibling of the batch dedup_minhash_lsh rung (which is rows-only
+# because its buckets come from xxhash64): here every hash is pure
+# integer arithmetic both engines can replay — the char-rolling shingle
+# hash text_fingerprint already proved byte-exact, then K independent
+# universal-hash permutations (a·x + b mod P) with Python-precomputed
+# literal coefficients. Duplicate verdict = an earlier doc within the
+# event-time horizon sharing ALL rows of at least one signature band
+# (estimated-Jaccard semantics — exact verification of candidate pairs
+# is the batch rung's job; at ingest cadence the band collision IS the
+# production drop rule).
+
+MINHASH_SHINGLE = 3  # token 3-gram shingles
+MINHASH_BANDS = 6
+MINHASH_ROWS = 3  # rows per band -> 18 permutations; P(flag) = j^3 per band
+MINHASH_P = 1000000007
+MINHASH_HORIZON_S = 600
+
+
+def minhash_perms() -> list[tuple[int, int]]:
+    """(a, b) coefficients for the K = BANDS x ROWS universal hashes,
+    precomputed in Python and inlined as literals in BOTH engines."""
+    k = MINHASH_BANDS * MINHASH_ROWS
+    return [
+        (
+            ((2654435761 * (i + 1)) % MINHASH_P) or 1,
+            (40503 * (i + 17)) % MINHASH_P,
+        )
+        for i in range(k)
+    ]
+
+
+_MH_PERMS = minhash_perms()
+
+
+def with_minhash_bands(df: DataFrame) -> DataFrame:
+    """JVM-side signature pipeline: (doc_id, text, ts) →
+    (doc_id, ts, ts_s, band, sig) with one row per band. Shingle →
+    rolling char hash → per-permutation min → ROWS-per-band signature
+    string. Everything is integer codegen; the explode multiplies rows
+    by MINHASH_BANDS (constant)."""
+    w = F.split("text", " ")
+    sh = MINHASH_SHINGLE
+    shingles = F.when(
+        F.size(w) >= sh,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (sh - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, sh)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingle_hash = lambda s: F.aggregate(  # noqa: E731
+        F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % MINHASH_P,
+    )
+    hashes = F.transform(shingles, shingle_hash)
+    df = df.withColumn("hs", hashes)
+    def _perm(a: int, b: int):
+        # factory, not default-arg lambda: pyspark counts the lambda's
+        # parameters to pick the HOF arity, so extra defaults break it
+        return lambda x: (x * a + b) % MINHASH_P
+
+    sigs = [F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in _MH_PERMS]
+    bands = []
+    for bnd in range(MINHASH_BANDS):
+        parts = [
+            s.cast("string") for s in sigs[bnd * MINHASH_ROWS : (bnd + 1) * MINHASH_ROWS]
+        ]
+        bands.append(
+            F.struct(
+                F.lit(bnd).alias("band"), F.concat_ws("-", *parts).alias("sig")
+            )
+        )
+    return df.withColumn("bs", F.explode(F.array(*bands))).select(
+        "doc_id",
+        "ts",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+
+BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("dids", T.ArrayType(T.LongType())),
+        T.StructField("tss", T.ArrayType(T.LongType())),
+    ]
+)
+
+BAND_PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("match_id", T.LongType()),
+    ]
+)
+
+
+def _band_probe_fn(horizon_s: int):
+    """Per-(band, sig) group: every member IS a candidate (the band
+    collision is the match rule); emit the smallest earlier-event-time
+    doc within the horizon, evicting older members as rows flow."""
+
+    def probe(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            dids, tss = state.get
+            members = [(int(v), int(s)) for v, s in zip(dids, tss)]
+        else:
+            members = []
+        chunks = [p for p in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_s", "doc_id"]
+            )
+            out_v: list[int] = []
+            out_m: list[int | None] = []
+            for doc_id, ts_s in zip(batch["doc_id"], batch["ts_s"]):
+                doc_id, ts_s = int(doc_id), int(ts_s)
+                members = [m for m in members if m[1] >= ts_s - horizon_s]
+                earlier = [
+                    mv for mv, ms in members if (ms, mv) < (ts_s, doc_id)
+                ]
+                out_v.append(doc_id)
+                out_m.append(min(earlier) if earlier else None)
+                members.append((doc_id, ts_s))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_v, dtype="Int64"),
+                    "match_id": pd.array(out_m, dtype="Int64"),
+                }
+            )
+        state.update(([m[0] for m in members], [m[1] for m in members]))
+
+    return probe
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame, horizon_s: int = MINHASH_HORIZON_S
+) -> DataFrame:
+    """Wire a (doc_id, text, ts) stream through MinHash banding + the
+    per-band stateful probe. State keyspace = observed distinct
+    (band, signature) pairs with members horizon-evicted — at any scale
+    a bucket holds only the docs that minhash-agree within the window,
+    so state is O(duplicate mass in the horizon), not corpus size."""
+    banded = with_minhash_bands(stream).withWatermark("ts", "10 minutes")
+    return banded.groupBy("band", "sig").applyInPandasWithState(
+        _band_probe_fn(horizon_s),
+        outputStructType=BAND_PROBE_SCHEMA,
+        stateStructType=BAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

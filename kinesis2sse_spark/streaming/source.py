@@ -129,6 +129,47 @@ def embeddings_stream(
     )
 
 
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    staged_dir: str | None = None,
+) -> DataFrame:
+    """File-based streaming source over the documents table with the
+    same synthetic deterministic event time as embeddings_stream
+    (ts = 2026-01-01T00:00:00Z + doc_id seconds)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = staged_dir or f"/tmp/k2s_stream_{key}/documents"
+    if staged_dir is None:
+        src = os.path.join(sf_dir, "documents.parquet")
+        link = os.path.join(d, "documents.parquet")
+        if not os.path.islink(link):
+            os.makedirs(d, exist_ok=True)
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(src, link)
+    reader = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(d)
+    from kinesis2sse_spark.streaming.dedup import DEDUP_TS_BASE
+
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("doc_id"))
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Built-in rate source — synthetic (timestamp, value) rows, used for
     liveness tests of the serving layer."""
