@@ -825,7 +825,13 @@ def _streaming_minhash_oracle() -> str:
     inlines."""
     perms = minhash_perms()
     sh = MINHASH_SHINGLE
-    shingle_words = ", ".join(f"w[i + {j}]" for j in range(sh))
+    # two-level shingle hash, mirroring with_minhash_bands exactly:
+    # per-token char-rolling hash, then combine sh token hashes
+    shingle_combine = "th[i]"
+    for j in range(1, sh):
+        shingle_combine = (
+            f"(({shingle_combine}) * 8191 + th[i + {j}]) % {MINHASH_P}"
+        )
     sig_exprs = ", ".join(
         f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P}))"
         for a, b in perms
@@ -843,22 +849,22 @@ def _streaming_minhash_oracle() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), shing AS (
+    ), tokh AS (
       SELECT doc_id,
-             CASE WHEN len(w) >= {sh}
-                  THEN list_transform(range(1, len(w) - {sh - 2}),
-                                      i -> concat_ws(' ', {shingle_words}))
-                  ELSE [] END AS ss
-      FROM toks
-    ), hashed AS (
-      SELECT doc_id,
-             list_transform(ss, s ->
+             list_transform(w, s ->
                list_reduce(
                  list_prepend(CAST(7 AS BIGINT),
                    list_transform(string_split_regex(s, ''),
                                   c -> CAST(ascii(c) AS BIGINT))),
-                 (h, c) -> (h * 31 + c) % {MINHASH_P})) AS hs
-      FROM shing
+                 (h, c) -> (h * 31 + c) % {MINHASH_P})) AS th
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= {sh}
+                  THEN list_transform(range(1, len(th) - {sh - 2}),
+                                      i -> {shingle_combine})
+                  ELSE [] END AS hs
+      FROM tokh
     ), sigs AS (
       SELECT doc_id, [{sig_exprs}] AS sig
       FROM hashed WHERE len(hs) > 0

@@ -253,19 +253,29 @@ def with_minhash_bands(df: DataFrame) -> DataFrame:
     by MINHASH_BANDS (constant)."""
     w = F.split("text", " ")
     sh = MINHASH_SHINGLE
-    shingles = F.when(
-        F.size(w) >= sh,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (sh - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, sh)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingle_hash = lambda s: F.aggregate(  # noqa: E731
+    # hash each TOKEN's characters once, then combine 3 token hashes
+    # per shingle — vs char-rolling whole shingle strings this hashes
+    # every character once instead of sh times and skips the shingle
+    # string allocation entirely (measured 33 s -> see PERF.md at the
+    # 10x curve point; the oracle mirrors the same two-level hash)
+    tok_hash = lambda s: F.aggregate(  # noqa: E731
         F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long")),
         F.lit(7).cast("long"),
         lambda h, c: (h * 31 + c) % MINHASH_P,
     )
-    hashes = F.transform(shingles, shingle_hash)
+    df = df.withColumn("th", F.transform(w, tok_hash))
+    th = F.col("th")
+
+    def shingle(i):
+        h = F.element_at(th, i)
+        for j in range(1, sh):
+            h = (h * 8191 + F.element_at(th, i + j)) % MINHASH_P
+        return h
+
+    hashes = F.when(
+        F.size(th) >= sh,
+        F.transform(F.sequence(F.lit(1), F.size(th) - (sh - 1)), shingle),
+    ).otherwise(F.array().cast("array<long>"))
     df = df.withColumn("hs", hashes)
     def _perm(a: int, b: int):
         # factory, not default-arg lambda: pyspark counts the lambda's
@@ -275,12 +285,24 @@ def with_minhash_bands(df: DataFrame) -> DataFrame:
     sigs = [F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in _MH_PERMS]
     bands = []
     for bnd in range(MINHASH_BANDS):
-        parts = [
-            s.cast("string") for s in sigs[bnd * MINHASH_ROWS : (bnd + 1) * MINHASH_ROWS]
-        ]
+        raw = sigs[bnd * MINHASH_ROWS : (bnd + 1) * MINHASH_ROWS]
+        parts = [s.cast("string") for s in raw]
+        # bounded STATE key: hashing the signature into 2^12 buckets
+        # caps the pandas-group count at BANDS x 4096 regardless of
+        # corpus size (an unbucketed (band, sig) key means one pandas
+        # invocation per distinct signature — per-group overhead made
+        # the 10x curve superlinear; measured 161 s -> see PERF.md).
+        # The MATCH rule is still exact sig equality, checked inside
+        # the probe — bucketing changes the physical grouping only,
+        # never a verdict.
+        bkey = raw[0]
+        for s in raw[1:]:
+            bkey = (bkey * 8191 + s) % MINHASH_P
         bands.append(
             F.struct(
-                F.lit(bnd).alias("band"), F.concat_ws("-", *parts).alias("sig")
+                F.lit(bnd).alias("band"),
+                (bkey % 4096).alias("bkey"),
+                F.concat_ws("-", *parts).alias("sig"),
             )
         )
     return df.withColumn("bs", F.explode(F.array(*bands))).select(
@@ -288,6 +310,7 @@ def with_minhash_bands(df: DataFrame) -> DataFrame:
         "ts",
         F.unix_timestamp("ts").alias("ts_s"),
         F.col("bs.band").alias("band"),
+        F.col("bs.bkey").alias("bkey"),
         F.col("bs.sig").alias("sig"),
     )
 
@@ -296,6 +319,7 @@ BAND_STATE_SCHEMA = T.StructType(
     [
         T.StructField("dids", T.ArrayType(T.LongType())),
         T.StructField("tss", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -308,16 +332,20 @@ BAND_PROBE_SCHEMA = T.StructType(
 
 
 def _band_probe_fn(horizon_s: int):
-    """Per-(band, sig) group: every member IS a candidate (the band
-    collision is the match rule); emit the smallest earlier-event-time
-    doc within the horizon, evicting older members as rows flow."""
+    """Per-(band, bkey) group: a match is an exact SIGNATURE-equal
+    member (several signatures can share a bucket — the probe checks
+    equality, so bucketing never changes a verdict); emit the smallest
+    earlier-event-time match within the horizon, evicting older members
+    as rows flow."""
 
     def probe(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            dids, tss = state.get
-            members = [(int(v), int(s)) for v, s in zip(dids, tss)]
+            dids, tss, msigs = state.get
+            members = [
+                (int(v), int(s), g) for v, s, g in zip(dids, tss, msigs)
+            ]
         else:
             members = []
         chunks = [p for p in pdfs]
@@ -327,22 +355,32 @@ def _band_probe_fn(horizon_s: int):
             )
             out_v: list[int] = []
             out_m: list[int | None] = []
-            for doc_id, ts_s in zip(batch["doc_id"], batch["ts_s"]):
+            for doc_id, ts_s, sig in zip(
+                batch["doc_id"], batch["ts_s"], batch["sig"]
+            ):
                 doc_id, ts_s = int(doc_id), int(ts_s)
                 members = [m for m in members if m[1] >= ts_s - horizon_s]
                 earlier = [
-                    mv for mv, ms in members if (ms, mv) < (ts_s, doc_id)
+                    mv
+                    for mv, ms, mg in members
+                    if mg == sig and (ms, mv) < (ts_s, doc_id)
                 ]
                 out_v.append(doc_id)
                 out_m.append(min(earlier) if earlier else None)
-                members.append((doc_id, ts_s))
+                members.append((doc_id, ts_s, sig))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(out_v, dtype="Int64"),
                     "match_id": pd.array(out_m, dtype="Int64"),
                 }
             )
-        state.update(([m[0] for m in members], [m[1] for m in members]))
+        state.update(
+            (
+                [m[0] for m in members],
+                [m[1] for m in members],
+                [m[2] for m in members],
+            )
+        )
 
     return probe
 
@@ -351,12 +389,14 @@ def streaming_minhash_dedup(
     stream: DataFrame, horizon_s: int = MINHASH_HORIZON_S
 ) -> DataFrame:
     """Wire a (doc_id, text, ts) stream through MinHash banding + the
-    per-band stateful probe. State keyspace = observed distinct
-    (band, signature) pairs with members horizon-evicted — at any scale
-    a bucket holds only the docs that minhash-agree within the window,
-    so state is O(duplicate mass in the horizon), not corpus size."""
+    per-band stateful probe. The STATE key is (band, sig-hash-bucket)
+    — a bounded BANDS x 4096 keyspace, so the per-group pandas
+    invocation count is capped regardless of corpus size — while the
+    match rule inside the probe is exact signature equality. Members
+    are horizon-evicted, so state mass is the arrival mass inside the
+    window, not the corpus."""
     banded = with_minhash_bands(stream).withWatermark("ts", "10 minutes")
-    return banded.groupBy("band", "sig").applyInPandasWithState(
+    return banded.groupBy("band", "bkey").applyInPandasWithState(
         _band_probe_fn(horizon_s),
         outputStructType=BAND_PROBE_SCHEMA,
         stateStructType=BAND_STATE_SCHEMA,

@@ -1214,3 +1214,76 @@ def test_streaming_dedup_within_batch_order_and_eviction(spark):
     }
     # 10 dups against 0; 700 is >600s past both → both evicted → clean
     assert got == {0: None, 10: 0, 700: None}
+
+
+def test_streaming_minhash_dedup_carryover_and_expiry(spark):
+    """streaming_dedup_minhash's state machine across micro-batches:
+    identical texts collide on every band, so the verdict isolates the
+    carry-over/expiry mechanics (same fixture shape as the embedding
+    twin; the bucketized state key must not change verdicts)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming.dedup import (
+        DEDUP_TS_BASE,
+        MINHASH_HORIZON_S,
+        streaming_minhash_dedup,
+    )
+
+    assert MINHASH_HORIZON_S == 600
+    d = staged_batch_dir("mhdup")
+    schema = "doc_id long, text string"
+    txt = "alpha beta gamma delta epsilon zeta eta theta"
+    batches = [[(0, txt)], [(300, txt)], [(1000, txt)], [(1200, txt)]]
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        _write_batch(spark, d, f"b{i}", rows, schema)
+        part_dir = _os.path.join(d, f"b{i}")
+        for f in _os.listdir(part_dir):
+            _os.utime(_os.path.join(part_dir, f), (now + i, now + i))
+    stream = _read_stream(spark, d, schema).withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("doc_id"))
+    )
+    out = run_to_memory(streaming_minhash_dedup(stream), "t_mhdup", "append")
+    got = {
+        r["doc_id"]: r["dup_of"]
+        for r in out.groupBy("doc_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .collect()
+    }
+    assert got == {0: None, 300: 0, 1000: None, 1200: 1000}
+
+
+def test_streaming_minhash_bucket_collision_requires_sig_equality(spark):
+    """Two DIFFERENT texts never dedup against each other even when
+    their signature buckets collide — the probe's match rule is exact
+    signature equality, so the bounded bkey keyspace (4096/band, where
+    collisions are routine at corpus scale) can't produce a false
+    verdict. Distinct single-batch texts at adjacent timestamps: none
+    may flag."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.streaming.dedup import (
+        DEDUP_TS_BASE,
+        streaming_minhash_dedup,
+    )
+
+    d = staged_batch_dir("mhsig")
+    schema = "doc_id long, text string"
+    rows = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(12))) for i in range(40)
+    ]
+    _write_batch(spark, d, "b0", rows, schema)
+    stream = _read_stream(spark, d, schema).withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("doc_id"))
+    )
+    out = run_to_memory(streaming_minhash_dedup(stream), "t_mhsig", "append")
+    flagged = (
+        out.groupBy("doc_id")
+        .agg(F.min("match_id").alias("dup_of"))
+        .where(F.col("dup_of").isNotNull())
+        .count()
+    )
+    assert flagged == 0
