@@ -319,8 +319,6 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
     ladder step 3), so partial-aggregation order cannot move the ranks
     between engines; the scalar recombination 0.15/N + 0.85*s is the
     identical IEEE expression on both sides."""
-    from pyspark import StorageLevel
-
     # und and deg are persisted alongside edges_deg: deg feeds the
     # edge annotation, the 1-row ncnt aggregate, AND the initial rank
     # relation — un-cached, each consumer re-instantiates the whole
@@ -336,10 +334,16 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
         .agg(F.count("*").alias("d"))
         .transform(pin_cache)
     )
-    edges_deg = (
-        und.join(deg.select(F.col("node").alias("src"), "d"), "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # pin_cache, not a lazy persist: edges_deg is read by EVERY
+    # pagerank iteration, and all `iters` reads are branches of the
+    # ONE final action — a lazy persist lets those branches race the
+    # unpopulated cache (caught by the sweep's race gate in the r10
+    # full run; the r9 mechanical audit missed it because the
+    # multi-consumption is through the loop, not >=2 syntactic
+    # references)
+    edges_deg = und.join(
+        deg.select(F.col("node").alias("src"), "d"), "src"
+    ).transform(pin_cache)
     ncnt = deg.agg(F.count("*").cast("double").alias("nn"))
     ranks = deg.crossJoin(F.broadcast(ncnt)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("rank")

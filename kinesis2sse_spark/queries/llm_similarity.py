@@ -413,6 +413,12 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ASSIGNED_SCHEMA = (
+    "vec_id long, v array<double>, norm double, cell int"
+)
+_IVF_CENTROIDS_SCHEMA = "cell int, cv array<double>, cnorm double"
+
+
 def _ivf_index_path(sf_dir: str) -> str:
     """Deterministic lake location for the prebuilt IVF index, keyed by
     fixture directory (sf0.001/sf0.01/sf0.1 each get their own)."""
@@ -487,7 +493,10 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     as _IVF_ORACLE's `assigned` CTE, aggregated per cell) verifies
     both the assignment math and the write/read roundtrip."""
     apath, _cpath = _ensure_ivf_index(spark, sf_dir, rebuild=True)
-    idx = spark.read.parquet(apath)
+    # explicit schema: inference throws on an EMPTY artifact (a
+    # degenerate corpus writes only _SUCCESS) and the schema is
+    # known by construction anyway
+    idx = spark.read.schema(_IVF_ASSIGNED_SCHEMA).parquet(apath)
     return (
         idx.groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count("*").alias("n_vectors"))
@@ -552,7 +561,7 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_assign(newb, centroids).write.partitionBy("cell").mode("append").parquet(
         path
     )
-    idx = spark.read.parquet(path)
+    idx = spark.read.schema(_IVF_ASSIGNED_SCHEMA).parquet(path)
     return (
         idx.groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(
@@ -577,10 +586,12 @@ def sim_topk_ivf_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Build-if-absent keeps the query self-sufficient for the
     driver; production calls the build on ingest cadence instead."""
     apath, cpath = _ensure_ivf_index(spark, sf_dir)
-    assigned = spark.read.parquet(apath).select(
+    assigned = spark.read.schema(_IVF_ASSIGNED_SCHEMA).parquet(apath).select(
         "vec_id", "v", "norm", F.col("cell").cast("int").alias("cell")
     )
-    centroids = spark.read.parquet(cpath).select("cell", "cv")
+    centroids = spark.read.schema(_IVF_CENTROIDS_SCHEMA).parquet(cpath).select(
+        "cell", "cv"
+    )
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -12,7 +12,7 @@ already-ordered ingest key (event_id) wherever one exists.
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame

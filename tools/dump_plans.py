@@ -149,6 +149,11 @@ SHOW = [
     "mine_hard_negatives",
     "search_hybrid_rrf",
     "decontaminate_embedding",
+    # round-10 additions: the IVF lifecycle (the prebuilt probe's plan
+    # is the round's headline — no embeddings scan, DPP on the index)
+    "sim_ivf_index_build",
+    "sim_topk_ivf_prebuilt",
+    "sim_ivf_index_append",
 ]
 
 
