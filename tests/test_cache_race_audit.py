@@ -108,3 +108,74 @@ def test_scanner_attributes_races_to_preceding_marker():
     # setup-phase warnings (before any marker) still surface
     pre = scan_cache_races(lines[1:2])
     assert pre == [("<session-setup>", lines[1].strip())]
+
+
+def test_loop_consumed_persists_are_eagerly_pinned():
+    """The pagerank class, caught by the r10 full-sweep race gate: a
+    lazy persist()/cache() whose relation is consumed inside a loop
+    that runs NO intermediate action builds all its loop-iteration
+    reads into ONE final action — those reads are independent branches
+    and race the unpopulated cache. (Loops that run an action per
+    round — the CC/LPA convergence counts — populate the cache on the
+    first round's single-reference action, so they are exempt.)
+
+    Static rule over every query module: for each `X = ….persist(…)` /
+    `X = ….cache()` assignment, if a later loop in the same function
+    references X and the loop body contains no action call, an eager
+    `X.count()` must appear between the persist and the loop. The r9
+    mechanical audit counted syntactic consumers and missed this; the
+    loop IS the multi-consumer."""
+    import ast
+    import pathlib
+
+    ACTIONS = {"count", "collect", "localCheckpoint", "first", "take", "head"}
+    offenders: list[str] = []
+    root = pathlib.Path("kinesis2sse_spark")
+    for p in sorted(root.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        for fn in ast.walk(tree):
+            if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            body = fn.body
+            persisted: dict[str, int] = {}  # name -> statement index
+            pinned: set[str] = set()
+            for i, stmt in enumerate(body):
+                # X = <expr>.persist(...) / X = <expr>.cache()
+                if isinstance(stmt, ast.Assign) and len(stmt.targets) == 1:
+                    tgt = stmt.targets[0]
+                    call = stmt.value
+                    if (
+                        isinstance(tgt, ast.Name)
+                        and isinstance(call, ast.Call)
+                        and isinstance(call.func, ast.Attribute)
+                        and call.func.attr in ("persist", "cache")
+                    ):
+                        persisted[tgt.id] = i
+                # X.count()  (eager pin)
+                if isinstance(stmt, ast.Expr) and isinstance(stmt.value, ast.Call):
+                    f = stmt.value.func
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and f.attr == "count"
+                        and isinstance(f.value, ast.Name)
+                    ):
+                        pinned.add(f.value.id)
+                if isinstance(stmt, (ast.For, ast.While)):
+                    loop_names = {
+                        n.id for n in ast.walk(stmt) if isinstance(n, ast.Name)
+                    }
+                    loop_calls = {
+                        n.func.attr
+                        for n in ast.walk(stmt)
+                        if isinstance(n, ast.Call)
+                        and isinstance(n.func, ast.Attribute)
+                    }
+                    if loop_calls & ACTIONS:
+                        continue  # per-round actions populate the cache
+                    for name, j in persisted.items():
+                        if j < i and name in loop_names and name not in pinned:
+                            offenders.append(
+                                f"{p}:{fn.name}: lazy persist '{name}' consumed "
+                                "by an action-free loop without an eager pin"
+                            )
+    assert not offenders, "\n".join(offenders)
