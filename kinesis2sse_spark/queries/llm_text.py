@@ -3189,3 +3189,169 @@ def sample_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs"),
         )
     )
+
+
+# --- Count-Min sketch -----------------------------------------------
+# The deterministic, EXACTLY-replayable sketch: unlike the engine HLL
+# pair (rows-only by nature — Spark's sketch bytes are opaque), a
+# Count-Min sketch built from literal-coefficient integer hashes is
+# plain relational arithmetic both engines replay byte-for-byte, so
+# the sketch build AND its estimates carry a full oracle. Token hash =
+# the char-rolling hash text_fingerprint proved; row hashes = the same
+# universal-hash family as the streaming MinHash permutations.
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 16  # counters per row — fixture-calibrated (the synthetic
+# vocabulary is ~31 tokens, so 16 cells/row forces real collisions:
+# 'merge' and 'vector' overestimate while the rest stay exact, giving
+# the error contract both regimes; production widths are 2^16+)
+CMS_P = 1000000007
+# estimate probes: the BM25 query terms (corpus-frequent) plus two
+# rarer tokens so the error contract sees both regimes
+CMS_PROBE_TERMS = ("hash", "join", "merge", "scan", "vector", "customer")
+
+
+def _cms_rows() -> list[tuple[int, int]]:
+    return [
+        (((2654435761 * (r + 101)) % CMS_P) or 1, (40503 * (r + 31)) % CMS_P)
+        for r in range(CMS_DEPTH)
+    ]
+
+
+def _tok_rolling_hash_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+        f"list_transform(string_split_regex({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * 31 + c) % {CMS_P})"
+    )
+
+
+def _cms_probe_hashes() -> list[tuple[str, int]]:
+    """(term, rolling-hash) pairs precomputed in Python and inlined as
+    literals in BOTH engines (registry ladder: never hash at query
+    time what can be a literal)."""
+    out = []
+    for t in CMS_PROBE_TERMS:
+        h = 7
+        for ch in t:
+            h = (h * 31 + ord(ch)) % CMS_P
+        out.append((t, h))
+    return out
+
+
+def _cms_oracle() -> str:
+    rows = _cms_rows()
+    probes = _cms_probe_hashes()
+    probe_vals = ", ".join(f"('{t}', CAST({h} AS BIGINT))" for t, h in probes)
+    cell = "((th * {a} + {b}) % {p}) % {w}"
+    cells_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {cell.format(a=a, b=b, p=CMS_P, w=CMS_WIDTH)} AS cell,"
+        " n FROM tok_counts"
+        for r, (a, b) in enumerate(rows)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT term, {r} AS r,"
+        f" {cell.format(a=a, b=b, p=CMS_P, w=CMS_WIDTH)} AS cell FROM probes"
+        for r, (a, b) in enumerate(rows)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tok_counts AS (
+      SELECT {_tok_rolling_hash_sql("tok")} AS th,
+             tok, count(*) AS n
+      FROM toks GROUP BY 1, 2
+    ), sketch AS (
+      SELECT r, cell, CAST(sum(n) AS BIGINT) AS c
+      FROM ({cells_union}) GROUP BY r, cell
+    ), probes AS (
+      SELECT term, th FROM (VALUES {probe_vals}) v(term, th)
+    ), pc AS ({probe_cells}),
+    est AS (
+      SELECT pc.term, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS cms_count
+      FROM pc LEFT JOIN sketch s ON s.r = pc.r AND s.cell = pc.cell
+      GROUP BY pc.term
+    ), truth AS (
+      SELECT tok AS term, CAST(sum(n) AS BIGINT) AS true_count
+      FROM tok_counts GROUP BY tok
+    )
+    SELECT e.term, e.cms_count,
+           CAST(coalesce(t.true_count, 0) AS BIGINT) AS true_count,
+           e.cms_count >= coalesce(t.true_count, 0) AS never_underestimates
+    FROM est e LEFT JOIN truth t ON t.term = e.term
+    ORDER BY e.term
+    """
+
+
+@register("text_count_min_sketch", oracle=_cms_oracle())
+def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream: DEPTH x WIDTH bounded
+    counters (DEPTH x WIDTH cells regardless of corpus size — the fixed-memory
+    frequency summary every streaming heavy-hitter / rate-limiting
+    layer keeps), probed for a fixed term list with the min-over-rows
+    estimate, alongside exact counts and the CMS one-sided-error
+    guarantee (estimates never undercount — a deterministic property
+    of the structure, asserted per probe as a column the oracle
+    replays). Unlike the engine-HLL sketches (rows-only, opaque
+    bytes), every hash here is literal-coefficient integer arithmetic,
+    so the build and estimates are byte-exact in both engines. Plan:
+    one explode → (token) map-side combined count → DEPTH projected
+    cell keys → a DEPTH x WIDTH-row sketch aggregate; probes join the sketch as
+    a broadcast-sized relation. At 100 TB the only corpus-sized work
+    is the token count the heavy-hitter family already shares."""
+    d = load_table(spark, sf_dir, "documents")
+    tok_counts = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "th",
+            F.aggregate(
+                F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
+                F.lit(7).cast("long"),
+                lambda h, c: (h * 31 + c) % CMS_P,
+            ),
+        )
+        .transform(pin_cache)  # sketch build + truth lookup both consume it
+    )
+    rows = _cms_rows()
+    cells = None
+    for r, (a, b) in enumerate(rows):
+        part = tok_counts.select(
+            F.lit(r).alias("r"),
+            (((F.col("th") * a + b) % CMS_P) % CMS_WIDTH).alias("cell"),
+            "n",
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    sketch = cells.groupBy("r", "cell").agg(F.sum("n").cast("bigint").alias("c"))
+    probes = spark.createDataFrame(
+        [(t, h) for t, h in _cms_probe_hashes()], "term string, th long"
+    )
+    pc = None
+    for r, (a, b) in enumerate(rows):
+        part = probes.select(
+            "term",
+            F.lit(r).alias("r"),
+            (((F.col("th") * a + b) % CMS_P) % CMS_WIDTH).alias("cell"),
+        )
+        pc = part if pc is None else pc.unionByName(part)
+    est = (
+        pc.join(F.broadcast(sketch), ["r", "cell"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cms_count"))
+    )
+    # truth is vocabulary-sized (census class 4) — no forced hint; AQE
+    # broadcasts the |probes|-row est side from measured sizes anyway
+    truth = tok_counts.select(F.col("tok").alias("term"), F.col("n").alias("tn"))
+    return (
+        est.join(truth, "term", "left")
+        .select(
+            "term",
+            "cms_count",
+            F.coalesce(F.col("tn"), F.lit(0)).cast("bigint").alias("true_count"),
+            (
+                F.col("cms_count") >= F.coalesce(F.col("tn"), F.lit(0))
+            ).alias("never_underestimates"),
+        )
+        .orderBy("term")
+    )
