@@ -165,8 +165,14 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_text.py", "pipeline_curriculum_order", "bands"): "constant",
     # candidate set bounded by 1/support-threshold
     ("llm_text.py", "text_heavy_hitters", "candidates"): "constant",
-    # CMS sketch relation: DEPTH x WIDTH = 1024 cells by construction
+    # CMS sketch relation: DEPTH x WIDTH cells by construction
     ("llm_text.py", "text_count_min_sketch", "sketch"): "constant",
+    # Bloom bit array: <= BLOOM_BITS rows by construction
+    (
+        "llm_text.py",
+        "text_bloom_filter",
+        "bloom.withColumn('hit', F.lit(1))",
+    ): "constant",
     ("llm_text.py", "text_heavy_hitters", "total"): "constant",
     ("llm_text.py", "text_vocab_entropy", "tot"): "domain-bounded",  # per-language
     ("llm_text.py", "text_zipf_slope", "sums"): "constant",

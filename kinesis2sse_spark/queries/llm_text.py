@@ -3355,3 +3355,156 @@ def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# --- Bloom filter ----------------------------------------------------
+# The membership sibling of the Count-Min sketch above, same
+# determinism recipe: the bit array is plain relational arithmetic
+# over literal-coefficient integer hashes, so build, probes, and the
+# structural guarantee (NO false negatives — a member's bits are set
+# by construction) replay byte-exactly in the oracle. Bloom filters
+# are the join-pruning/membership structure every lake engine ships;
+# here the STRUCTURE ITSELF is the oracle-checked operator, not just
+# the engine's runtime filter (which tests/test_lakeops.py plan-locks).
+BLOOM_BITS = 128  # fixture-calibrated: ~half the bits set by the
+# ~31-token vocabulary, so of the 8 non-member probes two false-
+# positive and six reject — both probe regimes exercised
+BLOOM_HASHES = 3
+BLOOM_MEMBER_PROBES = ("hash", "join", "merge", "scan")
+BLOOM_NONMEMBER_PROBES = (
+    "zorp", "flux", "quasar", "nebula", "prism", "glyph", "raster", "tuple",
+)
+
+
+def _bloom_rows() -> list[tuple[int, int]]:
+    return [
+        (((2654435761 * (r + 211)) % CMS_P) or 1, (40503 * (r + 57)) % CMS_P)
+        for r in range(BLOOM_HASHES)
+    ]
+
+
+def _bloom_probe_hashes() -> list[tuple[str, int]]:
+    out = []
+    for t in BLOOM_MEMBER_PROBES + BLOOM_NONMEMBER_PROBES:
+        h = 7
+        for ch in t:
+            h = (h * 31 + ord(ch)) % CMS_P
+        out.append((t, h))
+    return out
+
+
+def _bloom_oracle() -> str:
+    rows = _bloom_rows()
+    probes = _bloom_probe_hashes()
+    probe_vals = ", ".join(f"('{t}', CAST({h} AS BIGINT))" for t, h in probes)
+    pos = "((th * {a} + {b}) % {p}) % {m}"
+    bit_union = " UNION ALL ".join(
+        f"SELECT {pos.format(a=a, b=b, p=CMS_P, m=BLOOM_BITS)} AS bit FROM vocab"
+        for a, b in rows
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT term, {pos.format(a=a, b=b, p=CMS_P, m=BLOOM_BITS)} AS bit"
+        " FROM probes"
+        for a, b in rows
+    )
+    return f"""
+    WITH vocab AS (
+      SELECT tok, {_tok_rolling_hash_sql("tok")} AS th
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ), bloom AS (
+      SELECT DISTINCT bit FROM ({bit_union})
+    ), probes AS (
+      SELECT term, th FROM (VALUES {probe_vals}) v(term, th)
+    ), pb AS ({probe_bits}),
+    claimed AS (
+      SELECT pb.term,
+             CAST(count(*) FILTER (WHERE b.bit IS NOT NULL) AS BIGINT)
+               = {BLOOM_HASHES} AS claimed_present
+      FROM pb LEFT JOIN bloom b ON b.bit = pb.bit
+      GROUP BY pb.term
+    ), actual AS (
+      SELECT p.term, count(v.tok) > 0 AS actually_present
+      FROM probes p LEFT JOIN vocab v ON v.tok = p.term
+      GROUP BY p.term
+    )
+    SELECT c.term, c.claimed_present, a.actually_present,
+           c.claimed_present AND NOT a.actually_present AS is_false_positive,
+           c.claimed_present OR NOT a.actually_present AS sound
+    FROM claimed c JOIN actual a ON a.term = c.term
+    ORDER BY c.term
+    """
+
+
+@register("text_bloom_filter", oracle=_bloom_oracle())
+def text_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over the corpus vocabulary: a BLOOM_BITS
+    bit array built from BLOOM_HASHES literal-coefficient integer
+    hashes, probed with members AND non-members. Emits per probe the
+    filter's claim, ground truth, the false-positive flag (the
+    tunable error), and the soundness column (claimed OR NOT actual —
+    false NEGATIVES are structurally impossible, and the oracle
+    replays that guarantee byte-exactly rather than trusting it).
+    Plan: one explode → distinct-token aggregate → K projected bit
+    positions → a ≤BLOOM_BITS-row distinct (the filter itself —
+    constant-size at any corpus); probes join it broadcast. The
+    deterministic, oracle-checkable counterpart of the engine's opaque
+    runtime Bloom pruning (which tests/test_lakeops.py plan-locks)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn(
+            "th",
+            F.aggregate(
+                F.transform(F.split("tok", ""), lambda c: F.ascii(c).cast("long")),
+                F.lit(7).cast("long"),
+                lambda h, c: (h * 31 + c) % CMS_P,
+            ),
+        )
+        .transform(pin_cache)  # bit build + ground-truth probe both read it
+    )
+    rows = _bloom_rows()
+    bits = None
+    for a, b in rows:
+        part = vocab.select((((F.col("th") * a + b) % CMS_P) % BLOOM_BITS).alias("bit"))
+        bits = part if bits is None else bits.unionByName(part)
+    bloom = bits.distinct()
+    probes = spark.createDataFrame(
+        _bloom_probe_hashes(), "term string, th long"
+    )
+    pb = None
+    for a, b in rows:
+        part = probes.select(
+            "term", (((F.col("th") * a + b) % CMS_P) % BLOOM_BITS).alias("bit")
+        )
+        pb = part if pb is None else pb.unionByName(part)
+    claimed = (
+        pb.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("term")
+        .agg(
+            (F.count("hit").cast("bigint") == BLOOM_HASHES).alias("claimed_present")
+        )
+    )
+    actual = (
+        probes.join(
+            vocab.select(F.col("tok").alias("term")).withColumn("seen", F.lit(1)),
+            "term",
+            "left",
+        )
+        .groupBy("term")
+        .agg((F.count("seen") > 0).alias("actually_present"))
+    )
+    return (
+        claimed.join(actual, "term")
+        .select(
+            "term",
+            "claimed_present",
+            "actually_present",
+            (F.col("claimed_present") & ~F.col("actually_present")).alias(
+                "is_false_positive"
+            ),
+            (F.col("claimed_present") | ~F.col("actually_present")).alias("sound"),
+        )
+        .orderBy("term")
+    )
