@@ -87,6 +87,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     labels = (
         und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
     ).cache()
+    # eager pin: round 1's single eager ckpt action reads labels TWICE
+    # (the propagated join's left side AND inside neighbor_min) — two
+    # independent branches racing a lazy cache is the
+    # text_heavy_hitters/pagerank class the sweep gate polices. und
+    # stays lazy: every per-round action references it exactly once,
+    # so its cache populates without competition.
+    labels.count()
     prev = labels
     for _ in range(max_rounds):
         # (1) propagate: each node adopts the min label among itself

@@ -2229,8 +2229,6 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     total folds in as a 1-row broadcast (the tfidf lesson — no eager
     count() job). Threshold comparison is integer-exact
     (cnt * HH_K > n) so the two engines cannot diverge by a ulp."""
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     k = HH_K
 
@@ -2261,8 +2259,12 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"term": counters.index.astype(str)})
 
     candidates = d.select("text").mapInPandas(mg_partition, "term string").distinct()
-    toks = d.select(F.explode(F.split("text", " ")).alias("term")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # pin_cache, not a lazy persist: toks feeds BOTH the 1-row total
+    # aggregate and the candidate-scoring join — two independent
+    # branches of the one final action race an unpopulated cache (the
+    # r10 full-sweep race gate caught exactly this site under load)
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).transform(
+        pin_cache
     )
     total = toks.agg(F.count("*").alias("n"))
     return (
