@@ -142,6 +142,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "search_hybrid_rrf", "qtoks"): "constant",
     ("llm_similarity.py", "decontaminate_embedding", "evalset"): "constant",
     ("llm_similarity.py", "sim_topk_binary_rerank", "queries"): "constant",
+    # LI_QUERIES rows x <= LI_QUERY_TOKENS token vectors each
+    ("llm_similarity.py", "search_maxsim_late_interaction", "qarr"): "constant",
     # --- text pipeline ---
     ("llm_text.py", "text_tfidf_top_terms", "n"): "constant",  # 1-row N
     # tf pre-filtered to BM25_QUERY_TERMS -> df bounded by |Q|

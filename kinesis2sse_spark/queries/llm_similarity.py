@@ -3185,3 +3185,164 @@ def sim_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .drop("rn")
     )
+
+
+# --- late-interaction (multi-vector) retrieval ------------------------
+#
+# ColBERT-style MaxSim (Khattab & Zaharia, SIGIR 2020): a document is a
+# BAG of token vectors, a query scores against it as
+#   score(q, d) = sum over query tokens t of max over doc tokens u of
+#                 <e(t), e(u)>
+# — late interaction: no single pooled vector, token-level matching at
+# ranking time. Token embeddings here are derived deterministically
+# from the token's rolling hash through a universal-hash projection
+# into 4 small-integer dimensions, so every dot product is exact
+# BIGINT arithmetic both engines replay byte-for-byte (registry FP
+# ladder rung 0: stay integer). The fixture embedding is fake; the
+# PLAN is the real artifact — the corpus-side shape is identical with
+# learned vectors.
+LI_P = 1000000007
+LI_DIM = 4
+# universal-hash projection params, one (a, b) pair per dimension —
+# same family as the CMS/minhash rows
+LI_PARAMS = [
+    (((2654435761 * (d + 13)) % LI_P) or 1, (40503 * (d + 7)) % LI_P)
+    for d in range(LI_DIM)
+]
+LI_DOC_TOKENS = 16  # token vectors kept per corpus document
+LI_QUERY_TOKENS = 6  # leading tokens forming each query
+LI_QUERIES = 4  # doc_id < 4 are the query documents
+LI_TOP_K = 5
+
+
+def _li_tok_hash(tok):
+    """Rolling hash (h*31 + ascii) mod 1e9+7 over a token column —
+    the same char-rolling hash text_fingerprint proved byte-exact."""
+    return F.aggregate(
+        F.transform(F.split(tok, ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda h, c: (h * 31 + c) % LI_P,
+    )
+
+
+def _li_emb(h):
+    """Project a token hash into LI_DIM integer components in
+    [-1000, 1000] — ((h*a + b) mod p) mod 2001 - 1000, pure BIGINT."""
+    return F.array(
+        *[(((h * a + b) % LI_P) % 2001 - 1000).cast("long") for a, b in LI_PARAMS]
+    )
+
+
+def _li_maxsim_oracle() -> str:
+    from kinesis2sse_spark.queries.llm_text import _tok_rolling_hash_sql
+
+    comp = "((({h} * {a} + {b}) % {p}) % 2001 - 1000)"
+    dot = " + ".join(
+        comp.format(h="q.qth", a=a, b=b, p=LI_P)
+        + " * "
+        + comp.format(h="d.th", a=a, b=b, p=LI_P)
+        for a, b in LI_PARAMS
+    )
+    return f"""
+    WITH dtok AS (
+      SELECT doc_id, u.tok
+      FROM documents,
+           LATERAL (SELECT unnest(
+             (list_filter(string_split(text, ' '), t -> t <> ''))[1:{LI_DOC_TOKENS}]
+           ) AS tok) u
+    ),
+    dh AS (
+      SELECT doc_id, {_tok_rolling_hash_sql("tok")} AS th FROM dtok
+    ),
+    qtok AS (
+      SELECT doc_id AS query_id, u.tok
+      FROM documents,
+           LATERAL (SELECT unnest(
+             (list_filter(string_split(text, ' '), t -> t <> ''))[1:{LI_QUERY_TOKENS}]
+           ) AS tok) u
+      WHERE doc_id < {LI_QUERIES}
+    ),
+    qh AS (
+      SELECT DISTINCT query_id, {_tok_rolling_hash_sql("tok")} AS qth FROM qtok
+    ),
+    mx AS (
+      SELECT q.query_id, q.qth, d.doc_id, max({dot}) AS mdot
+      FROM qh q, dh d
+      GROUP BY q.query_id, q.qth, d.doc_id
+    ),
+    sc AS (
+      SELECT query_id, doc_id AS neighbor_id,
+             CAST(sum(mdot) AS BIGINT) AS li_score
+      FROM mx GROUP BY query_id, doc_id
+    )
+    SELECT query_id, neighbor_id, li_score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY li_score DESC, neighbor_id) AS rn
+      FROM sc
+    ) WHERE rn <= {LI_TOP_K}
+    """
+
+
+@register("search_maxsim_late_interaction", oracle=_li_maxsim_oracle())
+def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (multi-vector) retrieval: per-query top-k by
+    ColBERT MaxSim over per-token embeddings (sum over DISTINCT query
+    token vectors of the max dot product against the document's first
+    {LI_DOC_TOKENS} token vectors).
+
+    Plan shape (the 100 TB story): the corpus relation carries each
+    document's token-embedding BAG as one array column built map-side
+    (split -> slice -> hash -> project, all JVM HOFs, no explode); the
+    query side is queries x <= {LI_QUERY_TOKENS} distinct token vectors
+    collapsed to {LI_QUERIES} rows and BROADCAST, so the MaxSim double
+    loop (aggregate over query tokens of array_max over doc tokens)
+    runs entirely inside one projection over one corpus scan. The only
+    exchange in the plan is the final per-query top-k window
+    (WindowGroupLimit-pruned, rows = corpus x n_queries). Doc-token
+    count is CAPPED at {LI_DOC_TOKENS} (ColBERT caps at 180), so the
+    per-row work and the array payload are constants, not
+    corpus-growing. Reference: this generalizes the reference's
+    single-vector scoring path; no counterpart exists there
+    (kinesis2sse serves events, not rankings).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+
+    dembs = F.transform(
+        F.slice(toks, 1, LI_DOC_TOKENS), lambda t: _li_emb(_li_tok_hash(t))
+    )
+    corpus = d.select("doc_id", dembs.alias("dembs")).filter(F.size("dembs") > 0)
+
+    qarr = (
+        d.filter(F.col("doc_id") < LI_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(toks, 1, LI_QUERY_TOKENS)).alias("tok"),
+        )
+        .select("query_id", _li_tok_hash(F.col("tok")).alias("qth"))
+        .distinct()
+        .groupBy("query_id")
+        .agg(F.collect_list(_li_emb(F.col("qth"))).alias("qembs"))
+    )
+
+    def _dot(qt, dt):
+        return sum(qt[i] * dt[i] for i in range(LI_DIM))
+
+    score = F.aggregate(
+        F.col("qembs"),
+        F.lit(0).cast("long"),
+        lambda acc, qt: acc
+        + F.array_max(F.transform(F.col("dembs"), lambda dt: _dot(qt, dt))),
+    )
+    scored = corpus.crossJoin(F.broadcast(qarr)).select(
+        "query_id",
+        F.col("doc_id").alias("neighbor_id"),
+        score.alias("li_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("li_score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LI_TOP_K)
+        .drop("rn")
+    )

@@ -1249,3 +1249,19 @@ def test_ivf_assignment_is_aggregate_not_window(spark):
             f"{name} windows the n x k assignment expansion"
         )
     assert "Window" not in _plan(spark, "sim_ivf_index_stats")
+
+
+def test_maxsim_corpus_never_shuffles_before_topk(spark):
+    """search_maxsim_late_interaction: the MaxSim double loop runs
+    inside one projection over one corpus scan — the query side
+    collapses to LI_QUERIES broadcast rows, and the ONLY corpus-sized
+    exchange is the WindowGroupLimit-pruned per-query top-k. No
+    cartesian expansion, no explode of the corpus token bags."""
+    plan = _plan(spark, "search_maxsim_late_interaction")
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus-side documents scan prunes to (doc_id, text); the
+    # token bags are built map-side, never exploded: the only Generate
+    # node belongs to the 4-row query side
+    assert plan.count("Generate") <= 1
