@@ -1,0 +1,168 @@
+"""Privacy / compliance operators — the release-gate checks a training-
+data pipeline runs before shipping a corpus: k-anonymity over
+quasi-identifier equivalence classes, l-diversity of a sensitive
+attribute within those classes, and the generalization ladder that
+picks the minimal coarsening at which a release becomes k-anonymous
+(Sweeney 2002; Machanavajjhala et al. 2007).
+
+No counterpart exists in the reference (kinesis2sse serves raw events);
+these are first-class LLM-pipeline operators in the SURVEY §2 sense.
+
+Scale notes (100 TB): every operator here is one hash-aggregate over
+the corpus followed by arithmetic on the (bounded) equivalence-class
+relation — |classes| = |QI value combinations|, orders of magnitude
+below corpus size. The generalization ladder computes the FINEST level
+with the corpus shuffle and derives every coarser level by re-
+aggregating the class relation, so adding ladder rungs costs no extra
+corpus passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.catalog import load_table, pin_cache
+from kinesis2sse_spark.registry import register
+
+# fixture-calibrated so both regimes appear (documents QI class sizes
+# run 1..16 at sf0.01): k=5 suppresses the long tail, l=2 fails the
+# single-bucket classes
+K_ANON = 5
+L_DIVERSE = 2
+SENSITIVE_BUCKET = 256  # n_chars // 256 is the "sensitive" attribute
+
+# ladder: user_id // 10^level inside event_type; k chosen between the
+# finest level's min class size and the coarsest's so the chosen level
+# is interior (events: ~150 users x 5 types at sf0.01)
+LADDER_LEVELS = 4
+LADDER_K = 25
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) >= {K_ANON} AS is_k_anonymous
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: every (lang, source) quasi-identifier
+    equivalence class with its size and whether it meets k={K_ANON} —
+    classes below k re-identify their members and must be suppressed
+    or generalized before release. One map-side-combined hash
+    aggregate; the class relation is |langs| x |sources|, constant in
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("class_size"),
+        (F.count("*") >= K_ANON).alias("is_k_anonymous"),
+    )
+
+
+@register(
+    "privacy_l_diversity",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT n_chars // {SENSITIVE_BUCKET}) AS BIGINT)
+             AS n_sensitive_values,
+           count(DISTINCT n_chars // {SENSITIVE_BUCKET}) >= {L_DIVERSE}
+             AS is_l_diverse
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: a k-anonymous class is still unsafe when the
+    sensitive attribute is (near-)constant within it — homogeneity
+    attack. Counts distinct sensitive buckets (n_chars//{SENSITIVE_BUCKET})
+    per quasi-identifier class and flags classes below l={L_DIVERSE}.
+    count(DISTINCT) over a grouped relation partial-aggregates
+    map-side; still one corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    sens = (F.col("n_chars") / SENSITIVE_BUCKET).cast("long")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(sens).alias("n_sensitive_values"),
+        (F.countDistinct(sens) >= L_DIVERSE).alias("is_l_diverse"),
+    )
+
+
+def _ladder_oracle() -> str:
+    per_level = " UNION ALL ".join(
+        f"""
+        SELECT CAST({lvl} AS BIGINT) AS level,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(min(n) AS BIGINT) AS min_class_size
+        FROM (
+          SELECT event_type, user_id // {10 ** lvl} AS bucket,
+                 sum(n) AS n
+          FROM finest GROUP BY event_type, bucket
+        )
+        """
+        for lvl in range(LADDER_LEVELS)
+    )
+    return f"""
+    WITH finest AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY event_type, user_id
+    ),
+    levels AS ({per_level})
+    SELECT level, n_classes, min_class_size,
+           min_class_size >= {LADDER_K} AS k_anonymous,
+           min_class_size >= {LADDER_K}
+             AND level = min(CASE WHEN min_class_size >= {LADDER_K}
+                                  THEN level END) OVER () AS chosen
+    FROM levels
+    """
+
+
+@register("privacy_generalization_ladder", oracle=_ladder_oracle())
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization ladder: coarsen the user_id quasi-identifier by
+    powers of ten (level l -> user_id // 10^l, inside event_type) and
+    pick the MINIMAL level whose every class reaches k={LADDER_K} —
+    the standard utility-preserving release: generalize just enough,
+    no more.
+
+    Scale shape: the corpus shuffles ONCE into the finest
+    (event_type, user_id) class counts; every coarser level re-
+    aggregates that bounded class relation (coarser counts are exact
+    sums of finer ones), so the ladder's height adds zero corpus
+    passes. The chosen-level argmin runs as a window over
+    {LADDER_LEVELS} rows."""
+    e = load_table(spark, sf_dir, "events")
+    # consumed by LADDER_LEVELS branches of one action -> eager pin
+    # (the connected_components rule; see catalog.pin_cache)
+    finest = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n")
+    ).transform(pin_cache)
+
+    levels = None
+    for lvl in range(LADDER_LEVELS):
+        bucket = (F.col("user_id") / (10**lvl)).cast("long")
+        lev = (
+            finest.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.sum("n").alias("n"))
+            .agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count("*").alias("n_classes"),
+                F.min("n").alias("min_class_size"),
+            )
+        )
+        levels = lev if levels is None else levels.unionAll(lev)
+
+    w = Window.partitionBy()
+    k_ok = F.col("min_class_size") >= LADDER_K
+    min_ok_level = F.min(F.when(k_ok, F.col("level"))).over(w)
+    return levels.select(
+        "level",
+        "n_classes",
+        "min_class_size",
+        k_ok.alias("k_anonymous"),
+        (k_ok & (F.col("level") == min_ok_level)).alias("chosen"),
+    )

@@ -247,6 +247,7 @@ def _ensure_loaded() -> None:
         llm_text,
         ml_eval,
         multimodal,
+        privacy,
         scalar_functions,
         setops,
         sortlimit,

@@ -1265,3 +1265,14 @@ def test_maxsim_corpus_never_shuffles_before_topk(spark):
     # token bags are built map-side, never exploded: the only Generate
     # node belongs to the 4-row query side
     assert plan.count("Generate") <= 1
+
+
+def test_generalization_ladder_single_corpus_shuffle(spark):
+    """privacy_generalization_ladder: the corpus shuffles once into the
+    pinned finest class relation; every ladder level re-aggregates THAT
+    (one InMemoryTableScan per level), never re-scanning events."""
+    plan = _plan(spark, "privacy_generalization_ladder")
+    from kinesis2sse_spark.queries.privacy import LADDER_LEVELS
+
+    assert plan.count("InMemoryTableScan") == LADDER_LEVELS
+    assert "CartesianProduct" not in plan
