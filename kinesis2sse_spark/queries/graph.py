@@ -1107,3 +1107,179 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_term"),
         )
     )
+
+
+# --- link prediction over the blocked kNN graph -------------------------
+#
+# Candidate missing edges = non-adjacent pairs sharing >= 1 common
+# neighbor, scored three ways (Liben-Nowell & Kleinberg 2003):
+#   - common-neighbor count,
+#   - neighborhood Jaccard cn / (d_u + d_v - cn),
+#   - resource allocation sum(1/d_z) (Zhou et al. 2009) — kept in
+#     EXACT parts-per-billion fixed point (sum of 1e9 // d_z as
+#     BIGINT) so no libm/log call can diverge between engines.
+#
+# The graph is the label-blocked kNN graph over embeddings: each
+# vector's top-LP_KNN_K neighbors by cosine WITHIN its label block
+# (pairs only form inside a block — the same sum-of-b^2 bound as
+# dedup_embedding_cosine; at 100 TB the blocks come from an ANN pass,
+# here from the fixture's labels). kNN graphs are non-cliquish by
+# construction, so open wedges — the link-prediction candidates —
+# actually exist, unlike the transitively-fanned-out near-dup cliques.
+#
+# Hub guard: common neighbors with degree > LP_MAX_HUB_DEGREE are
+# excluded from wedge generation — the same MAX_DF move as the shingle
+# postings: a hub of degree D emits D^2 wedges, so the cap bounds the
+# wedge relation at |edges| x cap instead of sum(d^2). kNN bounds
+# OUT-degree at K but in-degree only by block size, so the cap is a
+# real guard, mirrored in the oracle as declared semantics.
+LP_KNN_K = 3
+LP_MAX_HUB_DEGREE = 32
+LP_RA_SCALE = 1_000_000_000
+
+_LP_GRAPH_CTES = f"""
+    scored AS (
+      SELECT a.vec_id AS u, b.vec_id AS v,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS s
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY s DESC, v) AS rn
+        FROM scored
+      ) WHERE rn <= {LP_KNN_K}
+    ),
+    kpairs AS (
+      SELECT DISTINCT least(u, v) AS pa, greatest(u, v) AS pb FROM knn
+    ),
+    kund AS (SELECT pa AS src, pb AS dst FROM kpairs
+             UNION SELECT pb, pa FROM kpairs),
+    kdeg AS (SELECT src AS node, count(*) AS d FROM kund GROUP BY src)
+"""
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_LP_GRAPH_CTES},
+    mid AS (SELECT node, d FROM kdeg WHERE d <= {LP_MAX_HUB_DEGREE}),
+    wedges AS (
+      SELECT e1.dst AS u, e2.dst AS v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum({LP_RA_SCALE} // m.d) AS BIGINT) AS ra_ppb
+      FROM kund e1
+      JOIN kund e2 ON e2.src = e1.src AND e1.dst < e2.dst
+      JOIN mid m ON m.node = e1.src
+      GROUP BY e1.dst, e2.dst
+    ),
+    cand AS (
+      SELECT w.* FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM kund e
+                        WHERE e.src = w.u AND e.dst = w.v)
+    )
+    SELECT c.u AS node_u, c.v AS node_v, c.common_neighbors, c.ra_ppb,
+           floor(c.common_neighbors * 1.0 / (du.d + dv.d - c.common_neighbors)
+                 * 1000000 + 0.5) / 1000000 AS jaccard_nbr
+    FROM cand c
+    JOIN kdeg du ON du.node = c.u
+    JOIN kdeg dv ON dv.node = c.v
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the label-blocked kNN embedding graph:
+    score every NON-adjacent pair that shares a common neighbor — the
+    candidate missing relations an ANN recall pass should re-examine
+    first. See the module comment above for the graph definition, the
+    three scores, and the hub cap.
+
+    Scale shape: the kNN build pairs only within label blocks
+    (sum-of-b^2, never n^2) and prunes per-node top-k below the
+    exchange (WindowGroupLimit); und/deg pin once; the wedge self-join
+    groups map-side by the ordered (u, v) pair, bounded at
+    |edges| x LP_MAX_HUB_DEGREE rows; existing edges drop via a
+    left-anti join on the same key; degrees attach from the
+    node-bounded deg relation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withn = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    a = withn.alias("a")
+    b = withn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    scored = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("u"),
+        F.col("b.vec_id").alias("v"),
+        cos.alias("s"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.col("s").desc(), "v")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= LP_KNN_K)
+        .select("u", "v")
+    )
+    kpairs = knn.select(
+        F.least("u", "v").alias("pa"), F.greatest("u", "v").alias("pb")
+    ).distinct()
+    und = (
+        kpairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(kpairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .transform(pin_cache)
+    )
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .transform(pin_cache)
+    )
+    mid = deg.filter(F.col("d") <= LP_MAX_HUB_DEGREE)
+
+    e1 = und.join(mid, und.src == mid.node).select(
+        F.col("src").alias("z"), F.col("dst").alias("u"), "d"
+    )
+    e2 = und.select(F.col("src").alias("z2"), F.col("dst").alias("v"))
+    wedges = (
+        e1.join(e2, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum((F.lit(LP_RA_SCALE) / F.col("d")).cast("long")).alias("ra_ppb"),
+        )
+    )
+    cand = wedges.join(
+        und,
+        (wedges.u == und.src) & (wedges.v == und.dst),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    jac = (
+        F.col("common_neighbors")
+        / (F.col("du") + F.col("dv") - F.col("common_neighbors"))
+    ) * 1000000
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("node_u"),
+            F.col("v").alias("node_v"),
+            "common_neighbors",
+            "ra_ppb",
+            (F.floor(jac + 0.5) / 1000000).alias("jaccard_nbr"),
+        )
+    )

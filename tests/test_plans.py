@@ -1276,3 +1276,15 @@ def test_generalization_ladder_single_corpus_shuffle(spark):
 
     assert plan.count("InMemoryTableScan") == LADDER_LEVELS
     assert "CartesianProduct" not in plan
+
+
+def test_link_prediction_knn_prunes_topk_no_cartesian(spark):
+    """graph_link_prediction: the kNN build pairs only inside label
+    blocks (equi-join, never CartesianProduct) with the per-node top-k
+    pruned below the exchange; und/deg pin once (InMemoryTableScans);
+    the wedge join and anti-join run on the edge relation, not the
+    corpus."""
+    plan = _plan(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
