@@ -101,6 +101,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # power-of-4 cell ladder: |seeds| ~ sqrt(n); ~4 MB of 64-dim
     # doubles at 100 TB — well inside the ceiling
     ("llm_dedup.py", "dedup_semantic_clusters", "seeds"): "sublinear",
+    # 1-row u-statistics relation (field-cardinality-bounded sums)
+    ("llm_dedup.py", "er_fellegi_sunter", "stats"): "constant",
     # --- similarity search (fixed query sets, fixed-k models) ---
     ("llm_similarity.py", "sim_topk_bruteforce", "queries"): "constant",
     ("llm_similarity.py", "sim_topk_lsh", "probes"): "constant",

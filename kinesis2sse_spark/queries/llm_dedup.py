@@ -949,6 +949,147 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter (1969) probabilistic record linkage over the SAME
+# sorted-neighborhood candidates as er_sorted_neighborhood — the
+# principled replacement for the ad-hoc edit-distance rule: each field
+# contributes a likelihood ratio, m/u on agreement and (1-m)/(1-u) on
+# disagreement, with m fixed at 9/10 (the standard prior for "true
+# matches agree unless dirty") and u ESTIMATED FROM THE DATA as the
+# random-agreement probability sum(c_v^2)/n^2 (value-frequency u —
+# Winkler's refinement). Everything stays rational arithmetic over
+# BIGINT counts: NO log-weights, so no libm call can diverge between
+# engines; the product of ratios ranks identically to the log-score.
+FS_M = 0.9  # P(field agrees | true match)
+FS_MISS = 0.1  # 1 - FS_M, spelled as its OWN literal: both engines
+# parse "0.1" to the same IEEE double, while Python's 1 - 0.9 is the
+# DIFFERENT double 0.09999999999999998 (FP ladder: share literals,
+# never re-derive them)
+FS_MATCH_THRESHOLD = 10.0  # likelihood-ratio cut (fixture: splits
+# the 73 multi-field-agreement pairs from the 5.9k chance candidates)
+_FS_FIELDS = ("p_brand", "p_type", "p_size")
+
+
+def _fs_oracle() -> str:
+    ustats = ",\n    ".join(
+        f"u_{f} AS (SELECT CAST(sum(c*c) AS BIGINT) AS num"
+        f" FROM (SELECT count(*) AS c FROM part GROUP BY {f}))"
+        for f in _FS_FIELDS
+    )
+    # CAST the priors to DOUBLE explicitly — DuckDB parses a bare
+    # "0.9" as DECIMAL(1,1) and would run the whole ratio in decimal
+    # arithmetic while Spark runs doubles
+    ratio = " * ".join(
+        f"(CASE WHEN agree_{f} THEN CAST({FS_M} AS DOUBLE) * n.n2 / u_{f}.num"
+        f" ELSE CAST({FS_MISS} AS DOUBLE) * n.n2 / (n.n2 - u_{f}.num) END)"
+        for f in _FS_FIELDS
+    )
+    agrees = ",\n         ".join(
+        f"a.{f} = b.{f} AS agree_{f}" for f in _FS_FIELDS
+    )
+    return f"""
+    WITH recs AS (
+      SELECT p_partkey, {", ".join(_FS_FIELDS)},
+             string_split(p_name, ' ')[1] AS blk,
+             row_number() OVER (PARTITION BY string_split(p_name, ' ')[1]
+                                ORDER BY p_name, p_partkey) AS rn
+      FROM part
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT) AS n2
+          FROM part),
+    {ustats},
+    cand AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         {agrees}
+      FROM recs a
+      JOIN recs b ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {ER_WINDOW}
+    )
+    SELECT key_a, key_b, {", ".join(f"agree_{f}" for f in _FS_FIELDS)},
+           floor(({ratio}) * 1000 + 0.5) / 1000 AS fs_score,
+           ({ratio}) >= {FS_MATCH_THRESHOLD} AS is_match
+    FROM cand, n, {", ".join(f"u_{f}" for f in _FS_FIELDS)}
+    """
+
+
+@register("er_fellegi_sunter", oracle=_fs_oracle())
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter scoring of the sorted-neighborhood candidate
+    pairs (see the block comment above for the model and the
+    all-rational-arithmetic determinism argument).
+
+    Scale shape: candidates stay O(W*n) from the block-partitioned
+    window; the u-statistics are three corpus aggregates collapsed to
+    a ONE-ROW relation that broadcasts onto the pair stream, so
+    scoring is a map-side projection — the same
+    stats-broadcast-then-project shape as sim_topk_int8. At 100 TB
+    the u-stats are sublinear (bounded by field cardinality) and the
+    pair relation never exceeds W x corpus."""
+    from pyspark.sql import Window as W
+
+    p = load_table(spark, sf_dir, "part")
+    blk = F.split("p_name", " ")[0]
+    recs = p.select(
+        "p_partkey",
+        "p_name",
+        *_FS_FIELDS,
+        blk.alias("blk"),
+        F.row_number()
+        .over(W.partitionBy(blk).orderBy("p_name", "p_partkey"))
+        .alias("rn"),
+    ).transform(pin_cache)
+
+    n2 = p.agg(
+        (F.count("*").cast("long") * F.count("*").cast("long")).alias("n2")
+    )
+    stats = n2
+    for f in _FS_FIELDS:
+        num = (
+            p.groupBy(f)
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias(f"num_{f}"))
+        )
+        stats = stats.crossJoin(num)
+
+    a = recs.select(
+        F.col("p_partkey").alias("key_a"),
+        "blk",
+        F.col("rn").alias("rn_a"),
+        *[F.col(f).alias(f"{f}_a") for f in _FS_FIELDS],
+    )
+    b = recs.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("rn").alias("rn_b"),
+        *[F.col(f).alias(f"{f}_b") for f in _FS_FIELDS],
+    )
+    cand = a.join(
+        b,
+        (F.col("blk") == F.col("blk_b"))
+        & (F.col("rn_b") > F.col("rn_a"))
+        & (F.col("rn_b") <= F.col("rn_a") + ER_WINDOW),
+    ).crossJoin(F.broadcast(stats))
+
+    score = F.lit(1.0)
+    for f in _FS_FIELDS:
+        agree = F.col(f"{f}_a") == F.col(f"{f}_b")
+        r = F.when(
+            agree, F.lit(FS_M) * F.col("n2") / F.col(f"num_{f}")
+        ).otherwise(
+            F.lit(FS_MISS) * F.col("n2") / (F.col("n2") - F.col(f"num_{f}"))
+        )
+        score = score * r
+
+    return cand.select(
+        "key_a",
+        "key_b",
+        *[
+            (F.col(f"{f}_a") == F.col(f"{f}_b")).alias(f"agree_{f}")
+            for f in _FS_FIELDS
+        ],
+        (F.floor(score * 1000 + F.lit(0.5)) / 1000).alias("fs_score"),
+        (score >= FS_MATCH_THRESHOLD).alias("is_match"),
+    )
+
+
 @register(
     "dedup_ngram_novelty",
     oracle="""
