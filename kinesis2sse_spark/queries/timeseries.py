@@ -1394,3 +1394,161 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("slope_med") * 1000000 + F.lit(0.5)) / 1000000).alias("slope"),
         (F.floor(F.col("r0") * 1000000 + F.lit(0.5)) / 1000000).alias("intercept"),
     )
+
+
+# Holt-Winters additive seasonal smoothing — the seasonality-aware
+# rung above timeseries_holt_linear. Weekly season over the daily
+# event-count series; standard "simple" initialization (first-season
+# mean level, two-season trend, first-season deviations as the
+# seasonal vector), recursion from day m+1. All (1-x) complements are
+# spelled as their OWN literals on both sides (the FS_MISS rule:
+# share literals, never re-derive them), and the oracle CASTs them to
+# DOUBLE so DuckDB cannot run the recursion in decimal.
+HW_SEASON = 7
+HW_ALPHA, HW_ALPHA_C = 0.4, 0.6
+HW_BETA, HW_BETA_C = 0.2, 0.8
+HW_GAMMA, HW_GAMMA_C = 0.3, 0.7
+HW_HORIZON = 7
+
+
+def _hw_oracle() -> str:
+    m = HW_SEASON
+    a, ac = f"CAST({HW_ALPHA} AS DOUBLE)", f"CAST({HW_ALPHA_C} AS DOUBLE)"
+    b, bc = f"CAST({HW_BETA} AS DOUBLE)", f"CAST({HW_BETA_C} AS DOUBLE)"
+    g, gc = f"CAST({HW_GAMMA} AS DOUBLE)", f"CAST({HW_GAMMA_C} AS DOUBLE)"
+    sp = f"list_extract(h.s, (h.i % {m}) + 1)"
+    lp = f"({a} * (y.c - {sp}) + {ac} * (h.l + h.b))"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS day, count(*) AS c
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+      SELECT c, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    nn AS (SELECT count(*) AS n FROM daily),
+    init AS (
+      SELECT
+        (SELECT CAST(sum(c) AS DOUBLE) FROM idx WHERE i <= {m}) / {m} AS l0,
+        ((SELECT CAST(sum(c) AS DOUBLE) FROM idx WHERE i > {m} AND i <= {2 * m})
+         - (SELECT CAST(sum(c) AS DOUBLE) FROM idx WHERE i <= {m}))
+          / {m * m} AS b0
+    ),
+    h(i, l, b, s) AS (
+      SELECT CAST({m} AS BIGINT), init.l0, init.b0,
+             (SELECT list(CAST(c AS DOUBLE) - init.l0 ORDER BY i)
+              FROM idx WHERE i <= {m})
+      FROM init
+      UNION ALL
+      SELECT h.i + 1,
+             {lp},
+             {b} * ({lp} - h.l) + {bc} * h.b,
+             h.s[1:(h.i % {m})]
+               || [{g} * (y.c - h.l - h.b) + {gc} * {sp}]
+               || h.s[(h.i % {m}) + 2:{m}]
+      FROM h JOIN idx y ON y.i = h.i + 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor(l * 1000000 + 0.5) / 1000000 AS level,
+           floor(b * 1000000 + 0.5) / 1000000 AS trend,
+           floor(list_extract(s, (n % {m}) + 1) * 1000000 + 0.5) / 1000000
+             AS season_next,
+           floor((l + {HW_HORIZON} * b
+                  + list_extract(s, ((n + {HW_HORIZON} - 1) % {m}) + 1))
+                 * 1000000 + 0.5) / 1000000 AS forecast_{HW_HORIZON}d
+    FROM h, nn WHERE i = n AND n >= {2 * m}
+    """
+
+
+@register("timeseries_holt_winters", oracle=_hw_oracle())
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal smoothing over the daily event
+    counts (level + trend + weekly seasonal vector) — the model a
+    capacity planner actually uses when load has a day-of-week shape:
+      l_t = a*(y_t - s_(t-m)) + (1-a)*(l + b)
+      b_t = B*(l_t - l) + (1-B)*b
+      s_t = G*(y_t - l - b) + (1-G)*s_(t-m)
+    forecast_h = l_n + h*b_n + s at the (n+h) phase.
+
+    Scale shape: identical to timeseries_holt_linear — ONE corpus
+    shuffle builds the |days|-row daily series, then the inherently
+    sequential recursion runs as a single JVM F.aggregate fold whose
+    accumulator carries (l, b, i, seasonal vector of {HW_SEASON}); at
+    100 TB the fold input is still the days dimension. Determinism:
+    the fold is one fixed IEEE expression chain from integer counts,
+    the oracle's recursive CTE threads the identical ops through a
+    LIST column, outputs floor-quantize at 1e6; gated to n >= 2m so
+    the two-season initialization is always fully formed."""
+    m = HW_SEASON
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("ys"),
+        F.count("*").alias("n_days"),
+    ).where(F.col("n_days") >= 2 * m)
+
+    first = F.slice("ys", 1, m)
+    second = F.slice("ys", m + 1, m)
+    s1 = F.aggregate(
+        first, F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+    )
+    s2 = F.aggregate(
+        second, F.lit(0).cast("long"), lambda acc, x: acc + x["c"]
+    )
+    l0 = s1.cast("double") / m
+    b0 = (s2.cast("double") - s1.cast("double")) / (m * m)
+    s0 = F.transform(first, lambda x: x["c"].cast("double") - l0)
+    rest = F.slice(
+        "ys", m + 1, F.greatest(F.size("ys") - m, F.lit(0))
+    )
+
+    def step(acc, x):
+        p = (acc["i"] % m + 1).cast("int")
+        sprev = F.element_at(acc["s"], p)
+        y = x["c"].cast("double")
+        lp = F.lit(HW_ALPHA) * (y - sprev) + F.lit(HW_ALPHA_C) * (
+            acc["l"] + acc["b"]
+        )
+        bp = F.lit(HW_BETA) * (lp - acc["l"]) + F.lit(HW_BETA_C) * acc["b"]
+        gnew = (
+            F.lit(HW_GAMMA) * (y - acc["l"] - acc["b"])
+            + F.lit(HW_GAMMA_C) * sprev
+        )
+        snew = F.concat(
+            F.slice(acc["s"], F.lit(1), p - 1),
+            F.array(gnew),
+            F.slice(acc["s"], p + 1, F.lit(m) - p),
+        )
+        return F.struct(
+            lp.alias("l"),
+            bp.alias("b"),
+            (acc["i"] + 1).alias("i"),
+            snew.alias("s"),
+        )
+
+    acc0 = F.struct(
+        l0.alias("l"),
+        b0.alias("b"),
+        F.lit(m).cast("long").alias("i"),
+        s0.alias("s"),
+    )
+    fold = F.aggregate(rest, acc0, step)
+    n = F.col("n_days")
+    season_next = F.element_at(fold["s"], ((n % m) + 1).cast("int"))
+    season_h = F.element_at(
+        fold["s"], (((n + HW_HORIZON - 1) % m) + 1).cast("int")
+    )
+    q = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return series.select(
+        n.cast("bigint").alias("n_days"),
+        q(fold["l"]).alias("level"),
+        q(fold["b"]).alias("trend"),
+        q(season_next).alias("season_next"),
+        q(fold["l"] + F.lit(HW_HORIZON) * fold["b"] + season_h).alias(
+            f"forecast_{HW_HORIZON}d"
+        ),
+    )
