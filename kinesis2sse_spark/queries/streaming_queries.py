@@ -910,3 +910,52 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dup_of", F.col("dup_of").isNotNull().alias("is_dup"))
         .orderBy("doc_id")
     )
+
+
+STREAM_TOPK_PER_WINDOW = 2
+
+
+@register(
+    "streaming_topk_per_window",
+    oracle=f"""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    ) WHERE rn <= {STREAM_TOPK_PER_WINDOW}
+    """,
+)
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per event-time window: the windowed counts
+    aggregate incrementally in the stream (watermarked, bounded
+    state); the per-window rank runs on each EMITTED result set —
+    Structured Streaming forbids window functions over a streaming
+    aggregate, so production ranks in the sink (foreachBatch) on the
+    per-emit snapshot, exactly what this does on the memory-sink
+    materialization. State stays |windows x event_types|; the rank
+    input is the already-aggregated relation, never the stream."""
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    snapshot = run_to_memory(
+        agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
+        _qname("topkwin"),
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        snapshot.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= STREAM_TOPK_PER_WINDOW)
+    )
