@@ -1109,7 +1109,7 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- link prediction over the blocked kNN graph -------------------------
+# --- link prediction over the sharded kNN graph --------------------------
 #
 # Candidate missing edges = non-adjacent pairs sharing >= 1 common
 # neighbor, scored three ways (Liben-Nowell & Kleinberg 2003):
@@ -1119,31 +1119,64 @@ def graph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     EXACT parts-per-billion fixed point (sum of 1e9 // d_z as
 #     BIGINT) so no libm/log call can diverge between engines.
 #
-# The graph is the label-blocked kNN graph over embeddings: each
-# vector's top-LP_KNN_K neighbors by cosine WITHIN its label block
-# (pairs only form inside a block — the same sum-of-b^2 bound as
-# dedup_embedding_cosine; at 100 TB the blocks come from an ANN pass,
-# here from the fixture's labels). kNN graphs are non-cliquish by
-# construction, so open wedges — the link-prediction candidates —
-# actually exist, unlike the transitively-fanned-out near-dup cliques.
+# The graph is a SHARDED approximate kNN graph over embeddings: each
+# vector's top-LP_KNN_K cosine neighbors WITHIN its shard, where the
+# shard count adapts to corpus size (smallest power of two making the
+# expected shard <= LP_BLOCK_TARGET rows — pure integer arithmetic
+# from the table row count, computed from parquet footer stats on the
+# Spark side and by the identical formula in the oracle SQL). Shard
+# size is therefore a CONSTANT as the corpus grows, so the pairwise
+# stage costs n x LP_BLOCK_TARGET — linear, never sum-of-b^2 over
+# growing blocks (the trap a fixed label/cell blocking falls into at
+# 100x). The random shard is the NN-descent-style initialization of a
+# kNN graph; production swaps it for similarity-preserving ANN cells
+# (IVF) with the IDENTICAL plan shape — only the blocking key changes.
+# kNN graphs are non-cliquish by construction, so open wedges — the
+# link-prediction candidates — actually exist, unlike the
+# transitively-fanned-out near-dup cliques.
 #
 # Hub guard: common neighbors with degree > LP_MAX_HUB_DEGREE are
 # excluded from wedge generation — the same MAX_DF move as the shingle
 # postings: a hub of degree D emits D^2 wedges, so the cap bounds the
 # wedge relation at |edges| x cap instead of sum(d^2). kNN bounds
-# OUT-degree at K but in-degree only by block size, so the cap is a
+# OUT-degree at K but in-degree only by shard size, so the cap is a
 # real guard, mirrored in the oracle as declared semantics.
 LP_KNN_K = 3
+LP_BLOCK_TARGET = 64
 LP_MAX_HUB_DEGREE = 32
 LP_RA_SCALE = 1_000_000_000
+_LP_P = 1000000007
+_LP_A = 2654435761  # Knuth multiplicative constant; (P-1)*A < 2^63
+
+
+def _lp_shard_count(n_rows: int) -> int:
+    """Smallest power of two >= ceil(n / LP_BLOCK_TARGET) — integer
+    arithmetic only, mirrored verbatim by the oracle's pows/nbs CTEs."""
+    need = (n_rows + LP_BLOCK_TARGET - 1) // LP_BLOCK_TARGET
+    nb = 1
+    while nb < need:
+        nb *= 2
+    return nb
+
 
 _LP_GRAPH_CTES = f"""
+    pows AS (SELECT unnest(range(0, 31)) AS k),
+    nbs AS (
+      SELECT min(CAST(1 AS BIGINT) << k) AS nb
+      FROM pows, (SELECT count(*) AS n FROM embeddings) c
+      WHERE (CAST(1 AS BIGINT) << k)
+            >= (c.n + {LP_BLOCK_TARGET - 1}) // {LP_BLOCK_TARGET}
+    ),
+    sharded AS (
+      SELECT e.*, ((e.vec_id % {_LP_P}) * {_LP_A}) % {_LP_P} % nbs.nb AS shard
+      FROM embeddings e, nbs
+    ),
     scored AS (
       SELECT a.vec_id AS u, b.vec_id AS v,
              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                           CAST(b.embedding AS DOUBLE[])), 6) AS s
-      FROM embeddings a
-      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+      FROM sharded a
+      JOIN sharded b ON a.shard = b.shard AND a.vec_id <> b.vec_id
     ),
     knn AS (
       SELECT u, v FROM (
@@ -1188,23 +1221,27 @@ _LP_GRAPH_CTES = f"""
     """,
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction over the label-blocked kNN embedding graph:
-    score every NON-adjacent pair that shares a common neighbor — the
+    """Link prediction over the sharded kNN embedding graph: score
+    every NON-adjacent pair that shares a common neighbor — the
     candidate missing relations an ANN recall pass should re-examine
     first. See the module comment above for the graph definition, the
-    three scores, and the hub cap.
+    three scores, the size-adaptive shard count, and the hub cap.
 
-    Scale shape: the kNN build pairs only within label blocks
-    (sum-of-b^2, never n^2) and prunes per-node top-k below the
-    exchange (WindowGroupLimit); und/deg pin once; the wedge self-join
-    groups map-side by the ordered (u, v) pair, bounded at
-    |edges| x LP_MAX_HUB_DEGREE rows; existing edges drop via a
-    left-anti join on the same key; degrees attach from the
-    node-bounded deg relation."""
+    Scale shape: the kNN build pairs only within constant-size shards
+    (n x LP_BLOCK_TARGET work, linear by construction) and prunes
+    per-node top-k below the exchange (WindowGroupLimit); und/deg pin
+    once; the wedge self-join groups map-side by the ordered (u, v)
+    pair, bounded at |edges| x LP_MAX_HUB_DEGREE rows; existing edges
+    drop via a left-anti join on the same key; degrees attach from
+    the node-bounded deg relation."""
+    from kinesis2sse_spark.queries.llm_similarity import _corpus_rows
+
+    nb = _lp_shard_count(_corpus_rows(sf_dir, "embeddings"))
     e = load_table(spark, sf_dir, "embeddings")
+    shard = (F.col("vec_id") % _LP_P) * _LP_A % _LP_P % nb
     withn = e.select(
         "vec_id",
-        "label",
+        shard.alias("shard"),
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     ).withColumn(
         "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
@@ -1219,7 +1256,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
     scored = a.join(
         b,
-        (F.col("a.label") == F.col("b.label"))
+        (F.col("a.shard") == F.col("b.shard"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("u"),
