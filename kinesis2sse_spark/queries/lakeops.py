@@ -841,3 +841,67 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("max").alias("max_value"),
         (F.floor(s * 1.0 / n + F.lit(0.5)) / 1000000).alias("avg_value"),
     )
+
+
+@register(
+    "pipeline_changelog_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS n_deletes
+      FROM log
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def pipeline_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction — the Kafka-log-compaction / CDC-topic
+    shape pipeline_upsert_snapshot's single-op MERGE doesn't cover:
+    MANY ordered ops per key (I/U/D derived deterministically from
+    event_type), keep each key's LAST-writer state, drop keys whose
+    final op is a delete tombstone. The op/sequence columns mirror a
+    Debezium envelope (op + source offset).
+
+    Scale shape: ONE hash shuffle on the key with everything computed
+    as map-side-combinable aggregates — max_by keyed on the
+    (ts, event_id) sequence struct picks the last op's full payload
+    without a sort or window over the corpus (the same max_by move
+    that fixed the SemDeDup argmax). The oracle replays it with a
+    window, which is fine at oracle scale."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    seq = F.struct("ts", "event_id")
+    last = F.max_by(
+        F.struct(op.alias("op"), F.col("ts").alias("ts"), F.col("value").alias("value")),
+        seq,
+    )
+    out = ev.groupBy("user_id").agg(
+        last.alias("last"),
+        F.count("*").alias("n_ops"),
+        F.sum(F.when(op == "D", 1).otherwise(0)).cast("bigint").alias("n_deletes"),
+    )
+    return out.where(F.col("last.op") != "D").select(
+        "user_id",
+        F.col("last.op").alias("last_op"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+        "n_ops",
+        "n_deletes",
+    )
