@@ -1426,3 +1426,114 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(removed.withColumn("hit", F.lit(1)), "vec_id", "left").select(
         "cell", "vec_id", F.col("hit").isNull().alias("is_kept")
     )
+
+
+# Prefix-filtered exact set-similarity self-join (SSJoin/PPJoin family:
+# Chaudhuri et al. 2006, Xiao et al. 2008) — the third candidate-
+# generation algorithm in the dedup ladder next to the MAX_DF inverted
+# index and MinHash-LSH, and the only one of the three that is BOTH
+# exact AND cap-free: order each document's distinct shingles by
+# (global df ASC, hash) and index only the first
+# s - ceil(t*s) + 1 of them; any pair with Jaccard >= t MUST share a
+# prefix element (pigeonhole on the s - ceil(t*s) non-shared budget),
+# so completeness is algorithmic, not a tuning assumption. Rare-first
+# ordering makes prefix postings the SHORTEST lists, which is what
+# bounds candidate pairs at scale. The output (all pairs with
+# J >= PF_THRESHOLD over distinct-shingle sets) is invariant to the
+# ordering, so the oracle verifies with the naive pairwise join.
+PF_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH toksp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shp AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toksp, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+    ),
+    countsp AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY doc_id),
+    interp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.c * 1.0 / (na.n + nb.n - i.c), 6) AS jaccard
+    FROM interp i
+    JOIN countsp na ON na.doc_id = i.doc_a
+    JOIN countsp nb ON nb.doc_id = i.doc_b
+    WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= {PF_THRESHOLD}
+    """,
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard self-join via prefix filtering (see the block
+    comment above). Stages and their scale bounds:
+      1. distinct shingle hashes per doc (map-side HOF build);
+      2. global df — one shuffle on the 8-byte shingle hash;
+      3. per-doc rare-first rank (window keyed by doc, shuffle 2);
+      4. PREFIX postings only (s - ceil(t*s) + 1 per doc) self-join —
+         candidates bounded by the rarest shingles' df, plus the
+         length prune t*s_a <= s_b (a J >= t pair cannot differ in
+         size by more than t);
+      5. exact verification joins restricted to candidate pairs.
+    The corpus-sized relations only ever shuffle on shingle-hash or
+    doc_id keys; no all-pairs stage exists anywhere. Candidate
+    completeness is the prefix pigeonhole, so unlike the MAX_DF index
+    there is NO recall cap to calibrate."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingle_hashes(d)
+    sz = sh.select("doc_id", F.size("shs").alias("s"))
+    ex = (
+        sh.select("doc_id", F.explode("shs").alias("h"))
+        .transform(pin_cache)
+    )
+    dfreq = ex.groupBy("h").agg(F.count("*").alias("dfc"))
+
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("dfc").asc(), F.col("h").asc())
+    )
+    prefix_len = (F.col("s") - F.ceil(F.lit(PF_THRESHOLD) * F.col("s")) + 1)
+    prefix = (
+        ex.join(dfreq, "h")
+        .withColumn("rn", rn)
+        .join(sz, "doc_id")
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "h", "s")
+    )
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("s").alias("sa")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), F.col("s").alias("sb")
+    )
+    cand = (
+        pa.join(
+            pb,
+            (F.col("h") == F.col("hb"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            # length prune: J >= t forces t*max(sa,sb) <= min(sa,sb)
+            & (F.lit(PF_THRESHOLD) * F.col("sa") <= F.col("sb"))
+            & (F.lit(PF_THRESHOLD) * F.col("sb") <= F.col("sa")),
+        )
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    eb = ex.select(F.col("doc_id").alias("eb_doc"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("eb_doc")) & (F.col("h") == F.col("hb")),
+        )
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = F.col("c") * 1.0 / (F.col("sa") + F.col("sb") - F.col("c"))
+    return inter.filter(jac >= PF_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
