@@ -76,6 +76,14 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("aggregates.py", "stats_permutation_test", "reps"): "constant",
     ("aggregates.py", "stats_permutation_test", "obs"): "constant",
     ("aggregates.py", "stats_permutation_test", "od"): "constant",
+    ("aggregates.py", "stats_fdr_bh", "reps"): "constant",  # B rows
+    ("aggregates.py", "stats_fdr_bh", "tot"): "constant",  # 1-row totals
+    # |hypotheses| rows (event types + 2 controls)
+    (
+        "aggregates.py",
+        "stats_fdr_bh",
+        "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
+    ): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---
     ("graph.py", "pagerank", "ncnt"): "constant",  # 1-row node count
     ("graph.py", "pipeline_split_by_cluster", "labels"): "cluster-bounded",

@@ -1605,3 +1605,250 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(z * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("z_score"),
     )
+
+
+# Benjamini-Hochberg FDR over a FAMILY of permutation tests — the
+# multiple-comparisons discipline the single-hypothesis suite
+# (welch/mann-whitney/permutation) stops short of: test every event
+# type's mean value against the corpus AND two planted positive
+# controls (subgroups SELECTED ON the metric itself — value >= 75 /
+# value < 25 — so their "effect" is true by construction), then
+# control the false discovery rate across the 7-member family
+# (Benjamini & Hochberg 1995). The fixture's event types are
+# exchangeable by synthesis, so accepting them is the CORRECT answer;
+# the controls exist to pin the reject regime — the standard
+# positive-control design for validating an FDR pipeline.
+#
+# Determinism machinery reused from stats_permutation_test verbatim:
+# hash-uniform integer membership (u mod n < n1 — never a double
+# threshold), exact int64 accumulators over MILLI-UNIT fixed-point
+# values (floor(value*1000+0.5) — identical parquet doubles floor
+# identically, and integer sums are order-independent where double
+# sums are not), one fixed-shape IEEE |mean diff| per replica, add-one
+# p-values. Replica randomness offsets past both the bootstrap's and
+# the single permutation test's id ranges via
+# (b*8 + hyp_idx + 96)*7919 so no operator pair shares a split.
+FDR_REPLICAS = 128  # sized so the controls' floor p = 1/129 clears
+# the BH cut at rank 1-2 of a 7-member family under FDR_Q
+FDR_Q = 0.1
+_FDR_OFFSET = BOOT_REPLICAS + PERM_REPLICAS  # = 96
+_FDR_CTRL_HI = 75000  # milli-units
+_FDR_CTRL_LO = 25000
+
+
+def _fdr_oracle() -> str:
+    u = (
+        f"((d.event_id % {BOOT_P} + (r.b * 8 + l.li + {_FDR_OFFSET}) * 7919)"
+        f" * 2654435761) % {BOOT_P}"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    obs AS (
+      SELECT event_type AS hypothesis, CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(v) AS BIGINT) AS s1
+      FROM ev GROUP BY event_type
+      UNION ALL
+      SELECT 'ctrl_hi', CAST(sum(CASE WHEN v >= {_FDR_CTRL_HI} THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN v >= {_FDR_CTRL_HI} THEN v ELSE 0 END) AS BIGINT)
+      FROM ev
+      UNION ALL
+      SELECT 'ctrl_lo', CAST(sum(CASE WHEN v < {_FDR_CTRL_LO} THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN v < {_FDR_CTRL_LO} THEN v ELSE 0 END) AS BIGINT)
+      FROM ev
+    ),
+    li AS (
+      SELECT hypothesis, row_number() OVER (ORDER BY hypothesis) - 1 AS li
+      FROM obs
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s FROM ev),
+    reps AS (SELECT unnest(range(0, {FDR_REPLICAS})) AS b),
+    fan AS (
+      SELECT l.hypothesis, r.b, d.v,
+             CASE WHEN {u} % t.n < o.n1 THEN 1 ELSE 0 END AS g
+      FROM ev d, reps r, tot t, li l, obs o
+      WHERE o.hypothesis = l.hypothesis
+    ),
+    perm AS (
+      SELECT hypothesis, b,
+             CAST(sum(g) AS BIGINT) AS pn1,
+             CAST(sum(g * v) AS BIGINT) AS ps1,
+             CAST(count(*) AS BIGINT) AS pn,
+             CAST(sum(v) AS BIGINT) AS ps
+      FROM fan GROUP BY hypothesis, b
+    ),
+    diffs AS (
+      SELECT hypothesis, b,
+             CASE WHEN pn1 > 0 AND pn1 < pn THEN
+               abs(CAST(ps1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+                   - CAST(ps - ps1 AS DOUBLE) / CAST(pn - pn1 AS DOUBLE))
+             END AS adiff
+      FROM perm
+    ),
+    aob AS (
+      SELECT o.hypothesis,
+             abs(CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+                 - CAST(t.s - o.s1 AS DOUBLE) / CAST(t.n - o.n1 AS DOUBLE))
+               AS aobs,
+             o.n1
+      FROM obs o, tot t
+    ),
+    pv AS (
+      SELECT a.hypothesis, a.n1,
+             (sum(CASE WHEN d.adiff >= a.aobs THEN 1 ELSE 0 END) + 1.0)
+               / (count(d.adiff) + 1.0) AS p
+      FROM aob a JOIN diffs d ON d.hypothesis = a.hypothesis
+      GROUP BY a.hypothesis, a.n1, a.aobs
+    ),
+    ranked AS (
+      SELECT hypothesis, n1, p,
+             CAST(row_number() OVER (ORDER BY p, hypothesis) AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    adj AS (
+      SELECT hypothesis, n1, p, rnk, m,
+             least(CAST(1.0 AS DOUBLE),
+                   min((p * m) / rnk) OVER (ORDER BY rnk
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+               AS padj
+      FROM ranked
+    )
+    SELECT hypothesis, n1 AS n_group, rnk AS p_rank,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_value,
+           floor(padj * 1000000 + 0.5) / 1000000 AS p_adj,
+           padj <= CAST({FDR_Q} AS DOUBLE) AS reject
+    FROM adj
+    """
+
+
+@register("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation tests (each event type's mean value vs the corpus,
+    plus two planted positive controls) with Benjamini-Hochberg FDR
+    adjustment across the family (see block comment). Plan shape: ONE
+    corpus pass fans each event across {FDR_REPLICAS} replicas x
+    |hypotheses| entirely map-side (the fan-out partial-aggregates to
+    |hypotheses| x B groups before the exchange — the same
+    combiner-collapse as stats_permutation_test); the BH step-up
+    (rank, cumulative min from the worst rank) runs as windows over
+    the |hypotheses|-row p-value relation."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    hi = F.col("v") >= _FDR_CTRL_HI
+    lo = F.col("v") < _FDR_CTRL_LO
+    obs = (
+        ev.groupBy(F.col("event_type").alias("hypothesis"))
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum("v").cast("bigint").alias("s1"),
+        )
+        .unionByName(
+            ev.agg(
+                F.lit("ctrl_hi").alias("hypothesis"),
+                F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n1"),
+                F.sum(F.when(hi, F.col("v")).otherwise(0)).cast("bigint").alias("s1"),
+            )
+        )
+        .unionByName(
+            ev.agg(
+                F.lit("ctrl_lo").alias("hypothesis"),
+                F.sum(F.when(lo, 1).otherwise(0)).cast("bigint").alias("n1"),
+                F.sum(F.when(lo, F.col("v")).otherwise(0)).cast("bigint").alias("s1"),
+            )
+        )
+    )
+    li = obs.select(
+        "hypothesis",
+        "n1",
+        "s1",
+        (F.row_number().over(W.orderBy("hypothesis")) - 1).cast("long").alias("li"),
+    )
+    tot = ev.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+    )
+    reps = spark.range(FDR_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
+    u = (
+        f"((event_id % {BOOT_P} + (b * 8 + li + {_FDR_OFFSET}) * 7919)"
+        f" * 2654435761) % {BOOT_P}"
+    )
+    fan = (
+        ev.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(li.select(F.col("hypothesis").alias("hyp_t"), "li", "n1")),
+            F.lit(True),
+        )
+        .select(
+            "hyp_t",
+            "b",
+            "v",
+            F.when(F.expr(u) % F.col("n") < F.col("n1"), 1).otherwise(0).alias("g"),
+        )
+    )
+    perm = fan.groupBy("hyp_t", "b").agg(
+        F.sum("g").cast("bigint").alias("pn1"),
+        F.sum(F.col("g") * F.col("v")).cast("bigint").alias("ps1"),
+        F.count("*").cast("bigint").alias("pn"),
+        F.sum("v").cast("bigint").alias("ps"),
+    )
+    adiff = F.when(
+        (F.col("pn1") > 0) & (F.col("pn1") < F.col("pn")),
+        F.abs(
+            F.col("ps1").cast("double") / F.col("pn1").cast("double")
+            - (F.col("ps") - F.col("ps1")).cast("double")
+            / (F.col("pn") - F.col("pn1")).cast("double")
+        ),
+    )
+    diffs = perm.select(F.col("hyp_t").alias("hypothesis"), adiff.alias("adiff"))
+    aob = li.crossJoin(F.broadcast(tot)).select(
+        "hypothesis",
+        "n1",
+        F.abs(
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - (F.col("s") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("n1")).cast("double")
+        ).alias("aobs"),
+    )
+    pv = (
+        aob.join(diffs, "hypothesis")
+        .groupBy("hypothesis", "n1", "aobs")
+        .agg(
+            F.sum(F.when(F.col("adiff") >= F.col("aobs"), 1).otherwise(0)).alias("ne"),
+            F.count("adiff").alias("nr"),
+        )
+        .select(
+            "hypothesis",
+            "n1",
+            ((F.col("ne") + 1.0) / (F.col("nr") + 1.0)).alias("p"),
+        )
+    )
+    ranked = pv.select(
+        "hypothesis",
+        "n1",
+        "p",
+        F.row_number().over(W.orderBy("p", "hypothesis")).cast("long").alias("rnk"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("m"),
+    )
+    wmin = W.orderBy("rnk").rowsBetween(W.currentRow, W.unboundedFollowing)
+    padj = F.least(
+        F.lit(1.0), F.min((F.col("p") * F.col("m")) / F.col("rnk")).over(wmin)
+    )
+    return ranked.select(
+        "hypothesis",
+        F.col("n1").alias("n_group"),
+        F.col("rnk").alias("p_rank"),
+        (F.floor(F.col("p") * 1000000 + F.lit(0.5)) / 1000000).alias("p_value"),
+        (F.floor(padj * 1000000 + F.lit(0.5)) / 1000000).alias("p_adj"),
+        (padj <= F.lit(FDR_Q)).alias("reject"),
+    )
