@@ -156,6 +156,11 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "search_maxsim_late_interaction", "qarr"): "constant",
     # --- text pipeline ---
     ("llm_text.py", "text_tfidf_top_terms", "n"): "constant",  # 1-row N
+    # 1-row each: distinct-vocab count and (n1pt, v) totals — the KN
+    # model relations themselves (cab/ctx/cont) carry NO hint (Heaps'
+    # law on bigram types; AQE keeps the size-based fallback)
+    ("llm_text.py", "text_perplexity_kneser_ney", "vocab"): "constant",
+    ("llm_text.py", "text_perplexity_kneser_ney", "totals"): "constant",
     # tf pre-filtered to BM25_QUERY_TERMS -> df bounded by |Q|
     ("llm_text.py", "text_bm25_search", "df"): "constant",
     ("llm_text.py", "text_bm25_search", "stats"): "constant",

@@ -3510,3 +3510,152 @@ def text_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1999) — the principled-smoothing rung above text_perplexity_bigram's
+# Laplace model. Trained on the doc_id-even HALF of the corpus and
+# scored on ALL documents, so held-out docs genuinely exercise every
+# path: discounted ML for seen bigrams, continuation-probability mass
+# for unseen bigrams under seen contexts, and full continuation
+# backoff for unseen contexts. The continuation distribution is
+# add-one smoothed over the training vocabulary so no probability is
+# ever 0 (ln stays finite):
+#   Pcont(b) = (N1+(.,b) + 1) / (N1+(..) + V)
+#   P(b|a)   = (max(n_ab - D, 0) + D * N1+(a,.) * Pcont(b)) / n_a
+#              (n_a > 0; else Pcont(b))
+# All counts are exact integers; D is a shared literal; per-bigram NLL
+# terms floor-quantize to scaled BIGINTs before the per-doc sum (the
+# gram-matrix rule), so within-doc summation order is exact.
+KN_DISCOUNT = 0.75
+
+
+def _kn_oracle() -> str:
+    d = f"CAST({KN_DISCOUNT} AS DOUBLE)"
+    return f"""
+    WITH toksa AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairsa AS (
+      SELECT doc_id, t[i] AS a, t[i + 1] AS b
+      FROM toksa, LATERAL (SELECT unnest(range(1, len(t))) AS i) u
+      WHERE len(t) >= 2
+    ),
+    pairst AS (SELECT * FROM pairsa WHERE doc_id % 2 = 0),
+    cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+            FROM pairst GROUP BY a, b),
+    ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a,
+                   CAST(count(*) AS BIGINT) AS n1pa
+            FROM cab GROUP BY a),
+    cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1pb FROM cab GROUP BY b),
+    totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1pt,
+             (SELECT CAST(count(DISTINCT term) AS BIGINT)
+              FROM pairst, LATERAL (SELECT unnest([a, b]) AS term) w) AS v
+      FROM cab
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(floor(-ln(
+               CASE WHEN ctx.n_a IS NULL
+                    THEN (coalesce(cont.n1pb, 0) + 1.0) / (t.n1pt + t.v)
+                    ELSE (greatest(cab.n_ab - {d}, CAST(0.0 AS DOUBLE))
+                          + {d} * ctx.n1pa
+                            * ((coalesce(cont.n1pb, 0) + 1.0) / (t.n1pt + t.v)))
+                         / ctx.n_a
+               END) * 1000000000000 + 0.5) AS BIGINT) AS c
+      FROM pairsa p
+      LEFT JOIN ctx ON ctx.a = p.a
+      LEFT JOIN cab ON cab.a = p.a AND cab.b = p.b
+      LEFT JOIN cont ON cont.b = p.b
+      CROSS JOIN totals t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(sum(c) AS DOUBLE) / 1000000000000 / count(*)
+                 * 1000000 + 0.5) / 1000000 AS nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("text_perplexity_kneser_ney", oracle=_kn_oracle())
+def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring with a train/score split
+    (see block comment for the model and why every smoothing path is
+    exercised). Plan shape mirrors text_perplexity_bigram: one explode
+    builds the per-doc bigram stream; the model relations (bigram
+    counts, context totals + continuation-type counts, continuation
+    counts) derive from the training half and join back by equi-key
+    with NO forced broadcast hints — bigram types grow near-linearly
+    with corpus size (Heaps' law on pairs), so AQE must keep the
+    size-based fallback; only the ONE-ROW totals relation keeps a
+    hint. Eager pins on the multi-consumer pair/count relations (the
+    connected_components rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs_all = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
+            ).alias("i", "a"),
+            toks.alias("t"),
+        )
+        .select("doc_id", "a", F.expr("t[i + 1]").alias("b"))
+        .transform(pin_cache)
+    )
+    pairs_train = pairs_all.where(F.col("doc_id") % 2 == 0)
+    cab = (
+        pairs_train.groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .transform(pin_cache)
+    )
+    ctx = cab.groupBy("a").agg(
+        F.sum("n_ab").cast("bigint").alias("n_a"),
+        F.count("*").cast("bigint").alias("n1pa"),
+    )
+    cont = cab.groupBy("b").agg(F.count("*").cast("bigint").alias("n1pb"))
+    vocab = (
+        pairs_train.select(F.col("a").alias("term"))
+        .unionByName(pairs_train.select(F.col("b").alias("term")))
+        .agg(F.countDistinct("term").cast("bigint").alias("v"))
+    )
+    totals = cab.agg(F.count("*").cast("bigint").alias("n1pt")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    dd = F.lit(KN_DISCOUNT)
+    pc = (F.coalesce(F.col("n1pb"), F.lit(0)) + 1.0) / (
+        F.col("n1pt") + F.col("v")
+    )
+    pk = F.when(F.col("n_a").isNull(), pc).otherwise(
+        (
+            F.greatest(F.col("n_ab") - dd, F.lit(0.0))
+            + dd * F.col("n1pa") * pc
+        )
+        / F.col("n_a")
+    )
+    scored = (
+        pairs_all.join(ctx, "a", "left")
+        .join(cab.withColumnRenamed("n_ab", "n_ab_raw"), ["a", "b"], "left")
+        .withColumn("n_ab", F.col("n_ab_raw"))
+        .join(cont, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.floor(-F.log(pk) * 1000000000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum("c").cast("double") / 1000000000000 / F.count("*") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("nll"),
+    )
