@@ -154,6 +154,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "sim_topk_binary_rerank", "queries"): "constant",
     # LI_QUERIES rows x <= LI_QUERY_TOKENS token vectors each
     ("llm_similarity.py", "search_maxsim_late_interaction", "qarr"): "constant",
+    # 1-row array of <= KCG_K selected centers
+    ("llm_similarity.py", "sample_kcenter_greedy", "carr"): "constant",
     # --- text pipeline ---
     ("llm_text.py", "text_tfidf_top_terms", "n"): "constant",  # 1-row N
     # 1-row each: distinct-vocab count and (n1pt, v) totals — the KN

@@ -3346,3 +3346,144 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") <= LI_TOP_K)
         .drop("rn")
     )
+
+
+# --- coreset selection -------------------------------------------------
+#
+# k-center greedy / farthest-point traversal (Gonzalez 1985): start
+# from the lowest-id vector, then repeatedly add the point FARTHEST
+# from the current center set. The classic 2-approximation for
+# k-center coverage, used in practice for coreset/data-pruning
+# selection over embedding corpora (pick the k most mutually distant
+# exemplars). Deterministic: squared-euclidean distances round to 6
+# before every argmax, ties break to the smallest vec_id, already-
+# selected points are excluded explicitly. The oracle UNROLLS the k
+# selection steps into chained CTEs (one symbolic expansion, same
+# fixed IEEE fold shape both engines).
+KCG_K = 8
+
+
+def _kcg_sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+
+
+def _kcg_oracle() -> str:
+    dist0 = _kcg_sqdist_sql("e.v", "s1.v")
+    # every s{i} is referenced by ALL later steps; DuckDB inlines CTEs
+    # by default, which re-expands the chain exponentially in k —
+    # MATERIALIZED pins each selection to run once (measured: 116 s ->
+    # sub-second at sf0.01)
+    parts = [
+        """
+    ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+    s1 AS MATERIALIZED (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT 1)
+    """
+    ]
+    mins = [f"round({dist0}, 6)"]
+    sel_ids = ["(SELECT vec_id FROM s1)"]
+    for i in range(2, KCG_K + 1):
+        not_in = " AND ".join(f"e.vec_id <> {sid}" for sid in sel_ids)
+        mind = "least(" + ", ".join(mins) + ")" if len(mins) > 1 else mins[0]
+        parts.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT e.vec_id, e.v, {mind} AS radius
+      FROM ev e, {", ".join(f"s{j}" for j in range(1, i))}
+      WHERE {not_in}
+      ORDER BY {mind} DESC, e.vec_id LIMIT 1
+    )
+    """
+        )
+        mins.append(f"round({_kcg_sqdist_sql('e.v', f's{i}.v')}, 6)")
+        sel_ids.append(f"(SELECT vec_id FROM s{i})")
+    selects = ["SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1"]
+    selects += [
+        f"SELECT CAST({i} AS BIGINT), vec_id, radius FROM s{i}"
+        for i in range(2, KCG_K + 1)
+    ]
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("sample_kcenter_greedy", oracle=_kcg_oracle())
+def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (see block comment). Scale
+    shape: each of the {KCG_K} steps is ONE corpus scan with the
+    current center set (<= k rows, collected into a broadcast array)
+    compared map-side — min-distance via a JVM fold over the center
+    array — followed by a map-side-combining max_by argmax (the
+    SemDeDup rule: never a row_number window over the corpus for an
+    argmax). Each selected center pins eagerly: every later step
+    consumes it, and an unpinned 1-row aggregate would re-run its
+    whole upstream scan per consumer. Total cost k scans, each
+    corpus x k map work — linear in the corpus for fixed k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    seed = (
+        ev.agg(
+            F.min_by(F.struct("vec_id", "v"), F.col("vec_id")).alias("s")
+        )
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.v").alias("v"),
+            F.lit(None).cast("double").alias("radius"),
+        )
+        .transform(pin_cache)
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centers = [seed]
+    for i in range(2, KCG_K + 1):
+        cur = centers[0]
+        for c in centers[1:]:
+            cur = cur.unionByName(c)
+        carr = cur.agg(
+            F.collect_list(F.struct("vec_id", "v")).alias("cs")
+        )
+        scored = ev.crossJoin(F.broadcast(carr)).select(
+            "vec_id",
+            "v",
+            F.array_min(
+                F.transform(
+                    F.col("cs"), lambda c: F.round(sqdist(F.col("v"), c["v"]), 6)
+                )
+            ).alias("radius"),
+            F.exists(
+                F.col("cs"), lambda c: c["vec_id"] == F.col("vec_id")
+            ).alias("taken"),
+        )
+        nxt = (
+            scored.filter(~F.col("taken"))
+            .agg(
+                F.max_by(
+                    F.struct("vec_id", "v", "radius"),
+                    F.struct(F.col("radius"), -F.col("vec_id")),
+                ).alias("p")
+            )
+            .select(
+                F.lit(i).cast("long").alias("step"),
+                F.col("p.vec_id").alias("vec_id"),
+                F.col("p.v").alias("v"),
+                F.col("p.radius").alias("radius"),
+            )
+            .transform(pin_cache)
+        )
+        centers.append(nxt)
+
+    out = centers[0]
+    for c in centers[1:]:
+        out = out.unionByName(c)
+    return out.select("step", "vec_id", "radius")
