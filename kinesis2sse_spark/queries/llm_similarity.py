@@ -3486,4 +3486,9 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = centers[0]
     for c in centers[1:]:
         out = out.unionByName(c)
-    return out.select("step", "vec_id", "radius")
+    # empty-corpus gate: a Spark global min_by/max_by emits one
+    # NULL-struct row where the oracle's LIMIT 1 emits nothing — drop
+    # the placeholder rows so an empty corpus selects an empty coreset
+    return out.where(F.col("vec_id").isNotNull()).select(
+        "step", "vec_id", "radius"
+    )
