@@ -154,6 +154,19 @@ SHOW = [
     "sim_ivf_index_build",
     "sim_topk_ivf_prebuilt",
     "sim_ivf_index_append",
+    # round-10 (late) additions: MaxSim's single-scan fused double
+    # loop, the prefix-filter join's candidate-bounded verification,
+    # the sharded-kNN link-prediction pipeline, the one-shuffle
+    # generalization ladder, and the KN model joins (AQE-picked, no
+    # corpus-growing hints)
+    "search_maxsim_late_interaction",
+    "dedup_jaccard_prefix_filter",
+    "graph_link_prediction",
+    "privacy_generalization_ladder",
+    "text_perplexity_kneser_ney",
+    "sample_kcenter_greedy",
+    "pipeline_changelog_compaction",
+    "stats_fdr_bh",
 ]
 
 
