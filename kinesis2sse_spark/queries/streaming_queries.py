@@ -959,3 +959,66 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= STREAM_TOPK_PER_WINDOW)
     )
+
+
+@register(
+    "streaming_changelog_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE event_type WHEN 'signup' THEN 'I'
+                             WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops,
+             sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS n_deletes
+      FROM log
+    )
+    SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value,
+           CAST(n_ops AS BIGINT) AS n_ops,
+           CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def streaming_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipeline_changelog_compaction: the same
+    last-writer-wins compaction computed INCREMENTALLY with
+    applyInPandasWithState — per-key state is one op + two counters
+    (O(keys) memory, like a compacted Kafka topic), each micro-batch
+    emits the refreshed latest-value rows (update mode). The final
+    snapshot keeps each key's LAST emission (n_ops only grows, so
+    max_by n_ops picks it — identity on the single-batch fixture) and
+    drops delete tombstones, matching the batch operator's oracle
+    byte-for-byte. Multi-batch carry-over (an earlier batch's winner
+    surviving a later batch of older events, tombstone flips) is
+    pinned in tests/test_streaming.py with controlled arrival."""
+    from kinesis2sse_spark.streaming.state import with_changelog_compaction
+
+    s = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = run_to_memory(
+        with_changelog_compaction(s),
+        _qname("cdccompact"),
+        output_mode="update",
+        shuffle_partitions=8,
+    )
+    last = out.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("last_op", "last_ts", "last_value", "n_ops", "n_deletes"),
+            F.col("n_ops"),
+        ).alias("s")
+    )
+    return last.where(F.col("s.last_op") != "D").select(
+        "user_id",
+        F.col("s.last_op").alias("last_op"),
+        F.col("s.last_ts").alias("last_ts"),
+        F.col("s.last_value").alias("last_value"),
+        F.col("s.n_ops").alias("n_ops"),
+        F.col("s.n_deletes").alias("n_deletes"),
+    )

@@ -132,3 +132,83 @@ def with_keyed_running_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming changelog compaction -------------------------------------
+
+COMPACTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ns", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_ops", T.LongType()),
+        T.StructField("n_deletes", T.LongType()),
+    ]
+)
+
+
+def _compaction_fn(key_col: str):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_ns, eid, op, val, n_ops, n_del = state.get
+        else:
+            ts_ns, eid, op, val, n_ops, n_del = (-1, -1, "", 0.0, 0, 0)
+        for pdf in pdfs:
+            n_ops += len(pdf)
+            ops = pdf["event_type"].map(
+                lambda et: "I" if et == "signup" else ("D" if et == "error" else "U")
+            )
+            n_del += int((ops == "D").sum())
+            tsi = pdf["ts"].astype("int64")
+            for t, e, o, v in zip(tsi, pdf["event_id"], ops, pdf["value"]):
+                if (t, e) > (ts_ns, eid):
+                    ts_ns, eid, op, val = int(t), int(e), o, float(v)
+        state.update((ts_ns, eid, op, val, n_ops, n_del))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "last_op": [op],
+                "last_ts": [pd.to_datetime(ts_ns)],
+                "last_value": [val],
+                "n_ops": [n_ops],
+                "n_deletes": [n_del],
+            }
+        )
+
+    return update
+
+
+def with_changelog_compaction(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key last-writer-wins changelog state carried across
+    micro-batches — the streaming twin of
+    queries/lakeops.py::pipeline_changelog_compaction: state per key
+    is ONE op (the (ts, event_id)-max), two counters, never the op
+    history, so memory is O(keys) regardless of stream length. Emits
+    the refreshed compacted row for every key seen in the micro-batch
+    (update semantics, like a compacted Kafka topic's latest-value
+    view); tombstone filtering is the CONSUMER's final-snapshot
+    concern, downstream of this operator."""
+    out_schema = T.StructType(
+        [
+            next(
+                T.StructField(f.name, f.dataType)
+                for f in df.schema.fields
+                if f.name == key_col
+            ),
+            T.StructField("last_op", T.StringType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("n_ops", T.LongType()),
+            T.StructField("n_deletes", T.LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _compaction_fn(key_col),
+        outputStructType=out_schema,
+        stateStructType=COMPACTION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1287,3 +1287,52 @@ def test_streaming_minhash_bucket_collision_requires_sig_equality(spark):
         .count()
     )
     assert flagged == 0
+
+
+def test_changelog_compaction_state_carries_across_batches(spark, tmp_path):
+    """Streaming changelog compaction: the last-writer state survives
+    micro-batch boundaries — a later batch of OLDER events must not
+    displace an earlier batch's winner; a later batch's NEWER delete
+    must tombstone the key; counters accumulate across batches."""
+    from kinesis2sse_spark.streaming.state import with_changelog_compaction
+
+    d = str(tmp_path / "cdc")
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    # batch 1: user 1 upserts at t=10; user 2 upserts at t=10
+    _write_batch(
+        spark, d, "b1",
+        [
+            (1, _ts("2024-01-01T00:00:10"), 100, "click", 1.0),
+            (2, _ts("2024-01-01T00:00:10"), 101, "view", 2.0),
+        ],
+        schema,
+    )
+    # batch 2: user 1 gets an OLDER event (must not win);
+    #          user 2 gets a NEWER delete (must tombstone)
+    _write_batch(
+        spark, d, "b2",
+        [
+            (1, _ts("2024-01-01T00:00:05"), 102, "purchase", 9.0),
+            (2, _ts("2024-01-01T00:00:20"), 103, "error", 3.0),
+        ],
+        schema,
+    )
+    s = _read_stream(spark, d, schema)
+    out = run_to_memory(
+        with_changelog_compaction(s), "cdc_multibatch", "update",
+        shuffle_partitions=4,
+    )
+    last = (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("last_op", "last_ts", "last_value",
+                               "n_ops", "n_deletes"), F.col("n_ops")).alias("s"))
+        .select("user_id", "s.*")
+        .orderBy("user_id")
+        .collect()
+    )
+    by = {r.user_id: r for r in last}
+    # user 1: the t=10 click survives the later-but-older purchase
+    assert by[1].last_op == "U" and by[1].last_value == 1.0
+    assert by[1].n_ops == 2 and by[1].n_deletes == 0
+    # user 2: the newer delete wins -> tombstone visible in state
+    assert by[2].last_op == "D" and by[2].n_ops == 2 and by[2].n_deletes == 1
