@@ -1149,23 +1149,37 @@ _LP_P = 1000000007
 _LP_A = 2654435761  # Knuth multiplicative constant; (P-1)*A < 2^63
 
 
+# shard-ladder ceiling shared by BOTH engines: 2^40 shards x 64 rows
+# covers ~7e13 vectors (three orders past the 100 TB envelope). The
+# Python loop and the oracle's pows CTE cap at the SAME exponent so
+# the declared-identical blocking formulas cannot silently diverge
+# (an uncapped Python loop vs a range(0,31) SQL ladder would split at
+# ~7e10 rows: SQL min() over an empty set -> NULL shards).
+_LP_MAX_SHARD_LOG = 40
+
+
 def _lp_shard_count(n_rows: int) -> int:
-    """Smallest power of two >= ceil(n / LP_BLOCK_TARGET) — integer
-    arithmetic only, mirrored verbatim by the oracle's pows/nbs CTEs."""
+    """Smallest power of two >= ceil(n / LP_BLOCK_TARGET), capped at
+    2^_LP_MAX_SHARD_LOG — integer arithmetic only, mirrored verbatim
+    by the oracle's pows/nbs CTEs (same cap)."""
     need = (n_rows + LP_BLOCK_TARGET - 1) // LP_BLOCK_TARGET
     nb = 1
-    while nb < need:
+    while nb < need and nb < 2**_LP_MAX_SHARD_LOG:
         nb *= 2
     return nb
 
 
 _LP_GRAPH_CTES = f"""
-    pows AS (SELECT unnest(range(0, 31)) AS k),
+    pows AS (SELECT unnest(range(0, {_LP_MAX_SHARD_LOG + 1})) AS k),
     nbs AS (
+      -- the k = {_LP_MAX_SHARD_LOG} row always qualifies, so past the
+      -- ladder ceiling this saturates at 2^{_LP_MAX_SHARD_LOG} exactly
+      -- like the Python loop (never an empty-set NULL)
       SELECT min(CAST(1 AS BIGINT) << k) AS nb
       FROM pows, (SELECT count(*) AS n FROM embeddings) c
       WHERE (CAST(1 AS BIGINT) << k)
             >= (c.n + {LP_BLOCK_TARGET - 1}) // {LP_BLOCK_TARGET}
+         OR k = {_LP_MAX_SHARD_LOG}
     ),
     sharded AS (
       SELECT e.*, ((e.vec_id % {_LP_P}) * {_LP_A}) % {_LP_P} % nbs.nb AS shard

@@ -1497,12 +1497,17 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("doc_id").orderBy(F.col("dfc").asc(), F.col("h").asc())
     )
     prefix_len = (F.col("s") - F.ceil(F.lit(PF_THRESHOLD) * F.col("s")) + 1)
+    # pinned: prefix feeds BOTH sides of the candidate self-join, and
+    # its lineage (df-join + per-doc rank window, two corpus-scale
+    # exchanges) would otherwise execute twice (the connected_components
+    # rule, same as ex above)
     prefix = (
         ex.join(dfreq, "h")
         .withColumn("rn", rn)
         .join(sz, "doc_id")
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "h", "s")
+        .transform(pin_cache)
     )
     pa = prefix.select(
         F.col("doc_id").alias("doc_a"), "h", F.col("s").alias("sa")

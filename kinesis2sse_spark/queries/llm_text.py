@@ -3638,8 +3638,7 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         pairs_all.join(ctx, "a", "left")
-        .join(cab.withColumnRenamed("n_ab", "n_ab_raw"), ["a", "b"], "left")
-        .withColumn("n_ab", F.col("n_ab_raw"))
+        .join(cab, ["a", "b"], "left")
         .join(cont, "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(

@@ -148,6 +148,15 @@ COMPACTION_STATE_SCHEMA = T.StructType(
 )
 
 
+# NULL event times sort SMALLEST — the same rule as Spark struct
+# ordering (batch max_by) and the oracle's ORDER BY ts DESC (DuckDB
+# puts nulls last in DESC). Encoded as an int64 sentinel below every
+# real timestamp; pd.isna handles NaT explicitly because
+# Series.astype("int64") on NaT either yields an unspecified sentinel
+# or raises, depending on the pandas version.
+_TS_NULL_SENTINEL = -(2**63)
+
+
 def _compaction_fn(key_col: str):
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -155,14 +164,18 @@ def _compaction_fn(key_col: str):
         if state.exists:
             ts_ns, eid, op, val, n_ops, n_del = state.get
         else:
-            ts_ns, eid, op, val, n_ops, n_del = (-1, -1, "", 0.0, 0, 0)
+            ts_ns, eid, op, val, n_ops, n_del = (
+                _TS_NULL_SENTINEL, -1, "", 0.0, 0, 0,
+            )
         for pdf in pdfs:
             n_ops += len(pdf)
             ops = pdf["event_type"].map(
                 lambda et: "I" if et == "signup" else ("D" if et == "error" else "U")
             )
             n_del += int((ops == "D").sum())
-            tsi = pdf["ts"].astype("int64")
+            tsi = pdf["ts"].map(
+                lambda x: _TS_NULL_SENTINEL if pd.isna(x) else int(x.value)
+            )
             for t, e, o, v in zip(tsi, pdf["event_id"], ops, pdf["value"]):
                 if (t, e) > (ts_ns, eid):
                     ts_ns, eid, op, val = int(t), int(e), o, float(v)
@@ -171,7 +184,9 @@ def _compaction_fn(key_col: str):
             {
                 key_col: [key[0]],
                 "last_op": [op],
-                "last_ts": [pd.to_datetime(ts_ns)],
+                "last_ts": [
+                    pd.NaT if ts_ns == _TS_NULL_SENTINEL else pd.to_datetime(ts_ns)
+                ],
                 "last_value": [val],
                 "n_ops": [n_ops],
                 "n_deletes": [n_del],
