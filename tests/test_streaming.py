@@ -1336,3 +1336,37 @@ def test_changelog_compaction_state_carries_across_batches(spark, tmp_path):
     assert by[1].n_ops == 2 and by[1].n_deletes == 0
     # user 2: the newer delete wins -> tombstone visible in state
     assert by[2].last_op == "D" and by[2].n_ops == 2 and by[2].n_deletes == 1
+
+
+def test_changelog_compaction_null_ts_matches_batch_semantics(spark, tmp_path):
+    """Null event times sort SMALLEST (the batch max_by struct rule and
+    the oracle's ORDER BY ts DESC nulls-last): a null-ts event never
+    displaces a timed one, and a key whose ONLY events are null-ts
+    still compacts to a real op (largest event_id), never a garbage
+    op='' placeholder row."""
+    from kinesis2sse_spark.streaming.state import with_changelog_compaction
+
+    d = str(tmp_path / "cdcnull")
+    schema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    _write_batch(
+        spark, d, "b1",
+        [
+            # user 1: timed click + null-ts purchase (click must win)
+            (1, _ts("2024-01-01T00:00:10"), 200, "click", 1.0),
+            (1, None, 201, "purchase", 9.0),
+            # user 2: ONLY null-ts events -> largest event_id wins
+            (2, None, 202, "view", 2.0),
+            (2, None, 203, "signup", 3.0),
+        ],
+        schema,
+    )
+    s = _read_stream(spark, d, schema)
+    out = run_to_memory(
+        with_changelog_compaction(s), "cdc_nullts", "update",
+        shuffle_partitions=4,
+    )
+    by = {r.user_id: r for r in out.collect()}
+    assert by[1].last_op == "U" and by[1].last_value == 1.0
+    assert by[1].last_ts is not None
+    assert by[2].last_op == "I" and by[2].last_value == 3.0
+    assert by[2].last_ts is None and by[2].n_ops == 2
