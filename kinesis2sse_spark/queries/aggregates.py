@@ -1852,3 +1852,106 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(padj * 1000000 + F.lit(0.5)) / 1000000).alias("p_adj"),
         (padj <= F.lit(FDR_Q)).alias("reject"),
     )
+
+
+# Chi-square goodness-of-fit against the uniform distribution — the
+# classic categorical-balance check a dataset card runs per dimension
+# (is the event mix balanced? is the language mix?). The statistic
+# sum((o - e)^2 / e) with e = n/k is computed per-category in doubles
+# and QUANTIZED TO PPB BIGINTs before the sum (the gram-matrix rule:
+# a 5-term double sum's last bits still depend on partial-agg order),
+# then compared against the inlined 95% chi-square critical value for
+# the OBSERVED df = k-1 (literal table, no CDF/igamma libm call
+# anywhere). Two family rows pin both regimes on the fixtures: the
+# synthetic event mix is near-uniform (accept) while the language mix
+# is en-heavy (reject).
+_CHISQ_CRIT_95 = {
+    1: 3.841458820694124,
+    2: 5.991464547107979,
+    3: 7.814727903251179,
+    4: 9.487729036781154,
+    5: 11.070497693516351,
+    6: 12.591587243743977,
+    7: 14.067140449340169,
+    8: 15.50731305586545,
+    9: 16.918977604620448,
+}
+
+
+def _chisq_crit_sql(df_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN CAST({v} AS DOUBLE)" for k, v in _CHISQ_CRIT_95.items()
+    )
+    return f"(CASE {df_expr} {cases} END)"
+
+
+def _chisq_cte(table: str, col: str, dim: str) -> str:
+    return f"""
+      SELECT '{dim}' AS dimension,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(o) AS BIGINT) AS n,
+             floor(sum(floor((o - e) * (o - e) / e * 1000000000 + 0.5))
+                   / 1000000000 * 1000000 + 0.5) / 1000000 AS chisq
+      FROM (
+        SELECT o, CAST(sum(o) OVER () AS DOUBLE) / count(*) OVER () AS e
+        FROM (SELECT CAST(count(*) AS DOUBLE) AS o FROM {table} GROUP BY {col})
+      )
+    """
+
+
+@register(
+    "stats_chisq_gof",
+    oracle=f"""
+    WITH fam AS (
+      {_chisq_cte("events", "event_type", "event_type_uniform")}
+      UNION ALL
+      {_chisq_cte("documents", "lang", "lang_uniform")}
+    )
+    SELECT dimension, k, n, chisq,
+           CAST(k - 1 AS BIGINT) AS dof,
+           {_chisq_crit_sql("(k - 1)")} AS crit_95,
+           chisq > {_chisq_crit_sql("(k - 1)")} AS reject_uniform
+    FROM fam
+    """,
+)
+def stats_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit vs uniform for the event-type and
+    language mixes (see block comment: ppb-quantized terms, inlined
+    critical-value table, both regimes pinned). One map-side-combined
+    aggregate per dimension; everything after runs on k-row
+    relations."""
+    def one(table: str, col: str, dim: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(col).agg(F.count("*").cast("double").alias("o"))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy()
+        e = F.sum("o").over(w) / F.count("*").over(w)
+        terms = counts.select(
+            "o",
+            F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000000 + F.lit(0.5)).alias("tq"),
+        )
+        return terms.agg(
+            F.lit(dim).alias("dimension"),
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("o").cast("bigint").alias("n"),
+            (
+                F.floor(F.sum("tq") / 1000000000 * 1000000 + F.lit(0.5)) / 1000000
+            ).alias("chisq"),
+        )
+
+    fam = one("events", "event_type", "event_type_uniform").unionByName(
+        one("documents", "lang", "lang_uniform")
+    )
+    crit = F.lit(None).cast("double")
+    for k, v in sorted(_CHISQ_CRIT_95.items(), reverse=True):
+        crit = F.when(F.col("k") - 1 == k, F.lit(v)).otherwise(crit)
+    return fam.select(
+        "dimension",
+        "k",
+        "n",
+        "chisq",
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+        crit.alias("crit_95"),
+        (F.col("chisq") > crit).alias("reject_uniform"),
+    )
