@@ -3658,3 +3658,159 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("nll"),
     )
+
+
+# Cross-source quantile normalization — the batch-effect remover for
+# mixed-source corpora (Bolstad et al. 2003, standard in any pipeline
+# that mixes sources whose raw signal scales differ): map each
+# document's n_chars to the GLOBAL value at the same within-source
+# quantile position, so every source shares one length distribution.
+# Entirely INTEGER arithmetic: within-source group midrank position
+# p = (2*less + c) / (2*m) maps to quantile level
+# L = ceil(p * Q) = ((2*less + c)*Q + 2m - 1) // (2m)  (in [1, Q]
+# with no clamp needed: 2*less + c <= 2m), and the global Q-level
+# equi-depth grid value at L is the group covering global rank
+# ceil(L*N/Q). No floating point anywhere, so the mapping is
+# byte-exact by construction.
+QN_LEVELS = 256
+_QN_BUCKET = 256  # value-range bucket for the two-level prefix ranks
+
+
+def _qn_prefix(h, keys):
+    """Two-level distributed prefix counts over a (keys, v, c)
+    histogram, VALUE-PRESERVING (ml_eval's _with_prefix_counts drops
+    the score column, which AUC can afford and this lookup cannot):
+    bucket subtotals cumulate in a window over the tiny (keys, bucket)
+    relation and broadcast back; within-bucket counts ride a
+    (keys, bucket)-partitioned window — never a corpus-sized single
+    partition."""
+    from pyspark.sql import Window as W
+
+    h = h.withColumn("bk", F.expr(f"v div {_QN_BUCKET}"))
+    ks = h.groupBy(*keys, "bk").agg(F.sum("c").alias("kc"))
+    wk = (
+        W.partitionBy(*keys)
+        .orderBy("bk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    off = ks.select(
+        *keys, "bk", (F.sum("kc").over(wk) - F.col("kc")).alias("off")
+    )
+    ww = (
+        W.partitionBy(*keys, "bk")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return h.join(F.broadcast(off), [*keys, "bk"]).select(
+        *keys,
+        "v",
+        "c",
+        (F.col("off") + F.sum("c").over(ww) - F.col("c"))
+        .cast("bigint")
+        .alias("less"),
+    )
+
+
+@register(
+    "pipeline_quantile_normalize",
+    oracle=f"""
+    WITH sh AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    m AS (SELECT source, CAST(sum(c) AS BIGINT) AS m FROM sh GROUP BY source),
+    sr AS (
+      SELECT source, v, c,
+             CAST(sum(c) OVER (PARTITION BY source ORDER BY v) - c AS BIGINT)
+               AS less
+      FROM sh
+    ),
+    gh AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ),
+    gr AS (
+      SELECT v, c, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS less
+      FROM gh
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tr AS (
+      SELECT lvl, (lvl * nn.n + {QN_LEVELS - 1}) // {QN_LEVELS} AS t
+      FROM (SELECT unnest(range(1, {QN_LEVELS + 1})) AS lvl), nn
+    ),
+    grid AS (
+      SELECT t.lvl, g.v AS qval
+      FROM tr t JOIN gr g ON g.less < t.t AND t.t <= g.less + g.c
+    ),
+    lv AS (
+      SELECT s.source, s.v,
+             ((2 * s.less + s.c) * {QN_LEVELS} + 2 * m.m - 1) // (2 * m.m)
+               AS lvl
+      FROM sr s JOIN m ON m.source = s.source
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(grid.qval AS BIGINT) AS norm_chars
+    FROM documents d
+    JOIN lv ON lv.source = d.source AND lv.v = d.n_chars
+    JOIN grid ON grid.lvl = lv.lvl
+    """,
+)
+def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document length (see
+    block comment for the all-integer mapping). Plan shape: two
+    histogram shuffles (per-source and global value groups), prefix
+    ranks via the two-level bucket scheme (offsets broadcast from the
+    bucket relation, within-bucket windows — never a global sort),
+    the {QN_LEVELS}-row grid built by a broadcast range-join against
+    the global rank relation, and documents rejoin their
+    (source, value) group by equi-key. Every corpus-sized relation
+    shuffles only on value/group keys."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(pin_cache)
+    )
+    m = sh.groupBy("source").agg(F.sum("c").cast("bigint").alias("m"))
+    sr = _qn_prefix(sh, ("source",))
+    gh = (
+        d.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(pin_cache)
+    )
+    gr = _qn_prefix(gh, ())
+    nn = d.agg(F.count("*").cast("bigint").alias("n"))
+    tr = (
+        spark.range(1, QN_LEVELS + 1)
+        .select(F.col("id").cast("long").alias("lvl"))
+        .crossJoin(F.broadcast(nn))
+        # integer ceil division without FP: (lvl*n + Q-1) div Q
+        .select(
+            "lvl",
+            F.expr(f"(lvl * n + {QN_LEVELS - 1}) div {QN_LEVELS}").alias("t"),
+        )
+    )
+    grid = gr.join(
+        F.broadcast(tr),
+        (F.col("less") < F.col("t")) & (F.col("t") <= F.col("less") + F.col("c")),
+    ).select("lvl", F.col("v").alias("qval"))
+    lv = sr.join(F.broadcast(m), "source").select(
+        F.col("source").alias("lv_source"),
+        F.col("v").alias("lv_v"),
+        F.expr(f"((2 * less + c) * {QN_LEVELS} + 2 * m - 1) div (2 * m)").alias("lvl"),
+    )
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .join(
+            lv,
+            (F.col("source") == F.col("lv_source"))
+            & (F.col("n_chars") == F.col("lv_v")),
+        )
+        .join(grid, "lvl")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("qval").cast("bigint").alias("norm_chars"),
+        )
+    )
