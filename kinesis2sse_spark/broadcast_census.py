@@ -163,10 +163,10 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # law on bigram types; AQE keeps the size-based fallback)
     ("llm_text.py", "text_perplexity_kneser_ney", "vocab"): "constant",
     ("llm_text.py", "text_perplexity_kneser_ney", "totals"): "constant",
-    # value-range buckets: |range| / _QN_BUCKET rows (chars bounded)
-    ("llm_text.py", "_qn_prefix", "off"): "sublinear",
     ("llm_text.py", "pipeline_quantile_normalize", "nn"): "constant",  # 1-row
     ("llm_text.py", "pipeline_quantile_normalize", "tr"): "constant",  # Q rows
+    # QN_LEVELS rows exactly
+    ("llm_text.py", "pipeline_quantile_normalize", "grid"): "constant",
     # |sources| rows
     ("llm_text.py", "pipeline_quantile_normalize", "m"): "sublinear",
     # tf pre-filtered to BM25_QUERY_TERMS -> df bounded by |Q|

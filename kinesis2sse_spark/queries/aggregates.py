@@ -1943,9 +1943,9 @@ def stats_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = one("events", "event_type", "event_type_uniform").unionByName(
         one("documents", "lang", "lang_uniform")
     )
-    crit = F.lit(None).cast("double")
-    for k, v in sorted(_CHISQ_CRIT_95.items(), reverse=True):
-        crit = F.when(F.col("k") - 1 == k, F.lit(v)).otherwise(crit)
+    # the oracle's CASE expression IS the Spark lookup — one source of
+    # truth for the critical-value table (CASE with no ELSE -> NULL)
+    crit = F.expr(_chisq_crit_sql("(k - 1)"))
     return fam.select(
         "dimension",
         "k",

@@ -3677,46 +3677,32 @@ _QN_BUCKET = 256  # value-range bucket for the two-level prefix ranks
 
 
 def _qn_prefix(h, keys):
-    """Two-level distributed prefix counts over a (keys, v, c)
-    histogram, VALUE-PRESERVING (ml_eval's _with_prefix_counts drops
-    the score column, which AUC can afford and this lookup cannot):
-    bucket subtotals cumulate in a window over the tiny (keys, bucket)
-    relation and broadcast back; within-bucket counts ride a
-    (keys, bucket)-partitioned window — never a corpus-sized single
-    partition."""
-    from pyspark.sql import Window as W
+    """Value-preserving prefix counts over a (keys, v, c) histogram —
+    a thin wrapper around ml_eval's shared two-level machinery
+    (keep_value retains the value column for the rank->value lookup;
+    the narrower bucket suits char-length-ranged values where AUC's
+    2^28 score bucket would collapse to one)."""
+    from kinesis2sse_spark.queries.ml_eval import _with_prefix_counts
 
-    h = h.withColumn("bk", F.expr(f"v div {_QN_BUCKET}"))
-    ks = h.groupBy(*keys, "bk").agg(F.sum("c").alias("kc"))
-    wk = (
-        W.partitionBy(*keys)
-        .orderBy("bk")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    out = _with_prefix_counts(
+        h.select(*keys, F.col("v").alias("s"), "c", F.lit(0).alias("cp")),
+        keys=keys,
+        keep_value=True,
+        bucket=_QN_BUCKET,
     )
-    off = ks.select(
-        *keys, "bk", (F.sum("kc").over(wk) - F.col("kc")).alias("off")
-    )
-    ww = (
-        W.partitionBy(*keys, "bk")
-        .orderBy("v")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return h.join(F.broadcast(off), [*keys, "bk"]).select(
-        *keys,
-        "v",
-        "c",
-        (F.col("off") + F.sum("c").over(ww) - F.col("c"))
-        .cast("bigint")
-        .alias("less"),
-    )
+    return out.select(*keys, F.col("s").alias("v"), "c", "less")
 
 
 @register(
     "pipeline_quantile_normalize",
     oracle=f"""
-    WITH sh AS (
+    WITH docsn AS (
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars IS NOT NULL
+    ),
+    sh AS (
       SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
-      FROM documents GROUP BY source, n_chars
+      FROM docsn GROUP BY source, n_chars
     ),
     m AS (SELECT source, CAST(sum(c) AS BIGINT) AS m FROM sh GROUP BY source),
     sr AS (
@@ -3727,13 +3713,13 @@ def _qn_prefix(h, keys):
     ),
     gh AS (
       SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-      FROM documents GROUP BY n_chars
+      FROM docsn GROUP BY n_chars
     ),
     gr AS (
       SELECT v, c, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS less
       FROM gh
     ),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gh),
     tr AS (
       SELECT lvl, (lvl * nn.n + {QN_LEVELS - 1}) // {QN_LEVELS} AS t
       FROM (SELECT unnest(range(1, {QN_LEVELS + 1})) AS lvl), nn
@@ -3750,7 +3736,7 @@ def _qn_prefix(h, keys):
     )
     SELECT d.doc_id, d.source, d.n_chars,
            CAST(grid.qval AS BIGINT) AS norm_chars
-    FROM documents d
+    FROM docsn d
     JOIN lv ON lv.source = d.source AND lv.v = d.n_chars
     JOIN grid ON grid.lvl = lv.lvl
     """,
@@ -3765,7 +3751,13 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global rank relation, and documents rejoin their
     (source, value) group by equi-key. Every corpus-sized relation
     shuffles only on value/group keys."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL n_chars filtered SYMMETRICALLY with the oracle: Spark
+    # windows sort nulls first, DuckDB last — excluding them on both
+    # sides is the only ordering-free parity (fixtures are null-free;
+    # this pins the semantics if that ever changes)
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
     sh = (
         d.groupBy("source", F.col("n_chars").alias("v"))
         .agg(F.count("*").cast("bigint").alias("c"))
@@ -3779,7 +3771,8 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin_cache)
     )
     gr = _qn_prefix(gh, ())
-    nn = d.agg(F.count("*").cast("bigint").alias("n"))
+    # total from the already-pinned histogram — not a second corpus scan
+    nn = gh.agg(F.sum("c").cast("bigint").alias("n"))
     tr = (
         spark.range(1, QN_LEVELS + 1)
         .select(F.col("id").cast("long").alias("lvl"))
@@ -3806,7 +3799,7 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("source") == F.col("lv_source"))
             & (F.col("n_chars") == F.col("lv_v")),
         )
-        .join(grid, "lvl")
+        .join(F.broadcast(grid), "lvl")
         .select(
             "doc_id",
             "source",

@@ -61,11 +61,19 @@ _SCORED_CTE = f"""scored AS (
 AUC_BUCKET = 1 << 28  # score-range bucket for the two-level prefix sum
 
 
-def _with_prefix_counts(h: DataFrame, keys: tuple = (), descending: bool = False) -> DataFrame:
+def _with_prefix_counts(
+    h: DataFrame,
+    keys: tuple = (),
+    descending: bool = False,
+    keep_value: bool = False,
+    bucket: int = AUC_BUCKET,
+) -> DataFrame:
     """Two-level distributed prefix counts over a score histogram —
     the shared machinery of ml_auc_roc / ml_auc_by_slice /
-    ml_lift_pr_deciles (one implementation so the bucketing and tie
-    conventions cannot drift between them).
+    ml_lift_pr_deciles and (via keep_value=True, which retains the
+    score column ``s`` for rank->value lookups) of
+    pipeline_quantile_normalize (one implementation so the bucketing
+    and tie conventions cannot drift between them).
 
     ``h``: relation (*keys, s, c, cp), which the CALLER must persist —
     it feeds both the bucket-subtotal aggregate and the within-bucket
@@ -76,7 +84,7 @@ def _with_prefix_counts(h: DataFrame, keys: tuple = (), descending: bool = False
     (*keys, bucket) relation and broadcast back; within-bucket counts
     ride a (*keys, bucket)-partitioned window — never a corpus-sized
     single partition."""
-    h = h.withColumn("k", F.expr(f"s div {AUC_BUCKET}"))
+    h = h.withColumn("k", F.expr(f"s div {bucket}"))
     kcol = F.col("k").desc() if descending else F.col("k")
     scol = F.col("s").desc() if descending else F.col("s")
     ks = h.groupBy(*keys, "k").agg(F.sum("c").alias("kc"))
@@ -95,6 +103,7 @@ def _with_prefix_counts(h: DataFrame, keys: tuple = (), descending: bool = False
     )
     return h.join(F.broadcast(off), [*keys, "k"]).select(
         *keys,
+        *(("s",) if keep_value else ()),
         "c",
         "cp",
         (F.col("off") + F.sum("c").over(ww) - F.col("c")).cast("bigint").alias("less"),
