@@ -1627,7 +1627,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sums are not), one fixed-shape IEEE |mean diff| per replica, add-one
 # p-values. Replica randomness offsets past both the bootstrap's and
 # the single permutation test's id ranges via
-# (b*8 + hyp_idx + 96)*7919 so no operator pair shares a split.
+# (b*64 + hyp_idx + 96)*7919 so no operator pair shares a split (the
+# 64 stride stays safely above any plausible family size — an 8
+# stride would alias (b, hyp) seed pairs once a fixture grew past 8
+# hypotheses, silently giving different hypotheses identical
+# permutation splits).
 FDR_REPLICAS = 128  # sized so the controls' floor p = 1/129 clears
 # the BH cut at rank 1-2 of a 7-member family under FDR_Q
 FDR_Q = 0.1
@@ -1638,7 +1642,7 @@ _FDR_CTRL_LO = 25000
 
 def _fdr_oracle() -> str:
     u = (
-        f"((d.event_id % {BOOT_P} + (r.b * 8 + l.li + {_FDR_OFFSET}) * 7919)"
+        f"((d.event_id % {BOOT_P} + (r.b * 64 + l.li + {_FDR_OFFSET}) * 7919)"
         f" * 2654435761) % {BOOT_P}"
     )
     return f"""
@@ -1779,7 +1783,7 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = spark.range(FDR_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
     u = (
-        f"((event_id % {BOOT_P} + (b * 8 + li + {_FDR_OFFSET}) * 7919)"
+        f"((event_id % {BOOT_P} + (b * 64 + li + {_FDR_OFFSET}) * 7919)"
         f" * 2654435761) % {BOOT_P}"
     )
     fan = (

@@ -978,9 +978,17 @@ def _fs_oracle() -> str:
     # CAST the priors to DOUBLE explicitly — DuckDB parses a bare
     # "0.9" as DECIMAL(1,1) and would run the whole ratio in decimal
     # arithmetic while Spark runs doubles
+    # the disagreement branch guards n2 > num: for a corpus-constant
+    # field num = n2, and though a constant field can never actually
+    # disagree (the branch is unreachable then), an unguarded division
+    # would hand DuckDB a divide-by-zero and Spark an Infinity — the
+    # neutral ratio 1.0 keeps the degenerate edge defined identically
+    # in both engines
     ratio = " * ".join(
         f"(CASE WHEN agree_{f} THEN CAST({FS_M} AS DOUBLE) * n.n2 / u_{f}.num"
-        f" ELSE CAST({FS_MISS} AS DOUBLE) * n.n2 / (n.n2 - u_{f}.num) END)"
+        f" WHEN n.n2 > u_{f}.num"
+        f" THEN CAST({FS_MISS} AS DOUBLE) * n.n2 / (n.n2 - u_{f}.num)"
+        f" ELSE CAST(1.0 AS DOUBLE) END)"
         for f in _FS_FIELDS
     )
     agrees = ",\n         ".join(
@@ -1071,10 +1079,16 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(1.0)
     for f in _FS_FIELDS:
         agree = F.col(f"{f}_a") == F.col(f"{f}_b")
-        r = F.when(
-            agree, F.lit(FS_M) * F.col("n2") / F.col(f"num_{f}")
-        ).otherwise(
-            F.lit(FS_MISS) * F.col("n2") / (F.col("n2") - F.col(f"num_{f}"))
+        # disagreement guarded on n2 > num — see the oracle's comment:
+        # a corpus-constant field (num = n2) cannot disagree, but the
+        # unguarded division would still be Infinity; 1.0 is neutral
+        r = (
+            F.when(agree, F.lit(FS_M) * F.col("n2") / F.col(f"num_{f}"))
+            .when(
+                F.col("n2") > F.col(f"num_{f}"),
+                F.lit(FS_MISS) * F.col("n2") / (F.col("n2") - F.col(f"num_{f}")),
+            )
+            .otherwise(F.lit(1.0))
         )
         score = score * r
 
@@ -1441,6 +1455,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds candidate pairs at scale. The output (all pairs with
 # J >= PF_THRESHOLD over distinct-shingle sets) is invariant to the
 # ordering, so the oracle verifies with the naive pairwise join.
+#
+# COLLISION ASSUMPTION (the one caveat on "exact"): set sizes and
+# intersections are computed over xxhash64 shingle hashes, the oracle
+# over the shingle strings themselves. "Exact" therefore means exact
+# up to 64-bit hash collisions: a within-doc collision shrinks s by 1
+# (P ~ s^2/2^65, ~3e-14 for a 1000-shingle doc), a cross-doc collision
+# inflates one candidate pair's intersection by at most 1. At 100 TB
+# (~2^40 distinct shingles) a handful of global collisions exist, each
+# perturbing a single pair's Jaccard by ~1/s — far below any sane
+# threshold margin; any collision at fixture scale would surface as an
+# oracle hash-mismatch, which is exactly the monitoring this needs.
+# Shingling on the raw strings would make the guarantee absolute at
+# the cost of shuffling ~30-byte keys instead of 8-byte hashes through
+# both corpus-scale exchanges — the wrong trade at scale.
 PF_THRESHOLD = 0.5
 
 

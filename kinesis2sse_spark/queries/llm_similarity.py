@@ -506,10 +506,10 @@ def sim_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_APPEND_SPLIT = 400  # vec_id < 400 = base index; >= 400 = new arrivals
 
-
-@register(
-    "sim_ivf_index_append",
-    oracle=f"""
+# shared verbatim by sim_ivf_index_append and its streaming twin
+# streaming_ivf_append: base/new occupancy under the no-retrain rule —
+# one quantizer (first IVF_K vectors, all < split) assigns both phases
+_IVF_APPEND_ORACLE = f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -530,8 +530,10 @@ IVF_APPEND_SPLIT = 400  # vec_id < 400 = base index; >= 400 = new arrivals
            count(*) FILTER (WHERE vec_id < {IVF_APPEND_SPLIT}) AS n_base,
            count(*) FILTER (WHERE vec_id >= {IVF_APPEND_SPLIT}) AS n_new
     FROM assigned GROUP BY cell ORDER BY cell
-    """,
-)
+    """
+
+
+@register("sim_ivf_index_append", oracle=_IVF_APPEND_ORACLE)
 def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF maintenance — the third lifecycle operator of the
     build/probe split: new arrivals (vec_id >= IVF_APPEND_SPLIT) are
@@ -561,6 +563,14 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ivf_assign(newb, centroids).write.partitionBy("cell").mode("append").parquet(
         path
     )
+    return _ivf_occupancy_split(spark, path)
+
+
+def _ivf_occupancy_split(spark: SparkSession, path: str) -> DataFrame:
+    """Combined per-cell occupancy of an appended IVF artifact, split at
+    the base/new vec_id boundary — the read-back both append operators
+    (batch and streaming) return so _IVF_APPEND_ORACLE verifies the
+    assignment arithmetic AND the append roundtrip."""
     idx = spark.read.schema(_IVF_ASSIGNED_SCHEMA).parquet(path)
     return (
         idx.groupBy(F.col("cell").cast("int").alias("cell"))

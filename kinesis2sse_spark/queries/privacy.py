@@ -84,7 +84,10 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(DISTINCT) over a grouped relation partial-aggregates
     map-side; still one corpus shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    sens = (F.col("n_chars") / SENSITIVE_BUCKET).cast("long")
+    # integer `div`, not double-divide-then-cast: double division
+    # truncates toward zero for negatives and loses precision past
+    # 2^53, while DuckDB's // floors — the repo's integer-div rule
+    sens = F.expr(f"n_chars div {SENSITIVE_BUCKET}")
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("class_size"),
         F.countDistinct(sens).alias("n_sensitive_values"),
@@ -144,7 +147,7 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
 
     levels = None
     for lvl in range(LADDER_LEVELS):
-        bucket = (F.col("user_id") / (10**lvl)).cast("long")
+        bucket = F.expr(f"user_id div {10 ** lvl}")  # pure integer div, like the oracle's //
         lev = (
             finest.groupBy("event_type", bucket.alias("bucket"))
             .agg(F.sum("n").alias("n"))

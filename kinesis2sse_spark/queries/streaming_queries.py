@@ -22,6 +22,24 @@ def _qname(prefix: str) -> str:
     return f"{prefix}_{uuid.uuid4().hex[:8]}"
 
 
+def _latest_per_key(out: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+    """Sink-side snapshot assembly for UPDATE-mode window aggregates: the
+    memory sink accumulates one row per (key, emission), and within a
+    key's emission chain the count column `n` strictly grows (an
+    aggregate re-emits only when new rows landed in it), so max_by on n
+    keeps exactly the final value per key. This is the compacted-topic
+    read the update-mode sink contract implies — the same idiom
+    streaming_changelog_compaction and streaming_keyed_running_stats
+    already use. Complete mode would hand back the snapshot for free but
+    never evicts window state and re-emits the whole result table every
+    trigger (unbounded on a long-running stream); update mode evicts at
+    the watermark and emits only changed rows, and this O(|emissions|)
+    sink-side fold restores the snapshot."""
+    return out.groupBy(*keys).agg(
+        F.max_by(F.struct(*cols), F.col("n")).alias("__s")
+    ).select(*keys, *[F.col(f"__s.{c}").alias(c) for c in cols])
+
+
 @register(
     "streaming_tumbling_window",
     bench=True,
@@ -37,8 +55,15 @@ def _qname(prefix: str) -> str:
 def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregate with a watermark — the
     streaming rollup the reference never had (it only indexes). Partial
-    aggregation is incremental per micro-batch; state is bounded by the
-    watermark horizon."""
+    aggregation is incremental per micro-batch; UPDATE-mode emission
+    means window state really is evicted once the watermark passes a
+    window's end (proved by the state-row count across triggers in
+    tests/test_streaming.py::test_update_mode_evicts_window_state) and
+    each trigger emits only the windows it changed — append would hold
+    back the tail windows of a finite input, and complete mode would
+    keep every window in state forever and re-emit the full table each
+    trigger. The sink-side max_by fold compacts the emission log into
+    the final snapshot."""
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
@@ -48,13 +73,13 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("window.start").alias("window_start"), "event_type", "n", "total_value"
         ),
         _qname("tumbling"),
-        # complete mode: emit ALL windows (append would hold back windows
-        # the watermark hasn't passed — the tail of a finite input)
-        output_mode="complete",
+        output_mode="update",
         # state partitions sized to windowed-key cardinality, not cores
         shuffle_partitions=8,
     )
-    return out
+    return _latest_per_key(
+        out, ["window_start", "event_type"], ["n", "total_value"]
+    ).select("window_start", "event_type", "n", "total_value")
 
 
 @register(
@@ -72,17 +97,20 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (15 min window, 5 min slide): every event lands in 3
     overlapping windows. The oracle replays the window-assignment rule
-    relationally (event × 3 window starts)."""
+    relationally (event × 3 window starts). Update-mode emission +
+    sink-side max_by compaction: state evicts at the watermark, each
+    trigger emits only changed windows (see _latest_per_key)."""
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = s.groupBy(F.window("ts", "15 minutes", "5 minutes"), "event_type").agg(
         F.count("*").alias("n")
     )
-    return run_to_memory(
+    out = run_to_memory(
         agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
         _qname("sliding"),
-        output_mode="complete",
+        output_mode="update",
         shuffle_partitions=8,
     )
+    return _latest_per_key(out, ["window_start", "event_type"], ["n"])
 
 
 @register(
@@ -111,21 +139,59 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute gap) per user. Spark merges events into
     sessions incrementally in state; the oracle reconstructs identical
-    sessions with the lag/cumsum idiom (session end = last event + gap)."""
+    sessions with the lag/cumsum idiom (session end = last event + gap).
+
+    Update-mode emission via the custom applyInPandasWithState
+    sessionizer (streaming/state.py::with_session_windows — Spark's
+    built-in session_window aggregate rejects update mode, and complete
+    mode would hold users × sessions — corpus-scale — in state forever):
+    state per key is the open sessions only, evicted once the watermark
+    passes a session's end (data-batch purge + event-time timeout for
+    idle keys; proved by the state-row count across triggers in
+    tests/test_streaming.py). Because a session's KEY (its window
+    bounds) moves as it merges/extends, the sink-side compaction is
+    supersession by OVERLAP, not key equality: an emission is stale iff
+    a later emission for the same user overlaps it with strictly more
+    events (a session only re-emits when it gained events, so n_events
+    strictly grows along a supersession chain; final sessions of one
+    user never overlap — next start is past last end by construction of
+    the gap). The supersession anti-join runs on the emission log,
+    whose size is output-scale, and shuffles both sides once on
+    user_id."""
+    from kinesis2sse_spark.streaming.state import with_session_windows
+
     s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
-        F.count("*").alias("n_events")
-    )
-    return run_to_memory(
-        agg.select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-        ),
+    out = run_to_memory(
+        with_session_windows(s.select("user_id", "ts")),
         _qname("session"),
-        output_mode="complete",
+        output_mode="update",
         shuffle_partitions=8,
+    )
+    return supersede_sessions(out)
+
+
+def supersede_sessions(out: DataFrame) -> DataFrame:
+    """Sink-side snapshot assembly for the update-mode sessionizer's
+    emission log: keep an emitted session unless a LATER emission for
+    the same user strictly overlaps it with more events — the merged/
+    extended session's interval always contains its constituents', and
+    n_events strictly grows along a supersession chain, while distinct
+    final sessions of one user never overlap (next start is past last
+    end + gap). One self-join on user_id over the output-scale emission
+    log."""
+    later = out.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_start").alias("b_start"),
+        F.col("session_end").alias("b_end"),
+        F.col("n_events").alias("b_n"),
+    )
+    return out.join(
+        later,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("session_start") < F.col("b_end"))
+        & (F.col("b_start") < F.col("session_end"))
+        & (F.col("b_n") > F.col("n_events")),
+        "left_anti",
     )
 
 
@@ -921,7 +987,7 @@ STREAM_TOPK_PER_WINDOW = 2
     WITH counts AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
              event_type, count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT window_start, event_type, n, CAST(rn AS BIGINT) AS rank
     FROM (
@@ -938,18 +1004,28 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming forbids window functions over a streaming
     aggregate, so production ranks in the sink (foreachBatch) on the
     per-emit snapshot, exactly what this does on the memory-sink
-    materialization. State stays |windows x event_types|; the rank
-    input is the already-aggregated relation, never the stream."""
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    materialization. State stays bounded by the WATERMARK HORIZON, not
+    |windows| over the stream's lifetime: update-mode emission evicts a
+    window's state row once the watermark passes its end, and the
+    sink-side max_by fold (see _latest_per_key) compacts the emission
+    log into the snapshot the rank runs on. Spark's window() aggregate
+    silently drops null-timestamp rows; the oracle filters them
+    explicitly so the semantics stay pinned symmetrically."""
+    s = (
+        events_stream(spark, sf_dir)
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+    )
     agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
         F.count("*").alias("n")
     )
-    snapshot = run_to_memory(
+    out = run_to_memory(
         agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
         _qname("topkwin"),
-        output_mode="complete",
+        output_mode="update",
         shuffle_partitions=8,
     )
+    snapshot = _latest_per_key(out, ["window_start", "event_type"], ["n"])
     from pyspark.sql import Window
 
     w = Window.partitionBy("window_start").orderBy(
@@ -959,6 +1035,85 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= STREAM_TOPK_PER_WINDOW)
     )
+
+
+from kinesis2sse_spark.queries.llm_similarity import (  # noqa: E402
+    _IVF_APPEND_ORACLE,
+)
+
+
+@register("streaming_ivf_append", oracle=_IVF_APPEND_ORACLE)
+def streaming_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index maintenance — the production shape of
+    sim_ivf_index_append: arriving vectors append to the standing
+    cell-partitioned index artifact ON INGEST CADENCE via foreachBatch.
+    The base index (vec_id < IVF_APPEND_SPLIT) is built batch-side with
+    the same machinery as the batch twin; the arrival stream (vec_id >=
+    split, filtered source-side) then flows through foreachBatch →
+    _ivf_assign(batch, centroids) → partitioned append. Each
+    micro-batch scans and shuffles ONLY its own arrivals (the argmax is
+    map-side max_by against the broadcast IVF_K centroid table), and
+    the append writes pure new files inside existing cell directories —
+    the standing index is never rewritten (file-listing-pinned in
+    tests/test_streaming.py::test_streaming_ivf_append_never_rewrites).
+    Oracle = _IVF_APPEND_ORACLE verbatim: the streaming path must land
+    the identical occupancy split as the batch append, byte for byte."""
+    import os
+    import shutil
+
+    from kinesis2sse_spark.queries.llm_similarity import (
+        IVF_APPEND_SPLIT,
+        _ivf_assign,
+        _ivf_centroids,
+        _ivf_index_path,
+        _ivf_occupancy_split,
+        _with_norm,
+    )
+
+    path = os.path.join(_ivf_index_path(sf_dir) + "_stream", "assigned")
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    from kinesis2sse_spark.catalog import load_table
+
+    corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    base = corpus.filter(F.col("vec_id") < IVF_APPEND_SPLIT)
+    centroids = _ivf_centroids(base)
+    _ivf_assign(base, centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+    arrivals = embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") >= IVF_APPEND_SPLIT
+    )
+    run_ivf_append_stream(arrivals, centroids, path)
+    return _ivf_occupancy_split(spark, path)
+
+
+def run_ivf_append_stream(arrivals: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Drive an arrival stream into a cell-partitioned IVF artifact to
+    completion: foreachBatch assigns each micro-batch against the FIXED
+    broadcast quantizer and appends — new files only, never a rewrite
+    of standing index files (the property the file-listing test pins).
+    Shared by streaming_ivf_append and its controlled-arrival test."""
+    from kinesis2sse_spark.queries.llm_similarity import _ivf_assign, _with_norm
+
+    def append_batch(batch: DataFrame, _batch_id: int) -> None:
+        _ivf_assign(_with_norm(batch), centroids).write.partitionBy(
+            "cell"
+        ).mode("append").parquet(path)
+
+    import os
+
+    ckpt = f"{os.path.dirname(path)}/ckpt"
+    q = (
+        arrivals.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
 
 
 @register(

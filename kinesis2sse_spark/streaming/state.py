@@ -227,3 +227,138 @@ def with_changelog_compaction(df: DataFrame, key_col: str = "user_id") -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- update-mode session windows (custom sessionization) -----------------
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),  # epoch ns
+        T.StructField("lasts", T.ArrayType(T.LongType())),  # epoch ns
+        T.StructField("ns", T.ArrayType(T.LongType())),  # event counts
+    ]
+)
+
+
+def _session_fn(key_col: str, gap_ns: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # open sessions as (start_ns, last_event_ns, n, changed_this_batch)
+        if state.exists:
+            starts, lasts, ns = state.get
+            sessions = [
+                [int(s), int(l), int(n), False]
+                for s, l, n in zip(starts, lasts, ns)
+            ]
+        else:
+            sessions = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t in pdf["ts"]:
+                    if pd.isna(t):
+                        continue  # event-time ops drop null timestamps
+                    v = int(t.value)
+                    sessions.append([v, v, 1, True])
+            # interval-merge sweep: an event/session whose start is at or
+            # before the previous session's end (last + gap, INCLUSIVE —
+            # Spark's session merge rule, and the oracle's strict
+            # "diff > gap opens a session") folds in; `changed` survives
+            # the fold so only touched sessions re-emit (update semantics)
+            sessions.sort(key=lambda x: (x[0], x[1]))
+            merged: list[list] = []
+            for s in sessions:
+                if merged and s[0] <= merged[-1][1] + gap_ns:
+                    m = merged[-1]
+                    m[1] = max(m[1], s[1])
+                    m[2] += s[2]
+                    m[3] = m[3] or s[3]
+                else:
+                    merged.append(s)
+            sessions = merged
+        changed = [s for s in sessions if s[3]]
+        if changed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(changed),
+                    "session_start": [pd.to_datetime(s[0]) for s in changed],
+                    "session_end": [
+                        pd.to_datetime(s[1] + gap_ns) for s in changed
+                    ],
+                    "n_events": [s[2] for s in changed],
+                }
+            )
+        # EVICTION — the whole point of the update-mode shape: a session
+        # whose end the watermark has passed can never change again (later
+        # events would be filtered as late), so its state rows drop here,
+        # on data batches for keys that got data and via event-time
+        # timeout for keys that didn't. State per key is the OPEN
+        # sessions only — bounded by the watermark horizon, not by the
+        # stream's lifetime.
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        live = [s for s in sessions if s[1] + gap_ns > wm_ns]
+        if live:
+            state.update(
+                (
+                    [s[0] for s in live],
+                    [s[1] for s in live],
+                    [s[2] for s in live],
+                )
+            )
+            # re-arm at the earliest open session's end; the purge rule
+            # guarantees end_ns > wm_ns, but ms truncation can land ON
+            # the watermark, which setTimeoutTimestamp rejects — clamp up
+            state.setTimeoutTimestamp(
+                max(
+                    min(s[1] + gap_ns for s in live) // 1_000_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+
+    return update
+
+
+def with_session_windows(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Per-key session windows computed with applyInPandasWithState in
+    UPDATE mode — Spark's built-in session_window aggregate only
+    supports complete/append emission (update raises
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION), and complete mode
+    never evicts window state, so the production shape is this custom
+    sessionizer (the canonical Structured Streaming sessionization
+    pattern): state per key holds only the OPEN sessions (start, last
+    event time, count — 24 bytes each), each micro-batch merges its
+    events into them (inclusive last+gap boundary, matching Spark's
+    session merge rule) and re-emits exactly the sessions it touched,
+    and sessions whose end the watermark has passed are purged — on the
+    key's next data batch or, for idle keys, by event-time timeout.
+    Because a session's identity (its bounds) moves as it merges, the
+    sink-side snapshot is assembled by overlap-supersession, not key
+    equality (see streaming_session_window). ``df`` must carry a
+    watermark on ``ts_col``; rows later than it are filtered upstream,
+    which is exactly what makes the purge safe."""
+    parts = gap.split()
+    unit_s = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60, "hours": 3600, "hour": 3600}[parts[1]]
+    gap_ns = int(parts[0]) * unit_s * 1_000_000_000
+    key_field = next(f for f in df.schema.fields if f.name == key_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _session_fn(key_col, gap_ns),
+        outputStructType=out_schema,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

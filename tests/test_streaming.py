@@ -1370,3 +1370,228 @@ def test_changelog_compaction_null_ts_matches_batch_semantics(spark, tmp_path):
     assert by[1].last_ts is not None
     assert by[2].last_op == "I" and by[2].last_value == 3.0
     assert by[2].last_ts is None and by[2].n_ops == 2
+
+
+def _run_collect_progress(spark, df, name, mode, shuffle_parts=4):
+    """run_to_memory, but returning (result, per-trigger progress list) so
+    tests can read stateOperators row counts across micro-batches."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    try:
+        q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress]
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name), progresses
+
+
+def _state_rows_by_batch(progresses):
+    """batchId -> numRowsTotal of the (single) stateful operator, for
+    triggers that actually ran a stateful stage."""
+    out = {}
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        if ops:
+            out[p["batchId"]] = ops[0]["numRowsTotal"]
+    return out
+
+
+def test_update_mode_evicts_window_state(spark):
+    """THE r10 verdict item: update-mode window aggregation must EVICT
+    state rows for windows the watermark has passed (complete mode keeps
+    every window forever). Three 1-hour windows land in state; once the
+    watermark (1 h delay) passes the two early windows' ends, their
+    state rows are purged — numRowsTotal drops from 3 to 2 and
+    numRowsRemoved records the purge."""
+    import time
+
+    d = staged_batch_dir("upd_evict")
+    schema = "ts timestamp, k string"
+    # two early windows: [09:00,10:00) and [10:00,11:00)
+    _write_batch(
+        spark, d, "b0",
+        [(_ts("2024-01-01 09:15:00"), "x"), (_ts("2024-01-01 10:15:00"), "x")],
+        schema,
+    )
+    time.sleep(1.1)
+    # advances max event time to 14:00 -> watermark 13:00 at END of b1
+    _write_batch(spark, d, "b1", [(_ts("2024-01-01 14:00:00"), "x")], schema)
+    time.sleep(1.1)
+    # during b2 the 13:00 watermark evicts both early windows
+    _write_batch(spark, d, "b2", [(_ts("2024-01-01 15:00:00"), "x")], schema)
+    s = _read_stream(spark, d, schema)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+    )
+    out, progresses = _run_collect_progress(
+        spark,
+        agg.select(F.col("window.start").alias("ws"), "n"),
+        "t_upd_evict",
+        "update",
+    )
+    rows = _state_rows_by_batch(progresses)
+    assert rows[1] == 3, rows  # all three windows held after b1
+    assert rows[2] == 2, rows  # early windows purged, {14:00, 15:00} remain
+    removed = sum(
+        (p.get("stateOperators") or [{}])[0].get("numRowsRemoved", 0)
+        for p in progresses
+    )
+    assert removed >= 2
+    # update emission still surfaced every window exactly once
+    got = {(str(r["ws"]), r["n"]) for r in out.collect()}
+    assert got == {
+        ("2024-01-01 09:00:00", 1),
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 14:00:00", 1),
+        ("2024-01-01 15:00:00", 1),
+    }
+
+
+def test_session_state_evicts_data_batch_and_idle_timeout(spark):
+    """The custom update-mode sessionizer purges closed sessions both
+    ways: on a key's own data batch, and via EVENT-TIME TIMEOUT for a
+    key that never receives data again (user A's state row must drop
+    once the watermark passes its session end, even though only user B
+    keeps sending). Also pins cross-batch session merge + supersession
+    assembly."""
+    import time
+
+    from kinesis2sse_spark.queries.streaming_queries import supersede_sessions
+    from kinesis2sse_spark.streaming.state import with_session_windows
+
+    d = staged_batch_dir("sess_evict")
+    schema = "user_id long, ts timestamp"
+    _write_batch(spark, d, "b0", [(1, _ts("2024-01-01 10:00:00"))], schema)
+    time.sleep(1.1)
+    # merges into A's open session (within 30-min gap, different batch)
+    _write_batch(
+        spark, d, "b1",
+        [(1, _ts("2024-01-01 10:20:00")), (2, _ts("2024-01-01 20:00:00"))],
+        schema,
+    )
+    time.sleep(1.1)
+    # watermark now 18:00 (20:00 - 2h) > A's session end 10:50 -> A's
+    # state row must be timeout-purged even though A got no data
+    _write_batch(spark, d, "b2", [(2, _ts("2024-01-01 20:10:00"))], schema)
+    s = _read_stream(spark, d, schema).withWatermark("ts", "2 hours")
+    out, progresses = _run_collect_progress(
+        spark, with_session_windows(s), "t_sess_evict", "update"
+    )
+    rows = _state_rows_by_batch(progresses)
+    assert rows[1] == 2, rows  # A and B both hold open sessions after b1
+    assert rows[2] == 1, rows  # A purged by event-time timeout during b2
+    snap = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in supersede_sessions(out).collect()
+    }
+    assert snap == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 2),
+        (2, "2024-01-01 20:00:00", "2024-01-01 20:40:00", 2),
+    }, snap
+
+
+def test_streaming_ivf_append_never_rewrites(spark, tmp_path):
+    """The streaming IVF append's scale contract: an append lands pure
+    NEW files inside the cell directories — no standing index file is
+    rewritten, truncated, or touched (path + size + mtime identical
+    before and after), across two separate arrival micro-batches. A
+    rewrite would mean the append cost scales with the INDEX, not the
+    arrival batch."""
+    import os
+    import time
+
+    from kinesis2sse_spark.queries.llm_similarity import (
+        IVF_APPEND_SPLIT,
+        _ivf_assign,
+        _ivf_centroids,
+        _ivf_occupancy_split,
+        _with_norm,
+    )
+    from kinesis2sse_spark.queries.streaming_queries import run_ivf_append_stream
+    from kinesis2sse_spark.streaming.source import embeddings_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = str(tmp_path / "idx" / "assigned")
+
+    corpus = _with_norm(load_table_embeddings(spark, sf_dir))
+    base = corpus.filter(F.col("vec_id") < IVF_APPEND_SPLIT)
+    centroids = _ivf_centroids(base)
+    _ivf_assign(base, centroids).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(path)
+
+    def snapshot():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    assert before, "base index must have files"
+
+    # two controlled arrival batches (distinct mtimes -> distinct triggers)
+    arrivals = load_table_embeddings(spark, sf_dir).filter(
+        F.col("vec_id") >= IVF_APPEND_SPLIT
+    )
+    d = str(tmp_path / "arrivals")
+    a1 = arrivals.filter(F.col("vec_id") % 2 == 0)
+    a2 = arrivals.filter(F.col("vec_id") % 2 == 1)
+    a1.select("vec_id", "embedding", "label").coalesce(1).write.parquet(f"{d}/b0")
+    time.sleep(1.1)
+    a2.select("vec_id", "embedding", "label").coalesce(1).write.parquet(f"{d}/b1")
+
+    s = embeddings_stream(
+        spark, sf_dir, max_files_per_trigger=1, staged_dir=f"{d}/*"
+    ).filter(F.col("vec_id") >= IVF_APPEND_SPLIT)
+    run_ivf_append_stream(s, centroids, path)
+
+    after = snapshot()
+    data_after = {p: v for p, v in after.items()}
+    for p, meta in before.items():
+        base = os.path.basename(p)
+        # commit markers (_SUCCESS) and their checksum shadows
+        # (._SUCCESS.crc) legitimately refresh per commit — DATA files
+        # must not
+        if base.startswith(("_", ".")):
+            continue
+        assert p in data_after, f"standing file deleted: {p}"
+        assert data_after[p] == meta, f"standing file rewritten: {p}"
+    new_files = set(after) - set(before)
+    assert any(f.endswith(".parquet") for f in new_files), "append added no files"
+    # and the combined artifact equals the batch-append occupancy
+    occ = {
+        r["cell"]: (r["n_base"], r["n_new"])
+        for r in _ivf_occupancy_split(spark, path).collect()
+    }
+    batch_occ_new = {
+        r["cell"]: r["n"]
+        for r in _ivf_assign(arrivals.transform(_with_norm_passthrough), centroids)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {c: n for c, (_b, n) in occ.items() if n} == {
+        c: n for c, n in batch_occ_new.items() if n
+    }
+
+
+def load_table_embeddings(spark, sf_dir):
+    from kinesis2sse_spark.catalog import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _with_norm_passthrough(df):
+    from kinesis2sse_spark.queries.llm_similarity import _with_norm
+
+    return _with_norm(df)
