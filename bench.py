@@ -29,7 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kinesis2sse_spark.registry import all_oracles, bench_queries
+from kinesis2sse_spark.registry import all_oracles, all_queries, bench_queries
 from kinesis2sse_spark.session import build_session
 
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
@@ -57,6 +57,42 @@ R01_BASELINE_QUERIES = (
     "window_lag_lead",
     "topk_per_group",
 )
+
+
+# HEAVY section (r10 verdict item 3): the registry's most expensive
+# operators, benched so a plan regression there is visible between
+# scale-curve recordings instead of only at the next curve. Same noop
+# protocol; best-of-2 (each run is seconds-scale, so two reps bound the
+# sweep's added wall-clock at ~1 min while still shedding one load
+# spike). r10 scale-curve 1x values at sf0.1 — the baselines PERF.md
+# §"Heavy bench section" records — are: dedup_jaccard_prefix_filter
+# 12.9 s, sample_kcenter_greedy 10.0 s, text_perplexity_kneser_ney
+# 4.0 s, search_maxsim_late_interaction 3.6 s; the IVF pair rides along
+# to keep the build/probe split's flat-probe property monitored.
+HEAVY_QUERIES = (
+    "dedup_jaccard_prefix_filter",
+    "sample_kcenter_greedy",
+    "text_perplexity_kneser_ney",
+    "search_maxsim_late_interaction",
+    "sim_ivf_index_build",
+    "sim_topk_ivf_prebuilt",
+)
+
+
+def _sweep_heavy(spark, sf_dir):
+    """Best-of-2 over the heavy set (median = max of the two runs rides
+    along implicitly; a regression shows in best-of just as well at this
+    runtime scale)."""
+    qs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEAVY_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        runs = [_run(fn, spark, sf_dir) for _ in range(2)]
+        timings[name] = round(min(runs), 4)
+        spark.catalog.clearCache()
+    return timings
 
 
 def _duckdb_timings(names, sf_dir) -> dict[str, float]:
@@ -179,7 +215,8 @@ def main() -> None:
     spark = build_session(app_name="kinesis2sse_spark_bench")
 
     queries = bench_queries()
-    for name, fn in queries.items():  # warmup: JIT + codegen caches
+    heavy_fns = {n: all_queries()[n] for n in HEAVY_QUERIES if n in all_queries()}
+    for name, fn in {**queries, **heavy_fns}.items():  # warmup: JIT + codegen
         try:
             _run(fn, spark, WARMUP_SF_DIR)
         except Exception:
@@ -208,6 +245,8 @@ def main() -> None:
     best = min(attempts, key=lambda a: a["drift"])
     medians = best["medians"]
 
+    heavy = _sweep_heavy(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -223,6 +262,8 @@ def main() -> None:
                 "total_r01_subset_median": round(
                     sum(v for k, v in medians.items() if k in R01_BASELINE_QUERIES), 4
                 ),
+                "queries_heavy": heavy,
+                "total_heavy": round(sum(heavy.values()), 4),
                 "queries_duckdb": _duckdb_timings(list(queries), sf_dir),
                 "protocol": (
                     "action = full-row noop write (uniform since r10; "

@@ -1353,7 +1353,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEARNED from geometry instead of requiring a label column. At
     100 TB: the cell count follows the integer sqrt-ladder (k ~ sqrt(n)
     balances the n*k assignment against the n²/k pairwise stage, and
-    the k x dim seed relation stays broadcastable through 2^20 cells),
+    the k x dim seed relation stays broadcastable through 2^20 cells —
+    broadcast-growth citation: seeds is k*dim ~ sqrt(n)*dim doubles,
+    one power-of-4 ladder step per 4x corpus, i.e. ~0.5 GB at 2^20
+    cells x 64 dims vs the 8 GB ceiling; measured curve
+    artifacts/SCALE_CURVE_r08_semdedup.json, 5.0/18.1/413 s at
+    1x/10x/100x with the ladder stepping twice),
     the corpus shuffles ONCE on the cell key, and the within-cell pair
     expansion is capacity-planned by the cell-size histogram
     (sim_ivf_index_stats is exactly that report). Cosine rounds at 1e-6

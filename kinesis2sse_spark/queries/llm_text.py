@@ -3750,7 +3750,15 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {QN_LEVELS}-row grid built by a broadcast range-join against
     the global rank relation, and documents rejoin their
     (source, value) group by equi-key. Every corpus-sized relation
-    shuffles only on value/group keys."""
+    shuffles only on value/group keys. Broadcast-growth citation
+    (census class sublinear): the forced hints carry the per-source
+    totals `m` (|sources| rows — sources grow with ingest pipelines,
+    not documents: a 100 TB corpus has thousands of sources, ~tens of
+    KB broadcast) and the {QN_LEVELS}+1-row `tr`/`nn` threshold
+    relations (constant); the value-bucket rank relations are bounded
+    by distinct n_chars values — capped by max document length, so
+    ~10^5 rows at ANY corpus size, orders of magnitude under the
+    broadcast ceiling."""
     # NULL n_chars filtered SYMMETRICALLY with the oracle: Spark
     # windows sort nulls first, DuckDB last — excluding them on both
     # sides is the only ordering-free parity (fixtures are null-free;

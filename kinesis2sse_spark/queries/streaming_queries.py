@@ -1037,6 +1037,56 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id, session_id, event_type
+                              ORDER BY ts, event_id) > 1 AS is_dup
+    FROM s
+    """,
+)
+def streaming_dedup_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup scoped to SESSION boundaries — the gap the fixed-horizon
+    streaming_dedup_* rungs leave open: a repeated event_type within
+    the same 30-minute-gap session is the re-crawled page / double-
+    fired beacon (flagged), while the same type in a LATER session is a
+    legitimate revisit (passes). Composition of the update-mode
+    sessionizer's interval state with a per-session seen-set
+    (streaming/state.py::with_session_dedup): sessions merge across
+    micro-batches, bridge events check the union of bridged sets, and
+    closed sessions evict at the watermark (data-batch purge +
+    event-time timeout — the suppression window ADAPTS to activity
+    instead of a fixed horizon). The single-file fixture is one
+    micro-batch processed in (ts, event_id) order, so the lag/cumsum
+    batch reconstruction + first-occurrence rule is an exact oracle;
+    cross-batch carry-over and seen-set reset across session close are
+    pinned in tests/test_streaming.py."""
+    from kinesis2sse_spark.streaming.state import with_session_dedup
+
+    s = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    out = run_to_memory(
+        with_session_dedup(s.select("user_id", "event_id", "event_type", "ts")),
+        _qname("sessdedup"),
+        "append",
+        shuffle_partitions=8,
+    )
+    return out.select("user_id", "event_id", "event_type", "ts", "is_dup")
+
+
 from kinesis2sse_spark.queries.llm_similarity import (  # noqa: E402
     _IVF_APPEND_ORACLE,
 )

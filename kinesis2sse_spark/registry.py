@@ -68,45 +68,65 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # in git history); _ordered() layers it between the automatic red
 # re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 window (the r09 composition lives in git history):
-    # every entry is a "plan replaced under an already-green row"
-    # re-proof, so each must re-earn its row this round.
-    # - The de-hinting sweep (r9 verdict item 1): all TPC-H queries
-    #   whose customer/part/supplier broadcasts were dropped in favor
-    #   of AQE (nation/region hints kept; exact per-query budgets in
-    #   tests/test_plans.py TPCH_HINT_BUDGET):
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_parts_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q20_potential_promotion",
-    # - Same sweep, class-4 vocabulary hints (TF-IDF df, PMI ua/ub):
-    "text_tfidf_top_terms",
-    "text_cooccurrence_pmi",
-    # - Same sweep, census-discovered growing hints outside tpch.py
-    #   (stream-static customer dim, streaming PIT SCD2 history, the
-    #   two subquery part relations):
-    "streaming_stream_static_join",
-    "streaming_pit_enrich",
-    "subquery_correlated_scalar_min",
-    "subquery_nested_correlated_having",
-    # - IVF family: nearest-cell assignment rewired from a row_number
-    #   window over the n x IVF_K expansion to the shared max_by
-    #   aggregate helper (_ivf_assign) feeding the new build/probe
-    #   split:
-    "sim_topk_ivf",
-    "sim_topk_ivfpq",
-    "sim_ivf_index_stats",
+    # Round-11 window (the r10 composition lives in git history):
+    # 10 new/changed operators that must (re-)earn a driver row this
+    # round, then the ENTIRE remaining r04-vintage stale front (r10
+    # verdict item 2: the LRC rotation's oldest latest-rows) — 50
+    # names, exactly the driver's per-round row budget.
+    # - The update-mode streaming conversion (r10 verdict item 1):
+    "streaming_tumbling_window",
+    "streaming_sliding_window",
+    "streaming_session_window",
+    "streaming_topk_per_window",
+    # - New operators (r10 verdict items 4-5):
+    "streaming_dedup_session",
+    "streaming_ivf_append",
+    # - ADVICE-touched plans (integer div, seed stride, FS guard):
+    "privacy_l_diversity",
+    "privacy_generalization_ladder",
+    "stats_fdr_bh",
+    "er_fellegi_sunter",
+    # - The r04-vintage stale front (re-proofs; no code change):
+    "streaming_stream_stream_join",
+    "streaming_dedup",
+    "text_ngrams",
+    "text_scrub",
+    "text_stopword_removal",
+    "text_repetition_score",
+    "decontaminate_ngram",
+    "select_token_budget",
+    "pipeline_sequence_packing",
+    "pipeline_training_export",
+    "mix_domain_weights",
+    "filter_quality_percentile",
+    "hist_token_lengths",
+    "sample_systematic",
+    "sample_stratified",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "source_binary_files",
+    "udf_scalar_python",
+    "udf_pandas_vectorized",
+    "udf_grouped_zscore",
+    "udtf_tokenize",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "sink_partitioned_parquet",
+    "window_lag_lead",
+    "window_running_agg",
+    "window_sliding_rows",
+    "window_first_last",
+    "window_time_range",
+    "window_distribution",
+    "union_all",
+    "union_distinct",
+    "intersect_distinct",
+    "intersect_all",
+    "subquery_scalar",
+    "subquery_in",
+    "subquery_not_in_null_safe",
+    "dedup_ngram_containment",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
@@ -114,7 +134,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # round or later — so re-proof entries (which already hold OLD rows)
 # keep fronting until the round actually runs, fixing the r06 failure
 # mode where a re-proof list spent itself instantly against stale rows.
-DRIVER_PRIORITY_ROUND = 10
+DRIVER_PRIORITY_ROUND = 11
 
 
 def _driver_rows() -> dict[str, tuple[int, dict]]:

@@ -362,3 +362,143 @@ def with_session_windows(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- session-scoped streaming dedup --------------------------------------
+
+SESSION_DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),  # epoch ns
+        T.StructField("lasts", T.ArrayType(T.LongType())),  # epoch ns
+        T.StructField("types", T.ArrayType(T.StringType())),  # \x1f-joined sets
+    ]
+)
+
+_TYPE_SEP = "\x1f"
+
+
+def _session_dedup_fn(key_col: str, dedup_col: str, gap_ns: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # open sessions as [start_ns, last_ns, set(dedup values)]
+        if state.exists:
+            starts, lasts, types = state.get
+            sessions = [
+                [int(s), int(l), set(t.split(_TYPE_SEP)) if t else set()]
+                for s, l, t in zip(starts, lasts, types)
+            ]
+        else:
+            sessions = []
+        out_eid, out_ts, out_typ, out_dup = [], [], [], []
+        if not state.hasTimedOut:
+            events = []
+            for pdf in pdfs:
+                for eid, t, typ in zip(
+                    pdf["event_id"], pdf["ts"], pdf[dedup_col]
+                ):
+                    if pd.isna(t):
+                        continue  # event-time ops drop null timestamps
+                    events.append((int(t.value), int(eid), typ))
+            # (ts, event_id) order within the micro-batch — so a single-
+            # batch replay is EXACTLY the batch sessionization + first-
+            # occurrence rule; across batches the verdict is by arrival
+            # (an out-of-order earlier event in a later batch cannot
+            # retract an already-emitted verdict — pinned in tests)
+            events.sort()
+            for ts_ns, eid, typ in events:
+                fit = [
+                    s
+                    for s in sessions
+                    if ts_ns <= s[1] + gap_ns and ts_ns + gap_ns >= s[0]
+                ]
+                is_dup = any(typ in s[2] for s in fit)
+                merged = [
+                    min([ts_ns] + [s[0] for s in fit]),
+                    max([ts_ns] + [s[1] for s in fit]),
+                    set.union({typ}, *[s[2] for s in fit]) if fit else {typ},
+                ]
+                sessions = [s for s in sessions if s not in fit]
+                sessions.append(merged)
+                sessions.sort(key=lambda s: (s[0], s[1]))
+                out_eid.append(eid)
+                out_ts.append(pd.to_datetime(ts_ns))
+                out_typ.append(typ)
+                out_dup.append(is_dup)
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_eid),
+                    "event_id": out_eid,
+                    dedup_col: out_typ,
+                    "ts": out_ts,
+                    "is_dup": out_dup,
+                }
+            )
+        # eviction mirrors with_session_windows: a closed session's seen-
+        # set can never matter again (later events would be late), so
+        # state per key is the open sessions' dedup sets only — bounded
+        # by the watermark horizon times within-session distinct values,
+        # never the stream's lifetime
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        live = [s for s in sessions if s[1] + gap_ns > wm_ns]
+        if live:
+            state.update(
+                (
+                    [s[0] for s in live],
+                    [s[1] for s in live],
+                    [_TYPE_SEP.join(sorted(s[2])) for s in live],
+                )
+            )
+            state.setTimeoutTimestamp(
+                max(
+                    min(s[1] + gap_ns for s in live) // 1_000_000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+
+    return update
+
+
+def with_session_dedup(
+    df: DataFrame,
+    key_col: str = "user_id",
+    dedup_col: str = "event_type",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Dedup scoped to SESSION boundaries — a repeat of ``dedup_col``
+    within the same gap-defined session is flagged as a duplicate (the
+    re-crawled page / double-fired beacon), while the same value in a
+    later session is a legitimate revisit and passes. This is the
+    composition of the update-mode sessionizer's interval state with a
+    per-session seen-set: state per key holds the open sessions plus
+    the distinct dedup values seen in each, merges bridge sessions
+    (verdict checks the UNION of bridged sets), and evicts exactly like
+    with_session_windows (data-batch purge + event-time timeout) — so
+    unlike a watermark-horizon dedup the suppression window ADAPTS to
+    activity: it lasts as long as the session does, and resets the
+    moment the session closes. ``df`` needs (key_col, ts, event_id,
+    dedup_col) and a watermark on ts."""
+    parts = gap.split()
+    unit_s = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60, "hours": 3600, "hour": 3600}[parts[1]]
+    gap_ns = int(parts[0]) * unit_s * 1_000_000_000
+    key_field = next(f for f in df.schema.fields if f.name == key_col)
+    dedup_field = next(f for f in df.schema.fields if f.name == dedup_col)
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("event_id", T.LongType()),
+            T.StructField(dedup_col, dedup_field.dataType),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+    return df.groupBy(key_col).applyInPandasWithState(
+        _session_dedup_fn(key_col, dedup_col, gap_ns),
+        outputStructType=out_schema,
+        stateStructType=SESSION_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

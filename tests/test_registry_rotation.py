@@ -203,7 +203,12 @@ def test_checked_segment_cycles_least_recently_checked_first(monkeypatch):
     names = list(registry._REGISTRY)
     rnd = registry.DRIVER_PRIORITY_ROUND
     rows = {n: (rnd, dict(GREEN)) for n in names}
-    stale = names[-3:]  # registered LAST, checked LONGEST ago
+    # registered LAST, checked LONGEST ago — but never priority
+    # members: handing one of those an old row would legitimately
+    # re-activate the priority list (round-scoped spend rule) and
+    # this test is about the LRC segment, not priority fronting
+    pri = set(registry.DRIVER_PRIORITY)
+    stale = [n for n in names if n not in pri][-3:]
     for n in stale:
         rows[n] = (rnd - 3, dict(GREEN))
     _fake_rows(monkeypatch, rows)

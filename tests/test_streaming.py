@@ -1595,3 +1595,79 @@ def _with_norm_passthrough(df):
     from kinesis2sse_spark.queries.llm_similarity import _with_norm
 
     return _with_norm(df)
+
+
+def test_session_dedup_carryover_and_reset(spark):
+    """Session-scoped dedup across micro-batches: a repeat of the same
+    event_type WITHIN the open session (arriving in a later batch)
+    flags as duplicate; after the session closes (gap exceeded) the
+    seen-set resets and the same type passes again; and the state row
+    for a key whose sessions all closed is purged (event-time timeout,
+    like the sessionizer)."""
+    import time
+
+    from kinesis2sse_spark.streaming.state import with_session_dedup
+
+    d = staged_batch_dir("sessdedup")
+    schema = "user_id long, event_id long, event_type string, ts timestamp"
+    _write_batch(
+        spark, d, "b0",
+        [(1, 10, "click", _ts("2024-01-01 10:00:00"))],
+        schema,
+    )
+    time.sleep(1.1)
+    # same type, same open session (20 min gap), DIFFERENT batch -> dup;
+    # different type in same session -> pass
+    _write_batch(
+        spark, d, "b1",
+        [
+            (1, 11, "click", _ts("2024-01-01 10:20:00")),
+            (1, 12, "view", _ts("2024-01-01 10:25:00")),
+            (2, 20, "click", _ts("2024-01-01 20:00:00")),
+        ],
+        schema,
+    )
+    time.sleep(1.1)
+    # user 1 returns past the gap: new session -> 'click' passes again.
+    # user 2's 20:00 event advances nothing; 23:00 arrival pushes the
+    # watermark (2 h) past user 1's first sessions
+    _write_batch(
+        spark, d, "b2",
+        [
+            (1, 13, "click", _ts("2024-01-01 11:30:00")),
+            (2, 21, "click", _ts("2024-01-01 23:00:00")),
+        ],
+        schema,
+    )
+    time.sleep(1.1)
+    # one more batch so the watermark (21:00 after b2) timeout-purges
+    # user 1's state even though user 1 got no more data
+    _write_batch(
+        spark, d, "b3",
+        [(2, 22, "view", _ts("2024-01-01 23:30:00"))],
+        schema,
+    )
+    s = _read_stream(spark, d, schema).withWatermark("ts", "2 hours")
+    out, progresses = _run_collect_progress(
+        spark, with_session_dedup(s), "t_sessdedup", "append"
+    )
+    verdicts = {r["event_id"]: r["is_dup"] for r in out.collect()}
+    assert verdicts == {
+        10: False,  # first click of session 1
+        11: True,   # repeat click, same session, cross-batch state
+        12: False,  # different type, same session
+        13: False,  # click again, NEW session -> seen-set reset
+        20: False,
+        21: False,  # user 2, next day session
+        22: False,
+    }, verdicts
+    rows = _state_rows_by_batch(progresses)
+    # b1: users 1 and 2 both hold open sessions. b2: the watermark is
+    # already 18:00 (b1's 20:00 - 2h), so user 1's 11:30 session is
+    # purged IN ITS OWN data batch right after its verdict emits —
+    # the data-batch purge path — leaving only user 2; b3 stays at 1
+    # (the idle-key timeout path is pinned in
+    # test_session_state_evicts_data_batch_and_idle_timeout)
+    assert rows[1] == 2, rows
+    assert rows[2] == 1, rows
+    assert rows[3] == 1, rows
