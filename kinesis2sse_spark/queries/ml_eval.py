@@ -1044,3 +1044,143 @@ def ir_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("avg_precision"),
     )
+
+
+# Isotonic regression (PAV) over the reliability bins — the standard
+# post-hoc calibrator (Zadrozny & Elkan 2002) one step past the
+# diagnostics above: ml_calibration_bins SHOWS miscalibration, this
+# produces the monotone score->probability map that FIXES it. The fit
+# uses the minimax closed form of pool-adjacent-violators:
+#   iso(i) = max_{j<=i} min_{k>=i}  (CP[k]-CP[j-1]) / (N[k]-N[j-1])
+# (weighted interval averages over prefix sums), which is PAV's exact
+# solution without the sequential pooling loop — the right shape for a
+# relational engine: the corpus collapses to <= CALIB_BINS bin rows in
+# ONE map-side-combined aggregate, and the j<=i<=k interval expansion
+# runs over that constant-size relation (<= B^3 rows, B = 10), never
+# the corpus. Interval averages are single IEEE divisions of exact
+# int64 prefix sums (identical across engines); min/max over those
+# doubles are exact; only the final rate floor-quantizes at 1e6.
+_ISO_ORACLE = f"""
+WITH {_SCORED_CTE},
+mm AS (
+  SELECT CAST(min(s) AS BIGINT) AS mn, CAST(max(s) AS BIGINT) AS mx FROM scored
+),
+b AS (
+  SELECT CAST(((s - mn) * {CALIB_BINS}) // (mx - mn + 1) AS BIGINT) AS bin, pos
+  FROM scored, mm
+),
+g AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+  FROM b GROUP BY bin
+),
+p AS (
+  SELECT bin, n, np,
+         CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(np) OVER (ORDER BY bin) AS BIGINT) AS cp
+  FROM g
+),
+iv AS (
+  SELECT j.bin AS jb, k.bin AS kb,
+         CAST(k.cp - j.cp + j.np AS DOUBLE)
+           / CAST(k.cn - j.cn + j.n AS DOUBLE) AS avg_jk
+  FROM p j JOIN p k ON j.bin <= k.bin
+),
+fit AS (
+  SELECT i.bin, max(inner_min.mn_avg) AS iso
+  FROM p i
+  JOIN (
+    SELECT v.jb, i2.bin AS ib, min(v.avg_jk) AS mn_avg
+    FROM iv v JOIN p i2 ON v.jb <= i2.bin AND i2.bin <= v.kb
+    GROUP BY v.jb, i2.bin
+  ) inner_min ON inner_min.ib = i.bin
+  GROUP BY i.bin
+)
+SELECT g.bin, g.n, g.np AS n_pos,
+       floor(CAST(g.np AS DOUBLE) / CAST(g.n AS DOUBLE) * 1000000 + 0.5)
+         / 1000000 AS raw_rate,
+       floor(f.iso * 1000000 + 0.5) / 1000000 AS iso_rate
+FROM g JOIN fit f ON f.bin = g.bin
+"""
+
+
+@register("ml_isotonic_calibration", oracle=_ISO_ORACLE)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the linear probe via the minimax
+    closed form — see the block comment above for the algebra and the
+    determinism argument. Scale shape: ONE corpus aggregate (the same
+    equal-width reliability binning as ml_calibration_bins — integer
+    arithmetic against the broadcast 1-row min/max) collapses
+    everything to <= {CALIB_BINS} bin rows; prefix sums, the j<=k
+    interval expansion, and the max-of-min fold all run on that
+    constant-size relation with no forced hints (AQE trivially
+    broadcasts ten-row sides). The fitted iso_rate is monotone
+    nondecreasing in bin by construction — pinned in
+    tests/test_ml_eval.py along with the PAV pooling property on a
+    hand-computed violator fixture."""
+    s = _scored(spark, sf_dir).transform(pin_cache)
+    mm = s.agg(
+        F.min("s").cast("bigint").alias("mn"), F.max("s").cast("bigint").alias("mx")
+    )
+    g = (
+        s.crossJoin(F.broadcast(mm))
+        .select(
+            F.expr(f"((s - mn) * {CALIB_BINS}) div (mx - mn + 1)")
+            .cast("bigint")
+            .alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("np"),
+        )
+        .transform(pin_cache)
+    )
+    fit = pav_fit(g)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return g.join(fit, "bin").select(
+        "bin",
+        "n",
+        F.col("np").alias("n_pos"),
+        q6(F.col("np").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        q6(F.col("iso")).alias("iso_rate"),
+    )
+
+
+def pav_fit(g: DataFrame) -> DataFrame:
+    """Minimax PAV over a (bin, n, np) relation -> (bin, iso): the
+    weighted isotonic fit, exactly the pooled-adjacent-violators
+    solution. Relation is constant-size (<= CALIB_BINS rows), so the
+    single-partition window and the j<=i<=k expansion are free."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = g.select(
+        "bin",
+        "n",
+        "np",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("np").over(w).cast("bigint").alias("cp"),
+    )
+    j = p.select(
+        F.col("bin").alias("jb"), F.col("n").alias("jn"),
+        F.col("np").alias("jnp"), F.col("cn").alias("jcn"), F.col("cp").alias("jcp"),
+    )
+    k = p.select(
+        F.col("bin").alias("kb"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp"),
+    )
+    iv = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jnp")).cast("double")
+            / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i2 = p.select(F.col("bin").alias("ib"))
+    inner_min = (
+        iv.join(i2, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb")))
+        .groupBy("jb", "ib")
+        .agg(F.min("avg_jk").alias("mn_avg"))
+    )
+    return inner_min.groupBy(F.col("ib").alias("bin")).agg(
+        F.max("mn_avg").alias("iso")
+    )

@@ -169,3 +169,89 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         k_ok.alias("k_anonymous"),
         (k_ok & (F.col("level") == min_ok_level)).alias("chosen"),
     )
+
+
+# Randomized response (Warner 1965) — the LOCAL differential-privacy
+# mechanism that rounds out the release-gate family above: each event's
+# sensitive bit (did this user purchase?) is reported TRUTHFULLY with
+# probability 3/4 and FLIPPED with probability 1/4, giving each
+# individual report eps = ln(3) local DP, and the cohort-level rate is
+# recovered from the noisy reports by the standard debiasing
+# pi_hat = 2*observed - 1/2 (spelled in integers: (4*R - n) / (2n)).
+# The coin is the repo's deterministic hash-uniform (multiplicative-
+# hash integer threshold, never a double comparison), seeded past every
+# other operator's replica id range so no pair of operators shares a
+# split; flip iff u mod 4 == 0 makes the 3/4 keep probability EXACT,
+# not a float approximation. Everything is int64 arithmetic until the
+# three final fixed-shape divisions (floor-quantized at 1e-6), so the
+# oracle replays the mechanism bit-for-bit — including the ground-truth
+# columns that make the utility contract (|pi_hat - pi_true| small at
+# cohort n, a property test) checkable.
+RR_P = 1000000007
+RR_SEED = 16384  # multiplier offset: above bootstrap (0-31), permutation
+# (32-95) and FDR (96-8231) id ranges — no shared splits
+RR_COHORT = 5  # user_id div 5: 3 cohorts at sf0.001, 30 at sf0.01 —
+# scales with the user population so per-cohort n stays ~constant
+
+
+@register(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id // {RR_COHORT} AS cohort,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ((event_id % {RR_P} + {RR_SEED} * 7919)
+                        * 2654435761) % {RR_P} % 4 = 0 THEN 1 ELSE 0 END AS flip
+      FROM events
+    ),
+    rep AS (
+      SELECT cohort, b, CASE WHEN flip = 1 THEN 1 - b ELSE b END AS r FROM ev
+    )
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(b) AS BIGINT) AS n_true,
+           CAST(sum(r) AS BIGINT) AS n_reported,
+           floor(CAST(sum(b) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+             AS pi_true,
+           floor(CAST(4 * sum(r) - count(*) AS DOUBLE) / (2 * count(*))
+                 * 1000000 + 0.5) / 1000000 AS pi_hat
+    FROM rep GROUP BY cohort
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response per user cohort — see the block
+    comment for the mechanism, the exact-3/4 integer coin, and the
+    debiasing algebra. Scale shape: a map-side projection (hash, flip,
+    report — no shuffle) followed by ONE map-side-combined cohort
+    aggregate; cohorts grow with the user population, not with events,
+    and nothing but the per-cohort counters crosses the exchange. The
+    ground-truth columns ride along because this operator's job in a
+    pipeline is the A/B: prove the mechanism's report stream still
+    estimates the cohort rate (utility) while each individual row
+    carries eps = ln(3) deniability (privacy)."""
+    e = load_table(spark, sf_dir, "events")
+    b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    flip = F.when(
+        F.expr(
+            f"((event_id % {RR_P} + {RR_SEED} * 7919) * 2654435761)"
+            f" % {RR_P} % 4"
+        )
+        == 0,
+        1,
+    ).otherwise(0)
+    rep = e.select(
+        F.expr(f"user_id div {RR_COHORT}").alias("cohort"),
+        b.alias("b"),
+        F.when(flip == 1, 1 - b).otherwise(b).alias("r"),
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return rep.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("n_true"),
+        F.sum("r").cast("bigint").alias("n_reported"),
+        q6(F.sum("b").cast("double") / F.count("*")).alias("pi_true"),
+        q6(
+            (4 * F.sum("r") - F.count("*")).cast("double")
+            / (2 * F.count("*"))
+        ).alias("pi_hat"),
+    )

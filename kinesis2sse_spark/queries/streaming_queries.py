@@ -1038,6 +1038,78 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_quantile_histogram",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bucket,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bucket, c,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum * 100 >= 50 * n THEN bucket END) AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum * 100 >= 90 * n THEN bucket END) AS BIGINT) AS p90,
+           CAST(min(CASE WHEN cum * 100 >= 99 * n THEN bucket END) AS BIGINT) AS p99
+    FROM cum GROUP BY event_type
+    """,
+)
+def streaming_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitoring — the fixed-histogram shape that
+    makes quantiles incremental: the stream aggregates per-(type,
+    value-bucket) counts in update mode (state is the histogram itself
+    — |types| x |buckets| rows, bounded by the VALUE DOMAIN, not the
+    stream; unit-width integer buckets here, the resolution being the
+    operator's documented contract), and the nearest-rank percentile
+    read (min bucket whose cumulative count reaches ceil(q*n), pure
+    integer: cum*100 >= q*n) runs sink-side on the compacted snapshot
+    per emission — exactly how a production latency/size monitor
+    publishes p50/p90/p99 without ever sorting the stream. Counts only
+    grow, so the max_by fold (see _latest_per_key) restores the final
+    histogram; the single-file fixture's one batch makes the batch
+    replay exact."""
+    s = events_stream(spark, sf_dir).where(F.col("value").isNotNull())
+    agg = s.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    out = run_to_memory(
+        agg, _qname("qhist"), output_mode="update", shuffle_partitions=8
+    )
+    hist = _latest_per_key(out, ["event_type", "bucket"], ["n"]).select(
+        "event_type", "bucket", F.col("n").alias("c")
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wc).cast("bigint").alias("cum"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= q * F.col("n"), F.col("bucket"))
+    ).cast("bigint")
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).alias("p50"),
+        pick(90).alias("p90"),
+        pick(99).alias("p99"),
+    )
+
+
+@register(
     "streaming_dedup_session",
     oracle="""
     WITH g AS (

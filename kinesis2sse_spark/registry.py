@@ -78,9 +78,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "streaming_sliding_window",
     "streaming_session_window",
     "streaming_topk_per_window",
-    # - New operators (r10 verdict items 4-5):
+    # - New operators (r10 verdict items 4-5 + round-11 additions):
     "streaming_dedup_session",
     "streaming_ivf_append",
+    "ml_isotonic_calibration",
+    "privacy_randomized_response",
+    "streaming_quantile_histogram",
     # - ADVICE-touched plans (integer div, seed stride, FS guard):
     "privacy_l_diversity",
     "privacy_generalization_ladder",
@@ -119,9 +122,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_first_last",
     "window_time_range",
     "window_distribution",
-    "union_all",
-    "union_distinct",
-    "intersect_distinct",
     "intersect_all",
     "subquery_scalar",
     "subquery_in",

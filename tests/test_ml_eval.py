@@ -624,3 +624,46 @@ def test_logistic_probe_gd_matches_python_replay(spark):
     for j in range(d):
         assert got[j] == w[j], f"dim {j}: {got[j]} != {w[j]}"
     assert any(abs(v) > 0 for v in w), "all-zero weights: training did nothing"
+
+
+def test_isotonic_pav_pools_violators_and_is_monotone(spark):
+    """The minimax closed form must equal classic sequential PAV on
+    hand-computed violator fixtures, and the operator's fixture-scale
+    output must be monotone with pooling ACTUALLY exercised (a fit
+    where iso == raw everywhere would leave PAV's defining behavior
+    untested)."""
+    from kinesis2sse_spark.queries.ml_eval import pav_fit
+
+    # rates [1.0, 0.0, 0.5], equal weights -> PAV pools all three
+    g1 = spark.createDataFrame(
+        [(0, 2, 2), (1, 2, 0), (2, 2, 1)], "bin long, n long, np long"
+    )
+    got1 = {r["bin"]: r["iso"] for r in pav_fit(g1).collect()}
+    assert got1 == {0: 0.5, 1: 0.5, 2: 0.5}, got1
+
+    # rates [0.2, 0.8, 0.4] -> only the last two pool (to 0.6)
+    g2 = spark.createDataFrame(
+        [(0, 5, 1), (1, 5, 4), (2, 5, 2)], "bin long, n long, np long"
+    )
+    got2 = {r["bin"]: r["iso"] for r in pav_fit(g2).collect()}
+    assert got2 == {0: 0.2, 1: 0.6, 2: 0.6}, got2
+
+    # weighted pooling: [1.0 (w1), 0.0 (w3)] -> pooled mean 0.25
+    g3 = spark.createDataFrame(
+        [(0, 1, 1), (1, 3, 0)], "bin long, n long, np long"
+    )
+    got3 = {r["bin"]: r["iso"] for r in pav_fit(g3).collect()}
+    assert got3 == {0: 0.25, 1: 0.25}, got3
+
+    from kinesis2sse_spark.registry import all_queries
+
+    rows = (
+        all_queries()["ml_isotonic_calibration"](spark, "/root/testdata/sf0.001")
+        .orderBy("bin")
+        .collect()
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be monotone"
+    assert any(r["iso_rate"] != r["raw_rate"] for r in rows), (
+        "fixture must exercise pooling"
+    )

@@ -1583,6 +1583,27 @@ def test_streaming_ivf_append_never_rewrites(spark, tmp_path):
     assert {c: n for c, (_b, n) in occ.items() if n} == {
         c: n for c, n in batch_occ_new.items() if n
     }
+    # per-VECTOR equality, not just per-cell counts: the stream-grown
+    # artifact must hold the identical (vec_id -> cell) assignment the
+    # batch path would produce, so any probe over it returns the same
+    # neighbors byte-for-byte
+    from kinesis2sse_spark.queries.llm_similarity import _IVF_ASSIGNED_SCHEMA
+
+    stream_pairs = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.schema(_IVF_ASSIGNED_SCHEMA)
+        .parquet(path)
+        .filter(F.col("vec_id") >= IVF_APPEND_SPLIT)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    batch_pairs = {
+        (r["vec_id"], r["cell"])
+        for r in _ivf_assign(arrivals.transform(_with_norm_passthrough), centroids)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
 
 
 def load_table_embeddings(spark, sf_dir):
@@ -1671,3 +1692,36 @@ def test_session_dedup_carryover_and_reset(spark):
     assert rows[1] == 2, rows
     assert rows[2] == 1, rows
     assert rows[3] == 1, rows
+
+
+def test_quantile_histogram_accumulates_across_batches(spark):
+    """The streaming histogram's per-bucket counts must accumulate
+    across micro-batches (update-mode state), and the sink-side max_by
+    compaction must keep the LATEST count per bucket — a per-batch
+    histogram would report batch-local percentiles."""
+    import time
+
+    from kinesis2sse_spark.queries.streaming_queries import _latest_per_key
+
+    d = staged_batch_dir("qhist_acc")
+    schema = "event_type string, value double"
+    _write_batch(
+        spark, d, "b0",
+        [("x", 1.5), ("x", 1.7), ("x", 9.2)], schema,
+    )
+    time.sleep(1.1)
+    _write_batch(
+        spark, d, "b1",
+        [("x", 1.1), ("x", 9.9), ("x", 99.0)], schema,
+    )
+    s = _read_stream(spark, d, schema)
+    agg = s.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    out = run_to_memory(agg, "t_qhist_acc", "update", shuffle_partitions=4)
+    hist = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in _latest_per_key(out, ["event_type", "bucket"], ["n"]).collect()
+    }
+    # bucket 1 saw rows in BOTH batches -> compacted count is 3, not 1/2
+    assert hist == {("x", 1): 3, ("x", 9): 2, ("x", 99): 1}, hist
