@@ -172,6 +172,16 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # tf pre-filtered to BM25_QUERY_TERMS -> df bounded by |Q|
     ("llm_text.py", "text_bm25_search", "df"): "constant",
     ("llm_text.py", "text_bm25_search", "stats"): "constant",
+    # --- Rocchio PRF: every relation bounded by |Q|, PRF_FB, or the
+    # feedback docs' vocabulary (hundreds of rows however large the
+    # corpus — feedback depth is fixed, doc length is capped) ---
+    ("llm_text.py", "bm25_scores", "dfrel"): "constant",  # |terms| rows
+    ("llm_text.py", "bm25_scores", "stats"): "constant",  # 1-row corpus stats
+    ("llm_text.py", "search_prf_rocchio", "fb"): "constant",  # PRF_FB rows
+    ("llm_text.py", "search_prf_rocchio", "cand_tf.select('term')"): "domain-bounded",
+    ("llm_text.py", "search_prf_rocchio", "cand_df"): "domain-bounded",
+    ("llm_text.py", "search_prf_rocchio", "stats"): "constant",
+    ("llm_text.py", "search_prf_rocchio", "terms2"): "constant",  # |Q|+PRF_EXP rows
     ("llm_text.py", "decontaminate_ngram", "bench_sh"): "constant",  # eval-bounded
     ("llm_text.py", "select_token_budget", "offsets"): "domain-bounded",
     ("llm_text.py", "pipeline_sequence_packing", "offsets"): "domain-bounded",
@@ -210,6 +220,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "_with_prefix_counts", "off"): "domain-bounded",  # per-partition
     ("ml_eval.py", "ml_calibration_bins", "mm"): "constant",  # 1-row minmax
     ("ml_eval.py", "ml_brier_ece", "mm"): "constant",
+    ("ml_eval.py", "ml_isotonic_calibration", "mm"): "constant",  # 1-row minmax
     ("ml_eval.py", "_ir_ranked", "queries"): "constant",
     ("ml_eval.py", "_with_nrel", "lc"): "constant",  # per-query label counts
     ("ml_eval.py", "ml_feature_drift", "tot"): "constant",

@@ -3815,3 +3815,242 @@ def pipeline_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qval").cast("bigint").alias("norm_chars"),
         )
     )
+
+
+# Pseudo-relevance feedback (Rocchio 1971, the PRF/"blind feedback"
+# form): run the BM25 query, treat its top PRF_FB docs as relevant,
+# mine the PRF_EXP strongest non-query terms from them (weight =
+# feedback-tf x corpus idf), and re-run BM25 with the expanded term set
+# — original terms at weight 1, expansion terms at PRF_BETA. The
+# classic recall lever for lexical search, and the operator class the
+# plain bm25/rrf rungs stop short of: a DATA-DEPENDENT second query,
+# kept fully relational (the expanded term set joins the corpus as a
+# broadcast relation — never a driver collect, never an isin literal).
+# Determinism: the one libm call (ln in idf) rides the bm25 idiom the
+# sweep has held at three SFs — per-term contributions cast to
+# DECIMAL(27,15) before any summation, ranks over floor-1e6 scores
+# with doc/term tiebreaks.
+PRF_FB = 5  # feedback depth: top-5 round-1 docs presumed relevant
+PRF_EXP = 5  # expansion width: 5 mined terms
+PRF_BETA = 0.5  # Rocchio expansion weight
+
+
+def _prf_oracle() -> str:
+    qvals = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+    WITH q(term) AS (VALUES {qvals}),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tok AS (
+      SELECT d.doc_id, t.term
+      FROM documents d, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+    ),
+    tf1 AS (
+      SELECT tok.doc_id, tok.term, count(*) AS tf, max(dl.dl) AS dl
+      FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+      WHERE tok.term IN (SELECT term FROM q)
+      GROUP BY tok.doc_id, tok.term
+    ),
+    df1 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf1 GROUP BY term),
+    c1 AS (
+      SELECT tf1.doc_id,
+             CAST(
+               ln((n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+                 * (tf1.tf * ({k1} + 1.0))
+                 / (tf1.tf + {k1} * (1.0 - {b} + {b} * (tf1.dl / avgdl)))
+               AS DECIMAL(27,15)) AS c
+      FROM tf1 JOIN df1 USING (term) CROSS JOIN stats
+    ),
+    s1 AS (
+      SELECT doc_id, floor(CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS score
+      FROM c1 GROUP BY doc_id
+    ),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM s1
+      ) WHERE rnk <= {PRF_FB}
+    ),
+    cand_tf AS (
+      SELECT tok.term, CAST(count(*) AS BIGINT) AS fbtf
+      FROM tok JOIN fb USING (doc_id)
+      WHERE tok.term NOT IN (SELECT term FROM q)
+      GROUP BY tok.term
+    ),
+    cand_df AS (
+      SELECT tok.term, CAST(count(DISTINCT tok.doc_id) AS DOUBLE) AS df
+      FROM tok JOIN cand_tf USING (term)
+      GROUP BY tok.term
+    ),
+    exp_terms AS (
+      SELECT term FROM (
+        SELECT ct.term,
+               row_number() OVER (
+                 ORDER BY floor(CAST(CAST(ct.fbtf
+                          * ln((n_docs - cd.df + 0.5) / (cd.df + 0.5) + 1.0)
+                        AS DECIMAL(27,15)) AS DOUBLE) * 1000000 + 0.5) DESC,
+                        ct.term
+               ) AS trnk
+        FROM cand_tf ct JOIN cand_df cd USING (term) CROSS JOIN stats
+      ) WHERE trnk <= {PRF_EXP}
+    ),
+    terms2 AS (
+      SELECT term, CAST(1.0 AS DOUBLE) AS w FROM q
+      UNION ALL
+      SELECT term, CAST({PRF_BETA} AS DOUBLE) AS w FROM exp_terms
+    ),
+    tf2 AS (
+      SELECT tok.doc_id, tok.term, count(*) AS tf, max(dl.dl) AS dl,
+             max(t2.w) AS w
+      FROM tok JOIN dl ON dl.doc_id = tok.doc_id
+      JOIN terms2 t2 ON t2.term = tok.term
+      GROUP BY tok.doc_id, tok.term
+    ),
+    df2 AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf2 GROUP BY term),
+    c2 AS (
+      SELECT tf2.doc_id,
+             CAST(tf2.w
+               * ln((n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+               * (tf2.tf * ({k1} + 1.0))
+               / (tf2.tf + {k1} * (1.0 - {b} + {b} * (tf2.dl / avgdl)))
+               AS DECIMAL(27,15)) AS c
+      FROM tf2 JOIN df2 USING (term) CROSS JOIN stats
+    ),
+    s2 AS (
+      SELECT doc_id, floor(CAST(sum(c) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS score
+      FROM c2 GROUP BY doc_id
+    )
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM s2
+    ) WHERE rnk <= 10
+    """
+
+
+@register("search_prf_rocchio", oracle=_prf_oracle())
+def search_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback — see the block comment for
+    the model. Scale shape, pass by pass: round 1 is text_bm25_search's
+    posting-slice plan (explode filtered to |Q| literal terms BEFORE
+    the shuffle); the PRF_FB-row feedback relation broadcasts onto a
+    second filtered explode to mine candidate terms (the (term, fbtf)
+    relation is bounded by the feedback docs' vocabulary, hundreds of
+    rows); candidate df comes from a corpus explode joined against the
+    BROADCAST candidate set — filtered at the map side by the join, so
+    the exchange again carries a posting slice, not the corpus; round 2
+    re-joins the corpus explode against the broadcast |Q|+{PRF_EXP}-row
+    weighted term relation. Four corpus scans, zero corpus-wide
+    shuffles, no driver collect anywhere — the expanded query stays a
+    RELATION end to end. Every broadcast here is bounded by |Q|,
+    PRF_FB, or the feedback vocabulary — none grows with the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    k1, b = BM25_K1, BM25_B
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    terms = list(BM25_QUERY_TERMS)
+    ex = d.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl"), F.explode(toks).alias("term")
+    )
+
+    def bm25_scores(tf):
+        """(doc_id, term, tf, dl[, w]) -> (doc_id, score): the shared
+        scoring tail — df aggregate, idf, decimal-quantized weighted
+        contributions, floor-1e6 per-doc sum. The posting-slice tf
+        relation is consumed by BOTH the df aggregate and the scoring
+        join -> eager pin (the connected_components rule), sized at
+        |terms| x docs-containing-them, never the corpus."""
+        tf = tf.transform(pin_cache)
+        dfrel = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        norm = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+        w = F.col("w") if "w" in tf.columns else F.lit(1.0)
+        contrib = (
+            tf.join(F.broadcast(dfrel), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                (w * idf * (F.col("tf") * (k1 + 1.0)) / norm)
+                .cast("decimal(27,15)")
+                .alias("c"),
+            )
+        )
+        return contrib.groupBy("doc_id").agg(
+            (F.floor(F.sum("c").cast("double") * 1000000 + F.lit(0.5)) / 1000000)
+            .alias("score")
+        )
+
+    tf1 = (
+        ex.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    w10 = Window.partitionBy().orderBy(F.col("score").desc(), "doc_id")
+    fb = (
+        bm25_scores(tf1)
+        .withColumn("rnk", F.row_number().over(w10))
+        .where(F.col("rnk") <= PRF_FB)
+        .select("doc_id")
+    )
+    # candidate mining: feedback docs' terms (broadcast PRF_FB rows
+    # prunes the explode map-side), original query terms excluded
+    cand_tf = (
+        ex.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("fbtf"))
+        .transform(pin_cache)
+    )
+    cand_df = (
+        ex.join(F.broadcast(cand_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    )
+    tw = F.floor(
+        (
+            F.col("fbtf")
+            * F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        )
+        .cast("decimal(27,15)")
+        .cast("double")
+        * 1000000
+        + F.lit(0.5)
+    )
+    wexp = Window.partitionBy().orderBy(tw.desc(), "term")
+    exp_terms = (
+        cand_tf.join(F.broadcast(cand_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("trnk", F.row_number().over(wexp))
+        .where(F.col("trnk") <= PRF_EXP)
+        .select("term")
+    )
+    terms2 = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.lit(1.0).alias("w"))
+        .unionAll(exp_terms.select("term", F.lit(PRF_BETA).alias("w")))
+    )
+    tf2 = (
+        ex.join(F.broadcast(terms2), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"), F.max("w").alias("w"))
+    )
+    return (
+        bm25_scores(tf2)
+        .withColumn("rnk", F.row_number().over(w10))
+        .where(F.col("rnk") <= 10)
+        .select("doc_id", "score", "rnk")
+    )

@@ -1288,3 +1288,33 @@ def test_link_prediction_knn_prunes_topk_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_prf_rocchio_relational_expansion_no_cartesian(spark):
+    """search_prf_rocchio: the data-dependent expanded query must stay
+    a broadcast RELATION (no driver collect, no isin literal), the
+    posting-slice tf relations pin (each feeds df + scoring), and no
+    stage degenerates to a cartesian product — the only nested-loop
+    joins are the 1-row stats broadcasts."""
+    plan = _plan(spark, "search_prf_rocchio")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("InMemoryTableScan") >= 4  # tf1/tf2 (x2 each) + cand_tf
+    # top-10/top-F ranks are singleton-partition windows over already-
+    # aggregated per-doc scores, not corpus windows
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_isotonic_single_corpus_aggregate(spark):
+    """ml_isotonic_calibration: ONE corpus aggregate (the binning) —
+    everything downstream (prefix sums, the j<=i<=k interval expansion,
+    the max-of-min fold) runs on the pinned constant-size bin relation
+    (InMemoryTableScans), never re-touching embeddings."""
+    plan = _plan(spark, "ml_isotonic_calibration")
+    # the scored relation pins once and the bin relation pins once;
+    # every embeddings.parquet scan lives INSIDE those cached plans
+    # (InMemoryRelation bodies), so downstream stages scan only caches
+    assert plan.count("InMemoryTableScan") >= 3
+    from kinesis2sse_spark.queries.ml_eval import CALIB_BINS  # noqa: F401
+
+    assert "CartesianProduct" not in plan
