@@ -221,6 +221,11 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "ml_calibration_bins", "mm"): "constant",  # 1-row minmax
     ("ml_eval.py", "ml_brier_ece", "mm"): "constant",
     ("ml_eval.py", "ml_isotonic_calibration", "mm"): "constant",  # 1-row minmax
+    # MMD drift: 2-row group sizes, MMD_REPLICAS+1 replica ids, 2-row
+    # observed stats — all literal-bounded
+    ("ml_eval.py", "stats_mmd_embedding_drift", "sizes"): "constant",
+    ("ml_eval.py", "stats_mmd_embedding_drift", "reps"): "constant",
+    ("ml_eval.py", "stats_mmd_embedding_drift", "obs"): "constant",
     ("ml_eval.py", "_ir_ranked", "queries"): "constant",
     ("ml_eval.py", "_with_nrel", "lc"): "constant",  # per-query label counts
     ("ml_eval.py", "ml_feature_drift", "tot"): "constant",

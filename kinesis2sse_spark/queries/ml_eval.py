@@ -1184,3 +1184,209 @@ def pav_fit(g: DataFrame) -> DataFrame:
     return inner_min.groupBy(F.col("ib").alias("bin")).agg(
         F.max("mn_avg").alias("iso")
     )
+
+
+# Embedding-distribution two-sample test: exact linear-kernel MMD^2
+# (Gretton et al. 2012) with a hash-permutation null — the
+# REPRESENTATION-level drift check that complements ml_feature_drift's
+# per-dimension PSI: linear-kernel MMD^2 = ||mean_X - mean_Y||^2
+# detects any mean shift of the embedding cloud in one corpus pass
+# (group mean vectors are 64 map-side-combined integer sums; no
+# pairwise stage exists — the kernel trick collapses to moment
+# matching). Two hypotheses ride the same machinery, the FDR-style
+# control design: the LABEL split is exchangeable by synthesis and is
+# EXPECTED to accept, while the comp0-sign split is selected on the
+# embedding itself, so its mean shift is true by construction and pins
+# the reject regime. Null calibration: MMD_REPLICAS hash-permuted
+# memberships (u mod n < nx — integer threshold, never a double; seed
+# multiplier offset 32768 sits above bootstrap/permutation/FDR/RR id
+# ranges), add-one p-value. Components floor-quantize to 1e3-scaled
+# int64 (sums exact, order-free); the only floating point is one
+# division pair per dimension and the FIXED-ORDER 64-term fold of
+# squared mean differences (F.aggregate / list_reduce — both engines
+# fold left over the same dim order, so the doubles are identical).
+MMD_REPLICAS = 32
+MMD_SEED = 32768
+_MMD_P = 1000000007
+
+
+def _mmd_oracle() -> str:
+    u = f"((vec_id % {_MMD_P} + (r.b + {MMD_SEED}) * 7919) * 2654435761) % {_MMD_P}"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv,
+             CASE WHEN label >= {EVAL_POS_LABEL_MIN} THEN 1 ELSE 0 END AS g_label,
+             CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END AS g_comp0
+      FROM embeddings
+    ),
+    hyp AS (
+      SELECT 'label_split' AS hypothesis, vec_id, qv, g_label AS g FROM q
+      UNION ALL
+      SELECT 'comp0_split', vec_id, qv, g_comp0 FROM q
+    ),
+    sizes AS (
+      SELECT hypothesis, CAST(sum(g) AS BIGINT) AS nx,
+             CAST(count(*) - sum(g) AS BIGINT) AS ny,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hyp GROUP BY hypothesis
+    ),
+    fan AS (
+      SELECT h.hypothesis, h.vec_id, h.qv, r.b,
+             CASE WHEN r.b = -1 THEN h.g
+                  WHEN {u} % s.n < s.nx THEN 1 ELSE 0 END AS g
+      FROM hyp h
+      JOIN sizes s USING (hypothesis)
+      CROSS JOIN (SELECT unnest(range(-1, {MMD_REPLICAS})) AS b) r
+    ),
+    dim AS (
+      SELECT hypothesis, b, g, d.d,
+             CAST(sum(qv[d.d + 1]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM fan, LATERAL (SELECT unnest(range(0, {EVAL_DIM})) AS d) d
+      GROUP BY hypothesis, b, g, d.d
+    ),
+    vecs AS (
+      SELECT hypothesis, b, g,
+             list(s ORDER BY d) AS sums, max(n) AS n
+      FROM dim GROUP BY hypothesis, b, g
+    ),
+    mmd AS (
+      SELECT x.hypothesis, x.b, x.n AS nx, y.n AS ny,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {EVAL_DIM} + 1), i ->
+                 (CAST(x.sums[i] AS DOUBLE) / x.n
+                  - CAST(y.sums[i] AS DOUBLE) / y.n)
+                 * (CAST(x.sums[i] AS DOUBLE) / x.n
+                    - CAST(y.sums[i] AS DOUBLE) / y.n))),
+               (a, v) -> a + v) AS mmd2
+      FROM vecs x JOIN vecs y
+        ON x.hypothesis = y.hypothesis AND x.b = y.b AND x.g = 1 AND y.g = 0
+    ),
+    obs AS (SELECT hypothesis, nx, ny, mmd2 FROM mmd WHERE b = -1),
+    null_cnt AS (
+      SELECT m.hypothesis,
+             CAST(count(*) FILTER (WHERE m.mmd2 >= o.mmd2) AS BIGINT) AS n_ge
+      FROM mmd m JOIN obs o USING (hypothesis)
+      WHERE m.b >= 0
+      GROUP BY m.hypothesis
+    )
+    SELECT o.hypothesis, o.nx, o.ny,
+           floor(o.mmd2 * 1000000 + 0.5) / 1000000 AS mmd2,
+           n.n_ge,
+           floor((1.0 + n.n_ge) / (1.0 + {MMD_REPLICAS}) * 1000000 + 0.5)
+             / 1000000 AS p_value,
+           (1.0 + n.n_ge) / (1.0 + {MMD_REPLICAS}) <= 0.05 AS reject
+    FROM obs o JOIN null_cnt n USING (hypothesis)
+    """
+
+
+@register("stats_mmd_embedding_drift", oracle=_mmd_oracle())
+def stats_mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD two-sample test over the embedding cloud with
+    a permutation null — see the block comment for the model, the
+    control design, and the FP discipline. Scale shape: the
+    (1 + MMD_REPLICAS) x 2-hypotheses fan-out collapses to group mean
+    vectors INSIDE one map-side-combined aggregate (64 integer sums
+    per (hypothesis, replica, group) — ~4k tiny rows cross the
+    exchange, never the corpus); the MMD fold, null counting and
+    p-values run on that constant-size relation. No pairwise kernel
+    stage exists at any scale — linear-kernel MMD is moment matching."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)"
+            " AS BIGINT))"
+        ).alias("qv"),
+        (F.col("label") >= EVAL_POS_LABEL_MIN).cast("int").alias("g_label"),
+        (F.col("embedding")[0] >= 0).cast("int").alias("g_comp0"),
+    )
+    hyp = q.select(
+        F.lit("label_split").alias("hypothesis"), "vec_id", "qv",
+        F.col("g_label").alias("g"),
+    ).unionAll(
+        q.select(
+            F.lit("comp0_split").alias("hypothesis"), "vec_id", "qv",
+            F.col("g_comp0").alias("g"),
+        )
+    ).transform(pin_cache)
+    sizes = hyp.groupBy("hypothesis").agg(
+        F.sum("g").cast("bigint").alias("nx"),
+        (F.count("*") - F.sum("g")).cast("bigint").alias("ny"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    reps = spark.range(-1, MMD_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
+    u = f"((vec_id % {_MMD_P} + (b + {MMD_SEED}) * 7919) * 2654435761) % {_MMD_P}"
+    fan = (
+        hyp.join(F.broadcast(sizes), "hypothesis")
+        .crossJoin(F.broadcast(reps))
+        .select(
+            "hypothesis",
+            "qv",
+            "b",
+            F.when(F.col("b") == -1, F.col("g"))
+            .when(F.expr(u) % F.col("n") < F.col("nx"), 1)
+            .otherwise(0)
+            .alias("g"),
+        )
+    )
+    sums = fan.groupBy("hypothesis", "b", "g").agg(
+        F.array(
+            *[F.sum(F.col("qv")[i]).cast("bigint") for i in range(EVAL_DIM)]
+        ).alias("sums"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    x = sums.where(F.col("g") == 1).select(
+        "hypothesis", "b", F.col("sums").alias("sx"), F.col("n").alias("nx")
+    )
+    y = sums.where(F.col("g") == 0).select(
+        F.col("hypothesis").alias("hy"), F.col("b").alias("by"),
+        F.col("sums").alias("sy"), F.col("n").alias("ny"),
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            "sx",
+            "sy",
+            lambda a, c: (
+                a.cast("double") / F.col("nx") - c.cast("double") / F.col("ny")
+            )
+            * (a.cast("double") / F.col("nx") - c.cast("double") / F.col("ny")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    mmd = (
+        x.join(
+            y, (F.col("hypothesis") == F.col("hy")) & (F.col("b") == F.col("by"))
+        )
+        .select("hypothesis", "b", "nx", "ny", diff2.alias("mmd2"))
+        .transform(pin_cache)
+    )
+    obs = mmd.where(F.col("b") == -1).select(
+        "hypothesis",
+        "nx",
+        "ny",
+        F.col("mmd2").alias("obs_mmd2"),
+    )
+    nulls = (
+        mmd.where(F.col("b") >= 0)
+        .join(F.broadcast(obs), "hypothesis")
+        .groupBy("hypothesis")
+        .agg(
+            F.sum(
+                F.when(F.col("mmd2") >= F.col("obs_mmd2"), 1).otherwise(0)
+            ).cast("bigint").alias("n_ge")
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    p = (1.0 + F.col("n_ge")) / (1.0 + MMD_REPLICAS)
+    return obs.join(nulls, "hypothesis").select(
+        "hypothesis",
+        "nx",
+        "ny",
+        q6(F.col("obs_mmd2")).alias("mmd2"),
+        "n_ge",
+        q6(p).alias("p_value"),
+        (p <= 0.05).alias("reject"),
+    )
