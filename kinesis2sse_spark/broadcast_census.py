@@ -182,6 +182,9 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_text.py", "search_prf_rocchio", "cand_df"): "domain-bounded",
     ("llm_text.py", "search_prf_rocchio", "stats"): "constant",
     ("llm_text.py", "search_prf_rocchio", "terms2"): "constant",  # |Q|+PRF_EXP rows
+    # Neyman allocation: 1-row weight total / seat shortfall
+    ("llm_text.py", "sample_neyman_allocation", "t"): "constant",
+    ("llm_text.py", "sample_neyman_allocation", "short"): "constant",
     ("llm_text.py", "decontaminate_ngram", "bench_sh"): "constant",  # eval-bounded
     ("llm_text.py", "select_token_budget", "offsets"): "domain-bounded",
     ("llm_text.py", "pipeline_sequence_packing", "offsets"): "domain-bounded",
@@ -226,6 +229,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "stats_mmd_embedding_drift", "sizes"): "constant",
     ("ml_eval.py", "stats_mmd_embedding_drift", "reps"): "constant",
     ("ml_eval.py", "stats_mmd_embedding_drift", "obs"): "constant",
+    ("ml_eval.py", "ml_threshold_sweep_youden", "tot"): "constant",  # 1-row totals
     ("ml_eval.py", "_ir_ranked", "queries"): "constant",
     ("ml_eval.py", "_with_nrel", "lc"): "constant",  # per-query label counts
     ("ml_eval.py", "ml_feature_drift", "tot"): "constant",

@@ -1959,3 +1959,98 @@ def stats_chisq_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_95"),
         (F.col("chisq") > crit).alias("reject_uniform"),
     )
+
+
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) — the
+# experimentation-platform primitive: adjust each unit's metric by its
+# PRE-period covariate, y_adj = y - theta*(x - mean_x) with
+# theta = cov(x, y)/var(x), shrinking metric variance by the squared
+# x/y correlation and with it the A/B sample size needed. Here the
+# unit is the user, x = total event value in the first half of the
+# fixture month, y = in the second half. Everything reduces to exact
+# int64 moments over milli-quantized per-user sums (one corpus shuffle
+# to user grain, one map-side-combined 1-row moment aggregate);
+# var/cov/theta and the closed-form adjusted variance
+# var_adj = var_y - cov^2/var_x are five fixed-shape IEEE expressions
+# evaluated identically by both engines, floor-quantized at 1e6.
+# Headroom: per-user milli-sums <= ~3e7, squares 1e15, summed over
+# ~2e3 users at sf0.1 -> ~1e18; promote the moment sums to
+# DECIMAL(38,0) past ~1e4 users x this activity (same plan).
+CUPED_SPLIT_DAY = 16  # day-of-month boundary: days 1-15 = pre, 16+ = post
+
+
+@register(
+    "stats_cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN extract(day FROM ts) < {CUPED_SPLIT_DAY}
+                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(sum(CASE WHEN extract(day FROM ts) >= {CUPED_SPLIT_DAY}
+                  THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    )
+    SELECT n,
+           floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                 * 1000000 + 0.5) / 1000000 AS theta,
+           floor((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n
+                 * 0.000001 * 1000000 + 0.5) / 1000000 AS var_y,
+           floor(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n
+                  - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n)
+                 * 0.000001 * 1000000 + 0.5) / 1000000 AS var_cuped,
+           floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                 / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)
+                 * 1000000 + 0.5) / 1000000 AS var_reduction
+    FROM m
+    """,
+)
+def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjustment — see the block comment. var_y/var_cuped are
+    reported in metric units (the 1e-3 quantization squared is folded
+    out via the 1e-6 factor before rounding); var_reduction is the
+    squared x/y correlation (the fraction of variance CUPED removes),
+    unit-free. One corpus shuffle to user grain + one 1-row moment
+    aggregate; nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    v3 = F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)")
+    pre = F.when(F.dayofmonth("ts") < CUPED_SPLIT_DAY, v3).otherwise(F.lit(0))
+    post = F.when(F.dayofmonth("ts") >= CUPED_SPLIT_DAY, v3).otherwise(F.lit(0))
+    pu = e.groupBy("user_id").agg(
+        F.sum(pre).cast("bigint").alias("x"),
+        F.sum(post).cast("bigint").alias("y"),
+    )
+    m = pu.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    vx_n = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    vy_n = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return m.select(
+        "n",
+        q6(cov_n / vx_n).alias("theta"),
+        q6((vy_n / n) * 0.000001).alias("var_y"),
+        q6(((vy_n / n) - cov_n * cov_n / vx_n / n) * 0.000001).alias("var_cuped"),
+        q6(cov_n * cov_n / vx_n / vy_n).alias("var_reduction"),
+    )

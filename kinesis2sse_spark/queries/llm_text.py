@@ -4054,3 +4054,111 @@ def search_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .select("doc_id", "score", "rnk")
     )
+
+
+# Neyman optimal allocation (Neyman 1934) — the variance-minimizing
+# stratified-sampling design the proportional sample_stratified rung
+# stops short of: a fixed budget B splits across strata proportional
+# to N_h * S_h (stratum size x stratum standard deviation), so
+# high-variance strata get oversampled and the stratified estimator's
+# variance hits its minimum. Integer seats come from the largest-
+# remainder method (floor(B*w_h/W) each, leftovers to the largest
+# fractional remainders, source-name tiebreak) so allocations always
+# sum EXACTLY to B. Determinism: S_h = sqrt of an exact-int64-moments
+# variance (sqrt is correctly rounded in IEEE, so both engines produce
+# the identical double), every remainder comparison is over identical
+# doubles with a total-order tiebreak. Allocations may exceed a
+# stratum's population for extreme size/variance mixes; production
+# caps at N_h and redistributes — at this fixture every a_h << N_h,
+# and the uncapped report keeps the algebra pure.
+NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             n_docs * sqrt((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * sx / n_docs) / n_docs) AS wh
+      FROM m
+    ),
+    t AS (SELECT sum(wh) AS tw FROM w),
+    seats AS (
+      SELECT source, n_docs, wh,
+             CAST(floor({NEYMAN_BUDGET} * wh / tw) AS BIGINT) AS base,
+             {NEYMAN_BUDGET} * wh / tw - floor({NEYMAN_BUDGET} * wh / tw) AS rem
+      FROM w CROSS JOIN t
+    ),
+    short AS (
+      SELECT CAST({NEYMAN_BUDGET} - sum(base) AS BIGINT) AS k FROM seats
+    )
+    SELECT s.source, s.n_docs,
+           floor(s.wh / s.n_docs * 1000000 + 0.5) / 1000000 AS stddev,
+           s.base + CASE WHEN row_number() OVER (ORDER BY s.rem DESC, s.source)
+                         <= sh.k THEN 1 ELSE 0 END AS alloc
+    FROM seats s CROSS JOIN short sh
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a {NEYMAN_BUDGET}-doc budget across source
+    strata — see the block comment for the model and the determinism
+    argument. ONE corpus shuffle (per-source int64 moments); weights,
+    seats, remainders, and the largest-remainder top-up all run on the
+    |sources|-row relation (window over a handful of rows). The
+    allocation column is what a downstream sampler feeds its per-
+    stratum rate — composing with sample_stratified's hash-systematic
+    selection gives the full design."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    wh = F.col("n_docs") * F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n_docs")
+        )
+        / F.col("n_docs")
+    )
+    w = m.select("source", "n_docs", wh.alias("wh"))
+    t = w.agg(F.sum("wh").alias("tw"))
+    frac = NEYMAN_BUDGET * F.col("wh") / F.col("tw")
+    seats = (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "wh",
+            F.floor(frac).cast("bigint").alias("base"),
+            (frac - F.floor(frac)).alias("rem"),
+        )
+        .transform(pin_cache)
+    )
+    short = seats.agg(
+        (NEYMAN_BUDGET - F.sum("base")).cast("bigint").alias("k")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("rem").desc(), "source")
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        seats.crossJoin(F.broadcast(short))
+        .withColumn("rn", rn)
+        .select(
+            "source",
+            "n_docs",
+            q6(F.col("wh") / F.col("n_docs")).alias("stddev"),
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )

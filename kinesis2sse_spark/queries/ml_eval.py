@@ -1390,3 +1390,116 @@ def stats_mmd_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(p).alias("p_value"),
         (p <= 0.05).alias("reject"),
     )
+
+
+# Youden-optimal operating point: sweep EVERY distinct score as a
+# candidate threshold (predict positive when s >= t) and pick the one
+# maximizing Youden's J = sensitivity + specificity - 1 — the standard
+# ROC-derived threshold choice ml_confusion_threshold (fixed t = 0)
+# stops short of. Exactness: J's argmax is taken over the INTEGER
+# numerator TP*N - FP*P (J = that over the constant P*N), so no
+# floating point touches the comparison; ties break toward the
+# smallest threshold. The sweep is NOT a corpus windows pass: the
+# score histogram (one shuffle) feeds the same two-level distributed
+# prefix machinery as ml_auc_roc — once for row-prefix, once with the
+# positive counts in the count role for pos-prefix — and the argmax is
+# a single map-side-combined max_by.
+_YOUDEN_ORACLE = f"""
+WITH {_SCORED_CTE},
+h AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS cp
+  FROM scored GROUP BY s
+),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS p, CAST(sum(c - cp) AS BIGINT) AS n FROM h
+),
+r AS (
+  SELECT s,
+         CAST(sum(c) OVER (ORDER BY s) - c AS BIGINT) AS rows_lt,
+         CAST(sum(cp) OVER (ORDER BY s) - cp AS BIGINT) AS pos_lt
+  FROM h
+),
+cand AS (
+  SELECT r.s AS threshold,
+         t.p - r.pos_lt AS tp,
+         t.n - (r.rows_lt - r.pos_lt) AS fp,
+         r.pos_lt AS fn, r.rows_lt - r.pos_lt AS tn,
+         (t.p - r.pos_lt) * t.n - (t.n - (r.rows_lt - r.pos_lt)) * t.p AS num,
+         t.p, t.n
+  FROM r CROSS JOIN tot t
+)
+SELECT threshold, tp, fp, fn, tn,
+       floor(CAST(tp AS DOUBLE) / p * 1000000 + 0.5) / 1000000 AS sensitivity,
+       floor(CAST(tn AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS specificity,
+       floor(CAST(num AS DOUBLE) / (CAST(p AS DOUBLE) * n) * 1000000 + 0.5)
+         / 1000000 AS youden_j
+FROM cand
+ORDER BY num DESC, threshold ASC
+LIMIT 1
+"""
+
+
+@register("ml_threshold_sweep_youden", oracle=_YOUDEN_ORACLE)
+def ml_threshold_sweep_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Youden-optimal threshold sweep — see the block comment for the
+    model and the integer-argmax exactness argument. The histogram
+    pins (it feeds both prefix passes and the totals); the argmax is
+    max_by over struct(num, -threshold) (lexicographic = J desc,
+    threshold asc — exactly the oracle's ORDER BY), one
+    map-side-combined reduce over the distinct-score relation."""
+    h = (
+        _scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum("pos").cast("bigint").alias("cp"),
+        )
+        .transform(pin_cache)
+    )
+    tot = h.agg(
+        F.sum("cp").cast("bigint").alias("p"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n"),
+    )
+    r1 = _with_prefix_counts(h, keep_value=True).select(
+        "s", F.col("less").alias("rows_lt")
+    )
+    r2 = _with_prefix_counts(
+        h.select("s", F.col("cp").alias("c"), F.col("c").alias("cp")),
+        keep_value=True,
+    ).select(F.col("s").alias("s2"), F.col("less").alias("pos_lt"))
+    cand = (
+        r1.join(r2, F.col("s") == F.col("s2"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("threshold"),
+            (F.col("p") - F.col("pos_lt")).alias("tp"),
+            (F.col("n") - (F.col("rows_lt") - F.col("pos_lt"))).alias("fp"),
+            F.col("pos_lt").alias("fn"),
+            (F.col("rows_lt") - F.col("pos_lt")).alias("tn"),
+            (
+                (F.col("p") - F.col("pos_lt")) * F.col("n")
+                - (F.col("n") - (F.col("rows_lt") - F.col("pos_lt"))) * F.col("p")
+            ).alias("num"),
+            "p",
+            "n",
+        )
+    )
+    best = cand.agg(
+        F.max_by(
+            F.struct("threshold", "tp", "fp", "fn", "tn", "num", "p", "n"),
+            F.struct(F.col("num"), (-F.col("threshold")).alias("ns")),
+        ).alias("b")
+    ).select("b.*")
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return best.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        q6(F.col("tp").cast("double") / F.col("p")).alias("sensitivity"),
+        q6(F.col("tn").cast("double") / F.col("n")).alias("specificity"),
+        q6(
+            F.col("num").cast("double") / (F.col("p").cast("double") * F.col("n"))
+        ).alias("youden_j"),
+    )

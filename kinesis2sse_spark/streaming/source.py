@@ -49,19 +49,34 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     return str(field.type) == "timestamp[ns]"
 
 
-def _staged_dir(sf_dir: str) -> str:
-    """FileStreamSource needs a *directory*; stage a symlink to the events
-    parquet under /tmp (content-addressed, reused across calls)."""
+def _stage_links(sf_dir: str, table: str) -> str:
+    """FileStreamSource needs a *directory* of leaf files; stage
+    symlinks to <sf_dir>/<table>.parquet under /tmp (path-keyed,
+    reused across calls). The fixture may be a single FILE (the driver
+    fixtures) or a Spark-written DIRECTORY (the scale-curve corpora) —
+    FileStreamSource does NOT recurse through a symlinked directory
+    (it silently lists zero files, the r11 hollow-curve bug), so
+    directory targets fan out to one symlink per part-file."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = f"/tmp/k2s_stream_{key}/events"
-    src = os.path.join(sf_dir, "events.parquet")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        if os.path.lexists(link):
-            os.remove(link)
-        os.symlink(src, link)
+    d = f"/tmp/k2s_stream_{key}/{table}"
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    marker = os.path.join(d, "_STAGED")  # '_' prefix: invisible to Spark listing
+    if os.path.isfile(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            os.symlink(os.path.join(src, f), os.path.join(d, f"part_{i}.parquet"))
+    else:
+        os.symlink(src, os.path.join(d, f"{table}.parquet"))
+    open(marker, "w").close()
     return d
+
+
+def _staged_dir(sf_dir: str) -> str:
+    return _stage_links(sf_dir, "events")
 
 
 def events_stream(
@@ -93,18 +108,7 @@ EMBEDDINGS_STREAM_SCHEMA = T.StructType(
 
 
 def _staged_embeddings_dir(sf_dir: str) -> str:
-    """Directory-staged embeddings parquet (same symlink trick as
-    events)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = f"/tmp/k2s_stream_{key}/embeddings"
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    link = os.path.join(d, "embeddings.parquet")
-    if not os.path.islink(link):
-        os.makedirs(d, exist_ok=True)
-        if os.path.lexists(link):
-            os.remove(link)
-        os.symlink(src, link)
-    return d
+    return _stage_links(sf_dir, "embeddings")
 
 
 def embeddings_stream(
@@ -149,16 +153,7 @@ def documents_stream(
     """File-based streaming source over the documents table with the
     same synthetic deterministic event time as embeddings_stream
     (ts = 2026-01-01T00:00:00Z + doc_id seconds)."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = staged_dir or f"/tmp/k2s_stream_{key}/documents"
-    if staged_dir is None:
-        src = os.path.join(sf_dir, "documents.parquet")
-        link = os.path.join(d, "documents.parquet")
-        if not os.path.islink(link):
-            os.makedirs(d, exist_ok=True)
-            if os.path.lexists(link):
-                os.remove(link)
-            os.symlink(src, link)
+    d = staged_dir or _stage_links(sf_dir, "documents")
     reader = spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

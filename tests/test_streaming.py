@@ -1725,3 +1725,51 @@ def test_quantile_histogram_accumulates_across_batches(spark):
     }
     # bucket 1 saw rows in BOTH batches -> compacted count is 3, not 1/2
     assert hist == {("x", 1): 3, ("x", 9): 2, ("x", 99): 1}, hist
+
+
+def test_stream_staging_handles_directory_fixtures(spark, tmp_path):
+    """The r11 hollow-curve bug: a fixture written by Spark is a
+    DIRECTORY named <table>.parquet, and FileStreamSource does not
+    recurse through a symlinked directory — the stream silently listed
+    ZERO files, so a scale-curve run measured an empty pipeline while
+    reporting success. Staging must fan directory targets out to
+    per-part-file symlinks; both fixture shapes must stream the same
+    rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kinesis2sse_spark.streaming.source import embeddings_stream
+
+    rows = [(i, [float(i)] * 4, i % 3) for i in range(20)]
+
+    # single-FILE fixture (the driver-fixture shape)
+    d1 = tmp_path / "file_shape"
+    d1.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        str(d1 / "embeddings.parquet"),
+    )
+    # DIRECTORY fixture (the Spark-written scale-curve shape, 2 parts)
+    d2 = tmp_path / "dir_shape"
+    d2.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(2).write.parquet(str(d2 / "embeddings.parquet"))
+
+    got = {}
+    for name, d in (("file", d1), ("dir", d2)):
+        out = run_to_memory(
+            embeddings_stream(spark, str(d)).select("vec_id"),
+            f"t_stage_{name}",
+            "append",
+        )
+        got[name] = sorted(r["vec_id"] for r in out.collect())
+    assert got["file"] == got["dir"] == list(range(20)), {
+        k: len(v) for k, v in got.items()
+    }
