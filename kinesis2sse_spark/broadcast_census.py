@@ -230,6 +230,12 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "stats_mmd_embedding_drift", "reps"): "constant",
     ("ml_eval.py", "stats_mmd_embedding_drift", "obs"): "constant",
     ("ml_eval.py", "ml_threshold_sweep_youden", "tot"): "constant",  # 1-row totals
+    # --- privacy: t-closeness grid sides — sensitive-bucket relation
+    # (bounded by max doc length / SENSITIVE_BUCKET) and 1-row totals
+    ("privacy.py", "privacy_t_closeness", "buckets"): "domain-bounded",
+    ("privacy.py", "privacy_t_closeness", "glob"): "domain-bounded",
+    ("privacy.py", "privacy_t_closeness", "gt"): "constant",
+    ("privacy.py", "privacy_t_closeness", "nb"): "constant",
     ("ml_eval.py", "_ir_ranked", "queries"): "constant",
     ("ml_eval.py", "_with_nrel", "lc"): "constant",  # per-query label counts
     ("ml_eval.py", "ml_feature_drift", "tot"): "constant",

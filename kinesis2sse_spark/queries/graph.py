@@ -1334,3 +1334,84 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(jac + 0.5) / 1000000).alias("jaccard_nbr"),
         )
     )
+
+
+# HITS (Kleinberg 1999) on the near-dup graph, oriented doc_a -> doc_b
+# (earlier doc points at its later near-duplicates): hubs are the
+# ORIGINALS that many later copies derive from, authorities the
+# accumulating copies — the provenance ranking the undirected
+# PageRank rung cannot express (on an undirected graph hub and
+# authority collapse into one eigenvector). Two UNNORMALIZED update
+# rounds: a1 = in-degree (h0 = 1), h1 = sum of successor a1,
+# a2 = sum of predecessor h1, h2 = sum of successor a2 — all exact
+# int64 (values <= max_degree^4, cluster-bounded; no norm, no sqrt,
+# nothing floating anywhere), so the oracle replays byte-for-byte.
+# The fixed round count is the same oracle-replayability choice as
+# PAGERANK_ITERS.
+HITS_ROUNDS = 2
+
+
+@register(
+    "graph_hits",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    edges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM pairs),
+    a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY dst),
+    h1 AS (SELECT e.src, CAST(sum(a1.a) AS BIGINT) AS h
+           FROM edges e JOIN a1 ON a1.dst = e.dst GROUP BY e.src),
+    a2 AS (SELECT e.dst, CAST(sum(h1.h) AS BIGINT) AS a
+           FROM edges e JOIN h1 ON h1.src = e.src GROUP BY e.dst),
+    h2 AS (SELECT e.src, CAST(sum(a2.a) AS BIGINT) AS h
+           FROM edges e JOIN a2 ON a2.dst = e.dst GROUP BY e.src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+    SELECT n.node AS doc_id,
+           coalesce(h2.h, 0) AS hub,
+           coalesce(a2.a, 0) AS authority
+    FROM nodes n
+    LEFT JOIN h2 ON h2.src = n.node
+    LEFT JOIN a2 ON a2.dst = n.node
+    """,
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores — see the block comment for the
+    orientation semantics and the all-integer exactness. Shape: the
+    near-dup edge relation pins (it feeds all {HITS_ROUNDS}x2 rounds);
+    each round is one equi-join + one map-side-combined aggregate on
+    edge keys — per-iteration cost is |edges|, cluster-bounded like
+    every near-dup graph relation, never corpus-quadratic."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .distinct()
+        .transform(pin_cache)
+    )
+    a1 = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("a"))
+    h1 = (
+        edges.join(a1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    a2 = (
+        edges.join(h1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h").cast("bigint").alias("a"))
+    )
+    h2 = (
+        edges.join(a2, "dst")
+        .groupBy("src")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select("dst")
+    ).distinct()
+    return (
+        nodes.join(h2, nodes.node == h2.src, "left")
+        .join(a2, nodes.node == a2.dst, "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("authority"),
+        )
+    )

@@ -255,3 +255,165 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.count("*"))
         ).alias("pi_hat"),
     )
+
+
+# t-closeness (Li, Li & Venkatasubramanian 2007) — the third member of
+# the classic anonymity triad: l-diversity counts distinct sensitive
+# values per class but a class can be l-diverse and still leak (its
+# distribution may be far from the population's). t-closeness bounds
+# the Earth Mover's Distance between each quasi-identifier class's
+# sensitive-attribute distribution and the GLOBAL one. For an ordered
+# 1-D attribute with unit ground distance between adjacent buckets,
+# EMD = sum_i |cum(P)_i - cum(Q)_i| / (B - 1) — and with integer
+# counts the cumulative difference at bucket i is the RATIONAL
+# (cumg_i*C - cumc_i*G) / (G*C) (G, C = global/class totals), so both
+# the EMD numerator and the threshold test run in EXACT int64
+# arithmetic: t = {0}.{1} passes iff {2}*sum|num| <= {3}*G*C*(B-1).
+# Only the reported emd column is a (fixed-shape, floor-quantized)
+# double. One corpus aggregate to the class x bucket grid; the grid
+# itself is |classes| x |buckets| — domain-bounded.
+T_CLOSE_NUM = 1  # threshold t = 1/5 = 0.2 as an exact rational
+T_CLOSE_DEN = 5
+
+
+@register(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang, source, n_chars // {SENSITIVE_BUCKET} AS b
+      FROM documents
+    ),
+    buckets AS (SELECT DISTINCT b FROM base),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM buckets),
+    classes AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS class_size
+      FROM base GROUP BY lang, source
+    ),
+    cls_cnt AS (
+      SELECT lang, source, b, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY lang, source, b
+    ),
+    gcnt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS g FROM base GROUP BY b
+    ),
+    gt AS (SELECT CAST(sum(g) AS BIGINT) AS gtot FROM gcnt),
+    grid AS (
+      SELECT cl.lang, cl.source, cl.class_size, bu.b,
+             coalesce(cc.c, 0) AS c, gl.g
+      FROM classes cl
+      CROSS JOIN buckets bu
+      JOIN gcnt gl ON gl.b = bu.b
+      LEFT JOIN cls_cnt cc
+        ON cc.lang = cl.lang AND cc.source = cl.source AND cc.b = bu.b
+    ),
+    cum AS (
+      SELECT lang, source, class_size, b,
+             CAST(sum(g) OVER w AS BIGINT) AS cumg,
+             CAST(sum(c) OVER w AS BIGINT) AS cumc
+      FROM grid
+      WINDOW w AS (PARTITION BY lang, source ORDER BY b)
+    ),
+    emd AS (
+      SELECT lang, source, class_size,
+             CAST(sum(abs(cumg * class_size - cumc * gt.gtot)) AS BIGINT) AS num
+      FROM cum CROSS JOIN gt
+      GROUP BY lang, source, class_size, gt.gtot
+    )
+    SELECT e.lang, e.source, e.class_size,
+           floor(CAST(e.num AS DOUBLE)
+                 / (CAST(g.gtot AS DOUBLE) * e.class_size * (n.n_buckets - 1))
+                 * 1000000 + 0.5) / 1000000 AS emd,
+           {T_CLOSE_DEN} * e.num
+             <= {T_CLOSE_NUM} * g.gtot * e.class_size * (n.n_buckets - 1)
+             AS is_t_close
+    FROM emd e CROSS JOIN gt g CROSS JOIN nb n
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the (lang, source) classes — see the
+    block comment for the exact-rational EMD. Plan: one corpus
+    aggregate to (class, bucket) counts; the dense class x bucket grid
+    (domain-bounded) forms by crossing the class relation with the
+    bucket relation and left-joining counts; cumulative sums ride a
+    class-partitioned window over <= |buckets| rows; the threshold
+    test is pure int64. Headroom: |num| <= n_buckets * G * C
+    <= ~1e3 * (6e4)^2 ~ 4e12 at sf0.1 — promote to DECIMAL(38,0)
+    past ~1e9-row corpora (same plan)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang", "source", F.expr(f"n_chars div {SENSITIVE_BUCKET}").alias("b")
+    ).transform(pin_cache)
+    buckets = base.select("b").distinct()
+    nb = buckets.agg(F.count("*").cast("bigint").alias("n_buckets"))
+    classes = base.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("class_size")
+    )
+    cls_cnt = base.groupBy("lang", "source", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    glob = base.groupBy("b").agg(F.count("*").cast("bigint").alias("g"))
+    gt = glob.agg(F.sum("g").cast("bigint").alias("gtot"))
+    grid = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(F.broadcast(glob), "b")
+        .join(cls_cnt, ["lang", "source", "b"], "left")
+        .select(
+            "lang",
+            "source",
+            "class_size",
+            "b",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "g",
+        )
+    )
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "lang",
+        "source",
+        "class_size",
+        F.sum("g").over(w).cast("bigint").alias("cumg"),
+        F.sum("c").over(w).cast("bigint").alias("cumc"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(gt))
+        .groupBy("lang", "source", "class_size", "gtot")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cumg") * F.col("class_size")
+                    - F.col("cumc") * F.col("gtot")
+                )
+            )
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    return emd.crossJoin(F.broadcast(nb)).select(
+        "lang",
+        "source",
+        "class_size",
+        (
+            F.floor(
+                F.col("num").cast("double")
+                / (
+                    F.col("gtot").cast("double")
+                    * F.col("class_size")
+                    * (F.col("n_buckets") - 1)
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("emd"),
+        (
+            T_CLOSE_DEN * F.col("num")
+            <= T_CLOSE_NUM
+            * F.col("gtot")
+            * F.col("class_size")
+            * (F.col("n_buckets") - 1)
+        ).alias("is_t_close"),
+    )
