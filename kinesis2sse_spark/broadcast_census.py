@@ -230,6 +230,11 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "stats_mmd_embedding_drift", "reps"): "constant",
     ("ml_eval.py", "stats_mmd_embedding_drift", "obs"): "constant",
     ("ml_eval.py", "ml_threshold_sweep_youden", "tot"): "constant",  # 1-row totals
+    ("ml_eval.py", "ml_average_precision", "tot"): "constant",  # 1-row P
+    # jackknife: 1-row totals / replicate mean / deviation sum
+    ("aggregates.py", "stats_jackknife_variance", "tot"): "constant",
+    ("aggregates.py", "stats_jackknife_variance", "mbar"): "constant",
+    ("aggregates.py", "stats_jackknife_variance", "dev"): "constant",
     # --- privacy: t-closeness grid sides — sensitive-bucket relation
     # (bounded by max doc length / SENSITIVE_BUCKET) and 1-row totals
     ("privacy.py", "privacy_t_closeness", "buckets"): "domain-bounded",

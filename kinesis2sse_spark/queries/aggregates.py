@@ -2054,3 +2054,118 @@ def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFram
         q6(((vy_n / n) - cov_n * cov_n / vx_n / n) * 0.000001).alias("var_cuped"),
         q6(cov_n * cov_n / vx_n / vy_n).alias("var_reduction"),
     )
+
+
+# Delete-one-group jackknife (Quenouille/Tukey; the cluster-robust
+# standard error every experimentation platform reports when units are
+# CORRELATED within groups): leave each user cohort out in turn,
+# recompute the overall mean, and estimate the variance of the mean
+# from the spread of the leave-one-out replicates:
+#   SE^2 = (G-1)/G * sum_g (mean_{-g} - mean_of_replicates)^2.
+# Exactness: per-cohort (sum, count) are int64 over milli-quantized
+# values, so every leave-one-out mean is ONE fixed-shape IEEE division
+# (S - s_g)/(n - n_g); the replicate-spread sum quantizes each squared
+# deviation to DECIMAL(27,15) before summing (registry ladder step 3 —
+# decimal summation is exact and order-independent, so the G-term sum
+# cannot differ between engines). One corpus shuffle to cohort grain;
+# everything after runs on the G-row cohort relation.
+JK_COHORT = 5  # user_id div 5 — same cohort grain as randomized response
+
+
+@register(
+    "stats_jackknife_variance",
+    oracle=f"""
+    WITH per_g AS (
+      SELECT user_id // {JK_COHORT} AS cohort,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id // {JK_COHORT}
+    ),
+    tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct,
+             CAST(count(*) AS BIGINT) AS g
+      FROM per_g
+    ),
+    loo AS (
+      SELECT p.cohort,
+             (CAST(t.st AS DOUBLE) - p.s) / (t.ct - p.c) AS m
+      FROM per_g p CROSS JOIN tot t
+    ),
+    mbar AS (SELECT CAST(sum(CAST(m AS DECIMAL(27,15))) AS DOUBLE) / max(t.g) AS mb
+             FROM loo CROSS JOIN tot t),
+    dev AS (
+      SELECT CAST(sum(CAST((loo.m - mb.mb) * (loo.m - mb.mb)
+                           AS DECIMAL(27,15))) AS DOUBLE) AS ss
+      FROM loo CROSS JOIN mbar mb
+    )
+    SELECT t.g AS n_cohorts,
+           floor(CAST(t.st AS DOUBLE) / t.ct * 1000 + 0.5) / 1000000 AS mean_value,
+           floor(sqrt((t.g - 1.0) / t.g * d.ss) / 1000 * 1000000 + 0.5) / 1000000
+             AS jackknife_se
+    FROM tot t CROSS JOIN dev d
+    """,
+)
+def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-cohort jackknife SE of the mean event value — see
+    the block comment. mean_value and jackknife_se are reported in
+    metric units (the 1e-3 quantization divides back out before the
+    1e-6 floor). One corpus shuffle + a G-row replicate relation; the
+    cross joins are 1-row broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    per_g = e.groupBy(F.expr(f"user_id div {JK_COHORT}").alias("cohort")).agg(
+        F.sum(F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    ).transform(pin_cache)
+    tot = per_g.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("c").cast("bigint").alias("ct"),
+        F.count("*").cast("bigint").alias("g"),
+    )
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        "cohort",
+        "g",
+        ((F.col("st").cast("double") - F.col("s")) / (F.col("ct") - F.col("c"))).alias(
+            "m"
+        ),
+    ).transform(pin_cache)
+    # the replicate-mean division runs in DOUBLE over the exact decimal
+    # sum — a decimal/int division would round at engine-specific
+    # quotient scales
+    mbar = loo.agg(
+        (
+            F.sum(F.col("m").cast("decimal(27,15)")).cast("double") / F.max("g")
+        ).alias("mb")
+    )
+    dev = (
+        loo.crossJoin(F.broadcast(mbar))
+        .agg(
+            F.sum(
+                (
+                    (F.col("m") - F.col("mb")) * (F.col("m") - F.col("mb"))
+                ).cast("decimal(27,15)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(dev))
+        .select(
+            F.col("g").alias("n_cohorts"),
+            (
+                F.floor(F.col("st").cast("double") / F.col("ct") * 1000 + F.lit(0.5))
+                / 1000000
+            ).alias("mean_value"),
+            (
+                F.floor(
+                    F.sqrt((F.col("g") - 1.0) / F.col("g") * F.col("ss"))
+                    / 1000
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("jackknife_se"),
+        )
+    )

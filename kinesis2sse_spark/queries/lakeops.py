@@ -905,3 +905,97 @@ def pipeline_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_ops",
         "n_deletes",
     )
+
+
+_ASOF_NEAREST_ORACLE = """
+    WITH versions AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ), probes AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    )
+    SELECT event_id, user_id, ts, dim_value, direction FROM (
+      SELECT p.event_id, p.user_id, p.ts, v.value AS dim_value,
+             CASE WHEN v.ts <= p.ts THEN 'backward' ELSE 'forward' END AS direction,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)),
+                        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN v.ts <= p.ts THEN -v.event_id ELSE v.event_id END
+             ) AS rn
+      FROM probes p
+      JOIN versions v ON v.user_id = p.user_id
+    ) WHERE rn = 1
+"""
+
+
+@register("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each view event takes whichever purchase —
+    the latest before OR the earliest after — sits closest in time,
+    ties preferring the backward match (the value that was actually
+    current), and same-instant ties resolving by the backward rule's
+    latest event_id / the forward rule's earliest. Shape: the SAME
+    union-sort core as the PIT/tolerance rungs run TWICE over one
+    partitioned relation — a backward pass (ts asc; versions sort
+    before probes at equal ts, so the current-instant version is
+    visible) and a forward pass (ts desc; probes sort first, making
+    the bound STRICTLY after) — then a per-probe projection picks the
+    closer side. Two window sorts over one hash partitioning, ZERO
+    join operators, no per-probe candidate expansion anywhere; the
+    oracle states the declarative per-probe argmin over both
+    directions."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    vtype = "double"
+    ttype = e.schema["ts"].dataType.simpleString()
+    v = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("pri"),
+        F.struct(
+            F.col("ts").alias("vts"), F.col("value").alias("dim_value")
+        ).alias("ver"),
+    )
+    p = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("pri"),
+        F.lit(None).cast(f"struct<vts:{ttype},dim_value:{vtype}>").alias("ver"),
+    )
+    u = v.unionByName(p)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "pri", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("pri").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        u.withColumn("bwd", F.last("ver", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.last("ver", ignorenulls=True).over(wf))
+        .where(F.col("pri") == 1)
+    )
+    # distances in MICROSECONDS (unix_micros) — a cast to long is epoch
+    # SECONDS in Spark, and truncating each endpoint before subtracting
+    # is not the same as comparing the true sub-second distances the
+    # oracle's epoch_us uses
+    bd = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bwd.vts"))
+    fd = F.unix_micros(F.col("fwd.vts")) - F.unix_micros(F.col("ts"))
+    pick_fwd = F.col("bwd").isNull() | (
+        F.col("fwd").isNotNull() & (fd < bd)
+    )
+    return both.where(
+        F.col("bwd").isNotNull() | F.col("fwd").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_fwd, F.col("fwd.dim_value"))
+        .otherwise(F.col("bwd.dim_value"))
+        .alias("dim_value"),
+        F.when(pick_fwd, F.lit("forward")).otherwise(F.lit("backward")).alias(
+            "direction"
+        ),
+    )

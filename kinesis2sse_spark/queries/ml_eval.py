@@ -1510,3 +1510,86 @@ def ml_threshold_sweep_youden(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num").cast("double") / (F.col("p").cast("double") * F.col("n"))
         ).alias("youden_j"),
     )
+
+
+# Classifier-level average precision (area under the PR curve in its
+# step form): walk the score groups in descending order; each group
+# contributes (its positives) x (precision at the group's END), and
+# AP = that sum / P. Ties share the group-end precision — the
+# deterministic convention pinned here (sklearn's step AP with ties
+# collapsed to one threshold). Exactness: precision at a group end is
+# one IEEE division of exact int64 prefix counts; the per-group terms
+# cast to DECIMAL(27,15) BEFORE summation (ladder step 3) so the
+# group-count-length sum is order-independent; final /P is one
+# division, floor-quantized. Same two-level prefix machinery as
+# ml_auc_roc/ml_threshold_sweep_youden — never a corpus-wide
+# single-partition window.
+_AP_ORACLE = f"""
+WITH {_SCORED_CTE},
+h AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS cp
+  FROM scored GROUP BY s
+),
+r AS (
+  SELECT s, c, cp,
+         CAST(sum(c) OVER (ORDER BY s DESC) AS BIGINT) AS rows_ge,
+         CAST(sum(cp) OVER (ORDER BY s DESC) AS BIGINT) AS pos_ge
+  FROM h
+),
+tot AS (SELECT CAST(sum(cp) AS BIGINT) AS p FROM h),
+terms AS (
+  SELECT CAST(sum(CAST(cp * (CAST(pos_ge AS DOUBLE) / rows_ge)
+                       AS DECIMAL(27,15))) AS DOUBLE) AS num
+  FROM r
+)
+SELECT t.p AS n_pos,
+       floor(terms.num / t.p * 1000000 + 0.5) / 1000000 AS average_precision
+FROM terms CROSS JOIN tot t
+"""
+
+
+@register("ml_average_precision", oracle=_AP_ORACLE)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-form average precision of the linear probe — see the block
+    comment for the tie convention and determinism. The histogram pins
+    (row-prefix pass, pos-prefix pass, totals); descending prefix
+    counts come from the shared two-level machinery."""
+    h = (
+        _scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("c"),
+            F.sum("pos").cast("bigint").alias("cp"),
+        )
+        .transform(pin_cache)
+    )
+    tot = h.agg(F.sum("cp").cast("bigint").alias("p"))
+    r1 = _with_prefix_counts(h, descending=True, keep_value=True).select(
+        "s", "c", "cp", F.col("less").alias("rows_gt")
+    )
+    r2 = _with_prefix_counts(
+        h.select("s", F.col("cp").alias("c"), F.col("c").alias("cp")),
+        descending=True,
+        keep_value=True,
+    ).select(F.col("s").alias("s2"), F.col("less").alias("pos_gt"))
+    terms = (
+        r1.join(r2, F.col("s") == F.col("s2"))
+        .select(
+            (
+                F.col("cp")
+                * (
+                    (F.col("pos_gt") + F.col("cp")).cast("double")
+                    / (F.col("rows_gt") + F.col("c"))
+                )
+            )
+            .cast("decimal(27,15)")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("double").alias("num"))
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        F.col("p").alias("n_pos"),
+        (
+            F.floor(F.col("num") / F.col("p") * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("average_precision"),
+    )
