@@ -45,6 +45,13 @@ SHOW = [
     "dedup_incremental_probe",
     "pipeline_snapshot_diff",
     "pipeline_scd2_intervals",
+    # round-11 additions
+    "search_prf_rocchio",
+    "ml_isotonic_calibration",
+    "stats_mmd_embedding_drift",
+    "ml_threshold_sweep_youden",
+    "join_asof_nearest",
+    "privacy_t_closeness",
     "pipeline_split_leakage",
     "text_bpe_pair_counts",
     "sample_weighted_pps",
