@@ -1539,15 +1539,31 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", rn)
         .join(sz, "doc_id")
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "h", "s")
+        .select("doc_id", "h", "s", "rn")
         .transform(pin_cache)
     )
     pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("s").alias("sa")
+        F.col("doc_id").alias("doc_a"), "h", F.col("s").alias("sa"),
+        F.col("rn").alias("rna"),
     )
     pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), F.col("s").alias("sb")
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"),
+        F.col("s").alias("sb"), F.col("rn").alias("rnb"),
     )
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008): for the pair's
+    # FIRST shared prefix element in the global rare-first order —
+    # minimal (i, j) ranks — no shared element can precede it (it
+    # would itself be an earlier generation event: both docs order
+    # shingles by the same global (df, h) key, and an earlier shared
+    # element sits inside both prefixes), so the whole overlap is
+    # bounded by that element plus the shorter suffix:
+    # overlap <= 1 + min(sa - i, sb - j). The bound holds ONLY for the
+    # minimal event (later events miss earlier shared elements — the
+    # over-pruning bug the oracle caught on first cut), hence min_by
+    # on rank, not min of bounds. J >= 1/2 needs 3*overlap >= sa+sb;
+    # pairs whose bound can't reach that never enter the verification
+    # joins. Pure integer, output-invariant (verification is exact).
+    ub = 1 + F.least(F.col("sa") - F.col("rna"), F.col("sb") - F.col("rnb"))
     cand = (
         pa.join(
             pb,
@@ -1557,8 +1573,10 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(PF_THRESHOLD) * F.col("sa") <= F.col("sb"))
             & (F.lit(PF_THRESHOLD) * F.col("sb") <= F.col("sa")),
         )
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.min_by(ub, F.col("rna")).alias("ub"))
+        .filter(3 * F.col("ub") >= F.col("sa") + F.col("sb"))
         .select("doc_a", "doc_b", "sa", "sb")
-        .distinct()
     )
     ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
     eb = ex.select(F.col("doc_id").alias("eb_doc"), F.col("h").alias("hb"))
