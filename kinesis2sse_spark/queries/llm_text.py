@@ -4162,3 +4162,71 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc"),
         )
     )
+
+
+# Vocabulary coverage under min-frequency pruning — the sizing curve
+# behind every min_count cutoff (word2vec, BPE merge floors, fastText
+# buckets): for each threshold T, how many types survive cnt >= T and
+# what fraction of token OCCURRENCES they cover. Deliberately framed
+# by FREQUENCY THRESHOLD rather than top-k rank: the answer needs zero
+# global ordering — one token shuffle to type counts, then ONE
+# map-side-combined conditional aggregate over the vocabulary relation
+# (a top-k frame would need a rank over the Heaps-law vocab, the
+# single-partition window this repo bans at corpus scale). All counts
+# exact int64; coverage is one division per threshold, floor-1e6.
+VOCAB_COVERAGE_THRESHOLDS = (10, 100, 1000)
+
+
+def _vocab_coverage_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"""
+        SELECT CAST({t} AS BIGINT) AS min_count,
+               CAST(count(*) FILTER (WHERE cnt >= {t}) AS BIGINT) AS n_types,
+               coalesce(floor(CAST(sum(cnt) FILTER (WHERE cnt >= {t}) AS DOUBLE)
+                     / sum(cnt) * 1000000 + 0.5) / 1000000, 0.0) AS coverage
+        FROM tc
+        """
+        for t in VOCAB_COVERAGE_THRESHOLDS
+    )
+    return f"""
+    WITH tc AS (
+      SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      GROUP BY t.term
+    )
+    {rows}
+    """
+
+
+@register("text_min_count_vocab_coverage", oracle=_vocab_coverage_oracle())
+def text_min_count_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-count vocabulary coverage curve — see the block comment.
+    The type-count relation pins (all thresholds read it); each
+    threshold is a conditional-sum branch of one aggregate, so the
+    curve's length adds zero passes."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .transform(pin_cache)
+    )
+    out = None
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    for t in VOCAB_COVERAGE_THRESHOLDS:
+        row = tc.agg(
+            F.lit(t).cast("bigint").alias("min_count"),
+            F.count(F.when(F.col("cnt") >= t, 1)).cast("bigint").alias("n_types"),
+            # a threshold nothing survives covers 0.0, not NULL —
+            # coalesced identically in the oracle
+            F.coalesce(
+                q6(
+                    F.sum(F.when(F.col("cnt") >= t, F.col("cnt"))).cast("double")
+                    / F.sum("cnt")
+                ),
+                F.lit(0.0),
+            ).alias("coverage"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
