@@ -66,9 +66,11 @@ R01_BASELINE_QUERIES = (
 # sweep's added wall-clock at ~1 min while still shedding one load
 # spike). r10 scale-curve 1x values at sf0.1 — the baselines PERF.md
 # §"Heavy bench section" records — are: dedup_jaccard_prefix_filter
-# 12.9 s, sample_kcenter_greedy 10.0 s, text_perplexity_kneser_ney
-# 4.0 s, search_maxsim_late_interaction 3.6 s; the IVF pair rides along
-# to keep the build/probe split's flat-probe property monitored.
+# 12.9 s (r11: ~9 s after the PPJoin positional filter, PERF.md
+# §"PPJoin positional filter"), sample_kcenter_greedy 10.0 s,
+# text_perplexity_kneser_ney 4.0 s, search_maxsim_late_interaction
+# 3.6 s; the IVF pair rides along to keep the build/probe split's
+# flat-probe property monitored.
 HEAVY_QUERIES = (
     "dedup_jaccard_prefix_filter",
     "sample_kcenter_greedy",

@@ -186,6 +186,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_text.py", "sample_neyman_allocation", "t"): "constant",
     ("llm_text.py", "sample_neyman_allocation", "short"): "constant",
     ("llm_text.py", "decontaminate_ngram", "bench_sh"): "constant",  # eval-bounded
+    ("llm_text.py", "decontaminate_minhash", "bench"): "constant",  # eval-bounded x BANDS
     ("llm_text.py", "select_token_budget", "offsets"): "domain-bounded",
     ("llm_text.py", "pipeline_sequence_packing", "offsets"): "domain-bounded",
     ("llm_text.py", "mix_domain_weights", "tot"): "constant",

@@ -4230,3 +4230,85 @@ def text_min_count_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# Fuzzy decontamination — the third rung of the contamination family:
+# decontaminate_ngram catches exact 8-gram overlap,
+# decontaminate_embedding catches semantic similarity; this catches
+# NEAR-duplicate contamination (a benchmark doc lightly paraphrased or
+# truncated into the training corpus) via MinHash banding: a corpus
+# doc is flagged when it shares a FULL band signature with any
+# benchmark doc (the estimated-Jaccard drop rule; P(flag) = j^ROWS per
+# band — the same recall dial as the streaming near-dedup twin, whose
+# integer signature pipeline this reuses VERBATIM:
+# streaming/dedup.py::with_minhash_bands Spark-side and the shared
+# minhash_sig_cte_sql generator oracle-side, so the hash arithmetic
+# cannot drift between consumers). Benchmark set = doc_id % 50 == 0,
+# decontaminate_ngram's split. Scale shape: benchmark signatures are
+# |bench| x BANDS rows (benchmark suites are KBs, not corpora) and
+# BROADCAST onto the corpus band relation; the corpus side is one
+# map-side-filtered explode — no all-pairs stage, no corpus-wide
+# shuffle beyond the band equi-join.
+def _decon_minhash_oracle() -> str:
+    from kinesis2sse_spark.streaming.dedup import minhash_sig_cte_sql
+
+    return f"""
+    WITH {minhash_sig_cte_sql("documents")},
+    bench AS (
+      SELECT band, bsig FROM banded WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT c.doc_id, CAST(1 AS BOOLEAN) AS hit
+      FROM banded c
+      JOIN (SELECT DISTINCT band, bsig FROM bench) b
+        ON b.band = c.band AND b.bsig = c.bsig
+      WHERE c.doc_id % 50 <> 0
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id, coalesce(h.hit, FALSE) AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """
+
+
+@register("decontaminate_minhash", oracle=_decon_minhash_oracle())
+def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash fuzzy decontamination — see the block comment for the
+    model, the split, and the shared-signature-pipeline determinism
+    argument. Docs too short to shingle carry no signature and are
+    clean by construction (mirrored by the oracle's sigs filter)."""
+    from kinesis2sse_spark.streaming.dedup import with_minhash_bands
+
+    from kinesis2sse_spark.streaming.dedup import MINHASH_SHINGLE
+
+    d = load_table(spark, sf_dir, "documents")
+    # docs too short to shingle are excluded BEFORE banding (the
+    # oracle's len(hs) > 0 filter): un-filtered they would carry a
+    # degenerate empty signature that could spuriously band-match
+    # another short doc
+    banded = with_minhash_bands(
+        d.where(F.size(F.split("text", " ")) >= MINHASH_SHINGLE)
+        .select("doc_id", "text", F.timestamp_seconds(F.lit(0)).alias("ts"))
+    ).select("doc_id", "band", "sig")
+    bench = (
+        banded.where(F.col("doc_id") % 50 == 0)
+        .select(F.col("band").alias("b_band"), F.col("sig").alias("b_sig"))
+        .distinct()
+    )
+    hits = (
+        banded.where(F.col("doc_id") % 50 != 0)
+        .join(
+            F.broadcast(bench),
+            (F.col("band") == F.col("b_band")) & (F.col("sig") == F.col("b_sig")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        d.where(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("is_contaminated")
+        )
+    )

@@ -403,3 +403,59 @@ def streaming_minhash_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def minhash_sig_cte_sql(source: str = "documents") -> str:
+    """DuckDB CTE chain (toks -> tokh -> hashed -> sigs -> banded)
+    replaying with_minhash_bands' integer signature pipeline exactly —
+    shared by the streaming near-dedup oracle and the batch MinHash
+    decontamination oracle so the hash arithmetic cannot drift between
+    them. `banded` is (doc_id, band, bsig)."""
+    perms = minhash_perms()
+    sh = MINHASH_SHINGLE
+    shingle_combine = "th[i]"
+    for j in range(1, sh):
+        shingle_combine = (
+            f"(({shingle_combine}) * 8191 + th[i + {j}]) % {MINHASH_P}"
+        )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % {MINHASH_P}))"
+        for a, b in perms
+    )
+    band_sig = " ".join(
+        "WHEN {b} THEN concat_ws('-', {parts})".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * MINHASH_ROWS + r + 1}] AS VARCHAR)"
+                for r in range(MINHASH_ROWS)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM {source}
+    ), tokh AS (
+      SELECT doc_id,
+             list_transform(w, s ->
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split_regex(s, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (h, c) -> (h * 31 + c) % {MINHASH_P})) AS th
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             CASE WHEN len(th) >= {sh}
+                  THEN list_transform(range(1, len(th) - {sh - 2}),
+                                      i -> {shingle_combine})
+                  ELSE [] END AS hs
+      FROM tokh
+    ), sigs AS (
+      SELECT doc_id, [{sig_exprs}] AS sig
+      FROM hashed WHERE len(hs) > 0
+    ), banded AS (
+      SELECT doc_id, bb.b AS band, CASE bb.b {band_sig} END AS bsig
+      FROM sigs, LATERAL (SELECT unnest(range(0, {MINHASH_BANDS})) AS b) bb
+    )
+    """
