@@ -1299,3 +1299,38 @@ def streaming_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s.n_ops").alias("n_ops"),
         F.col("s.n_deletes").alias("n_deletes"),
     )
+
+
+@register(
+    "streaming_offsets_per_route",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+                - 1 AS BIGINT) AS offset
+    FROM events
+    """,
+)
+def streaming_offsets_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 generalized to the reference's REAL concurrency model: one
+    offset counter per route (event_type standing in for the SSE
+    route), each strictly contiguous, carried across micro-batches by
+    route-keyed applyInPandasWithState
+    (streaming/state.py::with_streaming_offsets_per_route). Unlike the
+    single-key streaming_stateful_offsets — whose global counter
+    serializes every record through one task, the bottleneck the
+    reference accepts per route — this shards state by route, so
+    ingest scales with route count while preserving the per-route
+    contiguity contract (record_processor.go:58, 90-94). Single-batch
+    fixture ⇒ per-route offsets ≡ event_id rank within the route,
+    which the oracle checks exactly; cross-batch carry-over per route
+    is pinned in tests/test_streaming.py."""
+    from kinesis2sse_spark.streaming.state import with_streaming_offsets_per_route
+
+    s = events_stream(spark, sf_dir).select("event_id", "event_type")
+    out = run_to_memory(
+        with_streaming_offsets_per_route(s),
+        _qname("route_offsets"),
+        "append",
+        shuffle_partitions=8,
+    )
+    return out.select("event_id", "event_type", "offset")

@@ -502,3 +502,42 @@ def with_session_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def with_streaming_offsets_per_route(
+    df: DataFrame, route_col: str = "event_type", order_col: str = "event_id"
+) -> DataFrame:
+    """Contiguous offsets 0,1,2,... PER ROUTE carried across
+    micro-batches — the reference's actual concurrency model (one
+    mutex and one offset counter per SSE route, record_processor.go's
+    per-route serialization) where with_streaming_offsets collapses
+    everything onto one global key. State shards by route across
+    executors, so throughput scales with the route count while each
+    route's offsets stay strictly contiguous; within a micro-batch a
+    route's rows are ordered by ``order_col`` (the whole group must be
+    concatenated before sorting — same reasoning as the global
+    assigner). Output schema = input schema + ``offset: long``."""
+    out_fields = [T.StructField(f.name, f.dataType) for f in df.schema.fields] + [
+        T.StructField("offset", T.LongType())
+    ]
+
+    def assign(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (start,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            batch = batch.sort_values(order_col).reset_index(drop=True)
+            batch["offset"] = range(start, start + len(batch))
+            start += len(batch)
+            yield batch
+        state.update((start,))
+
+    return df.groupBy(route_col).applyInPandasWithState(
+        assign,
+        outputStructType=T.StructType(out_fields),
+        stateStructType=OFFSET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1773,3 +1773,37 @@ def test_stream_staging_handles_directory_fixtures(spark, tmp_path):
     assert got["file"] == got["dir"] == list(range(20)), {
         k: len(v) for k, v in got.items()
     }
+
+
+def test_per_route_offsets_carry_across_batches(spark):
+    """Per-route offset counters must be independent AND contiguous
+    across micro-batches: each route resumes from its own counter, and
+    a route absent from a batch is unaffected."""
+    import time
+
+    from kinesis2sse_spark.streaming.state import with_streaming_offsets_per_route
+
+    d = staged_batch_dir("route_off")
+    schema = "event_id long, event_type string"
+    _write_batch(
+        spark, d, "b0",
+        [(3, "a"), (1, "a"), (2, "b")], schema,
+    )
+    time.sleep(1.1)
+    _write_batch(
+        spark, d, "b1",
+        [(5, "a"), (4, "c")], schema,
+    )
+    s = _read_stream(spark, d, schema)
+    out = run_to_memory(
+        with_streaming_offsets_per_route(s), "t_route_off", "append",
+        shuffle_partitions=4,
+    )
+    got = {r["event_id"]: (r["event_type"], r["offset"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 0),  # within-batch order by event_id
+        3: ("a", 1),
+        2: ("b", 0),  # independent counter
+        5: ("a", 2),  # route a RESUMES at 2 in batch 2
+        4: ("c", 0),  # new route starts at 0
+    }, got
