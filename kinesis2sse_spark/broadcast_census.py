@@ -232,6 +232,10 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "stats_mmd_embedding_drift", "obs"): "constant",
     ("ml_eval.py", "ml_threshold_sweep_youden", "tot"): "constant",  # 1-row totals
     ("ml_eval.py", "ml_average_precision", "tot"): "constant",  # 1-row P
+    # AUC bootstrap: replica index / 1-row CI endpoints
+    ("ml_eval.py", "ml_auc_bootstrap_ci", "reps"): "constant",
+    ("ml_eval.py", "ml_auc_bootstrap_ci", "lo"): "constant",
+    ("ml_eval.py", "ml_auc_bootstrap_ci", "hi"): "constant",
     # jackknife: 1-row totals / replicate mean / deviation sum
     ("aggregates.py", "stats_jackknife_variance", "tot"): "constant",
     ("aggregates.py", "stats_jackknife_variance", "mbar"): "constant",

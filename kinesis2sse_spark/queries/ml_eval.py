@@ -1593,3 +1593,156 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("num") / F.col("p") * 1000000 + F.lit(0.5)) / 1000000
         ).alias("average_precision"),
     )
+
+
+# Bootstrap CI on the headline eval metric — ml_auc_roc reports a
+# point AUC; this attaches the deterministic Poisson-bootstrap
+# interval (the stats_bootstrap_ci machinery lifted to a RANK
+# statistic): each replica reweights every vector by the inverse
+# Poisson(1) CDF of a hash-uniform (integer thresholds inlined into
+# both engines, seed multiplier offset 49152 — above every other
+# operator's id range) and recomputes the tie-corrected Mann-Whitney
+# AUC from WEIGHTED score-histogram counts, which is exact: duplicated
+# rows share their score, so weight-multiplicity flows through the
+# rank formula's integer counts unchanged. Replica b = -1 carries
+# weight 1 everywhere — the point estimate rides the same plan. CI =
+# 2nd smallest / 2nd largest replica AUC (the stats_bootstrap_ci rank
+# convention, ties by replica id).
+AUC_BOOT_SEED = 49152
+
+from kinesis2sse_spark.queries.aggregates import (  # noqa: E402
+    BOOT_P,
+    BOOT_REPLICAS,
+    _boot_w_sql,
+)
+
+
+def _auc_boot_oracle() -> str:
+
+    u = f"(((vec_id % {BOOT_P}) + (r.b + {AUC_BOOT_SEED}) * 7919) * 2654435761) % {BOOT_P}"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {_SCORE_DUCK} AS s,
+             CASE WHEN label >= {EVAL_POS_LABEL_MIN} THEN 1 ELSE 0 END AS pos
+      FROM embeddings
+    ),
+    fan AS (
+      SELECT r.b, base.s, base.pos,
+             CASE WHEN r.b = -1 THEN 1 ELSE {_boot_w_sql(u)} END AS w
+      FROM base CROSS JOIN (SELECT unnest(range(-1, {BOOT_REPLICAS})) AS b) r
+    ),
+    h AS (
+      SELECT b, s, CAST(sum(w) AS BIGINT) AS c,
+             CAST(sum(w * pos) AS BIGINT) AS cp
+      FROM fan GROUP BY b, s
+    ),
+    rk AS (
+      SELECT b, c, cp,
+             CAST(sum(c) OVER (PARTITION BY b ORDER BY s) - c AS BIGINT) AS less
+      FROM h
+    ),
+    auc AS (
+      SELECT b,
+             CAST(sum(cp) AS BIGINT) AS p,
+             CAST(sum(c - cp) AS BIGINT) AS nn,
+             CAST(sum(cp * (2 * less + c + 1)) AS BIGINT) AS s2
+      FROM rk GROUP BY b
+    ),
+    vals AS (
+      SELECT b,
+             floor((CAST(s2 AS DOUBLE) - CAST(p AS DOUBLE) * (p + 1))
+                   / (2.0 * CAST(p AS DOUBLE) * nn) * 1000000 + 0.5)
+               / 1000000 AS auc_b
+      FROM auc WHERE p > 0 AND nn > 0
+    ),
+    ranked AS (
+      SELECT auc_b, row_number() OVER (ORDER BY auc_b, b) AS rk
+      FROM vals WHERE b >= 0
+    )
+    SELECT (SELECT auc_b FROM vals WHERE b = -1) AS auc,
+           CAST({BOOT_REPLICAS} AS BIGINT) AS n_replicas,
+           (SELECT auc_b FROM ranked WHERE rk = 2) AS ci_lo,
+           (SELECT auc_b FROM ranked WHERE rk = {BOOT_REPLICAS - 1}) AS ci_hi
+    """
+
+
+@register("ml_auc_bootstrap_ci", oracle=_auc_boot_oracle())
+def ml_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI around the probe's AUC — see
+    the block comment. Scale shape: ONE corpus scan fans to
+    (1 + {BOOT_REPLICAS}) weighted copies that collapse to per-replica
+    score histograms inside a map-side-combined aggregate; ranks ride
+    the b-partitioned two-level prefix machinery, and everything after
+    is a {BOOT_REPLICAS}-row relation."""
+    base = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(_SCORE_SPARK).alias("s"),
+            (F.col("label") >= EVAL_POS_LABEL_MIN).cast("int").alias("pos"),
+        )
+    )
+    reps = spark.range(-1, BOOT_REPLICAS).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    u = (
+        f"(((vec_id % {BOOT_P}) + (b + {AUC_BOOT_SEED}) * 7919)"
+        f" * 2654435761) % {BOOT_P}"
+    )
+    fan = base.crossJoin(F.broadcast(reps)).select(
+        "b",
+        "s",
+        "pos",
+        F.when(F.col("b") == -1, 1).otherwise(F.expr(_boot_w_sql(u))).alias("w"),
+    )
+    h = (
+        fan.groupBy("b", "s")
+        .agg(
+            F.sum("w").cast("bigint").alias("c"),
+            F.sum(F.col("w") * F.col("pos")).cast("bigint").alias("cp"),
+        )
+        .transform(pin_cache)
+    )
+    rk = _with_prefix_counts(h, keys=("b",))
+    auc = rk.groupBy("b").agg(
+        F.sum("cp").cast("bigint").alias("p"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("nn"),
+        F.sum(F.col("cp") * (2 * F.col("less") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    auc_b = (
+        F.floor(
+            (F.col("s2").cast("double") - F.col("p").cast("double") * (F.col("p") + 1))
+            / (2.0 * F.col("p").cast("double") * F.col("nn"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000
+    )
+    vals = (
+        auc.where((F.col("p") > 0) & (F.col("nn") > 0))
+        .select("b", auc_b.alias("auc_b"))
+        .transform(pin_cache)
+    )
+    point = vals.where(F.col("b") == -1).select(F.col("auc_b").alias("auc"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        vals.where(F.col("b") >= 0)
+        .withColumn("rk", F.row_number().over(W.orderBy("auc_b", "b")))
+    )
+    lo = ranked.where(F.col("rk") == 2).select(F.col("auc_b").alias("ci_lo"))
+    hi = ranked.where(F.col("rk") == BOOT_REPLICAS - 1).select(
+        F.col("auc_b").alias("ci_hi")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "auc",
+            F.lit(BOOT_REPLICAS).cast("bigint").alias("n_replicas"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )
