@@ -2088,7 +2088,8 @@ JK_COHORT = 5  # user_id div 5 — same cohort grain as randomized response
     ),
     loo AS (
       SELECT p.cohort,
-             (CAST(t.st AS DOUBLE) - p.s) / (t.ct - p.c) AS m
+             CASE WHEN t.ct - p.c > 0
+                  THEN (CAST(t.st AS DOUBLE) - p.s) / (t.ct - p.c) END AS m
       FROM per_g p CROSS JOIN tot t
     ),
     mbar AS (SELECT CAST(sum(CAST(m AS DECIMAL(27,15))) AS DOUBLE) / max(t.g) AS mb
@@ -2100,8 +2101,9 @@ JK_COHORT = 5  # user_id div 5 — same cohort grain as randomized response
     )
     SELECT t.g AS n_cohorts,
            floor(CAST(t.st AS DOUBLE) / t.ct * 1000 + 0.5) / 1000000 AS mean_value,
-           floor(sqrt((t.g - 1.0) / t.g * d.ss) / 1000 * 1000000 + 0.5) / 1000000
-             AS jackknife_se
+           CASE WHEN t.g > 0 THEN
+             floor(sqrt((t.g - 1.0) / t.g * d.ss) / 1000 * 1000000 + 0.5) / 1000000
+           END AS jackknife_se
     FROM tot t CROSS JOIN dev d
     """,
 )
@@ -2123,12 +2125,17 @@ def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("ct"),
         F.count("*").cast("bigint").alias("g"),
     )
+    # guards mirror the oracle: a single-cohort corpus makes ct - c = 0
+    # (leave-one-out undefined) and an EMPTY corpus makes g = 0 — Spark
+    # ANSI division would throw where DuckDB yields NULL (the empty-
+    # fixture audit caught the crash)
     loo = per_g.crossJoin(F.broadcast(tot)).select(
         "cohort",
         "g",
-        ((F.col("st").cast("double") - F.col("s")) / (F.col("ct") - F.col("c"))).alias(
-            "m"
-        ),
+        F.when(
+            (F.col("ct") - F.col("c")) > 0,
+            (F.col("st").cast("double") - F.col("s")) / (F.col("ct") - F.col("c")),
+        ).alias("m"),
     ).transform(pin_cache)
     # the replicate-mean division runs in DOUBLE over the exact decimal
     # sum — a decimal/int division would round at engine-specific
@@ -2158,14 +2165,15 @@ def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("st").cast("double") / F.col("ct") * 1000 + F.lit(0.5))
                 / 1000000
             ).alias("mean_value"),
-            (
+            F.when(
+                F.col("g") > 0,
                 F.floor(
                     F.sqrt((F.col("g") - 1.0) / F.col("g") * F.col("ss"))
                     / 1000
                     * 1000000
                     + F.lit(0.5)
                 )
-                / 1000000
+                / 1000000,
             ).alias("jackknife_se"),
         )
     )

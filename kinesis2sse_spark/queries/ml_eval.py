@@ -1659,10 +1659,11 @@ def _auc_boot_oracle() -> str:
       SELECT auc_b, row_number() OVER (ORDER BY auc_b, b) AS rk
       FROM vals WHERE b >= 0
     )
-    SELECT (SELECT auc_b FROM vals WHERE b = -1) AS auc,
+    SELECT v.auc_b AS auc,
            CAST({BOOT_REPLICAS} AS BIGINT) AS n_replicas,
            (SELECT auc_b FROM ranked WHERE rk = 2) AS ci_lo,
            (SELECT auc_b FROM ranked WHERE rk = {BOOT_REPLICAS - 1}) AS ci_hi
+    FROM vals v WHERE v.b = -1
     """
 
 
