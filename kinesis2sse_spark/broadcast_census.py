@@ -102,6 +102,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # --- joins / lakeops ---
     ("joins.py", "join_broadcast_inner", "part"): "operator-demo",
     ("lakeops.py", "stats_benford_deviation", "tot"): "constant",
+    ("timeseries.py", "timeseries_anomaly_mad", "med"): "domain-bounded",
+    ("timeseries.py", "timeseries_anomaly_mad", "mad"): "domain-bounded",
     # --- dedup ---
     ("llm_dedup.py", "dedup_cross_source_overlap", "ca"): "cluster-bounded",
     ("llm_dedup.py", "dedup_cross_source_overlap", "cb"): "cluster-bounded",
@@ -128,6 +130,11 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "sim_topk_ivfpq", "centroids"): "constant",
     ("llm_similarity.py", "sim_topk_ivfpq", "probes"): "constant",
     ("llm_similarity.py", "sim_mmr_rerank", "queries"): "constant",
+    # dense PRF: fixed query set, PRF_VEC_FB x N_QUERIES centroid sums,
+    # expanded query vectors — all query-set-bounded
+    ("llm_similarity.py", "sim_prf_vector", "queries"): "constant",
+    ("llm_similarity.py", "sim_prf_vector", "cent"): "constant",
+    ("llm_similarity.py", "sim_prf_vector", "q2"): "constant",
     ("llm_similarity.py", "sim_ivf_index_stats", "tot"): "constant",
     ("llm_similarity.py", "emb_pca_power_iteration", "s2"): "constant",  # d-bounded
     ("llm_similarity.py", "ml_kmeans_train", "cent"): "constant",

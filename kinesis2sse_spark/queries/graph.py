@@ -1415,3 +1415,81 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("a"), F.lit(0)).cast("bigint").alias("authority"),
         )
     )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    {_UND_CTE},
+    ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM und u
+      JOIN deg da ON da.node = u.src
+      JOIN deg db ON db.node = u.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+             floor((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   * 1000000 + 0.5) / 1000000
+           END AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-dup graph: the
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — positive means high-degree docs cluster together (one giant
+    duplication hub family), negative means hubs attach to leaves (a
+    few originals with many one-off copies); the structural summary a
+    dedup pipeline reads before choosing cluster-canonicalization
+    strategy. Exact int64 moments over the degree-annotated edge
+    relation (cluster-bounded, like every near-dup graph relation);
+    one fixed-shape correlation at the end (sqrt is correctly rounded,
+    zero-variance graphs — e.g. pure cliques — yield NULL under the
+    same guard in both engines)."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct().transform(pin_cache)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ed = (
+        und.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = F.col("m").cast("double") * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(
+            (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.floor(num / F.sqrt(vx * vy) * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("assortativity"),
+    )

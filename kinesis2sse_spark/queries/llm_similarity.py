@@ -3502,3 +3502,155 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("vec_id").isNotNull()).select(
         "step", "vec_id", "radius"
     )
+
+
+# Dense pseudo-relevance feedback — the VECTOR twin of the lexical
+# search_prf_rocchio: run the exact cosine search, take each query's
+# top PRF_VEC_FB neighbors as pseudo-relevant, move the query toward
+# their centroid (q' = q + PRF_VEC_BETA * mean(neighbors) — the
+# Rocchio update in embedding space), and re-search with the expanded
+# vector. The classic recall lever for embedding retrieval when the
+# query vector undershoots its cluster. Determinism: the feedback
+# centroid is built from 1e6-QUANTIZED integer component sums (a
+# 5-double sum's last bits depend on addition order, so raw-double
+# centroids could differ between engines), the update is one
+# fixed-shape expression per component, and round-2 scoring folds
+# dot/norm in fixed component order on BOTH sides (the _IVF_DOT
+# list_reduce idiom oracle-side — not list_cosine_similarity, whose
+# internal order is only proven for raw embedding inputs).
+PRF_VEC_FB = 5
+PRF_VEC_BETA = 0.5
+
+
+def _prf_vector_oracle() -> str:
+    dot2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, 65), i -> q2.qv2[i] * CAST(c.embedding[i] AS DOUBLE))), "
+        "(a, b) -> a + b)"
+    )
+    n2 = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(qv2, x -> x * x)), (a, b) -> a + b))"
+    )
+    cn = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(c.embedding AS DOUBLE[]), x -> x * x)), (a, b) -> a + b))"
+    )
+    return f"""
+    WITH r1 AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    fb AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM r1
+      ) WHERE rn <= {PRF_VEC_FB}
+    ),
+    fbq AS (
+      SELECT f.query_id,
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS iq
+      FROM fb f JOIN embeddings e ON e.vec_id = f.neighbor_id
+    ),
+    fbdim AS (
+      SELECT query_id, d.d, CAST(sum(iq[d.d]) AS BIGINT) AS s
+      FROM fbq, LATERAL (SELECT unnest(range(1, 65)) AS d) d
+      GROUP BY query_id, d.d
+    ),
+    cent AS (
+      SELECT query_id, list(s ORDER BY d) AS cs FROM fbdim GROUP BY query_id
+    ),
+    q2 AS (
+      SELECT q.vec_id AS query_id,
+             list_transform(range(1, 65), i ->
+               CAST(q.embedding[i] AS DOUBLE)
+               + {PRF_VEC_BETA} * (CAST(c.cs[i] AS DOUBLE)
+                                   / ({PRF_VEC_FB} * 1000000.0))) AS qv2
+      FROM embeddings q JOIN cent c ON c.query_id = q.vec_id
+    ),
+    r2 AS (
+      SELECT q2.query_id, c.vec_id AS neighbor_id,
+             round({dot2} / ({n2} * {cn}), 6) AS cos_sim
+      FROM q2 JOIN embeddings c ON c.vec_id <> q2.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM r2
+    ) WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_prf_vector", oracle=_prf_vector_oracle())
+def sim_prf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback in embedding space — see the
+    block comment. Scale shape: two broadcast-query corpus scans
+    (round 1 and round 2 are each the sim_topk_bruteforce plan —
+    WindowGroupLimit-pruned per-query top-k, corpus never shuffled)
+    with a constant-size centroid computation between them (PRF_VEC_FB
+    x N_QUERIES quantized vectors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_norm(e)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    fb = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+            F.expr(
+                "transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+            ).alias("iq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PRF_VEC_FB)
+    )
+    cent = fb.groupBy("query_id").agg(
+        F.array(*[F.sum(F.col("iq")[i]).cast("bigint") for i in range(64)]).alias("cs")
+    )
+    q2 = queries.join(F.broadcast(cent), "query_id").select(
+        "query_id",
+        F.zip_with(
+            "qv",
+            "cs",
+            lambda q, s: q + PRF_VEC_BETA * (s.cast("double") / (PRF_VEC_FB * 1000000.0)),
+        ).alias("qv2"),
+    )
+    q2 = q2.select(
+        "query_id",
+        "qv2",
+        F.sqrt(
+            F.aggregate("qv2", F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("qnorm2"),
+    )
+    dot2 = F.aggregate(
+        F.zip_with("qv2", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    r2 = (
+        corpus.join(F.broadcast(q2), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot2 / (F.col("qnorm2") * F.col("norm")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    return r2

@@ -1552,3 +1552,117 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"forecast_{HW_HORIZON}d"
         ),
     )
+
+
+# MAD-based robust anomaly flagging — the heavy-tail-safe twin of
+# timeseries_anomaly_zscore: mean/std are themselves dragged by the
+# outliers they should flag, while the median and the median absolute
+# deviation (the Hampel filter) stay put. ENTIRELY integer arithmetic:
+# values milli-quantize, the per-type LOWER median (min value whose
+# cumulative count reaches ceil(n/2) — the convention pinned here) and
+# the lower-median MAD come off value HISTOGRAMS via cumulative-count
+# selection (the value domain is bounded, so the windows run over
+# domain-sized relations — never a corpus sort), and the flag rule
+# |v - med| > K*MAD is an int64 comparison. K = 3 (~2 sigma-equivalents
+# under normality: 3 x 0.6745).
+MAD_K = 3
+
+
+@register(
+    "timeseries_anomaly_mad",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v3
+      FROM events WHERE value IS NOT NULL
+    ),
+    h1 AS (SELECT event_type, v3, count(*) AS c FROM q GROUP BY 1, 2),
+    c1 AS (
+      SELECT event_type, v3,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v3) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h1
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN 2 * cum >= n + 1 THEN v3 END) AS BIGINT) AS med
+      FROM c1 GROUP BY event_type
+    ),
+    dev AS (
+      SELECT q.event_id, q.event_type, q.value, abs(q.v3 - m.med) AS d
+      FROM q JOIN med m ON m.event_type = q.event_type
+    ),
+    h2 AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+    c2 AS (
+      SELECT event_type, d,
+             CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h2
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN 2 * cum >= n + 1 THEN d END) AS BIGINT) AS mad
+      FROM c2 GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type, v.value, v.d AS abs_dev_milli,
+           m.mad AS mad_milli
+    FROM dev v JOIN mad m ON m.event_type = v.event_type
+    WHERE v.d > {MAD_K} * m.mad
+    """,
+)
+def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel (median/MAD) robust anomaly filter — see the block
+    comment for the lower-median convention and the all-integer
+    exactness. Plan: two histogram shuffles (per-type value counts,
+    per-type deviation counts), cumulative selection over the
+    domain-bounded histograms, medians/MADs broadcast back onto the
+    event scan; the flag is a map-side integer comparison. The
+    deviation relation pins — it feeds the MAD histogram AND the
+    final flag projection."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    q = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").alias("v3"),
+    )
+
+    def lower_median(rel: DataFrame, col: str, out: str) -> DataFrame:
+        h = rel.groupBy("event_type", col).agg(F.count("*").alias("c"))
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("event_type")
+        cum = h.select(
+            "event_type",
+            F.col(col),
+            F.sum("c").over(wc).cast("bigint").alias("cum"),
+            F.sum("c").over(wt).cast("bigint").alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("n") + 1, F.col(col)))
+            .cast("bigint")
+            .alias(out)
+        )
+
+    med = lower_median(q, "v3", "med")
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("v3") - F.col("med")).alias("d"),
+    ).transform(pin_cache)
+    mad = lower_median(dev, "d", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("d") > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.col("d").alias("abs_dev_milli"),
+            F.col("mad").alias("mad_milli"),
+        )
+    )
