@@ -1318,3 +1318,27 @@ def test_isotonic_single_corpus_aggregate(spark):
     from kinesis2sse_spark.queries.ml_eval import CALIB_BINS  # noqa: F401
 
     assert "CartesianProduct" not in plan
+
+
+def test_mad_anomaly_no_corpus_sort(spark):
+    """timeseries_anomaly_mad: medians come from histogram cumulative
+    selection — the only Sorts belong to the domain-bounded histogram
+    windows, and the flag is a broadcast-joined map-side comparison;
+    no corpus-wide single-partition Window may appear."""
+    plan = _plan(spark, "timeseries_anomaly_mad")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # med/mad broadcast back
+    # the histogram windows partition by event_type — a corpus-global
+    # (partitionless) window spec would betray a full sort
+    assert "windowspecdefinition(event_id" not in plan
+
+
+def test_prf_vector_two_broadcast_scans_topk_pruned(spark):
+    """sim_prf_vector: both rounds keep the sim_topk_bruteforce shape
+    — broadcast query side, corpus never shuffled, per-query top-k
+    pruned below the exchange (WindowGroupLimit); the centroid stage
+    is constant-size."""
+    plan = _plan(spark, "sim_prf_vector")
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2  # round 1 + round 2
+    assert "BroadcastExchange" in plan
