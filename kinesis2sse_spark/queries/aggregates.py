@@ -2177,3 +2177,87 @@ def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jackknife_se"),
         )
     )
+
+
+# A/B power analysis — the third leg of the experimentation trio
+# (CUPED reduces variance, the jackknife reports the error bar, this
+# SIZES the experiment): from the observed baseline conversion rate
+# (users with >= 1 purchase), compute the minimum detectable absolute
+# effect of an equal-split two-proportion test at alpha = 0.05 (two-
+# sided) and power = 0.8, and the per-arm sample size required to
+# detect a 10% relative lift. The normal quantiles are INLINED
+# LITERALS (z_{0.975} = 1.959964, z_{0.8} = 0.841621) — the repo's
+# no-libm-CDF rule, same as the chi-square critical table — so both
+# engines evaluate the identical fixed-shape expressions: counts are
+# exact int64, then one sqrt (correctly rounded) and a handful of
+# multiplications, floor-quantized at 1e6.
+PWR_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+PWR_Z_BETA = 0.841621  # power = 0.8
+PWR_REL_LIFT_PCT = 10  # sizing target: +10% relative
+
+
+@register(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM per_user
+    )
+    SELECT n_users, n_conv,
+           floor(CAST(n_conv AS DOUBLE) / n_users * 1000000 + 0.5) / 1000000
+             AS p_baseline,
+           floor(({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                 * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                        * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                        / (n_users // 2))
+                 * 1000000 + 0.5) / 1000000 AS mde_abs,
+           CAST(ceil(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                     * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                     * (({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                        / (0.01 * {PWR_REL_LIFT_PCT}
+                           * (CAST(n_conv AS DOUBLE) / n_users)))
+                     * (({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                        / (0.01 * {PWR_REL_LIFT_PCT}
+                           * (CAST(n_conv AS DOUBLE) / n_users))))
+                AS BIGINT) AS n_per_arm_for_lift
+    FROM m WHERE n_users >= 2
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B power analysis — see the block comment for
+    the literal-quantile determinism. One corpus shuffle to user grain
+    + a 1-row moment aggregate; every output is a fixed-shape
+    expression on two int64 counts. The n_users >= 2 guard keeps the
+    per-arm division defined on degenerate corpora in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted")
+    )
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    p = F.col("n_conv").cast("double") / F.col("n_users")
+    z = PWR_Z_ALPHA + PWR_Z_BETA
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ratio = z / (0.01 * PWR_REL_LIFT_PCT * p)
+    return m.where(F.col("n_users") >= 2).select(
+        "n_users",
+        "n_conv",
+        q6(p).alias("p_baseline"),
+        q6(
+            z * F.sqrt(2.0 * p * (1.0 - p) / F.expr("n_users div 2"))
+        ).alias("mde_abs"),
+        F.ceil(2.0 * p * (1.0 - p) * ratio * ratio)
+        .cast("bigint")
+        .alias("n_per_arm_for_lift"),
+    )
