@@ -82,19 +82,31 @@ HEAVY_QUERIES = (
 
 
 def _sweep_heavy(spark, sf_dir):
-    """Best-of-2 over the heavy set (median = max of the two runs rides
-    along implicitly; a regression shows in best-of just as well at this
-    runtime scale)."""
+    """Best-of-2..4 over the heavy set, COLD each rep: clearCache runs
+    between reps (r11 advice — the CacheManager matched rep 2's
+    reconstructed plan to rep 1's pin_cache entries, so rep 2 ran warm
+    and best-of reported warm-cache time, not the cold path the scale
+    curves baseline). Spread-gated like the headline sweep (r11 verdict
+    item 8): when the pair disagrees >1.5x, take up to two more reps —
+    best-of-2 over seconds-scale runs is spike-prone on a loaded box.
+    Returns (best-of timings, observed spreads)."""
     qs = all_queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEAVY_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
-        runs = [_run(fn, spark, sf_dir) for _ in range(2)]
+        runs = []
+        for _ in range(2):
+            runs.append(_run(fn, spark, sf_dir))
+            spark.catalog.clearCache()
+        while len(runs) < 4 and max(runs) > 1.5 * max(min(runs), 1e-9):
+            runs.append(_run(fn, spark, sf_dir))
+            spark.catalog.clearCache()
         timings[name] = round(min(runs), 4)
-        spark.catalog.clearCache()
-    return timings
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+    return timings, spreads
 
 
 def _duckdb_timings(names, sf_dir) -> dict[str, float]:
@@ -184,6 +196,30 @@ def _control_sec(sf_dir: str) -> float:
     return statistics.median(runs)
 
 
+# Fixed SPARK-side load control (r11 verdict item 3): the DuckDB
+# control is single-threaded, so it can sit quiet while 32-core JVM
+# stages fight ambient load — r11's sweep passed the DuckDB gate at
+# drift 1.161 while Spark-side timings inflated ~2x. A fixed Spark
+# query (q1's noop write, ~0.4 s quiet at sf0.1, shuffle + codegen +
+# scan — the same resource profile as the swept queries) brackets each
+# sweep too, and EITHER control drifting past the gate triggers the
+# resweep.
+_SPARK_CONTROL_QUERY = "q1_pricing_summary"
+
+
+def _spark_control_sec(spark, sf_dir: str) -> float:
+    """Median-of-3 of the fixed Spark control query (cold — cache
+    cleared after, so the control never warms the swept copy)."""
+    fn = all_queries().get(_SPARK_CONTROL_QUERY)
+    if fn is None:
+        return 0.0
+    runs = []
+    for _ in range(3):
+        runs.append(_run(fn, spark, sf_dir))
+        spark.catalog.clearCache()
+    return statistics.median(runs)
+
+
 def _sweep(queries, spark, sf_dir):
     """One full pass over the headline set: per query best-of-3, plus up
     to three more runs while the spread exceeds 30% (this box shows ±50%
@@ -235,19 +271,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     for attempt in range(_MAX_SWEEP_ATTEMPTS):
         c0 = _control_sec(sf_dir)
+        s0 = _spark_control_sec(spark, sf_dir)
         t, m = _sweep(queries, spark, sf_dir)
         c1 = _control_sec(sf_dir)
+        s1 = _spark_control_sec(spark, sf_dir)
         drift = max(c0, c1) / max(min(c0, c1), 1e-9) if c0 and c1 else 1.0
+        sdrift = max(s0, s1) / max(min(s0, s1), 1e-9) if s0 and s1 else 1.0
         attempts.append({"drift": round(drift, 3), "control_sec": round(c0, 4),
+                         "spark_drift": round(sdrift, 3),
+                         "spark_control_sec": round(s0, 4),
                          "timings": t, "medians": m})
         for name, v in t.items():
             timings[name] = min(v, timings.get(name, float("inf")))
-        if drift <= _CONTROL_DRIFT_GATE:
+        if drift <= _CONTROL_DRIFT_GATE and sdrift <= _CONTROL_DRIFT_GATE:
             break
-    best = min(attempts, key=lambda a: a["drift"])
+    best = min(attempts, key=lambda a: max(a["drift"], a["spark_drift"]))
     medians = best["medians"]
 
-    heavy = _sweep_heavy(spark, sf_dir)
+    heavy, heavy_spread = _sweep_heavy(spark, sf_dir)
 
     print(
         json.dumps(
@@ -265,20 +306,33 @@ def main() -> None:
                     sum(v for k, v in medians.items() if k in R01_BASELINE_QUERIES), 4
                 ),
                 "queries_heavy": heavy,
+                "queries_heavy_spread": heavy_spread,
                 "total_heavy": round(sum(heavy.values()), 4),
                 "queries_duckdb": _duckdb_timings(list(queries), sf_dir),
                 "protocol": (
                     "action = full-row noop write (uniform since r10; "
                     "r01-r09 used .count(), which count-pruned unpinned "
                     "plans — mapping table in PERF.md); per-query "
-                    "best-of-3..6 (spread-gated); sweeps bracketed by a "
-                    "DuckDB control query — control drift "
-                    f">{_CONTROL_DRIFT_GATE} triggers a resweep "
+                    "best-of-3..6 (spread-gated); sweeps bracketed by "
+                    "BOTH a DuckDB control query and a fixed Spark "
+                    "control query (q1 noop write) — either control's "
+                    f"drift >{_CONTROL_DRIFT_GATE} triggers a resweep "
                     f"(max {_MAX_SWEEP_ATTEMPTS}); queries = best-of "
-                    "across attempts, medians from the quietest attempt"
+                    "across attempts, medians from the quietest attempt; "
+                    "heavy section cold each rep (clearCache between), "
+                    "spread-gated best-of-2..4"
                 ),
                 "sweep_attempts": [
-                    {k: a[k] for k in ("drift", "control_sec")} for a in attempts
+                    {
+                        k: a[k]
+                        for k in (
+                            "drift",
+                            "control_sec",
+                            "spark_drift",
+                            "spark_control_sec",
+                        )
+                    }
+                    for a in attempts
                 ],
                 "sf": sf,
             }

@@ -1560,9 +1560,14 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap <= 1 + min(sa - i, sb - j). The bound holds ONLY for the
     # minimal event (later events miss earlier shared elements — the
     # over-pruning bug the oracle caught on first cut), hence min_by
-    # on rank, not min of bounds. J >= 1/2 needs 3*overlap >= sa+sb;
-    # pairs whose bound can't reach that never enter the verification
-    # joins. Pure integer, output-invariant (verification is exact).
+    # on rank, not min of bounds. J >= t needs overlap*(1+t) >= t*(sa+sb)
+    # — derived in exact integer form from PF_THRESHOLD below (t=1/2 →
+    # 3*overlap >= sa+sb); pairs whose bound can't reach that never
+    # enter the verification joins. Output-invariant (verify is exact).
+    from fractions import Fraction
+
+    _t = Fraction(PF_THRESHOLD).limit_denominator(1_000_000)
+    assert float(_t) == PF_THRESHOLD, "PF_THRESHOLD must be exactly rational"
     ub = 1 + F.least(F.col("sa") - F.col("rna"), F.col("sb") - F.col("rnb"))
     cand = (
         pa.join(
@@ -1575,7 +1580,11 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b", "sa", "sb")
         .agg(F.min_by(ub, F.col("rna")).alias("ub"))
-        .filter(3 * F.col("ub") >= F.col("sa") + F.col("sb"))
+        # ub*(den+num) >= num*(sa+sb)  ⟺  ub*(1+t) >= t*(sa+sb), t=num/den
+        .filter(
+            (_t.denominator + _t.numerator) * F.col("ub")
+            >= _t.numerator * (F.col("sa") + F.col("sb"))
+        )
         .select("doc_a", "doc_b", "sa", "sb")
     )
     ea = ex.select(F.col("doc_id").alias("doc_a"), "h")

@@ -1733,13 +1733,17 @@ def ml_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals.where(F.col("b") >= 0)
         .withColumn("rk", F.row_number().over(W.orderBy("auc_b", "b")))
     )
-    lo = ranked.where(F.col("rk") == 2).select(F.col("auc_b").alias("ci_lo"))
-    hi = ranked.where(F.col("rk") == BOOT_REPLICAS - 1).select(
-        F.col("auc_b").alias("ci_hi")
+    # 1-row global aggregate (never empty, NULL bounds when the rank is
+    # absent) so the point row survives replica-starved fixtures exactly
+    # like the oracle's scalar subqueries do.
+    bounds = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("auc_b"))).alias("ci_lo"),
+        F.max(
+            F.when(F.col("rk") == BOOT_REPLICAS - 1, F.col("auc_b"))
+        ).alias("ci_hi"),
     )
     return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        point.crossJoin(F.broadcast(bounds))
         .select(
             "auc",
             F.lit(BOOT_REPLICAS).cast("bigint").alias("n_replicas"),

@@ -122,7 +122,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), s AS (
       SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1118,7 +1118,7 @@ def streaming_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '30 minutes'
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), s AS (
       SELECT user_id, ts, event_id, event_type,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -61,17 +61,31 @@ def _stage_links(sf_dir: str, table: str) -> str:
     d = f"/tmp/k2s_stream_{key}/{table}"
     src = os.path.join(sf_dir, f"{table}.parquet")
     marker = os.path.join(d, "_STAGED")  # '_' prefix: invisible to Spark listing
-    if os.path.isfile(marker):
+    # Fingerprint the SOURCE (sorted part list + mtimes), not just the
+    # path: a regenerated fixture (Spark overwrite writes new part
+    # filenames) must invalidate the staged dir, or it keeps dangling
+    # symlinks and misses new parts (r11 advice).
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        fp = hashlib.md5(
+            repr(
+                [(f, os.path.getmtime(os.path.join(src, f))) for f in parts]
+            ).encode()
+        ).hexdigest()
+    else:
+        parts = None
+        fp = hashlib.md5(repr(os.path.getmtime(src)).encode()).hexdigest()
+    if os.path.isfile(marker) and open(marker).read() == fp:
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
-    if os.path.isdir(src):
-        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    if parts is not None:
         for i, f in enumerate(parts):
             os.symlink(os.path.join(src, f), os.path.join(d, f"part_{i}.parquet"))
     else:
         os.symlink(src, os.path.join(d, f"{table}.parquet"))
-    open(marker, "w").close()
+    with open(marker, "w") as fh:
+        fh.write(fp)
     return d
 
 

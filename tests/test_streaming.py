@@ -1775,6 +1775,46 @@ def test_stream_staging_handles_directory_fixtures(spark, tmp_path):
     }
 
 
+def test_stream_staging_invalidates_on_regenerated_fixture(spark, tmp_path):
+    """r11 advice: the staged-dir marker was keyed only on the sf_dir
+    PATH, so a regenerated directory fixture (Spark overwrite writes new
+    part filenames) kept dangling symlinks and missed new parts. The
+    marker now fingerprints the sorted part list + mtimes; restaging
+    after a rewrite must list exactly the new parts."""
+    import os
+
+    from kinesis2sse_spark.streaming.source import _stage_links
+
+    d = tmp_path / "regen"
+    d.mkdir()
+    src = str(d / "events.parquet")
+
+    def _write(n_rows, n_parts):
+        spark.range(n_rows).selectExpr(
+            "id AS event_id",
+            "timestamp_micros(cast(id * 1000000 as long)) AS ts",
+            "id % 3 AS user_id",
+            "'a' AS event_type",
+            "cast(id as double) AS value",
+            "'{}' AS props",
+        ).repartition(n_parts).write.mode("overwrite").parquet(src)
+
+    _write(10, 2)
+    staged = _stage_links(str(d), "events")
+    first = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(first) == 2 and all(
+        os.path.exists(os.path.join(staged, f)) for f in first
+    )
+
+    _write(30, 3)  # overwrite: new part filenames, old ones gone
+    staged2 = _stage_links(str(d), "events")
+    second = sorted(f for f in os.listdir(staged2) if f.endswith(".parquet"))
+    assert len(second) == 3, second
+    assert all(os.path.exists(os.path.join(staged2, f)) for f in second), (
+        "dangling symlink survived restaging"
+    )
+
+
 def test_per_route_offsets_carry_across_batches(spark):
     """Per-route offset counters must be independent AND contiguous
     across micro-batches: each route resumes from its own counter, and
