@@ -75,7 +75,11 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qname("tumbling"),
         output_mode="update",
         # state partitions sized to windowed-key cardinality, not cores
-        shuffle_partitions=8,
+        shuffle_partitions=4,
+        # update-mode eviction is silent and every emission happens on a
+        # data batch, so the trailing no-data batch is pure checkpoint
+        # cost (~30% of a short run) — see run_to_memory
+        no_data_batches=False,
     )
     return _latest_per_key(
         out, ["window_start", "event_type"], ["n", "total_value"]
@@ -108,7 +112,8 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
         _qname("sliding"),
         output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
+        no_data_batches=False,  # output-invariant: see tumbling
     )
     return _latest_per_key(out, ["window_start", "event_type"], ["n"])
 
@@ -166,6 +171,9 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qname("session"),
         output_mode="update",
         shuffle_partitions=8,
+        # the sessionizer emits only on data batches (timeout = purge),
+        # so the trailing no-data batch is output-invariant
+        no_data_batches=False,
     )
     return supersede_sessions(out)
 
@@ -1023,7 +1031,8 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("window_start"), "event_type", "n"),
         _qname("topkwin"),
         output_mode="update",
-        shuffle_partitions=8,
+        shuffle_partitions=4,
+        no_data_batches=False,  # output-invariant: see tumbling
     )
     snapshot = _latest_per_key(out, ["window_start", "event_type"], ["n"])
     from pyspark.sql import Window
