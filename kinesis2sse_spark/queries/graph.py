@@ -1351,9 +1351,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 HITS_ROUNDS = 2
 
 
-@register(
-    "graph_hits",
-    oracle=f"""
+_HITS_ORACLE = f"""
     WITH {_PAIRS_CTES},
     edges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM pairs),
     a1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY dst),
@@ -1370,8 +1368,10 @@ HITS_ROUNDS = 2
     FROM nodes n
     LEFT JOIN h2 ON h2.src = n.node
     LEFT JOIN a2 ON a2.dst = n.node
-    """,
-)
+    """
+
+
+@register("graph_hits", oracle=_HITS_ORACLE)
 def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hub/authority scores — see the block comment for the
     orientation semantics and the all-integer exactness. Shape: the
@@ -1387,6 +1387,14 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(pin_cache)
     )
+    return _hits_scores(edges)
+
+
+def _hits_scores(edges: DataFrame) -> DataFrame:
+    """The HITS update rounds over a pinned (src, dst) edge relation —
+    shared verbatim by the inline rung (graph_hits) and the
+    prebuilt-artifact rung (graph_hits_prebuilt), so the two can only
+    differ in where the edges came from."""
     a1 = edges.groupBy("dst").agg(F.count("*").cast("bigint").alias("a"))
     h1 = (
         edges.join(a1, "dst")
@@ -1493,3 +1501,86 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(num / F.sqrt(vx * vy) * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("assortativity"),
     )
+
+
+# --- Prebuilt edge-relation lifecycle (round-12 verdict item 5) -------
+#
+# Every graph analytics rung above recomputes dedup_ngram_jaccard's
+# near-dup pair relation inline — at 100x corpus scale that machinery
+# is 90%+ of HITS/assortativity's wall clock. Production amortizes the
+# pair generation exactly like the IVF build/probe split: ONE
+# graph_edges_build materializes the dedup edge relation as a lake
+# artifact, and analytics operators probe the artifact, so their cost
+# is |edges|-bounded and decoupled from shingle/posting machinery.
+
+_GRAPH_EDGES_SCHEMA = "src long, dst long"
+
+
+def _graph_edges_path(sf_dir: str) -> str:
+    """Deterministic lake location for the prebuilt near-dup edge
+    relation, keyed by fixture directory (mirrors _ivf_index_path)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/k2s_graph_edges/{base}"
+
+
+def _ensure_graph_edges(
+    spark: SparkSession, sf_dir: str, rebuild: bool = False
+) -> str:
+    """Materialize the distinct (src, dst) near-dup edge relation as
+    parquet if absent. Content is deterministic (exact Jaccard over a
+    fixed corpus), so build-if-absent cannot go stale — the same
+    non-laziness contract as _ensure_ivf_index: the write runs eagerly
+    at call time."""
+    import os
+
+    path = _graph_edges_path(sf_dir)
+    if rebuild or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+        (
+            dedup_ngram_jaccard(spark, sf_dir)
+            .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@register(
+    "graph_edges_build",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT DISTINCT doc_a AS src, doc_b AS dst FROM pairs
+    """,
+)
+def graph_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-relation BUILD as its own lifecycle operator: runs the
+    near-dup pair generation once and lands the distinct (src, dst)
+    relation as a parquet artifact (the IVF build/probe split applied
+    to the graph ladder). A forced rebuild makes the driver row attest
+    this round's build path; the result is read back FROM the artifact,
+    so the oracle (the same _PAIRS_CTES the inline operators replay)
+    verifies both the pair math and the write/read roundtrip."""
+    path = _ensure_graph_edges(spark, sf_dir, rebuild=True)
+    return spark.read.schema(_GRAPH_EDGES_SCHEMA).parquet(path)
+
+
+@register("graph_hits_prebuilt", oracle=_HITS_ORACLE)
+def graph_hits_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the PREBUILT edge artifact — byte-identical output to
+    graph_hits (same _hits_scores rounds, same oracle string object),
+    but the probe leg reads |edges| rows of parquet instead of
+    re-running shingle extraction, posting-list self-join, and exact
+    verification. At 100x corpus scale that's the difference between
+    ~seconds (edge scan + 4 edge-sized joins) and the 200+ s
+    pair-generation curve the inline rung carries (PERF.md r11)."""
+    path = _ensure_graph_edges(spark, sf_dir)
+    edges = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(path)
+        .transform(pin_cache)
+    )
+    return _hits_scores(edges)

@@ -24,7 +24,7 @@ from pyspark.sql.streaming import StreamingQueryListener
 PROGRESS_SCHEMA = (
     "query_name string, batch_id long, num_input_rows long, "
     "input_rows_per_second double, process_rows_per_second double, "
-    "trigger_ms long, add_batch_ms long"
+    "trigger_ms long, add_batch_ms long, dropped_by_watermark long"
 )
 
 
@@ -37,6 +37,7 @@ class _Batch:
     process_rps: float
     trigger_ms: int
     add_batch_ms: int
+    dropped_by_watermark: int
 
 
 class ProgressRecorder(StreamingQueryListener):
@@ -60,6 +61,15 @@ class ProgressRecorder(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         dur = p.durationMs or {}
+        # The one reference semantic with no direct Spark metric: the
+        # reference STORES disorder (README.md:39-40) while Spark DROPS
+        # rows older than the watermark — numRowsDroppedByWatermark is
+        # the per-batch count of silently discarded late data, summed
+        # over the query's stateful operators.
+        dropped = sum(
+            int(getattr(op, "numRowsDroppedByWatermark", 0) or 0)
+            for op in (p.stateOperators or [])
+        )
         row = _Batch(
             query_name=p.name or "",
             batch_id=int(p.batchId),
@@ -68,6 +78,7 @@ class ProgressRecorder(StreamingQueryListener):
             process_rps=float(p.processedRowsPerSecond or 0.0),
             trigger_ms=int(dur.get("triggerExecution", 0)),
             add_batch_ms=int(dur.get("addBatch", 0)),
+            dropped_by_watermark=dropped,
         )
         with self._lock:
             self._rows.append(row)
@@ -94,6 +105,7 @@ class ProgressRecorder(StreamingQueryListener):
                     b.process_rps,
                     b.trigger_ms,
                     b.add_batch_ms,
+                    b.dropped_by_watermark,
                 )
                 for b in self._rows
             ]

@@ -273,10 +273,21 @@ class SseService:
                     with service.recorder._lock:
                         for b in service.recorder._rows:
                             agg = per_q.setdefault(
-                                b.query_name, {"batches": 0, "rows": 0}
+                                b.query_name,
+                                {
+                                    "batches": 0,
+                                    "rows": 0,
+                                    "dropped_by_watermark": 0,
+                                },
                             )
                             agg["batches"] += 1
                             agg["rows"] += b.num_input_rows
+                            # late-data visibility (r11 verdict item 6):
+                            # Spark drops late rows where the reference
+                            # stores disorder — surface the drop count
+                            agg["dropped_by_watermark"] += (
+                                b.dropped_by_watermark
+                            )
                     body = json.dumps(per_q).encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "application/json")

@@ -345,3 +345,76 @@ def test_metrics_endpoint_reports_route_rows(spark, tmp_path):
         assert got["route_m"]["batches"] >= 1
     finally:
         app.stop()
+
+
+def test_metrics_endpoint_surfaces_watermark_drops(spark, tmp_path):
+    """Late-data observability (r11 verdict item 6): the reference
+    STORES disorder (README.md:39-40) while Spark DROPS rows older than
+    the watermark — the one reference semantic with no direct metric.
+    /metrics must surface numRowsDroppedByWatermark per query: a forced
+    late arrival (batch 2 carries an event far older than the watermark
+    batch 1 established) increments dropped_by_watermark for the
+    stateful query, visible over HTTP."""
+    import json as _json
+    import time
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    src = staged_batch_dir("app_wm_drop_route")
+    _write_envelopes(
+        spark, src, "b0", [{"time": "2024-01-01T00:00:00Z", "detail": {"i": 0}}]
+    )
+    app = ServiceApp(
+        spark,
+        routes=[RouteConfig("/wm", os.path.join(src, "*"), start="TRIM_HORIZON")],
+    )
+    app.start()
+    try:
+        # a stateful (watermarked window agg) query in the same session:
+        # the app's ProgressRecorder hears every query, so its drops
+        # surface in /metrics alongside the route rows
+        d = staged_batch_dir("app_wm_drop_data")
+        schema = "ts timestamp, k string"
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, 14, 0, 0), "x")], schema
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b0"))
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "*"))
+        )
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "k")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("wm_drop_probe")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # watermark now 13:00
+            time.sleep(1.1)
+            # 09:00 is 4 h older than the 13:00 watermark -> dropped
+            spark.createDataFrame(
+                [(datetime(2024, 1, 1, 9, 0, 0), "x")], schema
+            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "b1"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+        got = {}
+        for _ in range(50):  # listener delivery is async
+            with urllib.request.urlopen(f"{app.addr}/metrics", timeout=5) as r:
+                got = _json.loads(r.read())
+            if got.get("wm_drop_probe", {}).get("dropped_by_watermark", 0) >= 1:
+                break
+            time.sleep(0.2)
+        assert got["wm_drop_probe"]["dropped_by_watermark"] >= 1, got
+        # route queries are stateless: present with a zero drop count
+        assert got["route_wm"]["dropped_by_watermark"] == 0, got
+    finally:
+        app.stop()
