@@ -1640,7 +1640,12 @@ _FDR_CTRL_HI = 75000  # milli-units
 _FDR_CTRL_LO = 25000
 
 
-def _fdr_oracle() -> str:
+def _pv_family_ctes() -> str:
+    """The permutation-test p-value family (events' per-type mean vs
+    corpus + two planted controls) as oracle CTEs through `ranked` —
+    shared by stats_fdr_bh (BH step-up tail) and stats_holm_bonferroni
+    (Holm step-down tail), so the two multiple-testing corrections are
+    provably computed over the SAME p-values."""
     u = (
         f"((d.event_id % {BOOT_P} + (r.b * 64 + l.li + {_FDR_OFFSET}) * 7919)"
         f" * 2654435761) % {BOOT_P}"
@@ -1713,7 +1718,12 @@ def _fdr_oracle() -> str:
              CAST(row_number() OVER (ORDER BY p, hypothesis) AS BIGINT) AS rnk,
              CAST(count(*) OVER () AS BIGINT) AS m
       FROM pv
-    ),
+    )"""
+
+
+def _fdr_oracle() -> str:
+    return f"""
+    {_pv_family_ctes()},
     adj AS (
       SELECT hypothesis, n1, p, rnk, m,
              least(CAST(1.0 AS DOUBLE),
@@ -1730,17 +1740,9 @@ def _fdr_oracle() -> str:
     """
 
 
-@register("stats_fdr_bh", oracle=_fdr_oracle())
-def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Permutation tests (each event type's mean value vs the corpus,
-    plus two planted positive controls) with Benjamini-Hochberg FDR
-    adjustment across the family (see block comment). Plan shape: ONE
-    corpus pass fans each event across {FDR_REPLICAS} replicas x
-    |hypotheses| entirely map-side (the fan-out partial-aggregates to
-    |hypotheses| x B groups before the exchange — the same
-    combiner-collapse as stats_permutation_test); the BH step-up
-    (rank, cumulative min from the worst rank) runs as windows over
-    the |hypotheses|-row p-value relation."""
+def _perm_family_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _pv_family_ctes: the (hypothesis, n1, p, rnk, m)
+    relation both multiple-testing corrections consume."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -1837,13 +1839,29 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("ne") + 1.0) / (F.col("nr") + 1.0)).alias("p"),
         )
     )
-    ranked = pv.select(
+    return pv.select(
         "hypothesis",
         "n1",
         "p",
         F.row_number().over(W.orderBy("p", "hypothesis")).cast("long").alias("rnk"),
         F.count("*").over(W.partitionBy()).cast("long").alias("m"),
     )
+
+
+@register("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation tests (each event type's mean value vs the corpus,
+    plus two planted positive controls) with Benjamini-Hochberg FDR
+    adjustment across the family (see block comment). Plan shape: ONE
+    corpus pass fans each event across {FDR_REPLICAS} replicas x
+    |hypotheses| entirely map-side (the fan-out partial-aggregates to
+    |hypotheses| x B groups before the exchange — the same
+    combiner-collapse as stats_permutation_test); the BH step-up
+    (rank, cumulative min from the worst rank) runs as windows over
+    the |hypotheses|-row p-value relation."""
+    from pyspark.sql import Window as W
+
+    ranked = _perm_family_ranked(spark, sf_dir)
     wmin = W.orderBy("rnk").rowsBetween(W.currentRow, W.unboundedFollowing)
     padj = F.least(
         F.lit(1.0), F.min((F.col("p") * F.col("m")) / F.col("rnk")).over(wmin)
@@ -1855,6 +1873,57 @@ def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("p") * 1000000 + F.lit(0.5)) / 1000000).alias("p_value"),
         (F.floor(padj * 1000000 + F.lit(0.5)) / 1000000).alias("p_adj"),
         (padj <= F.lit(FDR_Q)).alias("reject"),
+    )
+
+
+HOLM_ALPHA = 0.05
+
+
+@register(
+    "stats_holm_bonferroni",
+    oracle=f"""
+    {_pv_family_ctes()},
+    adj AS (
+      SELECT hypothesis, n1, p, rnk, m,
+             least(CAST(1.0 AS DOUBLE),
+                   max((m - rnk + 1) * p) OVER (ORDER BY rnk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS padj
+      FROM ranked
+    )
+    SELECT hypothesis, n1 AS n_group, rnk AS p_rank,
+           floor(p * 1000000 + 0.5) / 1000000 AS p_value,
+           floor(padj * 1000000 + 0.5) / 1000000 AS p_adj,
+           padj <= CAST({HOLM_ALPHA} AS DOUBLE) AS reject
+    FROM adj
+    """,
+)
+def stats_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN correction over the same permutation
+    p-value family as stats_fdr_bh (shared _perm_family_ranked /
+    _pv_family_ctes, so the two corrections are provably computed over
+    identical p-values): adjusted p_i = cummax over j<=i of
+    (m-j+1)*p_j, clamped at 1 — strong FWER control where BH controls
+    only FDR; a pipeline uses Holm when any single false rejection is
+    costly (e.g. shipping a model change on a guardrail metric) and BH
+    for discovery sweeps. Same plan shape as BH: the permutation fan
+    collapses map-side, the step-down is one window over the
+    |hypotheses|-row relation."""
+    from pyspark.sql import Window as W
+
+    ranked = _perm_family_ranked(spark, sf_dir)
+    wmax = W.orderBy("rnk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    padj = F.least(
+        F.lit(1.0),
+        F.max((F.col("m") - F.col("rnk") + 1) * F.col("p")).over(wmax),
+    )
+    return ranked.select(
+        "hypothesis",
+        F.col("n1").alias("n_group"),
+        F.col("rnk").alias("p_rank"),
+        (F.floor(F.col("p") * 1000000 + F.lit(0.5)) / 1000000).alias("p_value"),
+        (F.floor(padj * 1000000 + F.lit(0.5)) / 1000000).alias("p_adj"),
+        (padj <= F.lit(HOLM_ALPHA)).alias("reject"),
     )
 
 

@@ -1425,9 +1425,7 @@ def _hits_scores(edges: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "graph_degree_assortativity",
-    oracle=f"""
+_ASSORTATIVITY_ORACLE = f"""
     WITH {_PAIRS_CTES},
     {_UND_CTE},
     ed AS (
@@ -1452,8 +1450,10 @@ def _hits_scores(edges: DataFrame) -> DataFrame:
                    * 1000000 + 0.5) / 1000000
            END AS assortativity
     FROM m
-    """,
-)
+    """
+
+
+@register("graph_degree_assortativity", oracle=_ASSORTATIVITY_ORACLE)
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman 2002) of the near-dup graph: the
     Pearson correlation of endpoint degrees over the symmetrized edge
@@ -1471,6 +1471,12 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ngram_jaccard(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
+    return _assortativity(pairs)
+
+
+def _assortativity(pairs: DataFrame) -> DataFrame:
+    """Newman correlation over an (a, b) pair relation — shared verbatim
+    by the inline rung and graph_assortativity_prebuilt."""
     und = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).distinct().transform(pin_cache)
@@ -1584,3 +1590,19 @@ def graph_hits_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin_cache)
     )
     return _hits_scores(edges)
+
+
+@register("graph_assortativity_prebuilt", oracle=_ASSORTATIVITY_ORACLE)
+def graph_assortativity_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity over the PREBUILT edge artifact — the probe
+    twin of graph_degree_assortativity (same _assortativity moments,
+    same oracle string object). The inline rung's 100x leg is 494 s,
+    ~90% of it the inherited pair generation (PERF.md r11); the probe
+    leg is |edges|-bounded like graph_hits_prebuilt."""
+    path = _ensure_graph_edges(spark, sf_dir)
+    pairs = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(path)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    return _assortativity(pairs)

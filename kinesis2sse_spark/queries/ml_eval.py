@@ -1751,3 +1751,168 @@ def ml_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# Graded-relevance nDCG (the TREC convention, Järvelin & Kekäläinen
+# 2002): binary label-match relevance (ir_eval_retrieval) cannot tell
+# a ranking that surfaces near-misses from one that surfaces garbage.
+# Grades here: label == qlabel -> 2 (exact), |label - qlabel| == 1 ->
+# 1 (adjacent class, the near-miss), else 0; gain = 2^grade - 1 in
+# {3, 1, 0}. DCG = sum(gain * disc[rank]) over the same 1e6-scaled
+# INTEGER discount table as the binary rung, so DCG and the ideal DCG
+# (3s first, then 1s, greedy by grade — provably optimal for
+# monotone discounts) are exact int64; the only float is the final
+# ratio, floor-quantized at 1e6.
+_NDCG_IDCG_PFX = "[" + ", ".join(str(v) for v in _IDCG[1:]) + "]"
+
+
+@register(
+    "ir_eval_ndcg_graded",
+    oracle=f"""
+    WITH gr AS (
+      SELECT query_id, gain, rn FROM (
+        SELECT q.vec_id AS query_id,
+               CASE WHEN c.label = q.label THEN 3
+                    WHEN abs(c.label - q.label) = 1 THEN 1
+                    ELSE 0 END AS gain,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {IR_QUERIES}
+      ) WHERE rn <= {IR_K}
+    ),
+    counts AS (
+      SELECT q.vec_id AS query_id,
+             CAST((SELECT count(*) FROM embeddings c
+                   WHERE c.label = q.label) - 1 AS BIGINT) AS n_exact,
+             CAST((SELECT count(*) FROM embeddings c
+                   WHERE abs(c.label - q.label) = 1) AS BIGINT) AS n_adj
+      FROM embeddings q WHERE q.vec_id < {IR_QUERIES}
+    ),
+    perq AS (
+      SELECT query_id,
+             CAST(sum(gain * {_DISC_LIST}[rn]) AS BIGINT) AS dcg_s
+      FROM gr GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, n_exact, n_adj,
+             least(n_exact, {IR_K}) AS a,
+             least(n_adj, {IR_K} - least(n_exact, {IR_K})) AS b
+      FROM counts
+    )
+    SELECT i.query_id, i.n_exact, i.n_adj, p.dcg_s,
+           CAST(3 * (CASE WHEN i.a > 0 THEN {_NDCG_IDCG_PFX}[i.a] ELSE 0 END)
+                + (CASE WHEN i.a + i.b > 0 THEN {_NDCG_IDCG_PFX}[i.a + i.b] ELSE 0 END)
+                - (CASE WHEN i.a > 0 THEN {_NDCG_IDCG_PFX}[i.a] ELSE 0 END)
+                AS BIGINT) AS idcg_s,
+           CASE WHEN i.a + i.b > 0 THEN
+             floor(CAST(p.dcg_s AS DOUBLE)
+                   / CAST(3 * (CASE WHEN i.a > 0 THEN {_NDCG_IDCG_PFX}[i.a] ELSE 0 END)
+                          + (CASE WHEN i.a + i.b > 0 THEN {_NDCG_IDCG_PFX}[i.a + i.b] ELSE 0 END)
+                          - (CASE WHEN i.a > 0 THEN {_NDCG_IDCG_PFX}[i.a] ELSE 0 END)
+                          AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000
+           END AS ndcg
+    FROM ideal i JOIN perq p ON p.query_id = i.query_id
+    """,
+)
+def ir_eval_ndcg_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-relevance nDCG@{IR_K} per query — see the block comment
+    for grades/gains and the greedy-ideal argument. Plan shape
+    identical to ir_eval_retrieval: one corpus scan against the
+    broadcast query set, WindowGroupLimit pruning the top-k map-side,
+    then |queries|-row arithmetic; the exact/adjacent population
+    counts come from the 10-row label histogram, broadcast twice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _with_label_norm(e)
+    queries = corpus.filter(F.col("vec_id") < IR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    gain = (
+        F.when(F.col("label") == F.col("qlabel"), 3)
+        .when(F.abs(F.col("label") - F.col("qlabel")) == 1, 1)
+        .otherwise(0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    gr = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            gain.alias("gain"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+            "vec_id",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IR_K)
+    )
+    disc = F.element_at(F.array(*[F.lit(d) for d in _DISC]), F.col("rn"))
+    perq = gr.groupBy("query_id", "qlabel").agg(
+        F.sum(F.col("gain") * disc).cast("bigint").alias("dcg_s")
+    )
+    lc = e.groupBy("label").agg(F.count("*").alias("lcnt"))
+    n_exact = (F.col("lcnt") - 1).cast("bigint")
+    adj = (
+        e.select((F.col("label")).alias("clabel"))
+        .groupBy("clabel")
+        .agg(F.count("*").alias("acnt"))
+    )
+    # n_adj = histogram mass at qlabel-1 plus qlabel+1 (two broadcast
+    # joins against the 10-row histogram; missing labels coalesce to 0)
+    perq = (
+        perq.join(F.broadcast(lc), perq["qlabel"] == lc["label"])
+        .join(
+            F.broadcast(adj.selectExpr("clabel AS lo_l", "acnt AS lo_c")),
+            F.col("qlabel") - 1 == F.col("lo_l"),
+            "left",
+        )
+        .join(
+            F.broadcast(adj.selectExpr("clabel AS hi_l", "acnt AS hi_c")),
+            F.col("qlabel") + 1 == F.col("hi_l"),
+            "left",
+        )
+        .select(
+            "query_id",
+            "dcg_s",
+            n_exact.alias("n_exact"),
+            (F.coalesce(F.col("lo_c"), F.lit(0)) + F.coalesce(F.col("hi_c"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_adj"),
+        )
+    )
+    a = F.least(F.col("n_exact"), F.lit(IR_K))
+    b = F.least(F.col("n_adj"), F.lit(IR_K) - a)
+    pfx = F.array(*[F.lit(v) for v in _IDCG[1:]])
+    pa = F.when(a > 0, F.element_at(pfx, a.cast("int"))).otherwise(F.lit(0))
+    pab = (
+        F.when(a + b > 0, F.element_at(pfx, (a + b).cast("int")))
+        .otherwise(F.lit(0))
+    )
+    idcg = (3 * pa + pab - pa).cast("bigint")
+    return perq.select(
+        "query_id",
+        "n_exact",
+        "n_adj",
+        "dcg_s",
+        idcg.alias("idcg_s"),
+        F.when(
+            a + b > 0,
+            F.floor(
+                F.col("dcg_s").cast("double") / idcg.cast("double") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("ndcg"),
+    )

@@ -417,3 +417,94 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_buckets") - 1)
         ).alias("is_t_close"),
     )
+
+
+# Differentially-private histogram via the GEOMETRIC MECHANISM (Ghosh,
+# Roughgarden & Sundararajan 2009) — the discrete counterpart of
+# Laplace noise and the utility-optimal eps-DP mechanism for count
+# queries (sensitivity 1). Noise ~ two-sided geometric with
+# alpha = e^(-eps); choosing eps = ln 2 makes alpha = 1/2, so EVERY
+# probability is a dyadic rational: P(0) = 1/3, P(+-k) = (1/3)*2^-k —
+# the full inverse CDF is exact integer thresholds out of
+# M = 3 * 2^B, no float anywhere, and the oracle replays the draw
+# bit-for-bit. Support truncates at +-B (tail mass 2^(1-B)/3 folded
+# into the extreme buckets — a truncated-geometric variant, documented
+# standard practice for bounded-noise deployments). The noise draw is
+# keyed on the CELL (its alphabetical rank), one draw per histogram
+# bucket, exactly the mechanism's unit of release.
+DP_B = 8  # truncation half-width; tail mass folded = 2/768
+DP_M = 3 * (1 << DP_B)  # 768
+DP_SEED = 163840  # above every other operator's seed offset range
+
+
+def _dp_noise_sql(u_expr: str) -> str:
+    """Exact inverse-CDF CASE ladder for the alpha=1/2 two-sided
+    geometric over [-B, B], in integer units of DP_M — generated once,
+    inlined verbatim into BOTH engines."""
+    ws = {
+        k: (1 << (DP_B - abs(k))) for k in range(-DP_B, DP_B + 1)
+    }
+    ws[-DP_B] += 1  # the two leftover units of truncated tail mass
+    ws[DP_B] += 1
+    assert sum(ws.values()) == DP_M
+    cum, parts = 0, []
+    for k in range(-DP_B, DP_B + 1):
+        cum += ws[k]
+        parts.append((cum, k))
+    clauses = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for t, k in parts[:-1]
+    )
+    return f"(CASE {clauses} ELSE {parts[-1][1]} END)"
+
+
+_DP_U = f"((li + {DP_SEED}) * 2654435761) % {DP_M}"
+
+
+@register(
+    "privacy_dp_histogram",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY event_type
+    ),
+    lr AS (
+      SELECT event_type, n_true,
+             row_number() OVER (ORDER BY event_type) - 1 AS li
+      FROM h
+    )
+    SELECT event_type, n_true,
+           CAST({_dp_noise_sql(_DP_U)} AS BIGINT) AS noise,
+           CAST(greatest(n_true + {_dp_noise_sql(_DP_U)}, 0) AS BIGINT)
+             AS n_noisy
+    FROM lr
+    """,
+)
+def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP histogram of events per type under the geometric
+    mechanism — see the block comment for the exact dyadic inverse
+    CDF (eps = ln 2, alpha = 1/2, truncated at +-{DP_B}). Scale
+    shape: ONE map-side-combined count aggregate; the noise draw is a
+    projection over the |cells|-row histogram (cells bounded by the
+    type domain, not the stream), so nothing but per-cell counters
+    crosses the exchange. n_true rides along for the utility A/B,
+    same contract as privacy_randomized_response — production
+    releases only (event_type, n_noisy)."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    lr = h.select(
+        "event_type",
+        "n_true",
+        (F.row_number().over(Window.orderBy("event_type")) - 1)
+        .cast("long")
+        .alias("li"),
+    )
+    noise = F.expr(_dp_noise_sql(_DP_U)).cast("bigint")
+    return lr.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        F.greatest(F.col("n_true") + noise, F.lit(0)).cast("bigint").alias("n_noisy"),
+    )
