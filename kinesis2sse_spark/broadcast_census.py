@@ -76,12 +76,14 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("aggregates.py", "stats_permutation_test", "reps"): "constant",
     ("aggregates.py", "stats_permutation_test", "obs"): "constant",
     ("aggregates.py", "stats_permutation_test", "od"): "constant",
-    ("aggregates.py", "stats_fdr_bh", "reps"): "constant",  # B rows
-    ("aggregates.py", "stats_fdr_bh", "tot"): "constant",  # 1-row totals
-    # |hypotheses| rows (event types + 2 controls)
+    # the permutation p-value family (shared by stats_fdr_bh and
+    # stats_holm_bonferroni since r12): B replicas, 1-row totals, and
+    # the |hypotheses|-row label relation (event types + 2 controls)
+    ("aggregates.py", "_perm_family_ranked", "reps"): "constant",
+    ("aggregates.py", "_perm_family_ranked", "tot"): "constant",
     (
         "aggregates.py",
-        "stats_fdr_bh",
+        "_perm_family_ranked",
         "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
     ): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---
@@ -241,8 +243,23 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("ml_eval.py", "ml_average_precision", "tot"): "constant",  # 1-row P
     # AUC bootstrap: replica index / 1-row CI endpoints
     ("ml_eval.py", "ml_auc_bootstrap_ci", "reps"): "constant",
-    ("ml_eval.py", "ml_auc_bootstrap_ci", "lo"): "constant",
-    ("ml_eval.py", "ml_auc_bootstrap_ci", "hi"): "constant",
+    # 1-row global aggregate (r12: replaced the lo/hi rank filters so
+    # the point row survives replica-starved fixtures with NULL bounds)
+    ("ml_eval.py", "ml_auc_bootstrap_ci", "bounds"): "constant",
+    # graded nDCG: IR_QUERIES-row query set and the 10-row label
+    # histogram, broadcast once (exact) + twice (adjacent-shifted)
+    ("ml_eval.py", "ir_eval_ndcg_graded", "queries"): "constant",
+    ("ml_eval.py", "ir_eval_ndcg_graded", "lc"): "constant",
+    (
+        "ml_eval.py",
+        "ir_eval_ndcg_graded",
+        "adj.selectExpr('clabel AS lo_l', 'acnt AS lo_c')",
+    ): "constant",
+    (
+        "ml_eval.py",
+        "ir_eval_ndcg_graded",
+        "adj.selectExpr('clabel AS hi_l', 'acnt AS hi_c')",
+    ): "constant",
     # jackknife: 1-row totals / replicate mean / deviation sum
     ("aggregates.py", "stats_jackknife_variance", "tot"): "constant",
     ("aggregates.py", "stats_jackknife_variance", "mbar"): "constant",
