@@ -86,6 +86,9 @@ CENSUS: dict[tuple[str, str, str], str] = {
         "_perm_family_ranked",
         "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
     ): "constant",
+    # blocking census: two 1-row aggregate relations
+    ("graph.py", "er_blocking_quality", "cand"): "constant",
+    ("graph.py", "er_blocking_quality", "cov"): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---
     ("graph.py", "pagerank", "ncnt"): "constant",  # 1-row node count
     ("graph.py", "pipeline_split_by_cluster", "labels"): "cluster-bounded",

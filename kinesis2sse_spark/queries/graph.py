@@ -1606,3 +1606,113 @@ def graph_assortativity_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
     )
     return _assortativity(pairs)
+
+
+# Blocking-quality census (Christen 2012's two standard metrics):
+# REDUCTION RATIO = 1 - |candidate pairs| / |all pairs| (how much
+# comparison work blocking saves) and PAIRS COMPLETENESS = the
+# fraction of TRUE matching pairs whose members share a block (the
+# recall ceiling any within-block matcher inherits). Gold = the exact
+# near-dup pair relation (dedup_ngram_jaccard semantics via
+# _PAIRS_CTES); blocking scheme under evaluation = first-two-token
+# key, the cheap prefix block a crawler dedup pass would try first.
+# Candidate-pair COUNT comes from the block histogram
+# (sum nb*(nb-1)/2) — computed arithmetically, the pairs themselves
+# are never materialized, so the census itself is linear.
+_BLK_KEY_SQL = "array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')"
+
+
+@register(
+    "er_blocking_quality",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    gold AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    blocks AS (
+      SELECT doc_id, {_BLK_KEY_SQL} AS bkey FROM documents
+    ),
+    bc AS (SELECT bkey, CAST(count(*) AS BIGINT) AS nb
+           FROM blocks GROUP BY bkey),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    cand AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS cand_pairs,
+                    CAST(count(*) AS BIGINT) AS n_blocks
+             FROM bc),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
+             CAST(sum(CASE WHEN ba.bkey = bb.bkey THEN 1 ELSE 0 END)
+                  AS BIGINT) AS gold_covered
+      FROM gold g
+      JOIN blocks ba ON ba.doc_id = g.doc_a
+      JOIN blocks bb ON bb.doc_id = g.doc_b
+    )
+    SELECT t.n AS n_docs, c.n_blocks, c.cand_pairs,
+           CAST(t.n * (t.n - 1) // 2 AS BIGINT) AS total_pairs,
+           v.gold_pairs, v.gold_covered,
+           floor((1.0 - CAST(c.cand_pairs AS DOUBLE)
+                        / (t.n * (t.n - 1) // 2)) * 1000000 + 0.5)
+             / 1000000 AS reduction_ratio,
+           CASE WHEN v.gold_pairs > 0 THEN
+             floor(CAST(v.gold_covered AS DOUBLE) / v.gold_pairs
+                   * 1000000 + 0.5) / 1000000
+           END AS pairs_completeness
+    FROM tot t, cand c, cov v
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduction ratio + pairs completeness of the first-two-token
+    blocking scheme against the exact near-dup gold pairs — see the
+    block comment. Scale shape: the block histogram and the candidate
+    COUNT are one map-side-combined aggregate (pairs never
+    materialize); gold coverage is two hash joins of the
+    output-bounded gold pair relation against the doc→block map; the
+    final row is a cross of three 1-row broadcasts."""
+    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    bkey = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
+    blocks = docs.select("doc_id", bkey.alias("bkey")).transform(pin_cache)
+    bc = blocks.groupBy("bkey").agg(F.count("*").cast("bigint").alias("nb"))
+    tot = docs.agg(F.count("*").cast("bigint").alias("n"))
+    cand = bc.agg(
+        F.sum(F.expr("nb * (nb - 1) div 2")).cast("bigint").alias("cand_pairs"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    gold = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    cov = (
+        gold.join(
+            blocks.select(F.col("doc_id").alias("doc_a"), F.col("bkey").alias("ba")),
+            "doc_a",
+        )
+        .join(
+            blocks.select(F.col("doc_id").alias("doc_b"), F.col("bkey").alias("bb")),
+            "doc_b",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("gold_pairs"),
+            F.sum((F.col("ba") == F.col("bb")).cast("int"))
+            .cast("bigint")
+            .alias("gold_covered"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    total_pairs = F.expr("n * (n - 1) div 2").cast("bigint")
+    return (
+        tot.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(cov))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_blocks",
+            "cand_pairs",
+            total_pairs.alias("total_pairs"),
+            "gold_pairs",
+            "gold_covered",
+            q6(
+                1.0 - F.col("cand_pairs").cast("double") / total_pairs
+            ).alias("reduction_ratio"),
+            F.when(
+                F.col("gold_pairs") > 0,
+                q6(
+                    F.col("gold_covered").cast("double") / F.col("gold_pairs")
+                ),
+            ).alias("pairs_completeness"),
+        )
+    )

@@ -4312,3 +4312,136 @@ def decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("is_contaminated")
         )
     )
+
+
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+# maximal runs of non-stopword tokens (stopwords and empty tokens act
+# as phrase delimiters); each word scores deg/freq where freq = its
+# occurrence count across all phrase members and deg = the summed
+# length of every phrase containing it (within-phrase co-occurrence,
+# self included); a phrase scores the sum of its members' word scores
+# (per OCCURRENCE — repeated words count twice, the deterministic
+# reading of the paper's sum). Scores stay EXACT: per-word score is
+# the 1e6-scaled integer quotient (deg * 1e6) div freq, phrase score
+# the int64 sum of those — no float summation order anywhere.
+RAKE_TOPK = 5
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN tok IN ({_sql_list(EN_STOP)}) OR tok = ''
+                  THEN 1 ELSE 0 END AS is_stop
+      FROM pos
+    ),
+    ph AS (
+      SELECT doc_id, pos, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid
+      FROM marked
+    ),
+    members AS (
+      SELECT doc_id, pid, pos, tok FROM ph WHERE is_stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS n_words
+      FROM members GROUP BY doc_id, pid
+    ),
+    wstat AS (
+      SELECT m.tok, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(p.n_words) AS BIGINT) AS deg
+      FROM members m
+      JOIN plen p ON p.doc_id = m.doc_id AND p.pid = m.pid
+      GROUP BY m.tok
+    ),
+    wscore AS (SELECT tok, (deg * 1000000) // freq AS s FROM wstat),
+    pscore AS (
+      SELECT m.doc_id, m.pid,
+             string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(w.s) AS BIGINT) AS score_s
+      FROM members m JOIN wscore w ON w.tok = m.tok
+      GROUP BY m.doc_id, m.pid
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rank, phrase, n_words, score_s
+    FROM (
+      SELECT doc_id, phrase, n_words, score_s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_s DESC, phrase) AS rnk
+      FROM pscore
+    ) WHERE rnk <= {RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RAKE_TOPK} RAKE keyphrases per document — see the block
+    comment for the phrase/score definitions and the integer-exact
+    scoring. Scale shape: token explode → per-doc prefix-sum window
+    (partitioned by doc, never global) → the word-stat relation is
+    VOCABULARY-bounded and joins back by token (shuffle on a
+    vocab-sized key, map-side combined on both inputs); the per-doc
+    top-k rank is WindowGroupLimit-pruned below the exchange."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    is_stop = (
+        F.col("tok").isin(*EN_STOP) | (F.col("tok") == "")
+    ).cast("int")
+    ph = pos.withColumn(
+        "pid",
+        F.sum(is_stop).over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    # pinned: three consumers (phrase lengths, word stats, phrase agg)
+    members = (
+        ph.filter(is_stop == 0)
+        .select("doc_id", "pid", "pos", "tok")
+        .transform(pin_cache)
+    )
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )
+    wstat = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select("tok", F.expr("(deg * 1000000) div freq").alias("s"))
+    pscore = (
+        members.join(wscore, "tok")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("score_s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score_s").desc(), "phrase")
+    return (
+        pscore.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= RAKE_TOPK)
+        .select("doc_id", "rank", "phrase", "n_words", "score_s")
+    )

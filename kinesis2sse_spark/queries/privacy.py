@@ -508,3 +508,69 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise.alias("noise"),
         F.greatest(F.col("n_true") + noise, F.lit(0)).cast("bigint").alias("n_noisy"),
     )
+
+
+# Per-user contribution bounding — the preprocessing step every
+# user-level DP aggregate needs (Wilson et al. 2020, "Differentially
+# Private SQL"): before noise can give user-level guarantees, each
+# user's influence on any aggregate must be capped, so keep at most
+# PRIV_USER_CAP events per user (deterministic keep-first-by-event-time
+# rule) and everything downstream has sensitivity <= CAP per user
+# instead of unbounded. Raw aggregates ride along for the utility A/B,
+# same contract as the other privacy rungs.
+PRIV_USER_CAP = 4
+
+
+@register(
+    "privacy_contribution_bounding",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS FIRST, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(v) AS BIGINT) AS sum_raw_milli,
+           CAST(sum(CASE WHEN rn <= {PRIV_USER_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounded,
+           CAST(sum(CASE WHEN rn <= {PRIV_USER_CAP} THEN v ELSE 0 END)
+                AS BIGINT) AS sum_bounded_milli
+    FROM r GROUP BY event_type
+    """,
+)
+def privacy_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding to PRIV_USER_CAP events — see
+    the block comment. Scale shape: ONE row_number window partitioned
+    by user (the natural shuffle key; no global order anywhere), then
+    a map-side-combined per-type aggregate; values integerized at
+    milli-units so both engines sum exact int64. Null timestamps sort
+    FIRST explicitly — Spark's ASC default — pinned in the oracle so
+    the keep-first rule is engine-invariant."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        "ts",
+        "event_id",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.col("ts").asc_nulls_first(), F.col("event_id")
+        )
+    )
+    r = e.withColumn("rn", rn)
+    keep = F.col("rn") <= PRIV_USER_CAP
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum("v").cast("bigint").alias("sum_raw_milli"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_bounded"),
+        F.sum(F.when(keep, F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_bounded_milli"),
+    )
