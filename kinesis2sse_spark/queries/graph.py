@@ -1664,9 +1664,13 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT are one map-side-combined aggregate (pairs never
     materialize); gold coverage is two hash joins of the
     output-bounded gold pair relation against the doc→block map; the
-    final row is a cross of three 1-row broadcasts."""
-    from kinesis2sse_spark.queries.llm_dedup import dedup_ngram_jaccard
-
+    final row is a cross of three 1-row broadcasts. Gold pairs PROBE
+    the prebuilt edge artifact (build-if-absent — content identical to
+    the inline pair relation by _ensure_graph_edges's determinism), so
+    the census costs block-histogram + two joins, not pair generation:
+    the inline-gold curve was 4.9/21/278 s at 1x/10x/100x, dominated by
+    the inherited dedup machinery, exactly the profile the build/probe
+    split exists to amortize."""
     docs = load_table(spark, sf_dir, "documents")
     bkey = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
     blocks = docs.select("doc_id", bkey.alias("bkey")).transform(pin_cache)
@@ -1676,7 +1680,12 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("nb * (nb - 1) div 2")).cast("bigint").alias("cand_pairs"),
         F.count("*").cast("bigint").alias("n_blocks"),
     )
-    gold = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    gold = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .distinct()
+    )
     cov = (
         gold.join(
             blocks.select(F.col("doc_id").alias("doc_a"), F.col("bkey").alias("ba")),
