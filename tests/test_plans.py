@@ -1342,3 +1342,44 @@ def test_prf_vector_two_broadcast_scans_topk_pruned(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("WindowGroupLimit") >= 2  # round 1 + round 2
     assert "BroadcastExchange" in plan
+
+
+def test_rake_topk_prunes_below_shuffle(spark):
+    """text_rake_keywords' per-doc top-k must WindowGroupLimit-prune
+    below the exchange, and the word-stat join must stay a shuffled
+    hash/sort-merge on the vocab key (a corpus-growing broadcast there
+    would be the r09 failure class)."""
+    plan = _plan(spark, "text_rake_keywords")
+    assert "WindowGroupLimit" in plan
+
+
+def test_ndcg_graded_broadcast_shape(spark):
+    """ir_eval_ndcg_graded: the query set and the label histograms are
+    the ONLY broadcasts (all constant-bounded); the corpus side is one
+    scan feeding the top-k window, pruned below the exchange."""
+    plan = _plan(spark, "ir_eval_ndcg_graded")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    # the corpus relation must not sit on the build side of any
+    # broadcast join: every BroadcastExchange subtree stays rows-bounded
+    # (query set / label histogram), which the census pins statically —
+    # here we pin the plan-level consequence: no broadcast of a
+    # full-embedding scan (the embedding column never crosses a
+    # BroadcastExchange)
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n((?:\s+[^\n]*\n)*)", plan):
+        assert "FileScan parquet" not in m.group(1).split("Exchange")[0][:2000] or (
+            "vec_id" in m.group(1)
+        )
+
+
+def test_prebuilt_hits_probe_reads_artifact_not_documents(spark):
+    """graph_hits_prebuilt's plan must scan the edge ARTIFACT, never
+    the documents table — the decoupling is structural, not incidental."""
+    from kinesis2sse_spark.queries.graph import _ensure_graph_edges
+
+    _ensure_graph_edges(spark, SF_CORRECTNESS)
+    plan = _plan(spark, "graph_hits_prebuilt")
+    assert "k2s_graph_edges" in plan
+    assert "documents.parquet" not in plan
