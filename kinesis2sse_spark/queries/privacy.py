@@ -574,3 +574,135 @@ def privacy_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("sum_bounded_milli"),
     )
+
+
+# User-level eps-DP mean — the composition the previous two rungs
+# exist for (Wilson et al. 2020): (1) bound each user to
+# PRIV_USER_CAP events (keep-first rule, privacy_contribution_bounding),
+# (2) clip each user's bounded value-sum into [-DP_CLIP, DP_CLIP]
+# milli-units, so one user moves the corpus sum by at most DP_CLIP;
+# (3) QUANTIZE the clipped sum to multiples of DP_CLIP and add
+# DP_CLIP * Z with Z the exact dyadic two-sided geometric of
+# privacy_dp_histogram. On the DP_CLIP lattice a user-level neighbor
+# moves the quantized sum by at most one step, so the release is
+# eps = ln 2 user-level DP — the quantization is what makes the
+# scaled-noise construction exact rather than approximate, and it
+# costs at most DP_CLIP/2 bias, folded into the reported error budget.
+# The user count is released through the same mechanism (sensitivity
+# 1, unscaled noise). True values ride along for the utility A/B.
+DP_CLIP = 200_000  # milli-units: one user's max |contribution| to the sum
+DP_MEAN_SEED = 163900  # distinct draws for the sum and count cells
+
+
+@register(
+    "privacy_dp_mean",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS FIRST, event_id) AS rn
+      FROM events
+    ),
+    pu AS (
+      SELECT user_id,
+             least(greatest(CAST(sum(CASE WHEN rn <= {PRIV_USER_CAP}
+                                          THEN v ELSE 0 END) AS BIGINT),
+                            -{DP_CLIP}), {DP_CLIP}) AS cs
+      FROM r GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(cs) AS BIGINT) AS sum_clipped
+      FROM pu
+    ),
+    qz AS (
+      SELECT n_users, sum_clipped,
+             -- round-half-up to the DP_CLIP lattice (floor of x/C + 1/2
+             -- in exact integer form: (2x + C) div (2C), then * C)
+             ((2 * sum_clipped + {DP_CLIP}) // (2 * {DP_CLIP}))
+               * {DP_CLIP} AS sum_q,
+             {_dp_noise_sql(f"(({DP_MEAN_SEED}) * 2654435761) % {DP_M}")}
+               AS z_sum,
+             {_dp_noise_sql(f"(({DP_MEAN_SEED + 1}) * 2654435761) % {DP_M}")}
+               AS z_n
+      FROM agg
+    )
+    SELECT n_users, sum_clipped,
+           CAST(sum_q AS BIGINT) AS sum_quantized,
+           CAST(z_sum AS BIGINT) AS noise_steps,
+           CAST(sum_q + z_sum * {DP_CLIP} AS BIGINT) AS dp_sum_milli,
+           CAST(greatest(n_users + z_n, 1) AS BIGINT) AS dp_n_users,
+           floor(CAST(sum_q + z_sum * {DP_CLIP} AS DOUBLE)
+                 / greatest(n_users + z_n, 1) * 1000 + 0.5) / 1000000
+             AS dp_mean,
+           floor(CAST(sum_clipped AS DOUBLE) / n_users * 1000 + 0.5)
+             / 1000000 AS clipped_mean
+    FROM qz
+    """,
+)
+def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level eps-DP mean event value — see the block comment for
+    the bound→clip→quantize→noise construction and the exactness
+    argument. Scale shape: one per-user window (shuffled on user_id,
+    the natural key), one map-side-combined per-user aggregate, then a
+    1-row release; the noise draws are constants folded at plan time.
+    Both released quantities (sum, user count) go through the same
+    dyadic geometric mechanism; dp_mean divides the two releases —
+    post-processing, so the eps budget is the two draws' composition."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        "ts",
+        "event_id",
+    )
+    rn = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.col("ts").asc_nulls_first(), F.col("event_id")
+        )
+    )
+    pu = (
+        e.withColumn("rn", rn)
+        .groupBy("user_id")
+        .agg(
+            F.least(
+                F.greatest(
+                    F.sum(
+                        F.when(F.col("rn") <= PRIV_USER_CAP, F.col("v")).otherwise(0)
+                    ).cast("bigint"),
+                    F.lit(-DP_CLIP),
+                ),
+                F.lit(DP_CLIP),
+            ).alias("cs")
+        )
+    )
+    agg = pu.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cs").cast("bigint").alias("sum_clipped"),
+    )
+    sum_q = F.expr(
+        f"((2 * sum_clipped + {DP_CLIP}) div (2 * {DP_CLIP})) * {DP_CLIP}"
+    )
+    z_sum = F.expr(
+        _dp_noise_sql(f"(({DP_MEAN_SEED}) * 2654435761) % {DP_M}")
+    ).cast("bigint")
+    z_n = F.expr(
+        _dp_noise_sql(f"(({DP_MEAN_SEED + 1}) * 2654435761) % {DP_M}")
+    ).cast("bigint")
+    dp_sum = (sum_q + z_sum * DP_CLIP).cast("bigint")
+    dp_n = F.greatest(F.col("n_users") + z_n, F.lit(1)).cast("bigint")
+    q3 = lambda c: F.floor(c * 1000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        "n_users",
+        "sum_clipped",
+        sum_q.cast("bigint").alias("sum_quantized"),
+        z_sum.alias("noise_steps"),
+        dp_sum.alias("dp_sum_milli"),
+        dp_n.alias("dp_n_users"),
+        q3(dp_sum.cast("double") / dp_n).alias("dp_mean"),
+        q3(F.col("sum_clipped").cast("double") / F.col("n_users")).alias(
+            "clipped_mean"
+        ),
+    )

@@ -178,3 +178,21 @@ def test_prebuilt_graph_twins_match_inline(spark):
     ia = {tuple(r) for r in qs["graph_degree_assortativity"](spark, SF01).collect()}
     pa = {tuple(r) for r in qs["graph_assortativity_prebuilt"](spark, SF01).collect()}
     assert ia == pa
+
+
+def test_dp_mean_clip_and_quantize_model(spark):
+    """privacy_dp_mean invariants: |per-release noise| <= DP_B steps,
+    the quantized sum sits on the DP_CLIP lattice within half a step of
+    the clipped sum, dp_sum = quantized + steps*DP_CLIP, and the whole
+    release is deterministic across calls."""
+    from kinesis2sse_spark.queries.privacy import DP_B, DP_CLIP
+
+    qs = all_queries()
+    a = qs["privacy_dp_mean"](spark, SF).collect()[0]
+    b = qs["privacy_dp_mean"](spark, SF).collect()[0]
+    assert a == b, "release must be deterministic"
+    assert a["sum_quantized"] % DP_CLIP == 0
+    assert abs(a["sum_quantized"] - a["sum_clipped"]) * 2 <= DP_CLIP
+    assert abs(a["noise_steps"]) <= DP_B
+    assert a["dp_sum_milli"] == a["sum_quantized"] + a["noise_steps"] * DP_CLIP
+    assert a["dp_n_users"] >= 1
