@@ -1343,3 +1343,62 @@ def streaming_offsets_per_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
     )
     return out.select("event_id", "event_type", "offset")
+
+
+from kinesis2sse_spark.queries.privacy import PRIV_USER_CAP  # noqa: E402
+
+
+@register(
+    "streaming_contribution_bounding",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC NULLS FIRST, event_id)
+               AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN rn <= {PRIV_USER_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounded,
+           CAST(sum(CASE WHEN rn <= {PRIV_USER_CAP} THEN v ELSE 0 END)
+                AS BIGINT) AS sum_bounded_milli
+    FROM r GROUP BY event_type
+    """,
+)
+def streaming_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user contribution bounding applied IN the stream — the
+    online form of privacy_contribution_bounding (same keep-first
+    rule, same oracle aggregates): a stateful per-user counter flags
+    each arriving event kept/dropped before it ever reaches a
+    downstream DP aggregate, so the sensitivity bound holds
+    continuously instead of per batch job. State = one 8-byte counter
+    per user (the reference's per-route offset profile); the
+    single-file fixture is one micro-batch processed in
+    (ts NULLS FIRST, event_id) order, making the batch window SQL an
+    exact oracle; cross-batch carry (a user's cap spans micro-batches)
+    is pinned in tests/test_streaming.py."""
+    from kinesis2sse_spark.streaming.state import with_contribution_cap
+
+    s = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    out = run_to_memory(
+        with_contribution_cap(s, PRIV_USER_CAP),
+        _qname("contrib"),
+        "append",
+        shuffle_partitions=8,
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.col("is_kept").cast("int")).cast("bigint").alias("n_bounded"),
+        F.sum(F.when(F.col("is_kept"), F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_bounded_milli"),
+    )

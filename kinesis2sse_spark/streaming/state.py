@@ -541,3 +541,55 @@ def with_streaming_offsets_per_route(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming per-user contribution bounding -----------------------------
+
+CONTRIB_STATE_SCHEMA = T.StructType([T.StructField("kept", T.LongType())])
+
+
+def _contribution_cap_fn(cap: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (kept,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            # keep-first-by-event-time within the batch (nulls FIRST —
+            # the batch operator's pinned order); across batches the
+            # carried counter makes "first" mean arrival order, exactly
+            # the online reading of the rule
+            batch = batch.sort_values(
+                ["ts", "event_id"], na_position="first"
+            ).reset_index(drop=True)
+            n = len(batch)
+            take = max(0, min(cap - kept, n))
+            batch["is_kept"] = [i < take for i in range(n)]
+            kept += take
+            yield batch
+        state.update((kept,))
+
+    return update
+
+
+def with_contribution_cap(df: DataFrame, cap: int, key_col: str = "user_id") -> DataFrame:
+    """Per-user contribution bounding as a STREAM: each user's first
+    ``cap`` events (by event time within a batch, by arrival across
+    batches) are flagged kept, the rest dropped — the online form of
+    privacy_contribution_bounding, applied before events ever reach a
+    DP aggregate. State is ONE 8-byte counter per user (the same
+    profile as the reference's per-route offset counters); no timeout,
+    because the cap is a stream-lifetime guarantee — production TTLs
+    the keyspace with the user-retention policy, not the watermark.
+    Output schema = input + ``is_kept: boolean``."""
+    out_fields = [T.StructField(f.name, f.dataType) for f in df.schema.fields] + [
+        T.StructField("is_kept", T.BooleanType())
+    ]
+    return df.groupBy(key_col).applyInPandasWithState(
+        _contribution_cap_fn(cap),
+        outputStructType=T.StructType(out_fields),
+        stateStructType=CONTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1847,3 +1847,46 @@ def test_per_route_offsets_carry_across_batches(spark):
         5: ("a", 2),  # route a RESUMES at 2 in batch 2
         4: ("c", 0),  # new route starts at 0
     }, got
+
+
+def test_contribution_cap_carries_across_batches(spark):
+    """The per-user cap is a stream-lifetime bound: a user who used
+    part of the cap in batch 1 gets only the REMAINDER in batch 2, and
+    a fresh user in batch 2 starts from zero. Cap = 4 (PRIV_USER_CAP)."""
+    import os
+    import time
+
+    from kinesis2sse_spark.queries.privacy import PRIV_USER_CAP
+    from kinesis2sse_spark.streaming.state import with_contribution_cap
+
+    d = staged_batch_dir("contrib_cap")
+    schema = "user_id long, event_id long, event_type string, ts timestamp, v long"
+    b0 = [(1, i, "a", _ts("2024-01-01 10:00:00"), 10) for i in range(3)]
+    _write_batch(spark, d, "b0", b0, schema)
+    time.sleep(1.1)
+    # user 1 arrives with 3 more (only 1 slot left), user 2 with 2 (fresh)
+    b1 = [(1, 10 + i, "a", _ts("2024-01-01 11:00:00"), 10) for i in range(3)]
+    b1 += [(2, 20 + i, "a", _ts("2024-01-01 11:00:00"), 10) for i in range(2)]
+    _write_batch(spark, d, "b1", b1, schema)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    out = run_to_memory(
+        with_contribution_cap(s, PRIV_USER_CAP),
+        "t_contrib_cap",
+        "append",
+        shuffle_partitions=4,
+    )
+    kept = {
+        r["user_id"]: sorted(x["event_id"] for x in out.collect()
+                             if x["is_kept"] and x["user_id"] == r["user_id"])
+        for r in out.select("user_id").distinct().collect()
+    }
+    # user 1: all 3 from b0 + exactly ONE from b1 (the lowest event_id
+    # at the same ts); user 2: both kept
+    assert kept[1] == [0, 1, 2, 10], kept
+    assert kept[2] == [20, 21], kept
+    assert out.count() == 8  # every event emitted, flagged
