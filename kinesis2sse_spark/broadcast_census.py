@@ -86,6 +86,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
         "_perm_family_ranked",
         "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
     ): "constant",
+    # Brown-Forsythe: the k-row per-group median relation
+    ("aggregates.py", "stats_brown_forsythe", "med"): "constant",
     # blocking census: two 1-row aggregate relations
     ("graph.py", "er_blocking_quality", "cand"): "constant",
     ("graph.py", "er_blocking_quality", "cov"): "constant",

@@ -2330,3 +2330,143 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_per_arm_for_lift"),
     )
+
+
+# Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974 —
+# Levene's test with the MEDIAN center, the robust form): before a
+# t-test/ANOVA treats groups as comparable, this tests whether their
+# SPREADS differ. z_ij = |x_ij - median_j| (lower median, nearest-rank
+# on the integer milli-unit histogram — exact in both engines), then
+# the one-way ANOVA F statistic on the z's. Exactness protocol: all
+# per-group moments (n, sum z, sum z^2) are exact int64; the ONE
+# cross-group float reduction (sum of Sz_j^2/n_j) folds over the
+# group list SORTED BY event_type — both engines reduce left-to-right
+# over the same ordered list, so the IEEE result is bit-identical
+# (the same trick _boot/_perm avoid needing by staying integer; a
+# dynamic group count rules out Welch's fixed-column pivot here).
+@register(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (
+      SELECT event_type, v, count(*) AS c FROM ev GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type, v, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cm,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    med AS (
+      SELECT event_type, CAST(min(CASE WHEN 2 * cm >= n THEN v END) AS BIGINT) AS md
+      FROM cum GROUP BY event_type
+    ),
+    z AS (
+      SELECT ev.event_type, abs(ev.v - med.md) AS z
+      FROM ev JOIN med ON med.event_type = ev.event_type
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(z * z) AS BIGINT) AS szz
+      FROM z GROUP BY event_type
+    ),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(sz) AS BIGINT) AS sz_tot,
+             CAST(sum(szz) AS BIGINT) AS szz_tot,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                      / CAST(nj AS DOUBLE) ORDER BY event_type)),
+               (a, b) -> a + b) AS asum
+      FROM g
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           CASE WHEN k > 1
+                 AND (szz_tot - asum) > 0 THEN
+             floor(((asum - CAST(sz_tot AS DOUBLE) * CAST(sz_tot AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                    / (CAST(k AS DOUBLE) - 1.0))
+                   / ((CAST(szz_tot AS DOUBLE) - asum)
+                      / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000
+           END AS f_stat
+    FROM fold
+    """,
+)
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe robust variance-homogeneity F — see the block
+    comment for the median-centered construction and the ordered-fold
+    float determinism. Scale shape: value histogram per group (map-side
+    combined), per-group cumulative window (partitioned by group,
+    never global), a broadcast k-row median join back onto the corpus,
+    one more map-side-combined moment aggregate, then k-row arithmetic
+    — two corpus passes total, both exchange only bounded relations."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    h = ev.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    cum = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(W.partitionBy("event_type").orderBy("v")).alias("cm"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cm") >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("md")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("md")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nj"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+    )
+    term = (
+        F.col("sz").cast("double")
+        * F.col("sz").cast("double")
+        / F.col("nj").cast("double")
+    )
+    fold = g.select("event_type", "nj", "sz", "szz", term.alias("t")).agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sz").cast("bigint").alias("sz_tot"),
+        F.sum("szz").cast("bigint").alias("szz_tot"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "t"))),
+                lambda x: x.t,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("asum"),
+    )
+    k, n = F.col("k").cast("double"), F.col("n").cast("double")
+    a = F.col("asum") - F.col("sz_tot").cast("double") * F.col(
+        "sz_tot"
+    ).cast("double") / n
+    b = F.col("szz_tot").cast("double") - F.col("asum")
+    return fold.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.when(
+            (F.col("k") > 1) & (b > 0),
+            F.floor((a / (k - 1.0)) / (b / (n - k)) * 1000000 + F.lit(0.5))
+            / 1000000,
+        ).alias("f_stat"),
+    )

@@ -4445,3 +4445,56 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= RAKE_TOPK)
         .select("doc_id", "rank", "phrase", "n_words", "score_s")
     )
+
+
+# Stratified k-fold assignment — the cross-validation counterpart of
+# pipeline_dataset_split: folds must (a) be deterministic and
+# seed-free, (b) balance WITHIN each stratum to +-1 row (plain
+# hash-mod balances only in expectation — a small stratum can land
+# 7/3/0/0/0), and (c) scatter pseudo-randomly so fold membership
+# doesn't correlate with ingestion order. Rule: within each stratum
+# (lang), rank docs by the multiplicative hash (doc_id reduced mod the
+# prime, Fibonacci-hashed), fold = (rank - 1) mod K — exact balance by
+# construction, hash-order scatter, one window per stratum.
+KFOLD_K = 5
+_KFOLD_HASH = "((doc_id % 1000000007) * 2654435761) % 1000000007"
+
+
+@register(
+    "pipeline_stratified_kfold",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_KFOLD_HASH}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST((rn - 1) % {KFOLD_K} AS BIGINT) AS fold
+    FROM r
+    """,
+)
+def pipeline_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified {KFOLD_K}-fold assignment — see the
+    block comment for the balance/scatter argument. Scale shape: ONE
+    row_number window partitioned by the stratum (never a global
+    sort); at 1000-executor scale each stratum's rank runs where its
+    partition lives, and the output is a projection."""
+    from pyspark.sql import Window as W
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (
+            (
+                F.row_number().over(
+                    W.partitionBy("lang").orderBy(
+                        F.expr(_KFOLD_HASH), "doc_id"
+                    )
+                )
+                - 1
+            )
+            % KFOLD_K
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )

@@ -1916,3 +1916,80 @@ def ir_eval_ndcg_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("ndcg"),
     )
+
+
+@register(
+    "ml_mcc_threshold",
+    oracle=f"""
+WITH {_SCORED_CTE},
+agg AS (
+  SELECT CAST(sum(CASE WHEN pos = 1 AND s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN pos = 0 AND s >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN pos = 1 AND s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(sum(CASE WHEN pos = 0 AND s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+             AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+         floor((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+               / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE))
+               * 1000000 + 0.5) / 1000000
+       END AS mcc,
+       CASE WHEN (tp + fn) > 0 AND (tn + fp) > 0 THEN
+         floor((CAST(tp AS DOUBLE) / (tp + fn)
+                + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0
+               * 1000000 + 0.5) / 1000000
+       END AS balanced_accuracy
+FROM agg
+""",
+)
+def ml_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient + balanced accuracy at the
+    natural threshold — the class-imbalance-robust companions to
+    ml_confusion_threshold's precision/recall/F1 (MCC is the only
+    single-number confusion summary that uses all four cells; F1
+    ignores TN entirely). Numerator is exact int64 cross-product; the
+    denominator multiplies the four marginals as DOUBLES in fixed
+    left-to-right order (int64 would overflow at n^4 for corpus-scale
+    n), one sqrt, floor-quantized 1e6, NULL when any marginal is empty
+    — same plan shape as the confusion rung: one map-side-combined
+    corpus aggregate, 1-row arithmetic after."""
+    s = _scored(spark, sf_dir)
+    pred = F.col("s") >= 0
+    pos = F.col("pos") == 1
+    agg = s.agg(
+        F.sum(F.when(pos & pred, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(~pos & pred, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(pos & ~pred, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~pos & ~pred, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = [F.col(c) for c in ("tp", "fp", "fn", "tn")]
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0),
+            q6((tp.cast("double") * tn - fp.cast("double") * fn) / den),
+        ).alias("mcc"),
+        F.when(
+            (tp + fn > 0) & (tn + fp > 0),
+            q6(
+                (
+                    tp.cast("double") / (tp + fn)
+                    + tn.cast("double") / (tn + fp)
+                )
+                / 2.0
+            ),
+        ).alias("balanced_accuracy"),
+    )
