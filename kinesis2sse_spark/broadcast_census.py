@@ -86,6 +86,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
         "_perm_family_ranked",
         "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
     ): "constant",
+    # Kruskal-Wallis: the 1-row totals/tie relation
+    ("aggregates.py", "stats_kruskal_wallis", "tt"): "constant",
     # Brown-Forsythe: the k-row per-group median relation
     ("aggregates.py", "stats_brown_forsythe", "med"): "constant",
     # blocking census: two 1-row aggregate relations

@@ -2470,3 +2470,156 @@ def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("f_stat"),
     )
+
+
+# Kruskal-Wallis H (1952) — the k-group nonparametric one-way ANOVA,
+# completing the rank-test ladder: stats_mann_whitney handles k = 2,
+# this handles the k event types at once (rank ALL values pooled,
+# compare per-group mean ranks). Exactness: tied ranks enter through
+# 2*R = 2*less + c + 1 (the Mann-Whitney/AUC integer convention), so
+# each group's rank-sum S2_j = sum over its values of
+# c_gj * (2*less + c + 1) is exact int64 via the pooled-histogram
+# prefix counts (_with_prefix_counts, bucketed two-level — no global
+# single-partition window); the cross-group reduction of
+# (S2_j - n_j(N+1))^2 / (4 n_j) folds over the group list sorted by
+# event_type (the stats_brown_forsythe ordered-fold idiom, IEEE
+# bit-identical in both engines). Tie correction T = sum(c^3 - c)
+# stays int64 while no single tied value holds > ~2^21 rows per
+# milli-bucket (the milli quantization spreads a [0,100] domain over
+# 1e5 buckets, so realistic corpora sit orders of magnitude under it).
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    hg AS (
+      SELECT event_type, v, CAST(count(*) AS BIGINT) AS cg
+      FROM ev GROUP BY event_type, v
+    ),
+    hp AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM hg GROUP BY v),
+    rk AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS less
+      FROM hp
+    ),
+    g AS (
+      SELECT hg.event_type,
+             CAST(sum(hg.cg) AS BIGINT) AS nj,
+             CAST(sum(hg.cg * (2 * rk.less + rk.c + 1)) AS BIGINT) AS s2
+      FROM hg JOIN rk ON rk.v = hg.v GROUP BY hg.event_type
+    ),
+    tt AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM hp
+    ),
+    fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list((CAST(s2 AS DOUBLE) - CAST(nj AS DOUBLE) * (t2.n + 1))
+                      * (CAST(s2 AS DOUBLE) - CAST(nj AS DOUBLE) * (t2.n + 1))
+                      / (4.0 * nj) ORDER BY event_type)),
+               (a, b) -> a + b) AS asum
+      FROM g, tt t2 GROUP BY ALL
+    )
+    SELECT t2.n AS n_rows, f.k AS n_groups,
+           CAST(f.k - 1 AS BIGINT) AS df,
+           CASE WHEN f.k > 1 AND t2.n > 1
+                 AND (1.0 - CAST(t2.t AS DOUBLE)
+                      / (CAST(t2.n AS DOUBLE) * t2.n * t2.n - t2.n)) > 0 THEN
+             floor((12.0 * f.asum
+                    / (CAST(t2.n AS DOUBLE) * (t2.n + 1)))
+                   / (1.0 - CAST(t2.t AS DOUBLE)
+                      / (CAST(t2.n AS DOUBLE) * t2.n * t2.n - t2.n))
+                   * 1000000 + 0.5) / 1000000
+           END AS h_stat
+    FROM fold f, tt t2
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types — see the block comment for
+    the integer rank convention, tie correction, and the ordered-fold
+    determinism. Scale shape: value histogram (map-side combined),
+    bucketed two-level prefix ranks (_with_prefix_counts — the pooled
+    rank never sees a corpus-sized single partition), one
+    histogram-sized join, then k-row arithmetic."""
+    from kinesis2sse_spark.queries.ml_eval import _with_prefix_counts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    hg = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("cg")
+    )
+    # pooled histogram: the prefix helper's caller-persist contract
+    hp = (
+        hg.groupBy("v")
+        .agg(F.sum("cg").cast("bigint").alias("c"))
+        .select(F.col("v").alias("s"), "c", F.lit(0).cast("bigint").alias("cp"))
+        .transform(pin_cache)
+    )
+    rk = _with_prefix_counts(hp, keys=(), keep_value=True).select(
+        F.col("s").alias("v"), "c", "less"
+    )
+    g = (
+        hg.join(rk, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("bigint").alias("nj"),
+            F.sum(F.col("cg") * (2 * F.col("less") + F.col("c") + 1))
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    tt = hp.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("t"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    term = (
+        (F.col("s2").cast("double") - F.col("nj").cast("double") * (F.col("n") + 1))
+        * (F.col("s2").cast("double") - F.col("nj").cast("double") * (F.col("n") + 1))
+        / (4.0 * F.col("nj"))
+    )
+    fold = (
+        g.crossJoin(F.broadcast(tt))
+        .select("event_type", "n", "t", term.alias("term"))
+        .groupBy("n", "t")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_type", "term"))),
+                    lambda x: x.term,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("asum"),
+        )
+    )
+    corr = 1.0 - F.col("t").cast("double") / (nd * nd * nd - nd)
+    return fold.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > 1) & (corr > 0),
+            F.floor(
+                (12.0 * F.col("asum") / (nd * (F.col("n") + 1)))
+                / corr
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("h_stat"),
+    )
