@@ -422,3 +422,163 @@ def test_lexical_diversity_matches_counter_model(spark, docs):
         assert r["n_types"] == len(c)
         assert r["n_hapax"] == sum(1 for v in c.values() if v == 1)
         assert r["ttr"] == math.floor(len(c) * 1e6 / n + 0.5) / 1e6
+
+
+# --- round-12: streaming contribution cap ≡ sequential model -------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(0, 50)),  # ts seconds
+                st.integers(0, 10_000),  # event_id
+            ),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    cap=st.integers(0, 6),
+)
+@settings(max_examples=200, deadline=None)
+def test_contribution_cap_fn_matches_sequential_model(batches, cap):
+    """The pandas state fn (streaming/state.py::_contribution_cap_fn)
+    must equal the sequential model: per batch, events sorted by
+    (ts NULLS FIRST, event_id) take the remaining cap in order; the
+    counter carries across batches; every event is emitted flagged."""
+    import pandas as pd
+
+    from kinesis2sse_spark.streaming.state import _contribution_cap_fn
+
+    fn = _contribution_cap_fn(cap)
+    state = _FakeGroupState()
+    base = datetime(2024, 1, 1)
+    kept_model = 0
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": [
+                    None if t is None else base + timedelta(seconds=t)
+                    for t, _ in batch
+                ],
+                "event_id": [e for _, e in batch],
+            }
+        )
+        out = list(fn((1,), iter([pdf]), state))
+        got = pd.concat(out) if out else pd.DataFrame(columns=["event_id", "is_kept"])
+        # model: sort with nulls first, take remainder of cap
+        order = sorted(
+            batch, key=lambda r: ((0, 0) if r[0] is None else (1, r[0]), r[1])
+        )
+        take = max(0, min(cap - kept_model, len(order)))
+        expect_kept = {e for _, e in order[:take]}
+        kept_model += take
+        assert len(got) == len(batch)  # every event emitted, flagged
+        got_kept = set(got.loc[got["is_kept"].astype(bool), "event_id"])
+        assert got_kept == expect_kept, (batch, cap)
+    assert state.get == (kept_model,)
+
+
+# --- round-12: RAKE oracle ≡ pure-Python reference ------------------------
+
+
+def _rake_model(docs: dict[int, list[str]], stop: set[str], topk: int):
+    """Independent RAKE implementation (phrases = maximal non-stop
+    runs; deg/freq integer scores; per-occurrence phrase sums)."""
+    members = []  # (doc, pid, pos, tok)
+    for d, toks in docs.items():
+        pid = 0
+        for i, t in enumerate(toks, start=1):
+            if t in stop or t == "":
+                pid += 1
+            else:
+                members.append((d, pid, i, t))
+    from collections import defaultdict
+
+    plen = defaultdict(int)
+    for d, p, _, _ in members:
+        plen[(d, p)] += 1
+    freq, deg = defaultdict(int), defaultdict(int)
+    for d, p, _, t in members:
+        freq[t] += 1
+        deg[t] += plen[(d, p)]
+    ws = {t: (deg[t] * 1_000_000) // freq[t] for t in freq}
+    phr = defaultdict(list)
+    for d, p, i, t in members:
+        phr[(d, p)].append((i, t))
+    rows = []
+    for (d, p), toks in phr.items():
+        toks.sort()
+        rows.append(
+            (
+                d,
+                " ".join(t for _, t in toks),
+                len(toks),
+                sum(ws[t] for _, t in toks),
+            )
+        )
+    out = {}
+    for d in {r[0] for r in rows}:
+        mine = sorted(
+            (r for r in rows if r[0] == d), key=lambda r: (-r[3], r[1])
+        )[:topk]
+        out[d] = sorted((r[1], r[2], r[3]) for r in mine)
+    return out
+
+
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 5),
+        st.lists(
+            st.sampled_from(["the", "of", "red", "apple", "pie", "pear", "x"]),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_rake_oracle_matches_model(docs):
+    """The DuckDB oracle SQL of text_rake_keywords must equal an
+    independent pure-Python RAKE — pinning the SQL itself (which the
+    Spark/DuckDB comparison alone cannot: both could share a bug)."""
+    import duckdb
+
+    from kinesis2sse_spark.queries.llm_text import EN_STOP, RAKE_TOPK
+    from kinesis2sse_spark.registry import all_oracles
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, '{' '.join(toks)}')" for d, toks in docs.items()
+        )
+        + ") t(doc_id, text)"
+    )
+    got = {}
+    for doc_id, rank, phrase, n_words, score_s in con.execute(
+        all_oracles()["text_rake_keywords"]
+    ).fetchall():
+        got.setdefault(doc_id, []).append((phrase, n_words, score_s))
+    got = {d: sorted(v) for d, v in got.items()}
+    expect = _rake_model(docs, set(EN_STOP), RAKE_TOPK)
+    expect = {d: [tuple(r) for r in v] for d, v in expect.items() if v}
+    assert got == expect
