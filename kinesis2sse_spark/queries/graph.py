@@ -377,10 +377,7 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
     return ranks
 
 
-@register(
-    "dedup_connected_components",
-    bench=True,
-    oracle=f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE {_PAIRS_CTES},
     edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
@@ -392,8 +389,10 @@ def pagerank(edges: DataFrame, iters: int) -> DataFrame:
     )
     SELECT node AS doc_id, min(label) AS cluster_id
     FROM cc GROUP BY node
-    """,
-)
+    """
+
+
+@register("dedup_connected_components", bench=True, oracle=_CC_ORACLE)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the Jaccard>=0.5 near-dup graph: every doc
     in a duplicate cluster gets the cluster's minimum doc_id as its
@@ -1725,3 +1724,21 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pairs_completeness"),
         )
     )
+
+
+@register("dedup_cc_prebuilt", oracle=_CC_ORACLE)
+def dedup_cc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the PREBUILT edge artifact — the probe
+    twin of dedup_connected_components (same pointer-doubling
+    propagation, same oracle string object). The inline rung is the
+    most expensive headline query (pair generation dominates, 4.3 s
+    quiet at sf0.1, ~90% of the 100x curve); a pipeline that already
+    ran graph_edges_build — or any other artifact consumer — re-derives
+    cluster ids at edge-scan cost instead."""
+    path = _ensure_graph_edges(spark, sf_dir)
+    pairs = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(path)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    return connected_components(pairs)
