@@ -178,6 +178,9 @@ def test_prebuilt_graph_twins_match_inline(spark):
     ia = {tuple(r) for r in qs["graph_degree_assortativity"](spark, SF01).collect()}
     pa = {tuple(r) for r in qs["graph_assortativity_prebuilt"](spark, SF01).collect()}
     assert ia == pa
+    ic = {tuple(r) for r in qs["dedup_connected_components"](spark, SF01).collect()}
+    pc = {tuple(r) for r in qs["dedup_cc_prebuilt"](spark, SF01).collect()}
+    assert ic == pc and len(ic) > 0
 
 
 def test_dp_mean_clip_and_quantize_model(spark):

@@ -58,6 +58,13 @@ SHOW = [
     "timeseries_ewma",
     "funnel_conversion",
     "retention_cohort",
+    # round-12 additions
+    "graph_hits_prebuilt",
+    "text_rake_keywords",
+    "ir_eval_ndcg_graded",
+    "privacy_dp_mean",
+    "stats_kruskal_wallis",
+    "er_blocking_quality",
     "path_common_sequences",
     "stats_dq_report",
     "sim_topk_pq",
