@@ -86,6 +86,18 @@ CENSUS: dict[tuple[str, str, str], str] = {
         "_perm_family_ranked",
         "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
     ): "constant",
+    # association rules: per-type counts (domain-bounded) + 1-row total
+    (
+        "timeseries.py",
+        "mine_association_pairs",
+        "n1.select(F.col('event_type').alias('ante'), F.col('na').alias('n_ante'))",
+    ): "constant",
+    (
+        "timeseries.py",
+        "mine_association_pairs",
+        "n1.select(F.col('event_type').alias('cons'), F.col('na').alias('n_cons'))",
+    ): "constant",
+    ("timeseries.py", "mine_association_pairs", "tot"): "constant",
     # Kruskal-Wallis: the 1-row totals/tie relation
     ("aggregates.py", "stats_kruskal_wallis", "tt"): "constant",
     # Brown-Forsythe: the k-row per-group median relation

@@ -1666,3 +1666,104 @@ def timeseries_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_milli"),
         )
     )
+
+
+# Association-rule mining over per-user event-type baskets (Agrawal &
+# Srikant 1994's support/confidence/lift, restricted to 2-itemsets —
+# the pairwise tier every basket analysis starts with; higher-order
+# itemsets follow by the same self-join recurrence). Basket = a user's
+# DISTINCT event types; a rule a -> b reads "users who did a also did
+# b". All three metrics derive from exact integer counts: support =
+# n_ab / N, confidence = n_ab / n_a, lift = N * n_ab / (n_a * n_b)
+# (lift > 1 = positive association). Both rule directions emit; the
+# min-support gate keeps noise pairs out.
+ASSOC_MIN_USERS = 2
+
+
+@register(
+    "mine_association_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n1 AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS na
+      FROM b GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM b),
+    p AS (
+      SELECT x.event_type AS ante, y.event_type AS cons,
+             CAST(count(*) AS BIGINT) AS nab
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.event_type <> y.event_type
+      GROUP BY x.event_type, y.event_type
+      HAVING count(*) >= {ASSOC_MIN_USERS}
+    )
+    SELECT p.ante, p.cons, p.nab,
+           a.na AS n_ante, c.na AS n_cons, t.n AS n_users,
+           floor(CAST(p.nab AS DOUBLE) / t.n * 1000000 + 0.5) / 1000000
+             AS support,
+           floor(CAST(p.nab AS DOUBLE) / a.na * 1000000 + 0.5) / 1000000
+             AS confidence,
+           floor(CAST(t.n AS DOUBLE) * p.nab / (CAST(a.na AS DOUBLE) * c.na)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM p
+    JOIN n1 a ON a.event_type = p.ante
+    JOIN n1 c ON c.event_type = p.cons
+    CROSS JOIN tot t
+    """,
+)
+def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over user baskets — see the block
+    comment. Scale shape: the basket relation shuffles ONCE on
+    user_id; the pair self-join runs inside that partitioning (per-user
+    baskets are type-domain-bounded, so the per-user pair fan-out is a
+    constant factor, never corpus-quadratic); pair counts combine
+    map-side to a |types|^2-bounded relation; the per-type counts and
+    the 1-row user total attach as broadcasts."""
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .transform(pin_cache)
+    )
+    n1 = b.groupBy("event_type").agg(F.count("*").cast("bigint").alias("na"))
+    tot = b.agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+    x = b.select(F.col("user_id"), F.col("event_type").alias("ante"))
+    y = b.select(F.col("user_id"), F.col("event_type").alias("cons"))
+    p = (
+        x.join(y, "user_id")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("bigint").alias("nab"))
+        .where(F.col("nab") >= ASSOC_MIN_USERS)
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        p.join(
+            F.broadcast(n1.select(F.col("event_type").alias("ante"),
+                                  F.col("na").alias("n_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(n1.select(F.col("event_type").alias("cons"),
+                                  F.col("na").alias("n_cons"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ante",
+            "cons",
+            "nab",
+            "n_ante",
+            "n_cons",
+            F.col("n").alias("n_users"),
+            q6(F.col("nab").cast("double") / F.col("n")).alias("support"),
+            q6(F.col("nab").cast("double") / F.col("n_ante")).alias("confidence"),
+            q6(
+                F.col("n").cast("double")
+                * F.col("nab")
+                / (F.col("n_ante").cast("double") * F.col("n_cons"))
+            ).alias("lift"),
+        )
+    )
