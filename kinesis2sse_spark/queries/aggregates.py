@@ -2623,3 +2623,78 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("h_stat"),
     )
+
+
+@register(
+    "stats_cohens_d",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars * n_chars END) AS BIGINT) AS q0
+      FROM documents
+    ),
+    m AS (
+      SELECT n1, n0,
+             CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0 AS diff,
+             ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+              + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0))
+               / (CAST(n1 AS DOUBLE) + n0 - 2.0) AS vp
+      FROM agg
+    )
+    SELECT n1 AS n_group1, n0 AS n_group0,
+           CASE WHEN n1 + n0 > 2 AND vp > 0 THEN
+             floor(diff / sqrt(vp) * 1000000 + 0.5) / 1000000
+           END AS cohens_d,
+           CASE WHEN n1 + n0 > 2 AND vp > 0 THEN
+             floor(diff / sqrt(vp)
+                   * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + n0) - 9.0))
+                   * 1000000 + 0.5) / 1000000
+           END AS hedges_g
+    FROM m
+    """,
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g (small-sample-corrected) standardized
+    effect size for the stats_welch_ttest contrast — the companion
+    every significance test needs at corpus scale, where n is so large
+    that trivial differences reach p < 0.05 and only the effect SIZE
+    says whether a difference matters. Pooled-variance convention
+    (same-variance assumption is what d standardizes by; Welch's
+    separate-variance t rides alongside, not instead). Same plan shape
+    as Welch: ONE map-side-combined corpus aggregate pivoting both
+    groups into columns of a single row — exact int64 raw moments —
+    then fixed-shape 1-row float arithmetic, floor-quantized 1e6."""
+    d = load_table(spark, sf_dir, "documents")
+    is1 = F.col("lang") == TTEST_LANG
+    agg = d.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("n_chars")).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, F.col("n_chars") * F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(is1, 0).otherwise(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(is1, 0).otherwise(F.col("n_chars"))).cast("bigint").alias("s0"),
+        F.sum(F.when(is1, 0).otherwise(F.col("n_chars") * F.col("n_chars")))
+        .cast("bigint")
+        .alias("q0"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1, s0 = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1, q0 = F.col("q1").cast("double"), F.col("q0").cast("double")
+    diff = s1 / n1 - s0 / n0
+    vp = ((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0)) / (n1 + n0 - 2.0)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ok = (F.col("n1") + F.col("n0") > 2) & (vp > 0)
+    return agg.select(
+        F.col("n1").alias("n_group1"),
+        F.col("n0").alias("n_group0"),
+        F.when(ok, q6(diff / F.sqrt(vp))).alias("cohens_d"),
+        F.when(
+            ok,
+            q6(diff / F.sqrt(vp) * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))),
+        ).alias("hedges_g"),
+    )

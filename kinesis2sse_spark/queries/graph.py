@@ -1742,3 +1742,86 @@ def dedup_cc_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
     )
     return connected_components(pairs)
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    {_UND_CTE},
+    oriented AS (
+      SELECT u.src AS u, u.dst AS v
+      FROM und u
+      JOIN deg da ON da.node = u.src
+      JOIN deg db ON db.node = u.dst
+      WHERE da.d < db.d OR (da.d = db.d AND u.src < u.dst)
+    ),
+    tri AS (
+      SELECT o1.u AS x, o1.v AS y, o2.v AS z
+      FROM oriented o1
+      JOIN oriented o2 ON o2.u = o1.u AND o1.v <> o2.v
+      JOIN oriented o3 ON o3.u = o1.v AND o3.v = o2.v
+    ),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (SELECT node, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY node)
+    SELECT d.node AS doc_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+           floor(coalesce(tc.t, 0) * 2.0 / (CAST(d.d AS DOUBLE) * (d.d - 1))
+                 * 1000000 + 0.5) / 1000000 AS clustering_coeff
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient c_v = 2*T_v / (d_v*(d_v-1)) over
+    the PREBUILT near-dup edge artifact — how clique-like each node's
+    neighborhood is (c near 1 = a tight duplicate family ready to
+    collapse; c near 0 = a chain of borderline matches that
+    select-canonical should NOT merge blindly). Rides
+    triangle_counts' degree-ordered m^1.5 wedge machinery on the
+    artifact probe leg; degree-1 nodes (coefficient undefined) are
+    excluded, zero-triangle nodes surface with c = 0 via the left
+    join. Same-oracle-as-inline guarantee: the artifact's content is
+    provably the _PAIRS_CTES relation."""
+    pairs = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    und = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .transform(pin_cache)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    tc = triangle_counts(pairs)
+    out = (
+        deg.where(F.col("d") >= 2)
+        .join(tc, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )
+    return out.withColumn(
+        "clustering_coeff",
+        F.floor(
+            F.col("n_triangles")
+            * 2.0
+            / (F.col("degree").cast("double") * (F.col("degree") - 1))
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000,
+    )
