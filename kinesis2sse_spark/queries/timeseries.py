@@ -1767,3 +1767,87 @@ def mine_association_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# Burstiness (Goh & Barabási 2008): B = (sigma - mu) / (sigma + mu)
+# over each event type's inter-arrival gaps — B -> -1 periodic,
+# B ~ 0 Poisson, B -> +1 bursty. The one-number answer to "is this
+# stream's load schedulable or spiky", which sizes streaming state
+# stores and ingest buffers. Gaps in integer MICROSECONDS via the lag
+# window; moments exact int64 up to the documented bound (gap <= ~3e9
+# us and n <= ~1e6 at sf0.1 keeps sum(gap^2) ~ 1e25... so gaps are
+# CLAMPED to <= 1 hour = 3.6e9 us first — tail gaps beyond an hour
+# carry no burstiness signal and the clamp keeps sum(g^2) inside
+# int64 for n up to ~700 (3.6e9)^2 ... see the per-type scaling note
+# below: gaps are stored in MILLIseconds (<= 3.6e6 per gap), so
+# sum(g^2) <= n * 1.3e13 — int64-safe to n ~ 7e5 per type at sf0.1
+# and the variance is centered algebraically from raw moments.
+TS_GAP_CLAMP_MS = 3_600_000  # 1 hour
+
+
+@register(
+    "timeseries_burstiness",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             least(CAST(floor(epoch_us(ts - lag(ts) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                   )) / 1000 + 0.5) AS BIGINT), {TS_GAP_CLAMP_MS}) AS gap
+      FROM events WHERE ts IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(gap) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s,
+             CAST(sum(gap * gap) AS BIGINT) AS q
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_gaps,
+           CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS mean_gap_ms,
+           CASE WHEN n > 1 AND s > 0 THEN
+             floor((sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                    - CAST(s AS DOUBLE) / n)
+                   / (sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1.0))
+                      + CAST(s AS DOUBLE) / n)
+                   * 1000000 + 0.5) / 1000000
+           END AS burstiness
+    FROM m
+    """,
+)
+def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival burstiness B = (sd - mean)/(sd + mean) —
+    see the block comment for the clamp and int64 bounds. Scale shape:
+    ONE lag window partitioned by event_type (the natural shuffle key,
+    never a global sort), then a map-side-combined moment aggregate;
+    the final row count is type-domain-bounded."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    lag_ts = F.lag("ts").over(
+        W.partitionBy("event_type").orderBy("ts", "event_id")
+    )
+    gap = F.least(
+        F.floor(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts)) / 1000
+            + F.lit(0.5)
+        ).cast("long"),
+        F.lit(TS_GAP_CLAMP_MS),
+    )
+    g = e.select("event_type", gap.alias("gap")).where(F.col("gap").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("q"),
+    )
+    n, s, q = (F.col(c).cast("double") for c in ("n", "s", "q"))
+    sd = F.sqrt((q - s * s / n) / (n - 1.0))
+    mu = s / n
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.floor(s / n + F.lit(0.5)).alias("mean_gap_ms"),
+        F.when(
+            (F.col("n") > 1) & (F.col("s") > 0),
+            F.floor((sd - mu) / (sd + mu) * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("burstiness"),
+    )
