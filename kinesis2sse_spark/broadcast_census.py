@@ -102,7 +102,9 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("aggregates.py", "stats_kruskal_wallis", "tt"): "constant",
     # Brown-Forsythe: the k-row per-group median relation
     ("aggregates.py", "stats_brown_forsythe", "med"): "constant",
-    # blocking census: two 1-row aggregate relations
+    # blocking census: 1-row aggregate relations
+    ("graph.py", "er_blocking_union_recall", "ca"): "constant",
+    ("graph.py", "er_blocking_union_recall", "cb"): "constant",
     ("graph.py", "er_blocking_quality", "cand"): "constant",
     ("graph.py", "er_blocking_quality", "cov"): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---

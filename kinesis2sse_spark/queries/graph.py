@@ -1825,3 +1825,145 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1000000,
     )
+
+
+# Multi-pass blocking census: production record linkage never trusts
+# ONE blocking key — it runs several cheap schemes and unions the
+# candidate sets, because each scheme's recall holes are (ideally)
+# uncorrelated. This census quantifies that: pairs completeness of
+# scheme A (first-two-token key), scheme B (lang x length-bucket key),
+# and their UNION, against the same prebuilt gold pairs as
+# er_blocking_quality. Coverage of the union is exact (a gold pair is
+# covered iff it shares EITHER key — evaluated on the gold relation,
+# which is output-bounded); the union's candidate-pair count is
+# reported as the cand_a + cand_b upper bound (the exact union size
+# would require materializing both candidate sets — quadratic in
+# block sizes — for a number the PC columns don't need).
+_BLK_B_SQL = "lang || '|' || CAST(n_chars // 50 AS VARCHAR)"
+
+
+@register(
+    "er_blocking_union_recall",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    gold AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    blocks AS (
+      SELECT doc_id, {_BLK_KEY_SQL} AS ka, {_BLK_B_SQL} AS kb
+      FROM documents
+    ),
+    ca AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_a FROM
+           (SELECT count(*) AS n FROM blocks GROUP BY ka)),
+    cb AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_b FROM
+           (SELECT count(*) AS n FROM blocks GROUP BY kb)),
+    cov AS (
+      SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
+             CAST(sum(CASE WHEN ba.ka = bb.ka THEN 1 ELSE 0 END) AS BIGINT) AS cov_a,
+             CAST(sum(CASE WHEN ba.kb = bb.kb THEN 1 ELSE 0 END) AS BIGINT) AS cov_b,
+             CAST(sum(CASE WHEN ba.ka = bb.ka OR ba.kb = bb.kb
+                      THEN 1 ELSE 0 END) AS BIGINT) AS cov_u
+      FROM gold g
+      JOIN blocks ba ON ba.doc_id = g.doc_a
+      JOIN blocks bb ON bb.doc_id = g.doc_b
+    )
+    SELECT v.gold_pairs, v.cov_a, v.cov_b, v.cov_u,
+           a.cand_a, b.cand_b,
+           CAST(a.cand_a + b.cand_b AS BIGINT) AS cand_union_upper,
+           CASE WHEN v.gold_pairs > 0 THEN
+             floor(CAST(v.cov_a AS DOUBLE) / v.gold_pairs * 1000000 + 0.5) / 1000000
+           END AS pc_a,
+           CASE WHEN v.gold_pairs > 0 THEN
+             floor(CAST(v.cov_b AS DOUBLE) / v.gold_pairs * 1000000 + 0.5) / 1000000
+           END AS pc_b,
+           CASE WHEN v.gold_pairs > 0 THEN
+             floor(CAST(v.cov_u AS DOUBLE) / v.gold_pairs * 1000000 + 0.5) / 1000000
+           END AS pc_union
+    FROM cov v, ca a, cb b
+    """,
+)
+def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs completeness of two blocking schemes and their union —
+    see the block comment. Scale shape identical to
+    er_blocking_quality: histogram aggregates for candidate counts
+    (pairs never materialize), two hash joins of the output-bounded
+    gold relation against the doc→keys map, 1-row broadcasts at the
+    end."""
+    docs = load_table(spark, sf_dir, "documents")
+    ka = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
+    kb = F.concat_ws(
+        "|", F.col("lang"), F.expr("CAST(n_chars div 50 AS STRING)")
+    )
+    blocks = docs.select(
+        "doc_id", ka.alias("ka"), kb.alias("kb")
+    ).transform(pin_cache)
+    ca = (
+        blocks.groupBy("ka")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) div 2")).cast("bigint").alias("cand_a"))
+    )
+    cb = (
+        blocks.groupBy("kb")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) div 2")).cast("bigint").alias("cand_b"))
+    )
+    gold = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .distinct()
+    )
+    cov = (
+        gold.join(
+            blocks.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ka").alias("kaa"),
+                F.col("kb").alias("kba"),
+            ),
+            "doc_a",
+        )
+        .join(
+            blocks.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ka").alias("kab"),
+                F.col("kb").alias("kbb"),
+            ),
+            "doc_b",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("gold_pairs"),
+            F.sum((F.col("kaa") == F.col("kab")).cast("int"))
+            .cast("bigint")
+            .alias("cov_a"),
+            F.sum((F.col("kba") == F.col("kbb")).cast("int"))
+            .cast("bigint")
+            .alias("cov_b"),
+            F.sum(
+                ((F.col("kaa") == F.col("kab")) | (F.col("kba") == F.col("kbb"))).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("cov_u"),
+        )
+    )
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    pc = lambda c: F.when(  # noqa: E731
+        F.col("gold_pairs") > 0, q6(c.cast("double") / F.col("gold_pairs"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "gold_pairs",
+            "cov_a",
+            "cov_b",
+            "cov_u",
+            "cand_a",
+            "cand_b",
+            (F.col("cand_a") + F.col("cand_b")).cast("bigint").alias(
+                "cand_union_upper"
+            ),
+            pc(F.col("cov_a")).alias("pc_a"),
+            pc(F.col("cov_b")).alias("pc_b"),
+            pc(F.col("cov_u")).alias("pc_union"),
+        )
+    )
