@@ -105,6 +105,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # blocking census: 1-row aggregate relations
     ("graph.py", "er_blocking_union_recall", "ca"): "constant",
     ("graph.py", "er_blocking_union_recall", "cb"): "constant",
+    ("graph.py", "er_blocking_union_recall", "cj"): "constant",
     ("graph.py", "er_blocking_quality", "cand"): "constant",
     ("graph.py", "er_blocking_quality", "cov"): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---

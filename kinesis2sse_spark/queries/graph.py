@@ -1523,21 +1523,30 @@ _GRAPH_EDGES_SCHEMA = "src long, dst long"
 
 def _graph_edges_path(sf_dir: str) -> str:
     """Deterministic lake location for the prebuilt near-dup edge
-    relation, keyed by fixture directory (mirrors _ivf_index_path)."""
+    relation, keyed by the fixture's CONTENT fingerprint (abs path +
+    sorted part list + mtimes, catalog.fixture_fingerprint) — a
+    regenerated documents corpus, or two trees sharing a basename, get
+    distinct artifact paths and therefore a fresh build (r12 verdict
+    item 1). The basename stays in the path for human debuggability
+    only."""
     import os
 
+    from kinesis2sse_spark.catalog import fixture_fingerprint
+
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/k2s_graph_edges/{base}"
+    fp = fixture_fingerprint(sf_dir, "documents")
+    return f"/tmp/k2s_graph_edges/{base}-{fp}"
 
 
 def _ensure_graph_edges(
     spark: SparkSession, sf_dir: str, rebuild: bool = False
 ) -> str:
     """Materialize the distinct (src, dst) near-dup edge relation as
-    parquet if absent. Content is deterministic (exact Jaccard over a
-    fixed corpus), so build-if-absent cannot go stale — the same
-    non-laziness contract as _ensure_ivf_index: the write runs eagerly
-    at call time."""
+    parquet if absent. The artifact path embeds the source corpus's
+    content fingerprint (_graph_edges_path), so build-if-absent is
+    safe against in-place fixture regeneration: new content → new
+    path → rebuild. Same non-laziness contract as _ensure_ivf_index:
+    the write runs eagerly at call time."""
     import os
 
     path = _graph_edges_path(sf_dir)
@@ -1835,10 +1844,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and their UNION, against the same prebuilt gold pairs as
 # er_blocking_quality. Coverage of the union is exact (a gold pair is
 # covered iff it shares EITHER key — evaluated on the gold relation,
-# which is output-bounded); the union's candidate-pair count is
-# reported as the cand_a + cand_b upper bound (the exact union size
-# would require materializing both candidate sets — quadratic in
-# block sizes — for a number the PC columns don't need).
+# which is output-bounded); the union's candidate-pair count is ALSO
+# exact, and still linear: by inclusion-exclusion
+# |A∪B| = |A| + |B| − |A∩B|, and a pair is in BOTH candidate sets iff
+# its members share ka AND kb — i.e. they sit in the same block of the
+# JOINT (ka, kb) histogram — so cand_both is one more map-side
+# sum nb·(nb−1)/2 aggregate, no pair materialization anywhere (r12
+# verdict item 4: the earlier cut released cand_a + cand_b as a bound).
 _BLK_B_SQL = "lang || '|' || CAST(n_chars // 50 AS VARCHAR)"
 
 
@@ -1855,6 +1867,9 @@ _BLK_B_SQL = "lang || '|' || CAST(n_chars // 50 AS VARCHAR)"
            (SELECT count(*) AS n FROM blocks GROUP BY ka)),
     cb AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_b FROM
            (SELECT count(*) AS n FROM blocks GROUP BY kb)),
+    cj AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+             AS cand_both FROM
+           (SELECT count(*) AS n FROM blocks GROUP BY ka, kb)),
     cov AS (
       SELECT CAST(count(*) AS BIGINT) AS gold_pairs,
              CAST(sum(CASE WHEN ba.ka = bb.ka THEN 1 ELSE 0 END) AS BIGINT) AS cov_a,
@@ -1866,8 +1881,8 @@ _BLK_B_SQL = "lang || '|' || CAST(n_chars // 50 AS VARCHAR)"
       JOIN blocks bb ON bb.doc_id = g.doc_b
     )
     SELECT v.gold_pairs, v.cov_a, v.cov_b, v.cov_u,
-           a.cand_a, b.cand_b,
-           CAST(a.cand_a + b.cand_b AS BIGINT) AS cand_union_upper,
+           a.cand_a, b.cand_b, j.cand_both,
+           CAST(a.cand_a + b.cand_b - j.cand_both AS BIGINT) AS cand_union,
            CASE WHEN v.gold_pairs > 0 THEN
              floor(CAST(v.cov_a AS DOUBLE) / v.gold_pairs * 1000000 + 0.5) / 1000000
            END AS pc_a,
@@ -1877,16 +1892,17 @@ _BLK_B_SQL = "lang || '|' || CAST(n_chars // 50 AS VARCHAR)"
            CASE WHEN v.gold_pairs > 0 THEN
              floor(CAST(v.cov_u AS DOUBLE) / v.gold_pairs * 1000000 + 0.5) / 1000000
            END AS pc_union
-    FROM cov v, ca a, cb b
+    FROM cov v, ca a, cb b, cj j
     """,
 )
 def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs completeness of two blocking schemes and their union —
-    see the block comment. Scale shape identical to
-    er_blocking_quality: histogram aggregates for candidate counts
-    (pairs never materialize), two hash joins of the output-bounded
-    gold relation against the doc→keys map, 1-row broadcasts at the
-    end."""
+    see the block comment; the union candidate count is EXACT via
+    inclusion-exclusion over the joint (ka, kb) block histogram.
+    Scale shape identical to er_blocking_quality: three histogram
+    aggregates for candidate counts (pairs never materialize), two
+    hash joins of the output-bounded gold relation against the
+    doc→keys map, 1-row broadcasts at the end."""
     docs = load_table(spark, sf_dir, "documents")
     ka = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
     kb = F.concat_ws(
@@ -1904,6 +1920,17 @@ def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocks.groupBy("kb")
         .count()
         .agg(F.sum(F.expr("count * (count - 1) div 2")).cast("bigint").alias("cand_b"))
+    )
+    cj = (
+        blocks.groupBy("ka", "kb")
+        .count()
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("count * (count - 1) div 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cand_both")
+        )
     )
     gold = (
         spark.read.schema(_GRAPH_EDGES_SCHEMA)
@@ -1952,6 +1979,7 @@ def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cov.crossJoin(F.broadcast(ca))
         .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(cj))
         .select(
             "gold_pairs",
             "cov_a",
@@ -1959,9 +1987,10 @@ def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov_u",
             "cand_a",
             "cand_b",
-            (F.col("cand_a") + F.col("cand_b")).cast("bigint").alias(
-                "cand_union_upper"
-            ),
+            "cand_both",
+            (F.col("cand_a") + F.col("cand_b") - F.col("cand_both"))
+            .cast("bigint")
+            .alias("cand_union"),
             pc(F.col("cov_a")).alias("pc_a"),
             pc(F.col("cov_b")).alias("pc_b"),
             pc(F.col("cov_u")).alias("pc_union"),

@@ -421,11 +421,18 @@ _IVF_CENTROIDS_SCHEMA = "cell int, cv array<double>, cnorm double"
 
 def _ivf_index_path(sf_dir: str) -> str:
     """Deterministic lake location for the prebuilt IVF index, keyed by
-    fixture directory (sf0.001/sf0.01/sf0.1 each get their own)."""
+    the embeddings fixture's CONTENT fingerprint (abs path + sorted
+    part list + mtimes, catalog.fixture_fingerprint): a regenerated
+    corpus, or two trees sharing a basename, get distinct paths and so
+    a fresh build (r12 verdict item 1). Basename kept for
+    debuggability."""
     import os
 
+    from kinesis2sse_spark.catalog import fixture_fingerprint
+
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return f"/tmp/k2s_ivf_index/{base}"
+    fp = fixture_fingerprint(sf_dir, "embeddings")
+    return f"/tmp/k2s_ivf_index/{base}-{fp}"
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
@@ -434,9 +441,10 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str, rebuild: bool = False):
     physical layout that makes probing read ~probes/k of the corpus —
     plus the IVF_K-row centroid table. Build runs eagerly at call time
     (same non-laziness contract as pin_cache: callers are index
-    lifecycle operators, not lazy query builders). Content is
-    deterministic arithmetic (_ivf_assign), so a rebuild is
-    byte-identical and build-if-absent cannot go stale."""
+    lifecycle operators, not lazy query builders). The artifact path
+    embeds the embeddings fixture's content fingerprint
+    (_ivf_index_path), so build-if-absent is safe against in-place
+    corpus regeneration: new content → new path → rebuild."""
     import os
 
     path = _ivf_index_path(sf_dir)

@@ -488,7 +488,14 @@ def privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     type domain, not the stream), so nothing but per-cell counters
     crosses the exchange. n_true rides along for the utility A/B,
     same contract as privacy_randomized_response — production
-    releases only (event_type, n_noisy)."""
+    releases only (event_type, n_noisy).
+
+    PRODUCTION NOTE: the seeded draw here is a deterministic
+    REPRODUCIBILITY SIMULATION of the mechanism (it exists so the
+    DuckDB oracle can replay the release bit-for-bit); it provides
+    zero actual privacy. A real deployment must substitute a
+    cryptographically secure RNG for the hash-of-rank draw — the
+    mechanism math (exact dyadic inverse CDF) is unchanged."""
     h = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -594,6 +601,24 @@ DP_CLIP = 200_000  # milli-units: one user's max |contribution| to the sum
 DP_MEAN_SEED = 163900  # distinct draws for the sum and count cells
 
 
+def _lattice_round_sql(x: str, step: int, div_op: str) -> str:
+    """Round-half-up of ``x`` to multiples of ``step`` in exact integer
+    arithmetic: floor((2x + step) / (2*step)) * step. Both engines'
+    integer division TRUNCATES TOWARD ZERO (`div` in Spark, `//` in
+    DuckDB — verified), which for a negative numerator is NOT floor —
+    a bare (2x+step) div (2*step) would give a double-width zero bucket
+    for sums in (-3*step/2, -step/2) (r12 advice). So the floor is
+    spelled sign-safely: for a >= 0 truncation IS floor; for a < 0,
+    floor(a/b) = -ceil(-a/b) = -((-a + b - 1) trunc-div b). One
+    generator emits both engines' spellings so they cannot drift."""
+    a = f"(2 * {x} + {step})"
+    b = 2 * step
+    return (
+        f"(CASE WHEN {a} >= 0 THEN ({a} {div_op} {b}) "
+        f"ELSE -((-{a} + {b - 1}) {div_op} {b}) END) * {step}"
+    )
+
+
 @register(
     "privacy_dp_mean",
     oracle=f"""
@@ -618,10 +643,9 @@ DP_MEAN_SEED = 163900  # distinct draws for the sum and count cells
     ),
     qz AS (
       SELECT n_users, sum_clipped,
-             -- round-half-up to the DP_CLIP lattice (floor of x/C + 1/2
-             -- in exact integer form: (2x + C) div (2C), then * C)
-             ((2 * sum_clipped + {DP_CLIP}) // (2 * {DP_CLIP}))
-               * {DP_CLIP} AS sum_q,
+             -- round-half-up to the DP_CLIP lattice, sign-safe floor
+             -- form (see _lattice_round_sql)
+             {_lattice_round_sql("sum_clipped", DP_CLIP, "//")} AS sum_q,
              {_dp_noise_sql(f"(({DP_MEAN_SEED}) * 2654435761) % {DP_M}")}
                AS z_sum,
              {_dp_noise_sql(f"(({DP_MEAN_SEED + 1}) * 2654435761) % {DP_M}")}
@@ -649,7 +673,14 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row release; the noise draws are constants folded at plan time.
     Both released quantities (sum, user count) go through the same
     dyadic geometric mechanism; dp_mean divides the two releases —
-    post-processing, so the eps budget is the two draws' composition."""
+    post-processing, so the eps budget is the two draws' composition.
+
+    PRODUCTION NOTE: DP_MEAN_SEED makes the two noise draws
+    compile-time constants — a deterministic reproducibility
+    simulation for oracle hash-matching that provides zero actual
+    privacy. A real release must replace the seeded draws with a
+    cryptographically secure RNG; everything else (bound → clip →
+    quantize → noise) carries over unchanged."""
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events").select(
@@ -682,9 +713,7 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("cs").cast("bigint").alias("sum_clipped"),
     )
-    sum_q = F.expr(
-        f"((2 * sum_clipped + {DP_CLIP}) div (2 * {DP_CLIP})) * {DP_CLIP}"
-    )
+    sum_q = F.expr(_lattice_round_sql("sum_clipped", DP_CLIP, "div"))
     z_sum = F.expr(
         _dp_noise_sql(f"(({DP_MEAN_SEED}) * 2654435761) % {DP_M}")
     ).cast("bigint")

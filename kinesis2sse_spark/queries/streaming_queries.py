@@ -1379,7 +1379,13 @@ def streaming_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFra
     single-file fixture is one micro-batch processed in
     (ts NULLS FIRST, event_id) order, making the batch window SQL an
     exact oracle; cross-batch carry (a user's cap spans micro-batches)
-    is pinned in tests/test_streaming.py."""
+    is pinned in tests/test_streaming.py.
+
+    PRODUCTION NOTE: bounding alone releases nothing private — the
+    user-level DP guarantee only materializes when a downstream
+    mechanism adds noise drawn from a cryptographically secure RNG
+    (the seeded draws in privacy_dp_histogram/privacy_dp_mean are
+    oracle-replay simulations, not production randomness)."""
     from kinesis2sse_spark.streaming.state import with_contribution_cap
 
     s = events_stream(spark, sf_dir).select(

@@ -61,20 +61,19 @@ def _stage_links(sf_dir: str, table: str) -> str:
     d = f"/tmp/k2s_stream_{key}/{table}"
     src = os.path.join(sf_dir, f"{table}.parquet")
     marker = os.path.join(d, "_STAGED")  # '_' prefix: invisible to Spark listing
-    # Fingerprint the SOURCE (sorted part list + mtimes), not just the
-    # path: a regenerated fixture (Spark overwrite writes new part
-    # filenames) must invalidate the staged dir, or it keeps dangling
-    # symlinks and misses new parts (r11 advice).
-    if os.path.isdir(src):
-        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-        fp = hashlib.md5(
-            repr(
-                [(f, os.path.getmtime(os.path.join(src, f))) for f in parts]
-            ).encode()
-        ).hexdigest()
-    else:
-        parts = None
-        fp = hashlib.md5(repr(os.path.getmtime(src)).encode()).hexdigest()
+    # Fingerprint the SOURCE (abs path + sorted part list + mtimes),
+    # not just the path: a regenerated fixture (Spark overwrite writes
+    # new part filenames) must invalidate the staged dir, or it keeps
+    # dangling symlinks and misses new parts (r11 advice). Shared with
+    # the artifact caches since r13 (catalog.fixture_fingerprint).
+    from kinesis2sse_spark.catalog import fixture_fingerprint
+
+    parts = (
+        sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        if os.path.isdir(src)
+        else None
+    )
+    fp = fixture_fingerprint(sf_dir, table)
     if os.path.isfile(marker) and open(marker).read() == fp:
         return d
     shutil.rmtree(d, ignore_errors=True)
