@@ -68,65 +68,23 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # in git history); _ordered() layers it between the automatic red
 # re-front rule and never-checked-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 window (the r10 composition lives in git history):
-    # 10 new/changed operators that must (re-)earn a driver row this
-    # round, then the ENTIRE remaining r04-vintage stale front (r10
-    # verdict item 2: the LRC rotation's oldest latest-rows) — 50
-    # names, exactly the driver's per-round row budget.
-    # - The update-mode streaming conversion (r10 verdict item 1):
-    "streaming_tumbling_window",
-    "streaming_sliding_window",
-    "streaming_session_window",
-    "streaming_topk_per_window",
-    # - New operators (r10 verdict items 4-5 + round-11 additions):
-    "streaming_dedup_session",
-    "streaming_ivf_append",
-    "ml_isotonic_calibration",
-    "privacy_randomized_response",
-    "streaming_quantile_histogram",
-    # - ADVICE-touched plans (integer div, seed stride, FS guard):
-    "privacy_l_diversity",
-    "privacy_generalization_ladder",
-    "stats_fdr_bh",
-    "er_fellegi_sunter",
-    # - The r04-vintage stale front (re-proofs; no code change):
-    "streaming_stream_stream_join",
-    "streaming_dedup",
-    "text_ngrams",
-    "text_scrub",
-    "text_stopword_removal",
-    "text_repetition_score",
-    "decontaminate_ngram",
-    "select_token_budget",
-    "pipeline_sequence_packing",
-    "pipeline_training_export",
-    "mix_domain_weights",
-    "filter_quality_percentile",
-    "hist_token_lengths",
-    "sample_systematic",
-    "sample_stratified",
-    "mm_binary_meta",
-    "mm_frame_sample",
-    "source_binary_files",
-    "udf_scalar_python",
-    "udf_pandas_vectorized",
-    "udf_grouped_zscore",
-    "udtf_tokenize",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "sink_partitioned_parquet",
-    "window_lag_lead",
-    "window_running_agg",
-    "window_sliding_rows",
-    "window_first_last",
-    "window_time_range",
-    "window_distribution",
-    "intersect_all",
-    "subquery_scalar",
-    "subquery_in",
-    "subquery_not_in_null_safe",
-    "dedup_ngram_containment",
+    # Round-13 window (prior compositions live in git history).
+    # Changed-output / changed-plan operators that must re-earn a
+    # driver row this round; the rest of the 50-row budget fills
+    # automatically with never-checked r13 additions first, then the
+    # oldest-vintage (r05/r06) LRC front (r12 verdict item 2).
+    # - exact union candidate count (schema changed: cand_union,
+    #   cand_both replace cand_union_upper):
+    "er_blocking_union_recall",
+    # - sign-safe lattice quantization (same output on non-negative
+    #   fixtures, changed expression tree):
+    "privacy_dp_mean",
+    # - artifact path now content-fingerprinted (same outputs; re-prove
+    #   one probe per artifact family through the new path scheme):
+    "er_blocking_quality",
+    "graph_hits_prebuilt",
+    "dedup_cc_prebuilt",
+    "sim_topk_ivf_prebuilt",
 )
 
 # The round this DRIVER_PRIORITY composition was curated for. The list
@@ -134,7 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # round or later — so re-proof entries (which already hold OLD rows)
 # keep fronting until the round actually runs, fixing the r06 failure
 # mode where a re-proof list spent itself instantly against stale rows.
-DRIVER_PRIORITY_ROUND = 11
+DRIVER_PRIORITY_ROUND = 13
 
 
 def _driver_rows() -> dict[str, tuple[int, dict]]:
