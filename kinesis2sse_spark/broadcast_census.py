@@ -106,6 +106,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("graph.py", "er_blocking_union_recall", "ca"): "constant",
     ("graph.py", "er_blocking_union_recall", "cb"): "constant",
     ("graph.py", "er_blocking_union_recall", "cj"): "constant",
+    # (er_pairwise_f1's nested per-scheme builder; 1-row aggregate)
+    ("graph.py", "scheme_row", "pred"): "constant",
     ("graph.py", "er_blocking_quality", "cand"): "constant",
     ("graph.py", "er_blocking_quality", "cov"): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---

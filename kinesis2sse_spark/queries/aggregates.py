@@ -2698,3 +2698,72 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6(diff / F.sqrt(vp) * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0))),
         ).alias("hedges_g"),
     )
+
+
+# Wilson score interval (Wilson 1927) — the production-grade binomial
+# proportion CI (unlike the Wald interval it never leaves [0,1] and
+# stays calibrated at extreme rates / small n), the interval every
+# rate dashboard and A/B readout should use. Proportion under test:
+# the share of events whose props.k lands in the top half of its
+# domain (k >= 50), per event type. z is pinned to the 97.5th normal
+# quantile as a shared literal so both engines run the identical IEEE
+# double ladder from identical int64 (n, x).
+WILSON_Z = "CAST(1.959963984540054 AS DOUBLE)"  # Phi^-1(0.975)
+
+
+@register(
+    "stats_wilson_ci",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                           >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, x,
+           floor(CAST(x AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS p_hat,
+           floor((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                      * (1 - CAST(x AS DOUBLE) / n) / n
+                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n) * 1000000 + 0.5)
+             / 1000000 AS wilson_lo,
+           floor((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                      * (1 - CAST(x AS DOUBLE) / n) / n
+                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n) * 1000000 + 0.5)
+             / 1000000 AS wilson_hi
+    FROM c WHERE n > 0
+    """,
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the per-type rate of high-k
+    events — see the block comment. Scale shape: ONE map-side-combined
+    count/sum aggregate over the domain-bounded type set; the interval
+    arithmetic is a projection over |types| rows. Identical IEEE
+    expression tree both engines (shared z literal, n/x int64)."""
+    e = load_table(spark, sf_dir, "events")
+    hit = (
+        F.get_json_object("props", "$.k").cast("bigint") >= 50
+    ).cast("int")
+    c = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(hit).cast("bigint").alias("x"),
+    )
+    z = F.expr(WILSON_Z)
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    p = x / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return c.where(F.col("n") > 0).select(
+        "event_type",
+        "n",
+        "x",
+        q6(p).alias("p_hat"),
+        q6((center - half) / denom).alias("wilson_lo"),
+        q6((center + half) / denom).alias("wilson_hi"),
+    )

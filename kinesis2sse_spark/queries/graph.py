@@ -267,10 +267,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 PAGERANK_ITERS = 3
 
-
-@register(
-    "graph_pagerank",
-    oracle=f"""
+_PAGERANK_ORACLE = f"""
     WITH RECURSIVE {_PAIRS_CTES},
     {_UND_CTE},
     ncnt AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
@@ -290,8 +287,10 @@ PAGERANK_ITERS = 3
     SELECT node AS doc_id,
            floor(rank * 1000000000 + 0.5) / 1000000000 AS rank
     FROM pr WHERE iter = {PAGERANK_ITERS}
-    """,
-)
+    """
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup graph, damping 0.85, a FIXED 3
     iterations — fixed so the oracle's recursive CTE replays the exact
@@ -1995,4 +1994,166 @@ def er_blocking_union_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             pc(F.col("cov_b")).alias("pc_b"),
             pc(F.col("cov_u")).alias("pc_union"),
         )
+    )
+
+
+@register("graph_pagerank_prebuilt", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the PREBUILT edge artifact — the probe twin of
+    graph_pagerank (same pagerank() helper, same fixed 3 iterations,
+    same oracle string object), completing the build/probe split
+    across the whole graph ladder (HITS, assortativity, CC,
+    clustering coefficient, and now PageRank all probe the one
+    graph_edges_build artifact). Probe cost is |edges|-bounded: an
+    edge-relation scan plus PAGERANK_ITERS edge-sized shuffles,
+    decoupled from the shingle/posting pair-generation machinery the
+    inline rung re-runs."""
+    pairs = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    return pagerank(pairs, PAGERANK_ITERS).select(
+        F.col("node").alias("doc_id"),
+        (F.floor(F.col("rank") * 1000000000 + F.lit(0.5)) / 1000000000).alias("rank"),
+    )
+
+
+# Pairwise clustering quality (the ER-evaluation companion of the
+# blocking census): treat each blocking scheme AS a clustering
+# (cluster = block) and score its induced pair set against the gold
+# near-dup pairs with pairwise precision / recall / F1 — the standard
+# entity-resolution triple (Menestrina, Whang & Garcia-Molina 2010,
+# "Evaluating entity resolution results"). All three come from
+# integer counts that never materialize a pair set: predicted pairs =
+# the block histogram sum nb*(nb-1)/2, TP = gold pairs whose members
+# share the block key (two hash joins of the output-bounded gold
+# relation), and F1 = 2*TP / (pred + gold) — the pairwise-F1 identity
+# 2TP/(2TP+FP+FN), computed from exact int64 so no rounded-rate
+# composition can drift cross-engine. Scheme A (first-two-token key)
+# is high-recall/low-precision, scheme B (lang x length bucket) the
+# reverse — two regimes on every metric column by construction.
+_ER_F1_SELECT = """
+      SELECT '{name}' AS scheme,
+             c.pred_pairs, g.gold_pairs, v.tp,
+             CASE WHEN c.pred_pairs > 0 THEN
+               floor(CAST(v.tp AS DOUBLE) / c.pred_pairs * 1000000 + 0.5)
+                 / 1000000 END AS pair_precision,
+             CASE WHEN g.gold_pairs > 0 THEN
+               floor(CAST(v.tp AS DOUBLE) / g.gold_pairs * 1000000 + 0.5)
+                 / 1000000 END AS pair_recall,
+             CASE WHEN c.pred_pairs + g.gold_pairs > 0 THEN
+               floor(2.0 * v.tp / (c.pred_pairs + g.gold_pairs) * 1000000
+                     + 0.5) / 1000000 END AS pair_f1
+      FROM
+        (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+           AS pred_pairs FROM
+         (SELECT count(*) AS n FROM blocks GROUP BY {key})) c,
+        (SELECT CAST(count(*) AS BIGINT) AS gold_pairs FROM gold) g,
+        (SELECT CAST(coalesce(sum(CASE WHEN ba.{key} = bb.{key}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp
+         FROM gold gg
+         JOIN blocks ba ON ba.doc_id = gg.doc_a
+         JOIN blocks bb ON bb.doc_id = gg.doc_b) v
+"""
+
+
+@register(
+    "er_pairwise_f1",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    gold AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+    blocks AS (
+      SELECT doc_id, {_BLK_KEY_SQL} AS ka, {_BLK_B_SQL} AS kb
+      FROM documents
+    )
+    {_ER_F1_SELECT.format(name="first2tok", key="ka")}
+    UNION ALL
+    {_ER_F1_SELECT.format(name="lang_len", key="kb")}
+    """,
+)
+def er_pairwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of blocking-as-clustering against
+    the prebuilt gold pairs, one row per scheme — see the block
+    comment. Scale shape: per scheme ONE map-side block-histogram
+    aggregate (pairs never materialize) + the shared two hash joins of
+    the output-bounded gold relation against the doc→keys map; the
+    2-row result assembles from 1-row broadcasts. Gold probes the
+    edge artifact (content-fingerprinted path), so the census cost is
+    block-histogram work, not pair generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    ka = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
+    kb = F.concat_ws(
+        "|", F.col("lang"), F.expr("CAST(n_chars div 50 AS STRING)")
+    )
+    blocks = docs.select(
+        "doc_id", ka.alias("ka"), kb.alias("kb")
+    ).transform(pin_cache)
+    gold = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .distinct()
+    )
+    joined = gold.join(
+        blocks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("ka").alias("kaa"),
+            F.col("kb").alias("kba"),
+        ),
+        "doc_a",
+    ).join(
+        blocks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("ka").alias("kab"),
+            F.col("kb").alias("kbb"),
+        ),
+        "doc_b",
+    ).transform(pin_cache)
+    q6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+
+    def scheme_row(name: str, key: str, a: str, b: str) -> DataFrame:
+        pred = (
+            blocks.groupBy(key)
+            .count()
+            .agg(
+                F.coalesce(F.sum(F.expr("count * (count - 1) div 2")), F.lit(0))
+                .cast("bigint")
+                .alias("pred_pairs")
+            )
+        )
+        tp = joined.agg(
+            F.count("*").cast("bigint").alias("gold_pairs"),
+            F.coalesce(F.sum((F.col(a) == F.col(b)).cast("int")), F.lit(0))
+            .cast("bigint")
+            .alias("tp"),
+        )
+        return (
+            tp.crossJoin(F.broadcast(pred))
+            .select(
+                F.lit(name).alias("scheme"),
+                "pred_pairs",
+                "gold_pairs",
+                "tp",
+                F.when(
+                    F.col("pred_pairs") > 0,
+                    q6(F.col("tp").cast("double") / F.col("pred_pairs")),
+                ).alias("pair_precision"),
+                F.when(
+                    F.col("gold_pairs") > 0,
+                    q6(F.col("tp").cast("double") / F.col("gold_pairs")),
+                ).alias("pair_recall"),
+                F.when(
+                    F.col("pred_pairs") + F.col("gold_pairs") > 0,
+                    q6(
+                        F.lit(2.0)
+                        * F.col("tp")
+                        / (F.col("pred_pairs") + F.col("gold_pairs"))
+                    ),
+                ).alias("pair_f1"),
+            )
+        )
+
+    return scheme_row("first2tok", "ka", "kaa", "kab").unionByName(
+        scheme_row("lang_len", "kb", "kba", "kbb")
     )

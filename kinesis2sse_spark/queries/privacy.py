@@ -735,3 +735,104 @@ def privacy_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped_mean"
         ),
     )
+
+
+# One-shot DP top-k selection (Durfee & Rogers 2019, "Practical
+# Differentially Private Top-k Selection with Pay-what-you-get
+# Composition"): add independent noise to every cell's count, release
+# the IDENTITIES and noisy counts of the k largest noisy cells. Cells
+# here are (event_type, props.k decile) — a 2-level domain-bounded
+# grid (types x 10 buckets), the shape of a "which segments are
+# hottest" release. Noise = the same exact dyadic two-sided geometric
+# as privacy_dp_histogram (eps = ln 2 per cell), draw keyed on the
+# cell's alphabetical rank under a dedicated seed offset. Exactly
+# DP_TOPK_K rows release at ANY scale (a selection, not a threshold),
+# ranked by (noisy count DESC, cell) for a deterministic total order.
+DP_TOPK_K = 10
+DP_TOPK_SEED = 164000
+
+
+@register(
+    "privacy_dp_topk",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10
+                  AS BIGINT) AS k_decile,
+             CAST(count(*) AS BIGINT) AS n_true
+      FROM events GROUP BY 1, 2
+    ),
+    lr AS (
+      SELECT event_type, k_decile, n_true,
+             row_number() OVER (ORDER BY event_type, k_decile) - 1 AS li
+      FROM h
+    ),
+    nz AS (
+      SELECT event_type, k_decile, n_true,
+             CAST(n_true + {_dp_noise_sql(_DP_U.replace(str(DP_SEED), str(DP_TOPK_SEED)))}
+                  AS BIGINT) AS n_noisy
+      FROM lr
+    ),
+    rk AS (
+      SELECT event_type, k_decile, n_true, n_noisy,
+             row_number() OVER (ORDER BY n_noisy DESC, event_type, k_decile)
+               AS release_rank
+      FROM nz
+    )
+    SELECT CAST(release_rank AS BIGINT) AS release_rank,
+           event_type, k_decile, n_noisy, n_true
+    FROM rk WHERE release_rank <= {DP_TOPK_K}
+    """,
+)
+def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot eps-DP top-k cell selection over the (event_type,
+    props.k decile) grid — see the block comment. Scale shape: ONE
+    map-side-combined count over a domain-bounded cell grid (types x
+    10 deciles — the grid, not the stream, crosses the exchange), the
+    noise projection over |cells| rows, and a WindowGroupLimit-prunable
+    global top-k over |cells| rows. n_true rides along for the utility
+    A/B; production releases only (cell identity, n_noisy).
+
+    PRODUCTION NOTE: the seeded draw is a deterministic
+    reproducibility simulation for oracle hash-matching and provides
+    zero actual privacy — substitute a cryptographically secure RNG
+    before any real release."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10")
+            .cast("bigint")
+            .alias("k_decile"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    lr = h.select(
+        "event_type",
+        "k_decile",
+        "n_true",
+        (
+            F.row_number().over(Window.orderBy("event_type", "k_decile")) - 1
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    noise = F.expr(
+        _dp_noise_sql(_DP_U.replace(str(DP_SEED), str(DP_TOPK_SEED)))
+    ).cast("bigint")
+    nz = lr.select(
+        "event_type",
+        "k_decile",
+        "n_true",
+        (F.col("n_true") + noise).cast("bigint").alias("n_noisy"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.col("n_noisy").desc(), F.col("event_type"), F.col("k_decile")
+        )
+    )
+    return (
+        nz.withColumn("release_rank", rk.cast("bigint"))
+        .filter(F.col("release_rank") <= DP_TOPK_K)
+        .select("release_rank", "event_type", "k_decile", "n_noisy", "n_true")
+    )
