@@ -490,3 +490,99 @@ def mm_dedup_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.col("canonical_doc_id")).alias("is_dup"),
         (F.col("total_bytes") - F.col("n_bytes")).alias("reclaimable_bytes"),
     )
+
+
+# Energy-threshold voice-activity detection over the fake waveform:
+# the standard VAD preprocessing step an audio-training pipeline runs
+# before transcription/feature extraction — find the sustained
+# high-energy segments, drop the silence. Windows are the same
+# complete 64-sample frames as mm_audio_windows but scored by the
+# INTEGER energy sum (sum of squared bytes, exact int64 both engines —
+# no FP anywhere in the segmentation), thresholded at the fixture's
+# median window energy so both regimes are populated; consecutive
+# active windows merge into segments via the gaps-and-islands
+# row_number trick.
+VAD_WIN = 64
+VAD_MIN_ENERGY = 628_000  # ≈ median complete-window energy at sf0.01
+
+
+@register(
+    "mm_audio_vad",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST((i - 1) // {VAD_WIN} AS INT) AS window_idx,
+             ascii(substring(text, CAST(i AS INT), 1)) AS byte,
+             length(text) AS n
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    ),
+    w AS (
+      SELECT doc_id, window_idx,
+             CAST(sum(byte * byte) AS BIGINT) AS energy
+      FROM b WHERE (window_idx + 1) * {VAD_WIN} <= n
+      GROUP BY doc_id, window_idx
+    ),
+    act AS (
+      SELECT doc_id, window_idx, energy,
+             window_idx - row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY window_idx) AS grp
+      FROM w WHERE energy >= {VAD_MIN_ENERGY}
+    )
+    SELECT doc_id,
+           CAST(min(window_idx) AS BIGINT) AS seg_start,
+           CAST(max(window_idx) AS BIGINT) AS seg_end,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS energy_sum
+    FROM act GROUP BY doc_id, grp
+    """,
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segments: active (energy >= {VAD_MIN_ENERGY})
+    complete 64-sample windows merged into maximal runs per doc — see
+    the block comment. The Spark side stays entirely JVM-side: window
+    energies come from nested higher-order functions (transform over
+    window indexes, aggregate over the 64 samples — NO per-character
+    row explosion, unlike the oracle's unnest replay), then one
+    posexplode of the per-doc energy array (rows = windows, ~n/64) and
+    one doc-partitioned window for the island grouping. Scale shape:
+    shuffles once on doc_id (the natural key) for the segmentation
+    window; everything upstream is a projection. Fixture note: text is
+    pure ASCII so character indexing == byte indexing (the
+    mm_image_patches hex trick is unnecessary here; mm_audio_windows
+    sets the precedent)."""
+    d = load_table(spark, sf_dir, "documents")
+    energies = F.expr(
+        f"""
+        CASE WHEN length(text) div {VAD_WIN} >= 1 THEN
+          transform(
+            sequence(0, CAST(length(text) div {VAD_WIN} AS INT) - 1),
+            w -> aggregate(
+              sequence(1, {VAD_WIN}),
+              CAST(0 AS BIGINT),
+              (acc, j) -> acc
+                + CAST(ascii(substring(text, w * {VAD_WIN} + j, 1)) AS BIGINT)
+                  * ascii(substring(text, w * {VAD_WIN} + j, 1))))
+        ELSE array() END
+        """
+    )
+    w = (
+        d.select("doc_id", F.posexplode(energies).alias("window_idx", "energy"))
+        .filter(F.col("energy") >= VAD_MIN_ENERGY)
+    )
+    from pyspark.sql import Window as W
+
+    grp = F.col("window_idx") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("window_idx")
+    )
+    return (
+        w.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("window_idx").cast("bigint").alias("seg_start"),
+            F.max("window_idx").cast("bigint").alias("seg_end"),
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum("energy").cast("bigint").alias("energy_sum"),
+        )
+        .drop("grp")
+    )
