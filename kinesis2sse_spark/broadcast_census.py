@@ -108,6 +108,11 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("graph.py", "er_blocking_union_recall", "cj"): "constant",
     # (er_pairwise_f1's nested per-scheme builder; 1-row aggregate)
     ("graph.py", "scheme_row", "pred"): "constant",
+    # sweep/RBO shared machinery: IVF_K-row centroid table, the fixed
+    # N_QUERIES query set, and the nprobe-bounded probe list
+    ("llm_similarity.py", "_sweep_spark_parts", "cents"): "constant",
+    ("llm_similarity.py", "_sweep_spark_parts", "queries"): "constant",
+    ("llm_similarity.py", "ivf_topk", "probes"): "constant",
     ("graph.py", "er_blocking_quality", "cand"): "constant",
     ("graph.py", "er_blocking_quality", "cov"): "constant",
     # --- graph (near-dup cluster mass bounds everything) ---

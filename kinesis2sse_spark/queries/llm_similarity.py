@@ -3662,3 +3662,303 @@ def sim_prf_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim")
     )
     return r2
+
+
+# --- Recall-vs-probes sweep + rank-biased overlap (round 13) ---------
+#
+# Two "measure, don't guess" evaluation rungs for the IVF rung's
+# recall/cost dial. Both replay the full quantize→probe→rerank
+# machinery per configuration inside ONE query (shared assignment,
+# shared exact baseline), so the sweep costs one corpus pass plus
+# |queries|-bounded work per leg — the shape of a production
+# parameter-tuning job.
+
+PROBE_SWEEP = (2, 4, 8)  # nprobe legs (IVF_PROBES=6 sits inside the range)
+
+_SWEEP_SHARED_CTES = f"""
+    corpus AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(CAST(embedding AS DOUBLE[]), y -> y * y)),
+               (a, b) -> a + b)) AS norm
+      FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cell, v AS cv, norm AS cnorm
+      FROM corpus WHERE vec_id < {IVF_K}
+    ), cellr AS (
+      SELECT c0.vec_id, c0.v, c0.norm, c.cell,
+             row_number() OVER (PARTITION BY c0.vec_id
+               ORDER BY round({_IVF_DOT.format(a="c0.v", b="c.cv")}
+                              / (c0.norm * c.cnorm), 6) DESC, c.cell) AS arn
+      FROM corpus c0, cents c
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, v, norm, cell FROM cellr WHERE arn = 1
+    ), queries AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ), prober AS MATERIALIZED (
+      SELECT q.query_id, q.qv, q.qnorm, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {_IVF_DOT.format(a="q.qv", b="c.cv")} DESC, c.cell) AS prn
+      FROM queries q, cents c
+    ), bf AS MATERIALIZED (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_IVF_DOT.format(a="q.qv", b="c.v")}
+                                / (q.qnorm * c.norm), 6) DESC, c.vec_id) AS rn
+        FROM queries q JOIN corpus c ON c.vec_id <> q.query_id
+      ) WHERE rn <= {TOP_K}
+    )
+"""
+
+
+def _sweep_leg_ctes(p: int) -> str:
+    return f"""
+    topk_p{p} AS (
+      SELECT query_id, neighbor_id, rn FROM (
+        SELECT s.query_id, s.neighbor_id,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY s.cos_sim DESC, s.neighbor_id) AS rn
+        FROM (
+          SELECT pr.query_id, a.vec_id AS neighbor_id,
+                 round({_IVF_DOT.format(a="pr.qv", b="a.v")}
+                       / (pr.qnorm * a.norm), 6) AS cos_sim
+          FROM assigned a
+          JOIN (SELECT query_id, qv, qnorm, cell FROM prober
+                WHERE prn <= {p}) pr
+            ON pr.cell = a.cell AND pr.query_id <> a.vec_id
+        ) s
+      ) WHERE rn <= {TOP_K}
+    )
+"""
+
+
+def _probe_sweep_oracle() -> str:
+    legs = ",".join(_sweep_leg_ctes(p) for p in PROBE_SWEEP)
+    rows = " UNION ALL ".join(
+        f"""
+        SELECT CAST({p} AS BIGINT) AS n_probes,
+               CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_possible,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM topk_p{p} t
+        JOIN bf b ON b.query_id = t.query_id
+                 AND b.neighbor_id = t.neighbor_id
+        """
+        for p in PROBE_SWEEP
+    )
+    return f"""
+    WITH {_SWEEP_SHARED_CTES}, {legs}
+    SELECT n_probes, n_possible, n_hits,
+           floor(CAST(n_hits AS DOUBLE) / n_possible * 1000000 + 0.5)
+             / 1000000 AS mean_recall
+    FROM ({rows})
+    """
+
+
+def _sweep_spark_parts(spark: SparkSession, sf_dir: str):
+    """Shared Spark-side machinery for the sweep/RBO rungs: pinned
+    assignment, the full per-query centroid ranking (filter to any
+    nprobe downstream), and the exact top-{TOP_K} baseline WITH ranks
+    (same round-6 cosine expression tree as the oracle)."""
+    corpus = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    centroids = _ivf_centroids(corpus)
+    assigned = _ivf_assign(corpus, centroids).transform(pin_cache)
+    cents = centroids.select("cell", "cv")
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cdist").desc(), "cell")
+    pranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", qdot)
+        .withColumn("prn", F.row_number().over(wq))
+        .select("query_id", "qv", "qnorm", "cell", "prn")
+        .transform(pin_cache)
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    bf = (
+        assigned.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("qnorm") * F.col("norm")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "rn")
+        .transform(pin_cache)
+    )
+
+    def ivf_topk(p: int) -> DataFrame:
+        probes = pranked.filter(F.col("prn") <= p).select(
+            "query_id", "qv", "qnorm", "cell"
+        )
+        scored = (
+            assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(dot / (F.col("qnorm") * F.col("norm"))
+                        , 6).alias("cos_sim"),
+            )
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "rn")
+        )
+
+    return queries, bf, ivf_topk
+
+
+@register("sim_recall_vs_probes", oracle=_probe_sweep_oracle())
+def sim_recall_vs_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF rung as a function of nprobe — the
+    tuning curve behind the IVF_PROBES=6 default: one row per leg of
+    PROBE_SWEEP with the exact hit count against the brute-force
+    baseline and the mean recall over the {N_QUERIES}-query set. The
+    whole sweep shares ONE cell assignment, ONE centroid ranking per
+    query, and ONE exact baseline (all pinned); each leg adds only a
+    prn filter + |probed cells|-bounded rerank + a {TOP_K}*{N_QUERIES}-row
+    join, so legs cost marginal work, not corpus passes. Scale: the
+    corpus is scanned once for the assignment (map-side max_by argmax);
+    every leg's rerank reads the probed cells only — the plan a
+    production parameter sweep should have."""
+    queries, bf, ivf_topk = _sweep_spark_parts(spark, sf_dir)
+    legs = None
+    for p in PROBE_SWEEP:
+        leg = (
+            ivf_topk(p)
+            .join(bf, ["query_id", "neighbor_id"])
+            .agg(F.count("*").cast("bigint").alias("n_hits"))
+            .select(
+                F.lit(p).cast("bigint").alias("n_probes"),
+                F.lit(N_QUERIES * TOP_K).cast("bigint").alias("n_possible"),
+                "n_hits",
+            )
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return legs.select(
+        "n_probes",
+        "n_possible",
+        "n_hits",
+        (
+            F.floor(
+                F.col("n_hits").cast("double") / F.col("n_possible") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("mean_recall"),
+    )
+
+
+# Truncated rank-biased overlap (Webber, Moffat & Zobel 2010) at depth
+# TOP_K with persistence RBO_P, NORMALIZED by its own maximum
+# (1 - p^k reachable mass) so identical lists score 1.0. Because a
+# common item with ranks (ra, rb) enters every prefix-overlap term
+# X_d with d >= max(ra, rb), RBO decomposes into a per-item weight
+# W(max(ra, rb)) — precomputed here as 1e9-scaled INTEGER literals
+# inlined into both engines, so the per-query score is an exact
+# integer sum (no cross-engine FP summation-order risk), divided once
+# at the end.
+RBO_P = 0.9
+
+
+def _rbo_weights_scaled() -> list[int]:
+    """W_norm(m)*1e9 for m = 1..TOP_K, W(m) = (1-p) * sum_{d=m..k}
+    p^(d-1)/d, normalized by sum_d W(d) = (1-p^k)."""
+    raw = [
+        (1 - RBO_P) * sum(RBO_P ** (d - 1) / d for d in range(m, TOP_K + 1))
+        for m in range(1, TOP_K + 1)
+    ]
+    total = 1 - RBO_P ** TOP_K
+    return [round(w / total * 1e9) for w in raw]
+
+
+def _rbo_weight_case(m_expr: str) -> str:
+    ws = _rbo_weights_scaled()
+    clauses = " ".join(
+        f"WHEN {m} THEN {w}" for m, w in zip(range(1, TOP_K + 1), ws)
+    )
+    return f"(CASE {m_expr} {clauses} ELSE 0 END)"
+
+
+def _rbo_oracle() -> str:
+    leg = _sweep_leg_ctes(IVF_PROBES)
+    return f"""
+    WITH {_SWEEP_SHARED_CTES}, {leg}
+    SELECT q.query_id,
+           CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+           CAST((CAST(coalesce(o.w, 0) AS BIGINT) + 500) // 1000
+                AS DOUBLE) / 1000000 AS rbo
+    FROM queries q
+    LEFT JOIN (
+      SELECT t.query_id,
+             count(*) AS n_common,
+             sum({_rbo_weight_case("greatest(t.rn, b.rn)")}) AS w
+      FROM topk_p{IVF_PROBES} t
+      JOIN bf b ON b.query_id = t.query_id
+               AND b.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id
+    ) o ON o.query_id = q.query_id
+    """
+
+
+@register("sim_rbo_ivf_vs_exact", oracle=_rbo_oracle())
+def sim_rbo_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized truncated RBO@{TOP_K} between the IVF rung (at its
+    production IVF_PROBES setting) and the exact baseline, per query —
+    a TOP-WEIGHTED agreement metric where plain recall treats rank 1
+    and rank {TOP_K} alike (an ANN index that nails the top hits but
+    shuffles the tail scores near 1 here while plain recall can't see
+    the difference). Per-item decomposition + 1e9-scaled integer
+    weights make the score an exact integer sum (see block comment).
+    Scale shape: shares _sweep_spark_parts' one-pass machinery; the
+    RBO join touches {TOP_K}*{N_QUERIES} rows."""
+    queries, bf, ivf_topk = _sweep_spark_parts(spark, sf_dir)
+    ws = _rbo_weights_scaled()
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in ws]),
+        F.greatest(F.col("rn"), F.col("brn")).cast("int"),
+    ).cast("bigint")
+    o = (
+        ivf_topk(IVF_PROBES)
+        .join(
+            bf.select(
+                "query_id", "neighbor_id", F.col("rn").alias("brn")
+            ),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(weight).cast("bigint").alias("w"),
+        )
+    )
+    return (
+        queries.select("query_id")
+        .join(o, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_common"),
+            (
+                F.expr("(CAST(coalesce(w, 0) AS BIGINT) + 500) div 1000")
+                .cast("double")
+                / 1000000
+            ).alias("rbo"),
+        )
+    )
