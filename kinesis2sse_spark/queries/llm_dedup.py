@@ -1602,3 +1602,119 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= PF_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# LSH band-tuning curve: for each (bands, rows) split of the
+# MINHASH_H-hash budget, the EXPECTED candidate recall over the
+# corpus's ACTUAL near-dup pair similarity distribution — i.e. the
+# banding S-curve P(candidate | s) = 1 - (1 - s^r)^b evaluated at
+# every verified pair's exact jaccard and averaged. This is the
+# "measure, don't guess" version of the textbook S-curve table: the
+# analytic p at the threshold similarity says where the curve SITS,
+# the empirical mean says what the corpus actually GETS (a corpus
+# whose dup pairs cluster near s=1 tolerates aggressive r; one with
+# mass at the threshold does not). Deterministic cross-engine: s is
+# the round-6 jaccard both engines already agree on, s^r and
+# (1-s^r)^b are generated as IDENTICAL textual multiplication chains
+# (no pow(), no libm), per-pair probabilities quantize to 1e6 ints
+# before the cross-pair sum.
+LSH_TUNING_CONFIGS = ((24, 1), (12, 2), (8, 3), (6, 4))  # (bands, rows)
+
+
+def _chain_pow(expr: str, n: int) -> str:
+    """x^n as a left-folded textual product — identical IEEE order in
+    both engines."""
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _lsh_curve_legs(src: str) -> str:
+    legs = " UNION ALL ".join(
+        f"""
+        SELECT CAST({b} AS BIGINT) AS n_bands, CAST({r} AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(floor(
+                 (CAST(1 AS DOUBLE) - {_chain_pow(f"(CAST(1 AS DOUBLE) - {_chain_pow('s', r)})", b)})
+                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS p_sum
+        FROM {src}
+        """
+        for b, r in LSH_TUNING_CONFIGS
+    )
+    return legs
+
+
+def _lsh_p_at_threshold(b: int, r: int) -> float:
+    return 1.0 - (1.0 - JACCARD_THRESHOLD**r) ** b
+
+
+def _lsh_tuning_oracle() -> str:
+    p_lit = " ".join(
+        f"WHEN {b} THEN CAST({_lsh_p_at_threshold(b, r)!r} AS DOUBLE)"
+        for b, r in LSH_TUNING_CONFIGS
+    )
+    return f"""
+    WITH pr AS (
+      WITH {_ORACLE_CLUSTER_CTE}
+      {_oracle_fan_out("i.c * 1.0 / (na.n + nb.n - i.c)", "jaccard", JACCARD_THRESHOLD)}
+    ),
+    ps AS (SELECT jaccard AS s FROM pr),
+    legs AS ({_lsh_curve_legs("ps")})
+    SELECT n_bands, n_rows, n_pairs,
+           CASE WHEN n_pairs > 0 THEN
+             floor(CAST(p_sum AS DOUBLE) / n_pairs + 0.5) / 1000000
+           END AS expected_recall,
+           floor((CASE n_bands {p_lit} END) * 1000000 + 0.5) / 1000000
+             AS p_at_threshold
+    FROM legs
+    """
+
+
+@register("dedup_lsh_tuning_curve", oracle=_lsh_tuning_oracle())
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected candidate recall of each (bands, rows) MinHash banding
+    config over the corpus's verified near-dup pairs — see the block
+    comment. Scale shape: the pair relation is the output-bounded
+    near-dup set (computed once, pinned); each config leg is a
+    projection + 1-row aggregate over |pairs| rows, so the whole
+    4-point curve costs one pair generation plus |pairs|-bounded
+    arithmetic. At 100 TB you'd feed the same legs from the prebuilt
+    edge artifact's jaccard column; the config that clears your recall
+    target with the fewest bands minimizes posting-list writes."""
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("jaccard").alias("s"))
+        .transform(pin_cache)
+    )
+    legs = None
+    for b, r in LSH_TUNING_CONFIGS:
+        miss = f"(CAST(1 AS DOUBLE) - {_chain_pow('s', r)})"
+        p = f"(CAST(1 AS DOUBLE) - {_chain_pow(miss, b)})"
+        leg = pairs.select(
+            F.expr(f"CAST(floor({p} * 1000000 + 0.5) AS BIGINT)").alias("pq")
+        ).agg(
+            F.lit(b).cast("bigint").alias("n_bands"),
+            F.lit(r).cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("pq").cast("bigint").alias("p_sum"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    pt = {b: _lsh_p_at_threshold(b, r) for b, r in LSH_TUNING_CONFIGS}
+    p_at = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in pt.items() for x in kv]
+        ),
+        F.col("n_bands").cast("int"),
+    )
+    return legs.select(
+        "n_bands",
+        "n_rows",
+        "n_pairs",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.floor(F.col("p_sum").cast("double") / F.col("n_pairs") + F.lit(0.5))
+            / 1000000,
+        ).alias("expected_recall"),
+        (F.floor(p_at * 1000000 + F.lit(0.5)) / 1000000).alias("p_at_threshold"),
+    )

@@ -1851,3 +1851,179 @@ def timeseries_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((sd - mu) / (sd + mu) * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("burstiness"),
     )
+
+
+# Hurst exponent via rescaled-range (R/S) analysis (Hurst 1951;
+# Mandelbrot & Wallis 1969): chunk each per-type series into windows
+# of w, compute R/S per chunk (range of cumulative mean-deviations
+# over population std), average per window size, and estimate
+# H = dlog(R/S)/dlog(w) from the two-point slope. H ≈ 0.5 = memoryless
+# (this fixture's iid values), H > 0.5 = long-range persistence — the
+# standard "does this metric trend or mean-revert" probe.
+#
+# Exactness: values integerize at milli-units; within a chunk the
+# cumulative deviation is held in the EXACT integer form
+# Z'_t = w*prefix_t - t*sum_w (scaling by w clears the mean's
+# denominator), so R' = max Z' - min Z' is exact int64, the population
+# variance numerator D = w*q - s^2 is exact int64, and
+# R/S = R'/sqrt(D) is ONE IEEE op per chunk. Per-chunk R/S rounds to a
+# 1e6-scaled BIGINT before the cross-chunk SUM, so no cross-engine
+# FP-summation-order risk; the final slope takes ln() of two exact
+# rationals (identical doubles both engines).
+HURST_W = (32, 128)
+
+
+def _hurst_oracle() -> str:
+    w_small, w_big = HURST_W
+    legs = " UNION ALL ".join(
+        f"""
+        SELECT event_type, CAST({w} AS BIGINT) AS w,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(rs_q) AS BIGINT) AS rs_sum
+        FROM (
+          SELECT event_type, chunk,
+                 floor(CAST(max(zp) - min(zp) AS DOUBLE)
+                       / sqrt(CAST({w} * max(q) - max(s) * max(s) AS DOUBLE))
+                       * 1000000 + 0.5) AS rs_q
+          FROM (
+            SELECT event_type, chunk, t,
+                   {w} * pref - t * s AS zp, s, q
+            FROM (
+              SELECT event_type, chunk,
+                     row_number() OVER (PARTITION BY event_type, chunk
+                                        ORDER BY rn) AS t,
+                     sum(v) OVER (PARTITION BY event_type, chunk
+                                  ORDER BY rn) AS pref,
+                     sum(v) OVER (PARTITION BY event_type, chunk) AS s,
+                     sum(v * v) OVER (PARTITION BY event_type, chunk) AS q,
+                     count(*) OVER (PARTITION BY event_type, chunk) AS cn
+              FROM (
+                SELECT event_type,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn,
+                       CAST((row_number() OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id) - 1)
+                            // {w} AS BIGINT) AS chunk
+                FROM events
+              )
+            ) WHERE cn = {w}
+          )
+          GROUP BY event_type, chunk
+          HAVING {w} * max(q) - max(s) * max(s) > 0
+        )
+        GROUP BY event_type
+        """
+        for w in HURST_W
+    )
+    return f"""
+    WITH legs AS ({legs})
+    SELECT a.event_type,
+           a.n_chunks AS n_chunks_small, b.n_chunks AS n_chunks_big,
+           floor(CAST(a.rs_sum AS DOUBLE) / a.n_chunks + 0.5) / 1000000
+             AS rs_small,
+           floor(CAST(b.rs_sum AS DOUBLE) / b.n_chunks + 0.5) / 1000000
+             AS rs_big,
+           floor((ln(CAST(b.rs_sum AS DOUBLE) / b.n_chunks / 1000000)
+                  - ln(CAST(a.rs_sum AS DOUBLE) / a.n_chunks / 1000000))
+                 / ln(CAST({w_big} AS DOUBLE) / {w_small})
+                 * 1000000 + 0.5) / 1000000 AS hurst
+    FROM legs a JOIN legs b
+      ON a.event_type = b.event_type AND a.w = {w_small} AND b.w = {w_big}
+    """
+
+
+@register("timeseries_hurst_exponent", oracle=_hurst_oracle())
+def timeseries_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-point R/S Hurst exponent per event type — see the block
+    comment for the exact-integer construction. Scale shape: ONE
+    shuffle on event_type (domain-bounded partitions) feeds every
+    window; chunk aggregates combine map-side within partitions; the
+    cross-chunk reduction carries one 1e6-scaled integer per chunk
+    (n/w rows), and the final join is |types| x 2 rows. No corpus
+    self-joins, no Python."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        "ts",
+        "event_id",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("ts", "event_id")
+    )
+    base = e.withColumn("rn", rn).transform(pin_cache)
+    w_small, w_big = HURST_W
+    legs = None
+    for w in HURST_W:
+        chunked = base.withColumn(
+            "chunk", F.expr(f"CAST((rn - 1) div {w} AS BIGINT)")
+        )
+        wc = Window.partitionBy("event_type", "chunk")
+        wp = wc.orderBy("rn")
+        g = chunked.select(
+            "event_type",
+            "chunk",
+            F.row_number().over(wp).alias("t"),
+            F.sum("v").over(wp).alias("pref"),
+            F.sum("v").over(wc).alias("s"),
+            F.sum(F.col("v") * F.col("v")).over(wc).alias("q"),
+            F.count("*").over(wc).alias("cn"),
+        ).filter(F.col("cn") == w)
+        zp = F.lit(w) * F.col("pref") - F.col("t") * F.col("s")
+        chunks = (
+            g.withColumn("zp", zp)
+            .groupBy("event_type", "chunk")
+            .agg(
+                (F.max("zp") - F.min("zp")).alias("rp"),
+                F.max("q").alias("q"),
+                F.max("s").alias("s"),
+            )
+            .filter(F.lit(w) * F.col("q") - F.col("s") * F.col("s") > 0)
+            .select(
+                "event_type",
+                F.floor(
+                    F.col("rp").cast("double")
+                    / F.sqrt(
+                        (F.lit(w) * F.col("q") - F.col("s") * F.col("s"))
+                        .cast("double")
+                    )
+                    * 1000000
+                    + F.lit(0.5)
+                ).alias("rs_q"),
+            )
+        )
+        leg = chunks.groupBy("event_type").agg(
+            F.lit(w).cast("bigint").alias("w"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("rs_q").cast("bigint").alias("rs_sum"),
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    legs = legs.transform(pin_cache)
+    a = legs.filter(F.col("w") == w_small).select(
+        "event_type",
+        F.col("n_chunks").alias("n_chunks_small"),
+        F.col("rs_sum").alias("sum_small"),
+    )
+    b = legs.filter(F.col("w") == w_big).select(
+        "event_type",
+        F.col("n_chunks").alias("n_chunks_big"),
+        F.col("rs_sum").alias("sum_big"),
+    )
+    avg_s = F.col("sum_small").cast("double") / F.col("n_chunks_small")
+    avg_b = F.col("sum_big").cast("double") / F.col("n_chunks_big")
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_chunks_small",
+        "n_chunks_big",
+        (F.floor(avg_s + F.lit(0.5)) / 1000000).alias("rs_small"),
+        (F.floor(avg_b + F.lit(0.5)) / 1000000).alias("rs_big"),
+        (
+            F.floor(
+                (F.log(avg_b / 1000000) - F.log(avg_s / 1000000))
+                / F.log(F.lit(float(w_big)) / w_small)
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("hurst"),
+    )
