@@ -1408,3 +1408,59 @@ def streaming_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("sum_bounded_milli"),
     )
+
+
+# Per-user daily admission quota: fixture-calibrated so both regimes
+# populate at every SF (the event rate is ~2.2 events/user/day
+# independent of scale factor, so cap=3 rejects the Poisson tail).
+RATE_CAP = 3
+RATE_WIN_S = 86_400
+
+
+@register(
+    "streaming_rate_limit",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // {RATE_WIN_S * 1_000_000} * {RATE_WIN_S}
+                AS BIGINT) AS win_start,
+           row_number() OVER (
+             PARTITION BY user_id, epoch_us(ts) // {RATE_WIN_S * 1_000_000}
+             ORDER BY ts ASC NULLS FIRST, event_id) <= {RATE_CAP}
+             AS is_admitted
+    FROM events
+    """,
+)
+def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed admission control IN the stream: at most RATE_CAP
+    events per (user, event-time day) are admitted, the rest flagged —
+    the multi-tenant ingest quota every shared pipeline enforces
+    before expensive downstream stages. State = one 8-byte counter per
+    open (user, day), evicted by event-time timeout once the watermark
+    passes the day boundary (with_rate_limit), so state cardinality is
+    |active users per day|, never stream length. The single-file
+    fixture is one micro-batch processed in (ts NULLS FIRST, event_id)
+    order per key, making the batch window SQL an exact oracle;
+    cross-batch counter carry and timeout eviction are pinned in
+    tests/test_streaming.py."""
+    from kinesis2sse_spark.streaming.state import with_rate_limit
+
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(
+                f"CAST(unix_micros(ts) div {RATE_WIN_S * 1_000_000} AS BIGINT)"
+                f" * {RATE_WIN_S}"
+            ).alias("win_start"),
+        )
+    )
+    out = run_to_memory(
+        with_rate_limit(s, RATE_CAP, RATE_WIN_S),
+        _qname("ratelimit"),
+        "append",
+        shuffle_partitions=8,
+    )
+    return out.select("event_id", "user_id", "win_start", "is_admitted")

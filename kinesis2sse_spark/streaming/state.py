@@ -593,3 +593,70 @@ def with_contribution_cap(df: DataFrame, cap: int, key_col: str = "user_id") -> 
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming per-key windowed rate limit ---------------------------------
+
+RATE_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.LongType())])
+
+
+def _rate_limit_fn(cap: int, win_s: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the watermark passed this window's end: no more admissible
+            # events can arrive for it (late rows are below the
+            # watermark), so the counter is garbage — drop it
+            state.remove()
+            return
+        (admitted,) = state.get if state.exists else (0,)
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            # admit-first-by-event-time within the batch (nulls FIRST,
+            # the repo's pinned order); across batches the carried
+            # counter makes admission arrival-ordered — the same online
+            # reading as with_contribution_cap
+            batch = batch.sort_values(
+                ["ts", "event_id"], na_position="first"
+            ).reset_index(drop=True)
+            n = len(batch)
+            take = max(0, min(cap - admitted, n))
+            batch["is_admitted"] = [i < take for i in range(n)]
+            admitted += take
+            yield batch
+        state.update((admitted,))
+        # evict once the watermark passes the window end (clamped above
+        # the current watermark — setTimeoutTimestamp rejects <= wm)
+        win_start_s = int(key[1])
+        state.setTimeoutTimestamp(
+            max((win_start_s + win_s) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return update
+
+
+def with_rate_limit(
+    df: DataFrame, cap: int, win_s: int, key_col: str = "user_id"
+) -> DataFrame:
+    """Windowed admission control as a STREAM: at most ``cap`` events
+    per (``key_col``, event-time window of ``win_s`` seconds) pass with
+    ``is_admitted = true``; the rest are flagged rejected — the
+    ingest-side rate limiter / quota gate a multi-tenant pipeline runs
+    before expensive downstream stages. Requires a ``win_start``
+    column (epoch seconds, win_s-aligned) and a watermark on ``ts``.
+    State is ONE 8-byte counter per open (key, window), EVICTED by
+    event-time timeout when the watermark passes the window end — so
+    state cardinality is |active keys per window|, not stream length.
+    Output schema = input + ``is_admitted: boolean``."""
+    out_fields = [T.StructField(f.name, f.dataType) for f in df.schema.fields] + [
+        T.StructField("is_admitted", T.BooleanType())
+    ]
+    return df.groupBy(key_col, "win_start").applyInPandasWithState(
+        _rate_limit_fn(cap, win_s),
+        outputStructType=T.StructType(out_fields),
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1890,3 +1890,54 @@ def test_contribution_cap_carries_across_batches(spark):
     assert kept[1] == [0, 1, 2, 10], kept
     assert kept[2] == [20, 21], kept
     assert out.count() == 8  # every event emitted, flagged
+
+
+def test_rate_limit_carries_across_batches_and_windows(spark):
+    """The (user, window) admission counter is window-scoped and
+    carries across micro-batches: a user who used part of a day's
+    quota in batch 1 gets only the remainder in batch 2; the SAME
+    user's other day has an independent counter; a fresh user starts
+    from zero. Cap = RATE_CAP (3)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.queries.streaming_queries import RATE_CAP, RATE_WIN_S
+    from kinesis2sse_spark.streaming.state import with_rate_limit
+
+    d = staged_batch_dir("rate_limit")
+    schema = "user_id long, event_id long, ts timestamp"
+    day0, day1 = _ts("2024-01-01 10:00:00"), _ts("2024-01-02 10:00:00")
+    b0 = [(1, 0, day0), (1, 1, day0), (1, 100, day1)]
+    _write_batch(spark, d, "b0", b0, schema)
+    time.sleep(1.1)
+    b1 = [(1, 2, day0), (1, 3, day0)] + [(2, 20 + i, day0) for i in range(4)]
+    _write_batch(spark, d, "b1", b1, schema)
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+        .withWatermark("ts", "1 hour")
+        .withColumn(
+            "win_start",
+            F.expr(
+                f"CAST(unix_micros(ts) div {RATE_WIN_S * 1_000_000} AS BIGINT)"
+                f" * {RATE_WIN_S}"
+            ),
+        )
+    )
+    out = run_to_memory(
+        with_rate_limit(s, RATE_CAP, RATE_WIN_S),
+        "t_rate_limit",
+        "append",
+        shuffle_partitions=4,
+    )
+    rows = out.collect()
+    admitted = sorted(r["event_id"] for r in rows if r["is_admitted"])
+    # user 1 day0: 0,1 from b0 + exactly ONE of (2,3) from b1 (lowest
+    # event_id at equal ts); user 1 day1: independent counter, admitted;
+    # user 2 day0: first 3 of 4
+    assert admitted == [0, 1, 2, 20, 21, 22, 100], admitted
+    assert len(rows) == 9  # every event emitted, flagged
