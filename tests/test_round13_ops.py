@@ -1,0 +1,255 @@
+"""Round-13 operator tests: hand-computable fixtures and invariants
+for the new operators, plus the sign-safe DP lattice rounding fix
+(r12 advice)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis2sse_spark.registry import all_oracles, all_queries
+
+SF = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_lattice_round_sign_safe(spark):
+    """The DP_CLIP lattice quantization must be round-half-up for
+    NEGATIVE sums too (truncating int division is not floor): probe
+    the generated SQL on both engines across the sign boundary."""
+    import duckdb
+
+    from kinesis2sse_spark.queries.privacy import DP_CLIP, _lattice_round_sql
+
+    def model(x):
+        return math.floor(x / DP_CLIP + 0.5) * DP_CLIP
+
+    vals = [
+        -750001, -750000, -500001, -500000, -300000, -299999,
+        -100001, -100000, -99999, -1, 0, 1, 99999, 100000, 299999, 300000,
+    ]
+    con = duckdb.connect()
+    for x in vals:
+        got = con.execute(
+            f"SELECT {_lattice_round_sql(str(x), DP_CLIP, '//')}"
+        ).fetchone()[0]
+        assert got == model(x), (x, got, model(x))
+    df = spark.createDataFrame([(v,) for v in vals], "sum_clipped long")
+    out = {
+        r[0]: r[1]
+        for r in df.select(
+            "sum_clipped",
+            F.expr(_lattice_round_sql("sum_clipped", DP_CLIP, "div")).alias("q"),
+        ).collect()
+    }
+    for x in vals:
+        assert out[x] == model(x), (x, out[x], model(x))
+
+
+def test_union_recall_inclusion_exclusion(spark):
+    """cand_union must equal cand_a + cand_b - cand_both, and cand_both
+    must replay independently from the joint block histogram."""
+    from kinesis2sse_spark.catalog import load_table
+
+    r = all_queries()["er_blocking_union_recall"](spark, SF).collect()[0]
+    assert r["cand_union"] == r["cand_a"] + r["cand_b"] - r["cand_both"]
+    docs = load_table(spark, SF, "documents")
+    ka = F.array_join(F.slice(F.split("text", " "), 1, 2), " ")
+    kb = F.concat_ws("|", F.col("lang"), F.expr("CAST(n_chars div 50 AS STRING)"))
+    expect = (
+        docs.groupBy(ka.alias("a"), kb.alias("b"))
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) div 2")))
+        .collect()[0][0]
+    )
+    assert r["cand_both"] == (expect or 0)
+
+
+def test_pairwise_f1_identities(spark):
+    """pair_f1 = 2*TP/(pred+gold) exactly; recall ranks the two schemes
+    the same way the blocking census does (scheme A covers all gold at
+    this fixture, scheme B does not)."""
+    rows = {r["scheme"]: r for r in all_queries()["er_pairwise_f1"](spark, SF).collect()}
+    for r in rows.values():
+        if r["pred_pairs"] + r["gold_pairs"] > 0:
+            want = math.floor(
+                2.0 * r["tp"] / (r["pred_pairs"] + r["gold_pairs"]) * 1e6 + 0.5
+            ) / 1e6
+            assert r["pair_f1"] == want
+        assert r["tp"] <= min(r["pred_pairs"], r["gold_pairs"])
+    assert rows["first2tok"]["pair_recall"] > rows["lang_len"]["pair_recall"]
+
+
+def test_rbo_hand_example(spark):
+    """RBO weight decomposition on hand lists: identical lists → 1.0
+    (±1e-6 from integer weight rounding); disjoint → 0; computed via
+    the same weight table the operator inlines."""
+    from kinesis2sse_spark.queries.llm_similarity import (
+        TOP_K,
+        _rbo_weights_scaled,
+    )
+
+    ws = _rbo_weights_scaled()
+    assert len(ws) == TOP_K and all(w > 0 for w in ws)
+    # identical lists: item at rank d has max(ra, rb) = d → sum = ~1e9
+    assert abs(sum(ws) - 1_000_000_000) <= TOP_K  # integer rounding slack
+    # weights decrease with depth (top-weightedness)
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_rbo_vs_recall_ordering(spark):
+    """A query whose IVF list exactly matches the baseline must score
+    rbo = 1.0; every rbo stays in [0, 1]."""
+    rows = all_queries()["sim_rbo_ivf_vs_exact"](spark, SF).collect()
+    from kinesis2sse_spark.queries.llm_similarity import N_QUERIES, TOP_K
+
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0.0 <= r["rbo"] <= 1.0
+        if r["n_common"] == TOP_K and r["rbo"] == 1.0:
+            pass  # full agreement reachable
+    assert any(r["rbo"] == 1.0 for r in rows)
+
+
+def test_recall_vs_probes_monotone(spark):
+    """Recall@k must be non-decreasing in nprobe (probing more cells
+    can only add candidates)."""
+    rows = sorted(
+        all_queries()["sim_recall_vs_probes"](spark, SF).collect(),
+        key=lambda r: r["n_probes"],
+    )
+    recs = [r["mean_recall"] for r in rows]
+    assert recs == sorted(recs)
+    assert rows[-1]["n_hits"] <= rows[-1]["n_possible"]
+
+
+def test_vad_hand_fixture(spark):
+    """VAD segmentation on a hand-built waveform: two active runs
+    separated by a silent window; energies verified by hand."""
+    from kinesis2sse_spark.queries.multimodal import (
+        VAD_MIN_ENERGY,
+        VAD_WIN,
+        mm_audio_vad,
+    )
+
+    # 'z' (122): 122^2*64 = 952576 > threshold; space (32): 65536 < th
+    loud, quiet = "z" * VAD_WIN, " " * VAD_WIN
+    text = loud + loud + quiet + loud  # windows: A A s A
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": [text],
+                "lang": ["en"],
+                "source": ["t"],
+                "n_chars": [len(text)],
+            }
+        )
+    )
+    d = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    segs = {
+        (r["seg_start"], r["seg_end"]): (r["n_windows"], r["energy_sum"])
+        for r in mm_audio_vad(spark, d).collect()
+    }
+    e = 122 * 122 * VAD_WIN
+    assert segs == {(0, 1): (2, 2 * e), (3, 3): (1, e)}, segs
+    assert e >= VAD_MIN_ENERGY and 32 * 32 * VAD_WIN < VAD_MIN_ENERGY
+
+
+def test_edit_verify_tiers(spark):
+    """Levenshtein verify: pairs are |edges|-bounded, lev is symmetric
+    in construction (doc_a < doc_b canonical), both tiers populated at
+    sf0.01, and edit_sim is consistent with lev."""
+    rows = all_queries()["dedup_edit_verify"](spark, SF).collect()
+    assert len(rows) > 0
+    tiers = {r["near_exact"] for r in rows}
+    assert tiers == {True, False}
+    for r in rows:
+        assert 0.0 <= r["edit_sim"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_hurst_iid_near_half(spark):
+    """On the fixture's iid values H should sit near 0.5 at the
+    correctness SF (loose band — it's an estimator, not a constant)."""
+    rows = all_queries()["timeseries_hurst_exponent"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.2 <= r["hurst"] <= 0.9, r
+        assert r["n_chunks_small"] > r["n_chunks_big"] > 0
+
+
+def test_lsh_tuning_curve_shape(spark):
+    """More rows per band (same hash budget) → lower candidate
+    probability at the threshold; expected recall >= p_at_threshold
+    (dup pairs sit at or above the threshold similarity)."""
+    rows = sorted(
+        all_queries()["dedup_lsh_tuning_curve"](spark, SF).collect(),
+        key=lambda r: r["n_rows"],
+    )
+    ps = [r["p_at_threshold"] for r in rows]
+    assert ps == sorted(ps, reverse=True)
+    for r in rows:
+        assert r["expected_recall"] >= r["p_at_threshold"]
+
+
+def test_dp_topk_selection_properties(spark):
+    """Exactly k rows at any SF, deterministic across calls, ranks
+    contiguous from 1, and n_noisy within the geometric noise bound of
+    n_true."""
+    from kinesis2sse_spark.queries.privacy import DP_B, DP_TOPK_K
+
+    a = all_queries()["privacy_dp_topk"](spark, SF).collect()
+    b = all_queries()["privacy_dp_topk"](spark, SF).collect()
+    assert a == b
+    assert len(a) == DP_TOPK_K
+    assert sorted(r["release_rank"] for r in a) == list(range(1, DP_TOPK_K + 1))
+    for r in a:
+        assert abs(r["n_noisy"] - r["n_true"]) <= DP_B
+
+
+def test_wilson_ci_brackets_p_hat(spark):
+    """Wilson interval must bracket p_hat and stay inside [0, 1]."""
+    for r in all_queries()["stats_wilson_ci"](spark, SF).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_pagerank_prebuilt_matches_inline(spark):
+    """The artifact probe twin must be output-identical to the inline
+    rung (same helper, same oracle string object)."""
+    qs = all_queries()
+    inline = {tuple(r) for r in qs["graph_pagerank"](spark, SF).collect()}
+    probe = {tuple(r) for r in qs["graph_pagerank_prebuilt"](spark, SF).collect()}
+    assert inline == probe and len(inline) > 0
+    o = all_oracles()
+    assert o["graph_pagerank"] is o["graph_pagerank_prebuilt"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_pagerank_prebuilt",
+        "er_pairwise_f1",
+        "privacy_dp_topk",
+        "stats_wilson_ci",
+        "mm_audio_vad",
+        "dedup_edit_verify",
+        "sim_recall_vs_probes",
+        "sim_rbo_ivf_vs_exact",
+        "timeseries_hurst_exponent",
+        "dedup_lsh_tuning_curve",
+    ],
+)
+def test_round13_ops_smoke_sf0001(spark, name):
+    """Every r13 operator must run (and stay schema-stable) on the
+    smoke fixture too."""
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
