@@ -2767,3 +2767,131 @@ def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6((center - half) / denom).alias("wilson_lo"),
         q6((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# Kendall tau-b rank correlation (Kendall 1945, the tie-corrected
+# form) between DAILY VOLUME and DAILY MEAN VALUE per event type —
+# "do busy days run hot?". The corpus collapses FIRST to one row per
+# (type, day) via a map-side aggregate; the pair stage then runs on
+# the day-aggregated relation, so its cost is |days|^2 per type —
+# bounded by the retention window (3650 days of retention = ~13M
+# integer comparisons), NOT by corpus size. All tau ingredients are
+# exact integers (concordant/discordant/tie counts over int64 keys:
+# daily count, and daily value-sum cross-multiplied against counts to
+# compare means without division); the final tau is two IEEE ops from
+# int64.
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             CASE WHEN a.n > b.n THEN 1 WHEN a.n < b.n THEN -1 ELSE 0 END
+               AS sx,
+             -- mean comparison via cross-multiplication: sa/na vs sb/nb
+             CASE WHEN a.s * b.n > b.s * a.n THEN 1
+                  WHEN a.s * b.n < b.s * a.n THEN -1 ELSE 0 END AS sy
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+             CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, n_pairs, concordant, discordant,
+           CASE WHEN (n_pairs - ties_x) > 0 AND (n_pairs - ties_y) > 0 THEN
+             floor((concordant - discordant)
+                   / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                          * (n_pairs - ties_y)) * 1000000 + 0.5) / 1000000
+           END AS tau_b
+    FROM c
+    """,
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily volume and daily mean value per
+    event type — see the block comment for the exact-integer pair
+    machinery and the retention-bounded (not corpus-bounded) pair
+    stage. Note tau-b's tie handling here uses the pairwise identity
+    n0 - n1 = n_pairs - ties_x (pairs tied on x), which equals
+    Kendall's sum-over-groups form exactly."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = e.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("s"),
+    ).transform(pin_cache)
+    a = d.select(
+        "event_type",
+        F.col("day").alias("da"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = d.select(
+        "event_type",
+        F.col("day").alias("db"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    sx = (
+        F.when(F.col("na") > F.col("nb"), 1)
+        .when(F.col("na") < F.col("nb"), -1)
+        .otherwise(0)
+    )
+    sy = (
+        F.when(F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"), 1)
+        .when(F.col("sa") * F.col("nb") < F.col("sb") * F.col("na"), -1)
+        .otherwise(0)
+    )
+    p = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .select("event_type", sx.alias("sx"), sy.alias("sy"))
+    )
+    c = p.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum((F.col("sx") * F.col("sy") == 1).cast("int"))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum((F.col("sx") * F.col("sy") == -1).cast("int"))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum((F.col("sx") == 0).cast("int")).cast("bigint").alias("ties_x"),
+        F.sum((F.col("sy") == 0).cast("int")).cast("bigint").alias("ties_y"),
+    )
+    denom_ok = (F.col("n_pairs") - F.col("ties_x") > 0) & (
+        F.col("n_pairs") - F.col("ties_y") > 0
+    )
+    tau = (
+        (F.col("concordant") - F.col("discordant"))
+        / F.sqrt(
+            (F.col("n_pairs") - F.col("ties_x")).cast("double")
+            * (F.col("n_pairs") - F.col("ties_y"))
+        )
+    )
+    return c.select(
+        "event_type",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.when(
+            denom_ok, F.floor(tau * 1000000 + F.lit(0.5)) / 1000000
+        ).alias("tau_b"),
+    )

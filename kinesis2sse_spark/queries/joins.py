@@ -318,3 +318,78 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.filter(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "signup_event_id"
     )
+
+
+# Interval-OVERLAP join (distinct from join_range's point-band join):
+# both sides carry [start, end] intervals and a pair matches iff the
+# intervals intersect. The 100 TB-safe plan is the chunked interval
+# join every genomics/temporal engine uses: explode each interval to
+# the width-W buckets it spans, equi-join on (key, bucket), apply the
+# exact overlap predicate, and COUNT EACH PAIR EXACTLY ONCE via the
+# ownership rule "the pair belongs to the bucket containing
+# greatest(start_a, start_b)" — the canonical dedup trick that avoids
+# a distinct over the pair set. Intervals here: each purchase/error
+# event opens a 2-hour activity window for its user; the join finds
+# per-user purchase/error co-activity.
+IVL_LEN_US = 2 * 3600 * 1_000_000  # interval length
+IVL_BUCKET_US = IVL_LEN_US  # chunk width = interval length → ≤ 2 buckets/interval
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, epoch_us(ts) AS sa, epoch_us(ts) + {IVL_LEN_US} AS ea
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    b AS (
+      SELECT user_id, epoch_us(ts) AS sb, epoch_us(ts) + {IVL_LEN_US} AS eb
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+    )
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM a JOIN b ON b.user_id = a.user_id
+                 AND a.sa <= b.eb AND b.sb <= a.ea
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count of overlapping purchase/error activity windows —
+    see the block comment for the chunked plan. The oracle states the
+    TRUTH (naive per-user overlap join — fine for DuckDB at fixture
+    scale); the Spark side runs the bucketed plan: each interval
+    explodes to the ≤2 width-W buckets it spans, the join is an
+    equi-join on (user_id, bucket) — co-partitioned, no theta join
+    anywhere — and the ownership predicate keeps exactly the bucket
+    containing greatest(start_a, start_b), so no pair-level distinct
+    is needed. Work per bucket is |a_bucket|x|b_bucket| within one
+    user — bounded by per-user-per-window activity, not corpus size."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    us = F.expr("unix_micros(ts)")
+
+    def side(tp: str, s: str, epre: str):
+        iv = e.where(F.col("event_type") == tp).select(
+            "user_id",
+            us.alias(s),
+            (us + F.lit(IVL_LEN_US)).alias(epre),
+        )
+        return iv.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} div {IVL_BUCKET_US}"),
+                    F.expr(f"{epre} div {IVL_BUCKET_US}"),
+                )
+            ),
+        )
+
+    a = side("purchase", "sa", "ea")
+    b = side("error", "sb", "eb")
+    own = F.expr(f"greatest(sa, sb) div {IVL_BUCKET_US}") == F.col("bucket")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .where(
+            (F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")) & own
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlaps"))
+    )

@@ -254,12 +254,35 @@ def _session_fn(key_col: str, gap_ns: int):
         else:
             sessions = []
         if not state.hasTimedOut:
+            # Vectorized within-batch segmentation (r13 profile: the
+            # former per-event Python loop was ~50% of the operator's
+            # wall clock, more than the Arrow boundary itself — PERF.md
+            # r13). Sorted-sweep interval merging is CONFLUENT: pre-
+            # merging the batch's events into gap-separated segments
+            # with numpy and then folding segments against the open
+            # state sessions yields exactly the intervals/counts the
+            # old event-at-a-time fold produced (any events a state
+            # session would have bridged are <= gap apart from it and
+            # still merge at the fold).
+            import numpy as np
+
+            arrs = []
             for pdf in pdfs:
-                for t in pdf["ts"]:
-                    if pd.isna(t):
-                        continue  # event-time ops drop null timestamps
-                    v = int(t.value)
-                    sessions.append([v, v, 1, True])
+                ts = pdf["ts"]
+                mask = ts.notna()  # event-time ops drop null timestamps
+                if mask.any():
+                    arrs.append(
+                        ts[mask].values.astype("datetime64[ns]").astype("int64")
+                    )
+            if arrs:
+                vals = np.sort(np.concatenate(arrs))
+                cut = np.flatnonzero(np.diff(vals) > gap_ns)
+                seg_a = np.concatenate(([0], cut + 1))
+                seg_b = np.concatenate((cut, [len(vals) - 1]))
+                for a, b in zip(seg_a, seg_b):
+                    sessions.append(
+                        [int(vals[a]), int(vals[b]), int(b - a + 1), True]
+                    )
             # interval-merge sweep: an event/session whose start is at or
             # before the previous session's end (last + gap, INCLUSIVE —
             # Spark's session merge rule, and the oracle's strict
@@ -278,14 +301,30 @@ def _session_fn(key_col: str, gap_ns: int):
             sessions = merged
         changed = [s for s in sessions if s[3]]
         if changed:
+            # bulk int64→datetime64 conversion: the former per-session
+            # pd.to_datetime() calls dominated the operator's wall clock
+            # at fixture sparsity (~1 session per event → one Python
+            # call per emission; PERF.md r13 profile)
+            import numpy as np
+
+            starts = np.fromiter(
+                (s[0] for s in changed), dtype=np.int64, count=len(changed)
+            )
+            ends = np.fromiter(
+                (s[1] + gap_ns for s in changed),
+                dtype=np.int64,
+                count=len(changed),
+            )
             yield pd.DataFrame(
                 {
-                    key_col: [key[0]] * len(changed),
-                    "session_start": [pd.to_datetime(s[0]) for s in changed],
-                    "session_end": [
-                        pd.to_datetime(s[1] + gap_ns) for s in changed
-                    ],
-                    "n_events": [s[2] for s in changed],
+                    key_col: np.full(len(changed), key[0]),
+                    "session_start": starts.astype("datetime64[ns]"),
+                    "session_end": ends.astype("datetime64[ns]"),
+                    "n_events": np.fromiter(
+                        (s[2] for s in changed),
+                        dtype=np.int64,
+                        count=len(changed),
+                    ),
                 }
             )
         # EVICTION — the whole point of the update-mode shape: a session
