@@ -552,22 +552,27 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_image_patches hex trick is unnecessary here; mm_audio_windows
     sets the precedent)."""
     d = load_table(spark, sf_dir, "documents")
+    # Split ONCE per row and slice per window: substring(text, pos, 1)
+    # is O(pos) on UTF8String, so the substring-per-sample form was
+    # O(len^2) per doc — the r13 scale curve caught it superlinear
+    # (112x at the 100x corpus); the char-array form is O(len) and
+    # took the 100x leg from 422 s to the linear lane.
+    chars = F.split("text", "")
     energies = F.expr(
         f"""
         CASE WHEN length(text) div {VAD_WIN} >= 1 THEN
           transform(
             sequence(0, CAST(length(text) div {VAD_WIN} AS INT) - 1),
             w -> aggregate(
-              sequence(1, {VAD_WIN}),
+              slice(cs, w * {VAD_WIN} + 1, {VAD_WIN}),
               CAST(0 AS BIGINT),
-              (acc, j) -> acc
-                + CAST(ascii(substring(text, w * {VAD_WIN} + j, 1)) AS BIGINT)
-                  * ascii(substring(text, w * {VAD_WIN} + j, 1))))
+              (acc, c) -> acc + CAST(ascii(c) AS BIGINT) * ascii(c)))
         ELSE array() END
         """
     )
     w = (
-        d.select("doc_id", F.posexplode(energies).alias("window_idx", "energy"))
+        d.withColumn("cs", chars)
+        .select("doc_id", F.posexplode(energies).alias("window_idx", "energy"))
         .filter(F.col("energy") >= VAD_MIN_ENERGY)
     )
     from pyspark.sql import Window as W
