@@ -2895,3 +2895,336 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             denom_ok, F.floor(tau * 1000000 + F.lit(0.5)) / 1000000
         ).alias("tau_b"),
     )
+
+
+# Mann-Kendall trend test (Mann 1945 / Kendall 1975) on the DAILY
+# VOLUME series per event type — "is traffic monotonically trending?".
+# The day-aggregated relation is the same retention-bounded one
+# stats_kendall_tau rides (pair stage is |days|^2 per type, NOT
+# corpus-bounded); the corpus collapses to it with one map-side
+# aggregate. S = sum_{i<j} sign(x_j - x_i) is exact int64. The
+# tie-corrected variance is kept as the exact integer
+# var18 = n(n-1)(2n+5) - sum_t t(t-1)(2t+5) (i.e. 18*Var(S)), so the
+# only floating point is the final continuity-corrected
+# z = (S -/+ 1)/sqrt(var18/18) — one fixed-shape IEEE expression,
+# floor-quantized at 1e6, identical operation order in both engines.
+@register(
+    "stats_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM d
+      GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, x, CAST(count(*) AS BIGINT) AS tc
+        FROM d GROUP BY event_type, x
+      ) GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term
+             AS var18,
+           CASE WHEN n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                     - t.tie_term > 0 THEN
+             floor(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                        WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                        ELSE 0.0 END
+                   / sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                               - t.tie_term AS DOUBLE) / 18.0)
+                   * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM n JOIN s USING (event_type) JOIN t USING (event_type)
+    """,
+)
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily event volume per
+    type — see the block comment for the exact-integer S / var18
+    machinery and the retention-bounded pair stage."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = e.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("x")).transform(pin_cache)
+    a = d.select("event_type", F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, "event_type")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = d.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_days"))
+    t = (
+        d.groupBy("event_type", "x")
+        .agg(F.count("*").cast("bigint").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    num = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    z = num / F.sqrt(var18.cast("double") / 18.0)
+    return (
+        n.join(s, "event_type")
+        .join(t, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            var18.cast("bigint").alias("var18"),
+            F.when(var18 > 0, F.floor(z * 1000000 + F.lit(0.5)) / 1000000).alias(
+                "z_stat"
+            ),
+        )
+    )
+
+
+# Krippendorff's alpha (nominal scale) — inter-rater agreement where
+# UNITS are users, RATERS are event types (each (user, type) pair's
+# single "rating" is the band of its mean event value), the
+# reliability check a labeling pipeline runs on multi-source
+# annotations. Exactness: the per-unit 1/(m_u - 1) weights make the
+# observed-disagreement sum rational, so it is scaled by
+# KRIPP_L = 2520 = lcm(1..9) — exact int64 for any unit with at most
+# 10 raters (the rater set here is the domain-bounded event-type set;
+# units outside 2..10 ratings are excluded and counted). Ratings:
+# band c = least(3, sum_milli div (35000 * cnt)) compares the exact
+# 1e-3-quantized value mean against 35-unit band edges by integer
+# cross-multiplication — no division, no FP. alpha's closing
+# expression is exact-int arithmetic up to ONE division (and n^2
+# stays in int64 below ~3e9 total ratings — the welch q-moment
+# overflow convention, documented there). Scale: corpus -> one
+# map-side (user, type) aggregate; everything after lives on the
+# users x types relation (bounded by active-user count, the natural
+# key), with 1-row totals broadcast.
+KRIPP_L = 2520  # lcm(1..9): exact 1/(m_u-1) scaling for m_u <= 10
+KRIPP_BAND = 35000  # 1e-3-scaled mean-value band width
+
+
+@register(
+    "stats_krippendorff_alpha",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             least(3, CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                           // ({KRIPP_BAND} * count(*)) AS BIGINT)) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, c, CAST(count(*) AS BIGINT) AS n_uc,
+             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS m_u
+      FROM r GROUP BY user_id, c
+    ),
+    k AS (SELECT * FROM u WHERE m_u BETWEEN 2 AND 10),
+    do_ AS (
+      SELECT CAST(sum(n_uc * (m_u - n_uc) * ({KRIPP_L} // (m_u - 1)))
+                  AS BIGINT) AS do_scaled,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_units,
+             CAST(sum(n_uc) AS BIGINT) AS n_ratings
+      FROM k
+    ),
+    nc AS (
+      SELECT CAST(sum(s * s) AS BIGINT) AS sum_nc2
+      FROM (SELECT c, CAST(sum(n_uc) AS BIGINT) AS s FROM k GROUP BY c)
+    )
+    SELECT n_ratings, n_units, do_scaled,
+           CASE WHEN n_ratings * n_ratings - sum_nc2 > 0 THEN
+             floor((1.0 - CAST(do_scaled * (n_ratings - 1) AS DOUBLE)
+                    / ({KRIPP_L}.0
+                       * CAST(n_ratings * n_ratings - sum_nc2 AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000
+           END AS alpha
+    FROM do_, nc
+    """,
+)
+def stats_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over per-(user, event_type)
+    mean-value bands — see the block comment for the exact lcm-scaled
+    disagreement machinery and the users-bounded intermediate."""
+    e = load_table(spark, sf_dir, "events")
+    r = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("sm"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .select(
+            "user_id",
+            F.least(
+                F.lit(3).cast("bigint"),
+                F.expr(f"sm div ({KRIPP_BAND} * cnt)"),
+            ).alias("c"),
+        )
+    )
+    u = r.groupBy("user_id", "c").agg(F.count("*").cast("bigint").alias("n_uc"))
+    w = Window.partitionBy("user_id")
+    k = u.withColumn("m_u", F.sum("n_uc").over(w).cast("bigint")).where(
+        F.col("m_u").between(2, 10)
+    ).transform(pin_cache)
+    do_ = k.agg(
+        F.sum(
+            F.col("n_uc")
+            * (F.col("m_u") - F.col("n_uc"))
+            * F.expr(f"CAST({KRIPP_L} AS BIGINT) div (m_u - 1)")
+        )
+        .cast("bigint")
+        .alias("do_scaled"),
+        F.count_distinct("user_id").cast("bigint").alias("n_units"),
+        F.sum("n_uc").cast("bigint").alias("n_ratings"),
+    )
+    nc = (
+        k.groupBy("c")
+        .agg(F.sum("n_uc").cast("bigint").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_nc2"))
+    )
+    j = do_.crossJoin(F.broadcast(nc))
+    n = F.col("n_ratings")
+    denom = n * n - F.col("sum_nc2")
+    alpha = F.lit(1.0) - (
+        (F.col("do_scaled") * (n - 1)).cast("double")
+        / (F.lit(float(KRIPP_L)) * denom.cast("double"))
+    )
+    return j.select(
+        "n_ratings",
+        "n_units",
+        "do_scaled",
+        F.when(denom > 0, F.floor(alpha * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "alpha"
+        ),
+    )
+
+
+# TOST equivalence test (Schuirmann 1987, two one-sided tests) on the
+# stats_welch_ttest contrast — "is the English-vs-rest mean document
+# length equivalent WITHIN +/- TOST_MARGIN chars?", the flip side of
+# the difference test a dataset-drift gate actually wants ("prove the
+# refresh did NOT move the distribution"). Same six exact int64
+# moments (one map-side aggregate pass; per-row n_chars^2 keeps the
+# squares exact below ~3e9 docs — the welch overflow convention);
+# t_lower = (diff + margin)/se and t_upper = (margin - diff)/se are
+# each ONE fixed-shape IEEE expression floor-quantized at 1e6.
+# Decision uses the z critical value (documented large-sample normal
+# approximation — Welch df here is in the thousands, where t and z
+# agree to 4 decimals); equivalent = min(t_lower, t_upper) > z_0.95.
+TOST_MARGIN = "CAST(25.0 AS DOUBLE)"  # equivalence margin, chars
+TOST_Z_CRIT = "CAST(1.6448536269514722 AS DOUBLE)"  # Phi^-1(0.95)
+
+
+@register(
+    "stats_tost_equivalence",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN lang = '{TTEST_LANG}' THEN 0 ELSE n_chars * n_chars END) AS BIGINT) AS q0
+      FROM documents
+    ),
+    se AS (
+      SELECT n1, n0,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+             sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)
+                  + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    / (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) AS se
+      FROM agg
+    )
+    SELECT n1 AS n_group1, n0 AS n_group0,
+           floor(diff * 1000000 + 0.5) / 1000000 AS mean_diff,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             floor((diff + {TOST_MARGIN}) / se * 1000000 + 0.5) / 1000000
+           END AS t_lower,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             floor(({TOST_MARGIN} - diff) / se * 1000000 + 0.5) / 1000000
+           END AS t_upper,
+           CASE WHEN n1 > 1 AND n0 > 1 THEN
+             least((diff + {TOST_MARGIN}) / se, ({TOST_MARGIN} - diff) / se)
+               > {TOST_Z_CRIT}
+           END AS equivalent
+    FROM se
+    """,
+)
+def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence on mean document length, English vs rest —
+    see the block comment for the margin, exact moments, and the
+    documented large-sample z approximation of the decision rule."""
+    d = load_table(spark, sf_dir, "documents")
+    is1 = F.col("lang") == TTEST_LANG
+    nc = F.col("n_chars")
+    agg = d.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, nc).otherwise(0)).cast("bigint").alias("s1"),
+        F.sum(F.when(is1, nc * nc).otherwise(0)).cast("bigint").alias("q1"),
+        F.sum(F.when(is1, 0).otherwise(1)).cast("bigint").alias("n0"),
+        F.sum(F.when(is1, 0).otherwise(nc)).cast("bigint").alias("s0"),
+        F.sum(F.when(is1, 0).otherwise(nc * nc)).cast("bigint").alias("q0"),
+    )
+    n1d, n0d = F.col("n1").cast("double"), F.col("n0").cast("double")
+    s1d, s0d = F.col("s1").cast("double"), F.col("s0").cast("double")
+    q1d, q0d = F.col("q1").cast("double"), F.col("q0").cast("double")
+    se = agg.select(
+        "n1",
+        "n0",
+        (s1d / n1d - s0d / n0d).alias("diff"),
+        F.sqrt(
+            (q1d - s1d * s1d / n1d) / (n1d - 1.0) / n1d
+            + (q0d - s0d * s0d / n0d) / (n0d - 1.0) / n0d
+        ).alias("se"),
+    )
+    margin = F.expr(TOST_MARGIN)
+    zc = F.expr(TOST_Z_CRIT)
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    tl = (F.col("diff") + margin) / F.col("se")
+    tu = (margin - F.col("diff")) / F.col("se")
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return se.select(
+        F.col("n1").alias("n_group1"),
+        F.col("n0").alias("n_group0"),
+        q6(F.col("diff")).alias("mean_diff"),
+        F.when(ok, q6(tl)).alias("t_lower"),
+        F.when(ok, q6(tu)).alias("t_upper"),
+        F.when(ok, F.least(tl, tu) > zc).alias("equivalent"),
+    )

@@ -1993,3 +1993,252 @@ def ml_mcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("balanced_accuracy"),
     )
+
+
+# Kaplan-Meier survival estimator (Kaplan & Meier 1958) over
+# PER-(USER, EVENT-TYPE) LIFETIMES — duration = days between the
+# first and last event of that type for that user; a lifetime whose
+# last event falls within KM_CENSOR_DAYS of the corpus horizon is
+# right-CENSORED (may still be active), everyone else is an observed
+# churn "death". The churn-curve primitive every retention analysis
+# starts from (the reference's retention_* family reports
+# fixed-window rates; KM is the proper censoring-aware curve).
+#
+# Scale shape: the corpus collapses to one row per (user, type) with
+# a single map-side min/max aggregate (the natural key); everything
+# after lives on the DURATION-DOMAIN relation (distinct whole-day
+# lifetimes, bounded by the retention window, ~thousands of rows at
+# any corpus size). Exactness: risk counts n_i and death counts d_i
+# are exact int64 (descending cumulative over the domain-bounded
+# relation); the survival product is carried as the CUMULATIVE SUM OF
+# 1e9-QUANTIZED log terms — each ln(1 - d/n) is one IEEE op on
+# identical doubles, floor-quantized to int64 BEFORE the cumulative
+# sum, so the running total is exact integer arithmetic and immune to
+# window-aggregate combine-order differences between engines (DuckDB
+# segment-tree vs Spark sequential); S(t) = exp(sum/1e9) is then one
+# final IEEE op, floor-quantized at 1e6.
+KM_CENSOR_DAYS = 3  # horizon guard: last event this close = censored
+
+
+@register(
+    "ml_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS d0,
+             CAST(epoch_us(max(ts)) // 86400000000 AS BIGINT) AS d1
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    h AS (SELECT max(d1) AS horizon FROM u),
+    life AS (
+      SELECT d1 - d0 AS t,
+             CASE WHEN d1 <= (SELECT horizon FROM h) - {KM_CENSOR_DAYS}
+                  THEN 1 ELSE 0 END AS died
+      FROM u
+    ),
+    g AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS total,
+             CAST(sum(died) AS BIGINT) AS d
+      FROM life GROUP BY t
+    ),
+    r AS (
+      SELECT t, d,
+             CAST(sum(total) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM g
+    ),
+    l AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d > 0 AND d < n_risk THEN
+               CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                          * 1000000000 + 0.5) AS BIGINT)
+             ELSE 0 END AS lq
+      FROM r
+    )
+    SELECT t AS t_days, n_risk, d AS d_churned,
+           CASE WHEN d >= n_risk AND d > 0 THEN 0.0 ELSE
+             floor(exp(CAST(sum(CASE WHEN d >= n_risk THEN NULL ELSE lq END)
+                            OVER (ORDER BY t) AS DOUBLE) / 1000000000)
+                   * 1000000 + 0.5) / 1000000
+           END AS survival
+    FROM l
+    """,
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days from first
+    to last event, horizon-censored) — see the block comment for the
+    duration-domain machinery and the quantized-log exact product."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    u = e.groupBy("user_id", "event_type").agg(
+        F.expr("CAST(unix_micros(min(ts)) div 86400000000 AS BIGINT)").alias("d0"),
+        F.expr("CAST(unix_micros(max(ts)) div 86400000000 AS BIGINT)").alias("d1"),
+    ).transform(pin_cache)
+    h = u.agg(F.max("d1").alias("horizon"))
+    life = u.crossJoin(F.broadcast(h)).select(
+        (F.col("d1") - F.col("d0")).alias("t"),
+        (F.col("d1") <= F.col("horizon") - KM_CENSOR_DAYS)
+        .cast("int")
+        .alias("died"),
+    )
+    g = life.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.sum("died").cast("bigint").alias("d"),
+    )
+    wdesc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = g.select(
+        "t", "d", F.sum("total").over(wdesc).cast("bigint").alias("n_risk")
+    )
+    lq = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"))
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    l_ = r.select("t", "d", "n_risk", lq.alias("lq"))
+    wasc = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(None)).otherwise(F.col("lq"))
+    ).over(wasc)
+    return l_.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_churned"),
+        F.when((F.col("d") >= F.col("n_risk")) & (F.col("d") > 0), F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(cum.cast("double") / 1000000000) * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        )
+        .alias("survival"),
+    )
+
+
+# Decision-stump split finding — the single-feature threshold search
+# at the heart of distributed tree building (XGBoost/LightGBM's
+# histogram method): over the deterministic linear-probe score, find
+# the threshold s* that maximizes Gini impurity reduction for the
+# binary label, evaluating EVERY distinct score as a candidate in one
+# pass. Classic Spark shape: the corpus collapses to the score
+# histogram (one shuffle, map-side combined, the ml_auc_roc relation),
+# cumulative (count, positive) prefixes ride the same two-level
+# distributed prefix machinery (_with_prefix_counts twice — once on
+# counts, once on positives — never a corpus-sized single-partition
+# window), and each candidate's score is arithmetic on exact int64
+# prefixes. Selection: maximize J = sum_side (p^2 + q^2)/m (weighted
+# Gini W satisfies W = n - J, so argmax J = argmax gain); J/n is
+# 1e9-quantized from identical IEEE doubles on both engines, argmax
+# tie-broken by smallest threshold — a global top-1, not a sort.
+@register(
+    "ml_decision_stump",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    h AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(pos) AS BIGINT) AS cp
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s,
+             CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS ml,
+             CAST(sum(cp) OVER (ORDER BY s) AS BIGINT) AS pl
+      FROM h
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS p FROM h
+    ),
+    cand AS (
+      SELECT s, ml, pl, n - ml AS mr, p - pl AS pr, n, p
+      FROM cum, tot WHERE n - ml > 0
+    ),
+    sc AS (
+      SELECT s, ml, pl, mr, pr, n, p,
+             (CAST(pl AS DOUBLE) * CAST(pl AS DOUBLE)
+              + CAST(ml - pl AS DOUBLE) * CAST(ml - pl AS DOUBLE))
+               / CAST(ml AS DOUBLE)
+             + (CAST(pr AS DOUBLE) * CAST(pr AS DOUBLE)
+                + CAST(mr - pr AS DOUBLE) * CAST(mr - pr AS DOUBLE))
+               / CAST(mr AS DOUBLE) AS j
+      FROM cand
+    )
+    SELECT s AS split_threshold, ml AS n_left, pl AS pos_left,
+           mr AS n_right, pr AS pos_right,
+           floor((j / CAST(n AS DOUBLE)
+                  - (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+                  - (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS gini_gain
+    FROM sc
+    ORDER BY CAST(floor(j / CAST(n AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+             DESC, s
+    LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-optimal single-threshold split of the linear-probe score
+    vs the binary label, all distinct scores as candidates in one
+    distributed pass — see the block comment."""
+    from pyspark import StorageLevel
+
+    h = (
+        _scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    h.count()  # eager pin: two prefix passes + totals consume h
+    rc = _with_prefix_counts(h, keep_value=True).select(
+        "s", (F.col("less") + F.col("c")).cast("bigint").alias("ml")
+    )
+    hp = h.select("s", F.col("cp").alias("c"), "cp")
+    rp = _with_prefix_counts(hp, keep_value=True).select(
+        "s", (F.col("less") + F.col("c")).cast("bigint").alias("pl")
+    )
+    tot = h.agg(
+        F.sum("c").cast("bigint").alias("n"), F.sum("cp").cast("bigint").alias("p")
+    )
+    cand = (
+        rc.join(rp, "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "s",
+            "ml",
+            "pl",
+            (F.col("n") - F.col("ml")).alias("mr"),
+            (F.col("p") - F.col("pl")).alias("pr"),
+            "n",
+            "p",
+        )
+        .where(F.col("mr") > 0)
+    )
+    pld, mld = F.col("pl").cast("double"), F.col("ml").cast("double")
+    qld = (F.col("ml") - F.col("pl")).cast("double")
+    prd, mrd = F.col("pr").cast("double"), F.col("mr").cast("double")
+    qrd = (F.col("mr") - F.col("pr")).cast("double")
+    j = (pld * pld + qld * qld) / mld + (prd * prd + qrd * qrd) / mrd
+    nd, pd_ = F.col("n").cast("double"), F.col("p").cast("double")
+    qd = (F.col("n") - F.col("p")).cast("double")
+    gain = j / nd - (pd_ / nd) * (pd_ / nd) - (qd / nd) * (qd / nd)
+    jq = F.floor(j / nd * 1000000000 + F.lit(0.5)).cast("bigint")
+    return (
+        cand.select(
+            F.col("s").alias("split_threshold"),
+            F.col("ml").alias("n_left"),
+            F.col("pl").alias("pos_left"),
+            F.col("mr").alias("n_right"),
+            F.col("pr").alias("pos_right"),
+            (F.floor(gain * 1000000 + F.lit(0.5)) / 1000000).alias("gini_gain"),
+            jq.alias("_jq"),
+        )
+        .orderBy(F.col("_jq").desc(), "split_threshold")
+        .limit(1)
+        .drop("_jq")
+    )

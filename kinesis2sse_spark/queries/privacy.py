@@ -836,3 +836,121 @@ def privacy_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("release_rank") <= DP_TOPK_K)
         .select("release_rank", "event_type", "k_decile", "n_noisy", "n_true")
     )
+
+
+# DP quantile via the EXPONENTIAL MECHANISM (McSherry & Talwar 2007;
+# the quantile instantiation is Smith 2011): release the median of
+# the per-user event-count distribution by scoring every cell of a
+# fixed candidate lattice with u(c) = -|2*rank(c) - n| (twice the
+# rank distance to the median, exact int64) and sampling one
+# candidate with probability proportional to exp(eps * u / (2 * du)).
+# Sampling is replayed with the Gumbel-max trick: per-candidate
+# g_c = -ln(-ln(u_c)) from a hash-seeded uniform, selected candidate
+# = argmax(score_c + g_c) — distributionally identical to the
+# mechanism and a pure argmax, so both engines replay it exactly.
+# NOTE: the hash-seeded uniform exists for oracle hash-matching and
+# provides ZERO actual privacy — a production release must substitute
+# a cryptographically secure RNG for the draw (module convention, see
+# privacy_dp_histogram).
+#
+# Scale shape: the corpus collapses to per-user counts with one
+# map-side aggregate (user_id is the natural key); counts bucket onto
+# the DP_Q_CELLS-cell lattice (histogram, map-side combined); ranks
+# cumulate in a window over the 101-row domain-bounded cell relation;
+# the argmax is a global top-1. Exactness: rank arithmetic is int64
+# end to end; score + gumbel is one fixed-shape IEEE expression from
+# exact ints, 1e9-quantized before the argmax so the engines' orders
+# cannot diverge; tie-broken by smallest candidate.
+DP_Q_STEP = 10  # lattice step, events per user
+DP_Q_CELLS = 100  # cells 0..100 -> candidates 0, 10, ..., 1000
+DP_Q_SEED = 164100  # dedicated seed offset (dp_topk ends at 164000)
+DP_Q_M = 1 << 20  # uniform-draw modulus
+DP_Q_EPS_HALF = "CAST(0.34657359027997264 AS DOUBLE)"  # ln(2)/2
+
+_DP_Q_U = f"(((ci + {DP_Q_SEED}) * 2654435761) % {DP_Q_M})"
+
+
+@register(
+    "privacy_dp_quantile",
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT least({DP_Q_CELLS}, c // {DP_Q_STEP}) AS cell,
+             CAST(count(*) AS BIGINT) AS m
+      FROM uc GROUP BY 1
+    ),
+    lattice AS (
+      SELECT unnest(generate_series(0, {DP_Q_CELLS})) AS ci
+    ),
+    r AS (
+      SELECT l.ci,
+             CAST(COALESCE(sum(c2.m), 0) AS BIGINT) AS rnk,
+             (SELECT CAST(sum(m) AS BIGINT) FROM cells) AS n
+      FROM lattice l LEFT JOIN cells c2 ON c2.cell <= l.ci
+      GROUP BY l.ci
+    ),
+    sc AS (
+      SELECT ci, rnk, n,
+             -abs(2 * rnk - n) AS u,
+             CAST(floor((CAST(-abs(2 * rnk - n) AS DOUBLE) / 2.0
+                         * {DP_Q_EPS_HALF}
+                         - ln(-ln((CAST({_DP_Q_U} AS DOUBLE) + 0.5)
+                                  / {DP_Q_M})))
+                        * 1000000000 + 0.5) AS BIGINT) AS total_q
+      FROM r
+    )
+    SELECT CAST(ci * {DP_Q_STEP} AS BIGINT) AS dp_median,
+           n AS n_users, u AS utility, total_q
+    FROM sc ORDER BY total_q DESC, ci LIMIT 1
+    """,
+)
+def privacy_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP median of per-user event count via the exponential
+    mechanism, Gumbel-max replayed — see the block comment (and the
+    module-wide note: the deterministic draw is a reproducibility
+    simulation; substitute secret randomness before any real
+    release)."""
+    e = load_table(spark, sf_dir, "events")
+    uc = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    cells = uc.groupBy(
+        F.least(F.lit(DP_Q_CELLS).cast("bigint"), F.expr(f"c div {DP_Q_STEP}")).alias(
+            "cell"
+        )
+    ).agg(F.count("*").cast("bigint").alias("m")).transform(pin_cache)
+    n1 = cells.agg(F.sum("m").cast("bigint").alias("n"))
+    lattice = spark.range(0, DP_Q_CELLS + 1).select(F.col("id").alias("ci"))
+    r = (
+        lattice.join(
+            F.broadcast(cells), F.col("cell") <= F.col("ci"), "left"
+        )
+        .groupBy("ci")
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("bigint").alias("rnk"))
+        .crossJoin(F.broadcast(n1))
+    )
+    u = -F.abs(2 * F.col("rnk") - F.col("n"))
+    gum = -F.log(
+        -F.log(
+            (F.expr(_DP_Q_U).cast("double") + 0.5) / DP_Q_M
+        )
+    )
+    total = u.cast("double") / 2.0 * F.expr(DP_Q_EPS_HALF) + gum
+    sc = r.select(
+        "ci",
+        "rnk",
+        "n",
+        u.alias("u"),
+        F.floor(total * 1000000000 + F.lit(0.5)).cast("bigint").alias("total_q"),
+    )
+    return (
+        sc.orderBy(F.col("total_q").desc(), "ci")
+        .limit(1)
+        .select(
+            (F.col("ci") * DP_Q_STEP).cast("bigint").alias("dp_median"),
+            F.col("n").alias("n_users"),
+            F.col("u").alias("utility"),
+            "total_q",
+        )
+    )

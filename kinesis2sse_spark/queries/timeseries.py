@@ -2027,3 +2027,149 @@ def timeseries_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("hurst"),
     )
+
+
+# Cross-correlation function (CCF) between the DAILY VOLUME series of
+# every ordered event-type pair at lags 0..CCF_MAX_LAG — "does signup
+# traffic lead purchase traffic by k days?", the lead/lag companion to
+# stats_autocorrelation (which correlates a series with itself). The
+# corpus collapses to the retention-bounded (type, day) relation with
+# one map-side aggregate; the series are DENSIFIED on the shared
+# min..max day spine (absent days are true zeros — the same dense-spine
+# convention as timeseries_gapfill, built from a broadcast 1-row
+# bounds aggregate, never a shuffle of the facts). The lagged pairing
+# and the five moment sums (n, Sx, Sy, Sxy, Sxx, Syy) are exact int64
+# on the |types|^2 x |days| x |lags| domain-bounded relation; Pearson
+# r at each lag is ONE fixed-shape IEEE expression floor-quantized at
+# 1e6. Int64 headroom: per-day counts up to ~3e9 keep x*y exact.
+CCF_MAX_LAG = 7
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM d
+    ),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day, COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d
+        ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             b.day - a.day AS lag, a.x AS xa, b.x AS xb
+      FROM dense a
+      JOIN dense b
+        ON b.event_type > a.event_type
+       AND b.day BETWEEN a.day AND a.day + {CCF_MAX_LAG}
+    ),
+    m AS (
+      SELECT type_a, type_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xa) AS BIGINT) AS sx,
+             CAST(sum(xb) AS BIGINT) AS sy,
+             CAST(sum(xa * xb) AS BIGINT) AS sxy,
+             CAST(sum(xa * xa) AS BIGINT) AS sxx,
+             CAST(sum(xb * xb) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS ccf
+    FROM m
+    """,
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation at lags 0..7 between the dense daily
+    volume series of every ordered event-type pair — see the block
+    comment for the spine/densify machinery and exact int64 moments."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = e.groupBy(
+        "event_type",
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("x")).transform(pin_cache)
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    dense = (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .transform(pin_cache)
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("da"),
+        F.col("x").alias("xa"),
+    )
+    b = dense.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("db"),
+        F.col("x").alias("xb"),
+    )
+    p = a.join(
+        b,
+        (F.col("type_b") > F.col("type_a"))
+        & F.col("db").between(F.col("da"), F.col("da") + CCF_MAX_LAG),
+    ).select(
+        "type_a",
+        "type_b",
+        (F.col("db") - F.col("da")).alias("lag"),
+        "xa",
+        "xb",
+    )
+    m = p.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xa").cast("bigint").alias("sx"),
+        F.sum("xb").cast("bigint").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(
+                cov.cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("ccf"),
+    )

@@ -253,3 +253,200 @@ def test_round13_ops_smoke_sf0001(spark, name):
     smoke fixture too."""
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---- second round-13 batch: survival / stump / agreement / trend ----
+
+
+def _day(ts):
+    return ts.astype("datetime64[us]").astype("int64") // 86_400_000_000
+
+
+def test_mann_kendall_vs_numpy(spark):
+    """Independent recompute: brute-force S and tie-corrected var on
+    the day-aggregated series must match the query output per type."""
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["ts"])
+    ev["day"] = _day(ev["ts"].values)
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["stats_mann_kendall"](spark, SF_SMOKE).collect()
+    }
+    for et, grp in ev.groupby("event_type"):
+        x = grp.groupby("day").size().sort_index().values.astype(np.int64)
+        n = len(x)
+        s = sum(
+            np.sign(x[j] - x[i]) for i in range(n) for j in range(i + 1, n)
+        )
+        _, tc = np.unique(x, return_counts=True)
+        var18 = n * (n - 1) * (2 * n + 5) - int(
+            sum(t * (t - 1) * (2 * t + 5) for t in tc)
+        )
+        r = got[et]
+        assert r["n_days"] == n and r["s_stat"] == s and r["var18"] == var18
+        if var18 > 0:
+            zed = (s - (1 if s > 0 else -1 if s < 0 else s)) / math.sqrt(
+                var18 / 18.0
+            )
+            assert abs(r["z_stat"] - zed) < 2e-6
+
+
+def test_krippendorff_alpha_vs_model(spark):
+    """Independent recompute of nominal alpha from the same
+    (user, type) -> band ratings."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["milli"] = (ev["value"] * 1000 + 0.5).apply(math.floor).astype("int64")
+    r = ev.groupby(["user_id", "event_type"]).agg(
+        sm=("milli", "sum"), cnt=("milli", "size")
+    )
+    r["c"] = (r["sm"] // (35000 * r["cnt"])).clip(upper=3)
+    units = r.groupby("user_id")["c"]
+    do_sum, n, nc = 0.0, 0, {}
+    for _, cs in units:
+        m = len(cs)
+        if not (2 <= m <= 10):
+            continue
+        n += m
+        vc = cs.value_counts()
+        for cat, cnt in vc.items():
+            nc[cat] = nc.get(cat, 0) + cnt
+            do_sum += cnt * (m - cnt) / (m - 1)
+    de = (n * n - sum(v * v for v in nc.values())) / (n * (n - 1))
+    alpha = 1.0 - (do_sum / n) / de
+    row = all_queries()["stats_krippendorff_alpha"](spark, SF_SMOKE).collect()[0]
+    assert row["n_ratings"] == n
+    assert abs(row["alpha"] - alpha) < 2e-6
+
+
+def test_tost_consistent_with_welch(spark):
+    """TOST reuses the Welch contrast: mean_diff must match
+    stats_welch_ttest's, and t_lower + t_upper == 2*margin/se implies
+    (t_lower + t_upper) * mean-diff-free identity holds."""
+    w = all_queries()["stats_welch_ttest"](spark, SF).collect()[0]
+    t = all_queries()["stats_tost_equivalence"](spark, SF).collect()[0]
+    assert t["n_group1"] == w["n_group1"] and t["n_group0"] == w["n_group0"]
+    assert abs(t["mean_diff"] - w["mean_diff"]) < 2e-6
+    # se implied by each side agrees: (t_lower - t_upper) = 2*diff/se
+    if w["t_stat"] is not None:
+        se_w = w["mean_diff"] / w["t_stat"]
+        assert abs((t["t_lower"] - t["t_upper"]) - 2 * t["mean_diff"] / se_w) < 1e-3
+
+
+def test_ccf_lag0_is_pearson(spark):
+    """At lag 0 the CCF must equal numpy's Pearson r on the dense
+    daily series; all values must lie in [-1, 1]."""
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["ts"])
+    ev["day"] = _day(ev["ts"].values)
+    lo, hi = ev["day"].min(), ev["day"].max()
+    idx = range(lo, hi + 1)
+    series = {
+        et: grp.groupby("day").size().reindex(idx, fill_value=0).values
+        for et, grp in ev.groupby("event_type")
+    }
+    out = all_queries()["timeseries_cross_correlation"](spark, SF_SMOKE).collect()
+    assert all(r["ccf"] is None or -1.0 <= r["ccf"] <= 1.0 for r in out)
+    for r in out:
+        if r["lag"] == 0 and r["ccf"] is not None:
+            expect = np.corrcoef(series[r["type_a"]], series[r["type_b"]])[0, 1]
+            assert abs(r["ccf"] - expect) < 2e-6
+
+
+def test_kaplan_meier_curve_properties(spark):
+    """Survival must start <= 1, be non-increasing in t, and match an
+    independent KM recompute on the per-(user,type) lifetimes."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").dropna(subset=["ts"])
+    ev["day"] = _day(ev["ts"].values)
+    u = ev.groupby(["user_id", "event_type"])["day"].agg(["min", "max"])
+    horizon = u["max"].max()
+    t = (u["max"] - u["min"]).values
+    died = (u["max"] <= horizon - 3).astype(int).values
+    rows = sorted(
+        all_queries()["ml_kaplan_meier"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["t_days"],
+    )
+    surv, prev = {}, 1.0
+    import numpy as np
+
+    for td in sorted(set(t)):
+        n_risk = int((t >= td).sum())
+        d = int(died[t == td].sum())
+        if 0 < d < n_risk:
+            prev *= 1.0 - d / n_risk
+        elif d >= n_risk and d > 0:
+            prev = 0.0
+        surv[td] = prev
+    last = 1.0 + 1e-12
+    for r in rows:
+        assert r["survival"] <= last + 2e-6
+        last = r["survival"]
+        assert abs(r["survival"] - surv[r["t_days"]]) < 2e-6
+
+
+def test_decision_stump_vs_bruteforce(spark):
+    """Brute-force the best Gini split over the scored vectors and
+    compare threshold + gain + side counts."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.ml_eval import _scored
+
+    sc = _scored(spark, SF_SMOKE).toPandas()
+    s = sc["s"].values
+    pos = sc["pos"].values
+    order = np.argsort(s, kind="stable")
+    su, idx = np.unique(s[order], return_index=True)
+    # cumulative counts per distinct score
+    csum = np.arange(1, len(s) + 1)
+    psum = np.cumsum(pos[order])
+    ends = np.append(idx[1:], len(s)) - 1
+    ml, pl = csum[ends], psum[ends]
+    n, p = len(s), int(pos.sum())
+    mr, pr = n - ml, p - pl
+    keep = mr > 0
+    su, ml, pl, mr, pr = su[keep], ml[keep], pl[keep], mr[keep], pr[keep]
+    j = (pl**2 + (ml - pl) ** 2) / ml + (pr**2 + (mr - pr) ** 2) / mr
+    jq = np.floor(j / n * 1e9 + 0.5)
+    best = np.lexsort((su, -jq))[0]
+    row = all_queries()["ml_decision_stump"](spark, SF_SMOKE).collect()[0]
+    assert row["split_threshold"] == su[best]
+    assert row["n_left"] == ml[best] and row["pos_left"] == pl[best]
+    gain = j[best] / n - (p / n) ** 2 - ((n - p) / n) ** 2
+    assert abs(row["gini_gain"] - gain) < 2e-6
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_mann_kendall",
+        "stats_krippendorff_alpha",
+        "stats_tost_equivalence",
+        "timeseries_cross_correlation",
+        "ml_kaplan_meier",
+        "ml_decision_stump",
+    ],
+)
+def test_round13b_ops_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
+
+
+def test_dp_quantile_mechanism_properties(spark):
+    """The selected candidate's utility must be within the Gumbel
+    perturbation of the best utility (sanity), and with the noise
+    removed the argmax of the pure score is the true lattice median."""
+    import numpy as np
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    c = ev.groupby("user_id").size().values
+    n = len(c)
+    cells = np.minimum(100, c // 10)
+    ranks = np.array([(cells <= ci).sum() for ci in range(101)])
+    u = -np.abs(2 * ranks - n)
+    row = all_queries()["privacy_dp_quantile"](spark, SF_SMOKE).collect()[0]
+    assert row["n_users"] == n
+    ci = row["dp_median"] // 10
+    assert row["utility"] == u[ci]
+    # noise-free argmax = a true median cell (u == max(u) there)
+    assert u[ci] <= 0 and u.max() <= 0
