@@ -3228,3 +3228,130 @@ def stats_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, q6(tu)).alias("t_upper"),
         F.when(ok, F.least(tl, tu) > zc).alias("equivalent"),
     )
+
+
+# Fleiss' kappa (Fleiss 1971) — multi-rater chance-corrected
+# agreement on the SAME (user-as-unit, event-type-as-rater,
+# mean-value-band-as-category) rating relation Krippendorff's alpha
+# uses, for the classic fixed-panel case: every unit rated by exactly
+# the same NUMBER of raters m (units with a different rater count are
+# excluded and the kept count released — the standard Fleiss
+# precondition). With m constant, every per-unit agreement
+# P_i = (sum_c n_uc^2 - m)/(m(m-1)) shares one denominator, so
+# P_bar, P_e and kappa reduce to exact int64 sums (sum over units of
+# sum_c n_uc^2; per-category totals n_c) with ONE final fixed-shape
+# IEEE expression, floor-quantized at 1e6 — no per-unit FP
+# accumulation anywhere. Scale: corpus -> map-side (user, type)
+# aggregate -> users-bounded relation -> 1-row moments.
+FLEISS_M = 5  # fixed rater-panel size (the fixture's event-type count)
+
+
+@register(
+    "stats_fleiss_kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             least(3, CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                           // ({KRIPP_BAND} * count(*)) AS BIGINT)) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, c, CAST(count(*) AS BIGINT) AS n_uc,
+             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS m_u
+      FROM r GROUP BY user_id, c
+    ),
+    k AS (SELECT * FROM u WHERE m_u = {FLEISS_M}),
+    mom AS (
+      SELECT CAST(sum(n_uc * n_uc) AS BIGINT) AS sum_sq,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+      FROM k
+    ),
+    nc AS (
+      SELECT CAST(sum(s * s) AS BIGINT) AS sum_nc2
+      FROM (SELECT c, CAST(sum(n_uc) AS BIGINT) AS s FROM k GROUP BY c)
+    )
+    SELECT n_units, sum_sq,
+           CASE WHEN n_units > 0 THEN
+             floor((CAST(sum_sq - n_units * {FLEISS_M} AS DOUBLE)
+                    / CAST(n_units * {FLEISS_M} * ({FLEISS_M} - 1) AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS p_bar,
+           CASE WHEN n_units > 0 THEN
+             floor(CAST(sum_nc2 AS DOUBLE)
+                   / (CAST(n_units * {FLEISS_M} AS DOUBLE)
+                      * CAST(n_units * {FLEISS_M} AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS p_e,
+           CASE WHEN n_units > 0
+                 AND CAST(sum_nc2 AS DOUBLE)
+                     < CAST(n_units * {FLEISS_M} AS DOUBLE)
+                       * CAST(n_units * {FLEISS_M} AS DOUBLE) THEN
+             floor((CAST(sum_sq - n_units * {FLEISS_M} AS DOUBLE)
+                      / CAST(n_units * {FLEISS_M} * ({FLEISS_M} - 1) AS DOUBLE)
+                    - CAST(sum_nc2 AS DOUBLE)
+                      / (CAST(n_units * {FLEISS_M} AS DOUBLE)
+                         * CAST(n_units * {FLEISS_M} AS DOUBLE)))
+                   / (1.0 - CAST(sum_nc2 AS DOUBLE)
+                            / (CAST(n_units * {FLEISS_M} AS DOUBLE)
+                               * CAST(n_units * {FLEISS_M} AS DOUBLE)))
+                   * 1000000 + 0.5) / 1000000
+           END AS kappa
+    FROM mom, nc
+    """,
+)
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the fixed 5-rater (user, event-type) band
+    ratings — see the block comment for the constant-denominator
+    exact-moment reduction."""
+    e = load_table(spark, sf_dir, "events")
+    r = (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("sm"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .select(
+            "user_id",
+            F.least(
+                F.lit(3).cast("bigint"),
+                F.expr(f"sm div ({KRIPP_BAND} * cnt)"),
+            ).alias("c"),
+        )
+    )
+    u = r.groupBy("user_id", "c").agg(F.count("*").cast("bigint").alias("n_uc"))
+    w = Window.partitionBy("user_id")
+    k = (
+        u.withColumn("m_u", F.sum("n_uc").over(w).cast("bigint"))
+        .where(F.col("m_u") == FLEISS_M)
+        .transform(pin_cache)
+    )
+    mom = k.agg(
+        F.sum(F.col("n_uc") * F.col("n_uc")).cast("bigint").alias("sum_sq"),
+        F.count_distinct("user_id").cast("bigint").alias("n_units"),
+    )
+    nc = (
+        k.groupBy("c")
+        .agg(F.sum("n_uc").cast("bigint").alias("s"))
+        .agg(F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sum_nc2"))
+    )
+    j = mom.crossJoin(F.broadcast(nc))
+    nm = (F.col("n_units") * FLEISS_M).cast("double")
+    p_bar = (F.col("sum_sq") - F.col("n_units") * FLEISS_M).cast("double") / (
+        F.col("n_units") * FLEISS_M * (FLEISS_M - 1)
+    ).cast("double")
+    p_e = F.col("sum_nc2").cast("double") / (nm * nm)
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ok = F.col("n_units") > 0
+    return j.select(
+        "n_units",
+        "sum_sq",
+        F.when(ok, q6(p_bar)).alias("p_bar"),
+        F.when(ok, q6(p_e)).alias("p_e"),
+        F.when(
+            ok & (F.col("sum_nc2").cast("double") < nm * nm),
+            q6((p_bar - p_e) / (F.lit(1.0) - p_e)),
+        ).alias("kappa"),
+    )

@@ -4498,3 +4498,131 @@ def pipeline_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fold"),
     )
+
+
+# Feature hashing ("the hashing trick", Weinberger et al. 2009): hash
+# every token into FH_DIM signed buckets and emit the per-SOURCE
+# hashed bag-of-words vector — the fixed-width featurizer that feeds
+# linear classifiers when the vocabulary is unbounded (the same
+# portable rolling hash as text_fingerprint / classify_quality_linear,
+# so the oracle replays it bit-for-bit; sign bit taken from the hash
+# bits ABOVE the bucket index keeps E[collision noise] = 0, the
+# unbiasedness trick from the paper). Scale shape: tokens collapse to
+# the (source, term) relation with one map-side-combined count (the
+# term-hash arithmetic runs on that VOCABULARY-bounded relation, not
+# per token occurrence); the final vector is a |sources| x FH_DIM
+# map-side aggregate. All int64, all JVM-side, zero FP anywhere.
+FH_DIM = 64
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, t.term, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+      WHERE t.term <> ''
+      GROUP BY source, t.term
+    ),
+    hashed AS (
+      SELECT source, cnt,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                            list_transform(string_split_regex(term, ''),
+                                           c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 31 + c) % 1000000007
+             ) AS h
+      FROM tf
+    )
+    SELECT source,
+           CAST(h % {FH_DIM} AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN (h // {FH_DIM}) % 2 = 0 THEN cnt ELSE -cnt END)
+                AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM hashed
+    GROUP BY source, h % {FH_DIM}
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashed bag-of-words per source (FH_DIM buckets) — see
+    the block comment for the vocabulary-bounded hash stage and the
+    unbiased sign trick."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    h = F.aggregate(
+        F.transform(F.split("term", ""), lambda c: F.ascii(c).cast("long")),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    hashed = tf.select("source", "cnt", h.alias("h"))
+    sign_cnt = F.when(
+        F.expr(f"(h div {FH_DIM}) % 2") == 0, F.col("cnt")
+    ).otherwise(-F.col("cnt"))
+    return (
+        hashed.groupBy("source", (F.col("h") % FH_DIM).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum(sign_cnt).cast("bigint").alias("feat"),
+            F.count("*").cast("bigint").alias("n_terms"),
+        )
+    )
+
+
+# Class-balanced downsampling: cap every label class at the MINORITY
+# class's size, keeping each class's members in a deterministic
+# multiplicative-hash order — the class-imbalance fix applied before
+# training a probe/classifier (random undersampling made reproducible,
+# the sample_stratified convention extended with a data-dependent
+# cap). Scale shape: class sizes are one map-side aggregate; the
+# 1-row minimum broadcasts; per-class ranks ride a label-partitioned
+# window (each class ranks independently in parallel); the hash order
+# decorrelates the kept set from ingestion order at zero extra cost.
+# The hash is int64-exact ((vec_id+1) * 2654435761 % 2^31 — the
+# SPLIT_HASH overflow-safe convention) so both engines rank
+# identically, tie-broken by vec_id (hash collisions are possible;
+# the ORDER BY is therefore total).
+@register(
+    "sample_class_balance",
+    oracle="""
+    WITH sized AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label
+    ),
+    cap AS (SELECT min(n) AS n_min FROM sized),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY ((vec_id + 1) * 2654435761) % 2147483648, vec_id
+             ) AS rn
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked, cap WHERE rn <= n_min
+    """,
+)
+def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every embedding label class to the minority-class
+    size in deterministic hash order — see the block comment."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cap = (
+        e.groupBy("label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    w = W.partitionBy("label").orderBy(
+        F.expr("((vec_id + 1) * 2654435761) % 2147483648"), "vec_id"
+    )
+    return (
+        e.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+        .crossJoin(F.broadcast(cap))
+        .where(F.col("rn") <= F.col("n_min"))
+        .select("vec_id", "label")
+    )

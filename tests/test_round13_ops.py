@@ -450,3 +450,81 @@ def test_dp_quantile_mechanism_properties(spark):
     assert row["utility"] == u[ci]
     # noise-free argmax = a true median cell (u == max(u) there)
     assert u[ci] <= 0 and u.max() <= 0
+
+
+def test_feature_hashing_unbiased_and_conserving(spark):
+    """Per source, sum over buckets of n_terms must equal the distinct
+    token count of that source, and a sign-flipped hash leaves |feat|
+    bounded by total token occurrences."""
+    out = all_queries()["text_feature_hashing"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    for src, grp in docs.groupby("source"):
+        toks = set()
+        total = 0
+        for t in grp["text"]:
+            ws = [w for w in t.split(" ") if w]
+            toks.update(ws)
+            total += len(ws)
+        sub = out[out["source"] == src]
+        assert sub["n_terms"].sum() == len(toks)
+        assert sub["feat"].abs().sum() <= total
+        assert sub["bucket"].between(0, 63).all()
+
+
+def test_fleiss_kappa_vs_model(spark):
+    """Independent recompute of Fleiss' kappa from the same band
+    ratings."""
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["milli"] = (ev["value"] * 1000 + 0.5).apply(math.floor).astype("int64")
+    r = ev.groupby(["user_id", "event_type"]).agg(
+        sm=("milli", "sum"), cnt=("milli", "size")
+    )
+    r["c"] = (r["sm"] // (35000 * r["cnt"])).clip(upper=3)
+    m = 5
+    units = [cs for _, cs in r.groupby("user_id")["c"] if len(cs) == m]
+    n_units = len(units)
+    p_is, nc = [], {}
+    sum_sq = 0
+    for cs in units:
+        vc = cs.value_counts()
+        sum_sq += int((vc**2).sum())
+        for cat, cnt in vc.items():
+            nc[cat] = nc.get(cat, 0) + cnt
+    p_bar = (sum_sq - n_units * m) / (n_units * m * (m - 1))
+    p_e = sum(v * v for v in nc.values()) / (n_units * m) ** 2
+    kappa = (p_bar - p_e) / (1 - p_e)
+    row = all_queries()["stats_fleiss_kappa"](spark, SF_SMOKE).collect()[0]
+    assert row["n_units"] == n_units and row["sum_sq"] == sum_sq
+    assert abs(row["p_bar"] - p_bar) < 2e-6
+    assert abs(row["kappa"] - kappa) < 2e-6
+
+
+def test_class_balance_exact_counts(spark):
+    """Every label must appear exactly min-class-count times, and the
+    kept set must be the hash-order prefix of each class."""
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")[["vec_id", "label"]]
+    sizes = emb.groupby("label").size()
+    n_min = int(sizes.min())
+    out = all_queries()["sample_class_balance"](spark, SF_SMOKE).toPandas()
+    got_sizes = out.groupby("label").size()
+    assert (got_sizes == n_min).all() and set(got_sizes.index) == set(sizes.index)
+    emb["h"] = ((emb["vec_id"] + 1) * 2654435761) % 2147483648
+    for lbl, grp in emb.groupby("label"):
+        expect = set(
+            grp.sort_values(["h", "vec_id"]).head(n_min)["vec_id"]
+        )
+        assert set(out[out["label"] == lbl]["vec_id"]) == expect
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "privacy_dp_quantile",
+        "text_feature_hashing",
+        "stats_fleiss_kappa",
+        "sample_class_balance",
+    ],
+)
+def test_round13c_ops_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
