@@ -591,3 +591,125 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# Perceptual hash (pHash, the DCT variant popularized by
+# pHash.org / imagehash): rasterize the payload to a PH_N x PH_N
+# "image", take the 2-D DCT-II, keep the 8x8 low-frequency block,
+# and emit one bit per AC coefficient — 1 iff it exceeds the median
+# AC coefficient — packed into a 63-bit integer. Near-duplicate
+# images then dedup by Hamming distance on an 8-byte key instead of
+# by pixels (the binary-side analogue of dedup_simhash). Decode is
+# the module's documented STUB (payload = utf-8 bytes of text; a real
+# deployment swaps in PIL decode + grayscale resize, same schema).
+#
+# Exactness (golden-bytes rigor): the DCT uses an INTEGER cosine
+# table — round(cos(pi*(2x+1)*u/(2*PH_N)) * 2^14) — generated ONCE at
+# module import and inlined into both the numpy kernel and the oracle
+# SQL, so every coefficient is exact int64 (bound: 255 * 2^28 * 256
+# ~ 1.8e13) and the median/bit decisions are integer comparisons —
+# no FP anywhere, either engine. Scale shape: mapInPandas with one
+# vectorized einsum per Arrow batch (the mm_decode_features Python
+# boundary, embarrassingly parallel); the oracle replays the same
+# table over the first PH_PIX codepoints (fixture text is ASCII, the
+# mm_audio_windows byte==codepoint convention).
+PH_N = 16  # raster side: PH_N x PH_N pixels from the first PH_PIX bytes
+PH_PIX = PH_N * PH_N
+PH_SCALE = 1 << 14
+
+import math as _math  # noqa: E402
+
+PH_COSTAB = tuple(
+    int(_math.floor(_math.cos(_math.pi * (2 * x + 1) * u / (2 * PH_N)) * PH_SCALE + 0.5))
+    for u in range(8)
+    for x in range(PH_N)
+)
+
+
+@register(
+    "mm_image_phash",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(substring(text, 1, {PH_PIX}), ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS p
+      FROM documents WHERE length(text) >= {PH_PIX}
+    ),
+    ct AS (SELECT {list(PH_COSTAB)} AS t),
+    uv AS (
+      SELECT u.u, v.v
+      FROM (SELECT unnest(generate_series(0, 7)) AS u) u,
+           (SELECT unnest(generate_series(0, 7)) AS v) v
+    ),
+    coef AS (
+      SELECT doc_id, u, v,
+             CAST(list_sum(list_transform(generate_series(0, {PH_PIX - 1}), i ->
+               p[i + 1] * t[u * {PH_N} + (i // {PH_N}) + 1]
+                        * t[v * {PH_N} + (i % {PH_N}) + 1])) AS BIGINT) AS f
+      FROM px, ct, uv
+    ),
+    ac AS (
+      SELECT doc_id, u, v, f,
+             row_number() OVER (PARTITION BY doc_id ORDER BY f) AS rn
+      FROM coef WHERE NOT (u = 0 AND v = 0)
+    ),
+    med AS (SELECT doc_id, f AS m FROM ac WHERE rn = 32)
+    SELECT ac.doc_id,
+           CAST(sum(CASE WHEN ac.f > med.m
+                    THEN CAST(1 AS BIGINT) << (ac.u * 8 + ac.v - 1)
+                    ELSE 0 END) AS BIGINT) AS phash,
+           CAST(sum(CASE WHEN ac.f > med.m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bits
+    FROM ac JOIN med USING (doc_id)
+    GROUP BY ac.doc_id
+    """,
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit DCT perceptual hash per document payload — see the
+    block comment for the integer-DCT construction shared verbatim
+    with the oracle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    # self-contained closure (pickled by value; costab bound as a
+    # default arg so the workers never import this module)
+    def phash_batches(
+        batches: Iterator[pd.DataFrame], COS=PH_COSTAB, N=PH_N, PIX=PH_PIX
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.array(COS, dtype=np.int64).reshape(8, N)
+        for pdf in batches:
+            ids, mats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if len(b) < PIX:
+                    continue
+                ids.append(doc_id)
+                mats.append(
+                    np.frombuffer(b[:PIX], dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(N, N)
+                )
+            if not ids:
+                continue
+            P = np.stack(mats)
+            Fm = np.einsum("ux,nxy,vy->nuv", C, P, C)  # exact int64
+            flat = Fm.reshape(len(ids), 64)
+            ac = flat[:, 1:]
+            med = np.sort(ac, axis=1)[:, 31]
+            bits = ac > med[:, None]
+            weights = (np.uint64(1) << np.arange(63, dtype=np.uint64))
+            phash = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "phash": phash,
+                    "n_bits": bits.sum(axis=1).astype(np.int64),
+                }
+            )
+
+    return d.mapInPandas(
+        phash_batches, schema="doc_id long, phash long, n_bits long"
+    )

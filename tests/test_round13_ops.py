@@ -528,3 +528,42 @@ def test_class_balance_exact_counts(spark):
 def test_round13c_ops_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_phash_properties_and_locality(spark):
+    """pHash invariants: 63-bit range, n_bits = popcount(phash) and
+    <= 31 (strict-majority bits above the rank-32 median); a one-byte
+    perturbation of a payload must flip few bits (locality), while
+    distinct documents typically differ in many."""
+    out = all_queries()["mm_image_phash"](spark, SF_SMOKE).toPandas()
+    assert (out["phash"] >= 0).all()
+    pop = out["phash"].apply(lambda h: bin(h).count("1"))
+    assert (pop == out["n_bits"]).all()
+    assert (out["n_bits"] <= 31).all()
+    # locality probe via the same integer DCT in numpy
+    import numpy as np
+
+    from kinesis2sse_spark.queries.multimodal import PH_COSTAB, PH_N, PH_PIX
+
+    C = np.array(PH_COSTAB, dtype=np.int64).reshape(8, PH_N)
+
+    def ph(b):
+        P = np.frombuffer(b[:PH_PIX], dtype=np.uint8).astype(np.int64).reshape(PH_N, PH_N)
+        Fm = np.einsum("ux,xy,vy->uv", C, P, C).reshape(64)
+        ac = Fm[1:]
+        med = np.sort(ac)[31]
+        return (ac > med)
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    long_docs = docs[docs["text"].str.len() >= PH_PIX].head(5)
+    for t in long_docs["text"]:
+        b = t.encode()
+        base = ph(b)
+        mut = bytearray(b[:PH_PIX])
+        mut[100] = (mut[100] + 1) % 128
+        flipped = int((base != ph(bytes(mut))).sum())
+        assert flipped <= 8, flipped  # tiny perturbation, near-identical hash
+
+
+def test_round13d_phash_smoke(spark):
+    assert all_queries()["mm_image_phash"](spark, SF_SMOKE).count() >= 0

@@ -68,6 +68,7 @@ QUERIES = (
 def generate(spark, mult: int) -> str:
     out = os.path.join(BASE, f"x{mult}")
     if os.path.exists(os.path.join(out, "_DONE")):
+        generate_events(spark, mult, out)  # r13 addition, own marker
         return out
     docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
     n_docs = docs.count()
@@ -114,7 +115,37 @@ def generate(spark, mult: int) -> str:
     )
     perturbed.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     open(os.path.join(out, "_DONE"), "w").close()
+    generate_events(spark, mult, out)
     return out
+
+
+def generate_events(spark, mult: int, out: str) -> None:
+    """events x M (round-13, for the user/daily-series operators):
+    replica r is a NEW USER COHORT — user_id and event_id offset by
+    r * (original count), ts/type/value/props unchanged. Consequences:
+    users (the natural key of krippendorff/fleiss/kaplan-meier/
+    dp-quantile intermediates) scale M-fold with per-user activity
+    constant, and daily counts (mann-kendall / cross-correlation
+    series) scale M-fold on the FIXED retention-bounded day domain —
+    both exactly how a real corpus grows."""
+    if os.path.exists(os.path.join(out, "_DONE_EVENTS")):
+        return
+    from kinesis2sse_spark.catalog import load_table
+
+    ev = load_table(spark, SRC, "events")
+    n_ev = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    reps = spark.range(mult).select(F.col("id").cast("long").alias("r"))
+    shifted = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("r") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("r") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    shifted.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    open(os.path.join(out, "_DONE_EVENTS"), "w").close()
 
 
 def main() -> None:
