@@ -3355,3 +3355,437 @@ def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             q6((p_bar - p_e) / (F.lit(1.0) - p_e)),
         ).alias("kappa"),
     )
+
+
+# --- one-way ANOVA -----------------------------------------------------------
+# The parametric companion of stats_kruskal_wallis on the same contrast
+# (event value by event_type; reference query surface parity: the engine's
+# stats ladder, cf. kinesis2sse.go:1 which has no stats at all — this is the
+# LLM-pipeline extension surface). Exactness: values quantize to the milli
+# lattice (int64), so per-group n/sum/sum-of-squares are exact integer
+# moments; the only floating point is the k-term group fold (ordered by
+# event_type — the stats_brown_forsythe idiom, IEEE bit-identical in both
+# engines) and the final 3-term F arithmetic, floor-quantized 1e6.
+@register(
+    "stats_anova_oneway",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(v) AS BIGINT) AS sj,
+             CAST(sum(v * v) AS BIGINT) AS qj
+      FROM ev GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(nj) AS BIGINT) AS n,
+             CAST(sum(sj) AS BIGINT) AS s,
+             CAST(sum(qj) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    fold AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(sj AS DOUBLE) * sj / nj ORDER BY event_type)),
+               (a, b) -> a + b) AS sb
+      FROM g
+    )
+    SELECT t.n AS n_rows, t.k AS n_groups,
+           CAST(t.k - 1 AS BIGINT) AS df_between,
+           CAST(t.n - t.k AS BIGINT) AS df_within,
+           CASE WHEN t.k > 1 AND t.n > t.k
+                 AND (CAST(t.q AS DOUBLE) - f.sb) > 0 THEN
+             floor(((f.sb - CAST(t.s AS DOUBLE) * t.s / t.n)
+                    / (CAST(t.k AS DOUBLE) - 1))
+                   / ((CAST(t.q AS DOUBLE) - f.sb)
+                      / (CAST(t.n AS DOUBLE) - t.k))
+                   * 1000000 + 0.5) / 1000000
+           END AS f_stat
+    FROM tot t, fold f
+    """,
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event types — the parametric twin of
+    stats_kruskal_wallis, sharing its milli-lattice quantization so the
+    per-group moments (n, sum, sum-of-squares) are exact int64. Plan:
+    ONE map-side-combined hash aggregate to k group rows, a k-row
+    ordered fold for the between-group sum (event_type order, the
+    Brown-Forsythe determinism idiom), then 1-row F arithmetic. Nothing
+    scales with the corpus except the map-side combine."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nj"),
+        F.sum("v").cast("bigint").alias("sj"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("qj"),
+    )
+    fold = g.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("sj").cast("bigint").alias("s"),
+        F.sum("qj").cast("bigint").alias("q"),
+        F.count("*").cast("bigint").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            (F.col("sj").cast("double") * F.col("sj") / F.col("nj")).alias(
+                                "term"
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x.term,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("sb") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("q").cast("double") - F.col("sb")
+    return fold.select(
+        F.col("n").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0),
+            F.floor(
+                (ssb / (kd - 1)) / (ssw / (nd - kd)) * 1000000 + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("f_stat"),
+    )
+
+
+# --- McNemar's paired test ---------------------------------------------------
+# Two paired binary "classifiers" over the same events: A = high-value
+# (value > threshold), B = high-k (props.k >= 50, the event_pipeline
+# convention). McNemar asks whether the two disagree symmetrically —
+# the standard paired A/B-vs-A/B comparison when upgrading a production
+# filter. Entirely integer-exact: four contingency counts from one
+# map-side aggregate; the statistic is a 2-term rational.
+MCNEMAR_VALUE_T = 34.0  # ~median event value at every SF (synthesis-invariant)
+
+
+@register(
+    "stats_mcnemar",
+    oracle=f"""
+    WITH p AS (
+      SELECT CASE WHEN value > {MCNEMAR_VALUE_T} THEN 1 ELSE 0 END AS a,
+             CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE value IS NOT NULL AND props IS NOT NULL AND json_valid(props)
+        AND json_extract(props, '$.k') IS NOT NULL
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      FROM p
+    )
+    SELECT n00, n01, n10, n11,
+           CASE WHEN n01 + n10 > 0 THEN
+             floor(CAST((n01 - n10) * (n01 - n10) AS DOUBLE) / (n01 + n10)
+                   * 1000000 + 0.5) / 1000000
+           END AS chi2,
+           CASE WHEN n01 + n10 > 0 THEN
+             floor(CAST(greatest(abs(n01 - n10) - 1, 0)
+                        * greatest(abs(n01 - n10) - 1, 0) AS DOUBLE)
+                   / (n01 + n10) * 1000000 + 0.5) / 1000000
+           END AS chi2_cc
+    FROM c
+    """,
+)
+def stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary classifiers (high-value vs
+    high-k on the same events) — discordant-pair chi-square, plain and
+    continuity-corrected. ONE map-side-combined corpus aggregate
+    pivots the 2x2 contingency into a single row of exact int64
+    counts; the statistic is integer-rational, floor-quantized 1e6
+    only at the final division. Nothing shuffles but 4 counters."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    p = e.where(
+        F.col("value").isNotNull()
+        & F.col("props").isNotNull()
+        & k.isNotNull()
+    ).select(
+        (F.col("value") > MCNEMAR_VALUE_T).cast("int").alias("a"),
+        (k >= 50).cast("int").alias("b"),
+    )
+    c = p.agg(
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    d = F.col("n01") - F.col("n10")
+    tot = F.col("n01") + F.col("n10")
+    dc = F.greatest(F.abs(d) - 1, F.lit(0))
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return c.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.when(tot > 0, q6((d * d).cast("double") / tot)).alias("chi2"),
+        F.when(tot > 0, q6((dc * dc).cast("double") / tot)).alias("chi2_cc"),
+    )
+
+
+# --- Friedman test -----------------------------------------------------------
+# Repeated-measures rank test: blocks = users, treatments = event types,
+# response = the user's total milli-quantized value in that type. Only
+# COMPLETE blocks (users observed in every type) enter, per the test's
+# definition. Exactness: doubled within-block ranks d = 2*rank + c - 1
+# keep tie-averaged ranks integral, so every moment (A4 = sum d^2, the
+# per-treatment doubled rank sums D_j) is exact int64 and the
+# tie-corrected statistic (k-1) * sum_j (D_j - n(k+1))^2 / (A4 - nk(k+1)^2)
+# is an exact integer ratio — NO float fold anywhere, the only double is
+# the final division, floor-quantized 1e6. Plan: (user,type) hash
+# aggregate (map-side combined), per-user k-row windows (blocks are
+# k-row partitions — no corpus-sized window), then map-side moment
+# aggregates to k+1 rows of arithmetic.
+@register(
+    "stats_friedman",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type,
+             CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS m
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM m),
+    cb AS (
+      SELECT user_id FROM m, kk
+      GROUP BY user_id, kk.k HAVING count(*) = any_value(kk.k)
+    ),
+    r AS (
+      SELECT m.user_id, m.event_type,
+             2 * rank() OVER (PARTITION BY m.user_id ORDER BY m.m)
+               + count(*) OVER (PARTITION BY m.user_id, m.m) - 1 AS d
+      FROM m JOIN cb USING (user_id)
+    ),
+    mom AS (
+      SELECT CAST(sum(d * d) AS BIGINT) AS a4,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM r
+    ),
+    tj AS (
+      SELECT event_type, CAST(sum(d) AS BIGINT) AS dj FROM r GROUP BY event_type
+    ),
+    num AS (
+      SELECT CAST(sum((dj - mom.n * (kk.k + 1)) * (dj - mom.n * (kk.k + 1)))
+                  AS BIGINT) AS sq
+      FROM tj, mom, kk GROUP BY ALL
+    )
+    SELECT mom.n AS n_blocks, kk.k AS n_treatments,
+           CAST(kk.k - 1 AS BIGINT) AS df,
+           CASE WHEN mom.a4 - mom.n * kk.k * (kk.k + 1) * (kk.k + 1) > 0 THEN
+             floor(CAST((kk.k - 1) * num.sq AS DOUBLE)
+                   / (mom.a4 - mom.n * kk.k * (kk.k + 1) * (kk.k + 1))
+                   * 1000000 + 0.5) / 1000000
+           END AS friedman_stat
+    FROM mom, kk, num
+    """,
+)
+def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Friedman test (blocks = users, treatments = event
+    types, response = total milli-quantized value). Doubled-rank trick
+    keeps the whole statistic integer-exact; see the block comment for
+    the plan shape. Blocks are k-row windows — the rank stage never
+    sees a corpus-sized partition."""
+    from pyspark import StorageLevel
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    m = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum("v").cast("bigint").alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kk = m.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    cb = (
+        m.crossJoin(F.broadcast(kk))
+        .groupBy("user_id", "k")
+        .agg(F.count("*").alias("ct"))
+        .where(F.col("ct") == F.col("k"))
+        .select("user_id")
+    )
+    wr = Window.partitionBy("user_id").orderBy("m")
+    we = Window.partitionBy("user_id", "m")
+    r = (
+        m.join(cb, "user_id")
+        .select(
+            "user_id",
+            "event_type",
+            (2 * F.rank().over(wr) + F.count("*").over(we) - 1)
+            .cast("bigint")
+            .alias("d"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    mom = r.agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("a4"),
+        F.countDistinct("user_id").cast("bigint").alias("n"),
+    )
+    tj = r.groupBy("event_type").agg(F.sum("d").cast("bigint").alias("dj"))
+    num = (
+        tj.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(kk))
+        .groupBy("a4", "n", "k")
+        .agg(
+            F.sum(
+                (F.col("dj") - F.col("n") * (F.col("k") + 1))
+                * (F.col("dj") - F.col("n") * (F.col("k") + 1))
+            )
+            .cast("bigint")
+            .alias("sq")
+        )
+    )
+    den = F.col("a4") - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
+    return num.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.when(
+            den > 0,
+            F.floor(
+                ((F.col("k") - 1) * F.col("sq")).cast("double")
+                / den
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("friedman_stat"),
+    )
+
+
+# --- sample-ratio-mismatch check ---------------------------------------------
+# The A/B-experiment guardrail every event pipeline needs: users bucket
+# into two arms by the overflow-safe multiplicative hash (the ml_eval
+# SPLIT_HASH convention), and the chi-square against the designed 50/50
+# split reduces, for two arms, to the exact integer form (n0-n1)^2 / N.
+# Per-arm event volume and mean value ride along as the first guardrail
+# metrics. One user-level aggregate + one event-level aggregate, both
+# map-side combined; output is a single row.
+@register(
+    "stats_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ((user_id + 1) * 2654435761) % 1000000007 % 2 AS arm
+      FROM events GROUP BY user_id
+    ),
+    ua AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM u
+    ),
+    ea AS (
+      SELECT CAST(sum(CASE WHEN ((e.user_id + 1) * 2654435761) % 1000000007 % 2 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS e0,
+             CAST(sum(CASE WHEN ((e.user_id + 1) * 2654435761) % 1000000007 % 2 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+             CAST(sum(CASE WHEN ((e.user_id + 1) * 2654435761) % 1000000007 % 2 = 0
+                           THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN ((e.user_id + 1) * 2654435761) % 1000000007 % 2 = 1
+                           THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s1
+      FROM events e WHERE value IS NOT NULL
+    )
+    SELECT ua.n0 AS users_arm0, ua.n1 AS users_arm1,
+           ea.e0 AS events_arm0, ea.e1 AS events_arm1,
+           CASE WHEN ua.n0 + ua.n1 > 0 THEN
+             floor(CAST((ua.n0 - ua.n1) * (ua.n0 - ua.n1) AS DOUBLE)
+                   / (ua.n0 + ua.n1) * 1000000 + 0.5) / 1000000
+           END AS srm_chi2,
+           CASE WHEN ua.n0 + ua.n1 > 0 THEN
+             CAST((ua.n0 - ua.n1) * (ua.n0 - ua.n1) AS DOUBLE)
+               / (ua.n0 + ua.n1) > 3.841459 END AS srm_detected,
+           CASE WHEN ea.e0 > 0 THEN
+             floor(CAST(ea.s0 AS DOUBLE) / 1000 / ea.e0 * 1000000 + 0.5)
+               / 1000000 END AS mean_value_arm0,
+           CASE WHEN ea.e1 > 0 THEN
+             floor(CAST(ea.s1 AS DOUBLE) / 1000 / ea.e1 * 1000000 + 0.5)
+               / 1000000 END AS mean_value_arm1
+    FROM ua, ea
+    """,
+)
+def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for hash-bucketed experiments:
+    users split 50/50 by the overflow-safe multiplicative hash, exact
+    integer chi-square (n0-n1)^2/N against the design, alpha = 0.05
+    flag, plus per-arm event volume and milli-lattice mean value. Two
+    map-side-combined aggregates (one over distinct users, one over
+    events) fold into a single row."""
+    e = load_table(spark, sf_dir, "events")
+    arm = ((F.col("user_id") + 1) * 2654435761) % 1000000007 % 2
+    ua = (
+        e.groupBy("user_id")
+        .agg(F.first(F.lit(1)))
+        .select(arm.alias("arm"))
+        .agg(
+            F.sum((F.col("arm") == 0).cast("int")).cast("bigint").alias("n0"),
+            F.sum((F.col("arm") == 1).cast("int")).cast("bigint").alias("n1"),
+        )
+    )
+    v = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    ea = e.where(F.col("value").isNotNull()).agg(
+        F.sum((arm == 0).cast("int")).cast("bigint").alias("e0"),
+        F.sum((arm == 1).cast("int")).cast("bigint").alias("e1"),
+        F.sum(F.when(arm == 0, v).otherwise(0)).cast("bigint").alias("s0"),
+        F.sum(F.when(arm == 1, v).otherwise(0)).cast("bigint").alias("s1"),
+    )
+    j = ua.crossJoin(F.broadcast(ea))
+    nn = F.col("n0") + F.col("n1")
+    chi = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / nn
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return j.select(
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.col("e0").alias("events_arm0"),
+        F.col("e1").alias("events_arm1"),
+        F.when(nn > 0, q6(chi)).alias("srm_chi2"),
+        F.when(nn > 0, chi > 3.841459).alias("srm_detected"),
+        F.when(
+            F.col("e0") > 0, q6(F.col("s0").cast("double") / 1000 / F.col("e0"))
+        ).alias("mean_value_arm0"),
+        F.when(
+            F.col("e1") > 0, q6(F.col("s1").cast("double") / 1000 / F.col("e1"))
+        ).alias("mean_value_arm1"),
+    )

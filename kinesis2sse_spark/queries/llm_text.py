@@ -4626,3 +4626,381 @@ def sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("n_min"))
         .select("vec_id", "label")
     )
+
+
+# --- multinomial naive Bayes ------------------------------------------------
+# The classic counts-only text classifier, entirely expressible as
+# relational algebra: train = smoothed per-(lang, term) log-likelihoods
+# from token counts; predict = per-(doc, lang) integer sums of those
+# log-likelihoods. Exactness: every log quantizes to the 1e12 lattice
+# as int64 (the text_perplexity convention), so per-doc scores are
+# exact integer sums — order-independent, argmax deterministic with
+# lang as tie-break. Headroom: |llp| <= ~20 * 1e12, times <= ~1e4
+# tokens/doc -> |score| <= 2e17 < int64.
+_NB_TOKS_CTE = """toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+nlt AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n_term
+  FROM toks GROUP BY lang, term
+),
+tl AS (
+  SELECT lang, CAST(sum(n_term) AS BIGINT) AS t_l FROM nlt GROUP BY lang
+),
+vv AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM nlt),
+model AS (
+  SELECT n.lang, n.term, n.n_term,
+         CAST(floor(ln((n.n_term + 1.0) / (t.t_l + vv.v))
+                    * 1000000000000 + 0.5) AS BIGINT) AS llp
+  FROM nlt n JOIN tl t USING (lang) CROSS JOIN vv
+)"""
+
+
+def _nb_spark_model(spark: SparkSession, sf_dir: str):
+    """(tok, model) for the naive-Bayes pair: tok = exploded non-empty
+    whitespace tokens of lang-labeled docs; model = (lang, term,
+    n_term, llp) with llp the 1e12-lattice quantized smoothed
+    log-likelihood ln((n+1)/(T_l+V))."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+    )
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("term"),
+    )
+    nlt = (
+        tok.groupBy("lang", "term")
+        .agg(F.count("*").cast("bigint").alias("n_term"))
+        .transform(pin_cache)
+    )
+    tl = nlt.groupBy("lang").agg(F.sum("n_term").cast("bigint").alias("t_l"))
+    vv = nlt.agg(F.countDistinct("term").cast("bigint").alias("v"))
+    model = (
+        nlt.join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang",
+            "term",
+            "n_term",
+            F.floor(
+                F.log((F.col("n_term") + 1.0) / (F.col("t_l") + F.col("v")))
+                * 1000000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("llp"),
+        )
+    )
+    return tok, model, tl, vv
+
+
+@register(
+    "ml_naive_bayes_train",
+    oracle=f"""
+    WITH {_NB_TOKS_CTE},
+    rk AS (
+      SELECT lang, term, n_term, llp,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_term DESC, term) AS rn
+      FROM model
+    )
+    SELECT lang, term, n_term, llp FROM rk WHERE rn <= 50
+    """,
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training over lang-labeled documents:
+    Laplace-smoothed log-likelihood ln((n_lt+1)/(T_l+V)) per (lang,
+    term) on the exact 1e12 integer lattice; released as the top-50
+    terms per language (count desc, term tie-break) so the output stays
+    k-bounded while the full model remains a vocabulary-bounded
+    relation. Plan: token explode -> (lang, term) hash aggregate
+    (map-side combined, the corpus's only shuffle keyed on the natural
+    key), k-row broadcast of per-lang totals, and a lang-partitioned
+    top-k window that prunes below the exchange (WindowGroupLimit)."""
+    _, model, _, _ = _nb_spark_model(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("n_term").desc(), "term")
+    return (
+        model.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("lang", "term", "n_term", "llp")
+    )
+
+
+@register(
+    "ml_naive_bayes_confusion",
+    oracle=f"""
+    WITH {_NB_TOKS_CTE},
+    dl AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS d_l
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+      GROUP BY lang
+    ),
+    dd AS (SELECT CAST(sum(d_l) AS BIGINT) AS d FROM dl),
+    cls AS (
+      SELECT dl.lang,
+             CAST(floor(ln(CAST(dl.d_l AS DOUBLE) / dd.d)
+                        * 1000000000000 + 0.5) AS BIGINT) AS prior,
+             CAST(floor(ln(1.0 / (tl.t_l + vv.v))
+                        * 1000000000000 + 0.5) AS BIGINT) AS dflt
+      FROM dl, dd, tl, vv WHERE tl.lang = dl.lang
+    ),
+    dt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, term
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang AS actual,
+             CAST(COALESCE(nt.n_tok, 0) AS BIGINT) AS n_tok
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+                 FROM toks GROUP BY doc_id) nt USING (doc_id)
+      WHERE d.text IS NOT NULL AND d.lang IS NOT NULL
+    ),
+    matched AS (
+      SELECT dt.doc_id, m.lang,
+             CAST(sum(dt.c * m.llp) AS BIGINT) AS sm,
+             CAST(sum(dt.c) AS BIGINT) AS mc
+      FROM dt JOIN model m USING (term)
+      GROUP BY dt.doc_id, m.lang
+    ),
+    scores AS (
+      SELECT b.doc_id, b.actual, c.lang,
+             c.prior + COALESCE(ma.sm, 0)
+               + (b.n_tok - COALESCE(ma.mc, 0)) * c.dflt AS score
+      FROM base b CROSS JOIN cls c
+      LEFT JOIN matched ma ON ma.doc_id = b.doc_id AND ma.lang = c.lang
+    ),
+    pred AS (
+      SELECT doc_id, actual, lang AS predicted,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY actual, predicted
+    """,
+)
+def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes self-classification confusion matrix: every doc
+    scores against every language (log-prior + matched-token
+    likelihoods + unseen-token smoothing mass, all exact int64 on the
+    1e12 log lattice), argmax with lang tie-break, then a k x k
+    confusion aggregate. Plan: doc-term counts join the vocabulary-
+    bounded model on term (shuffle keyed on term, both sides partition
+    there), regroup on (doc, lang) — the k-fold row blowup is the
+    algorithm's work, not overhead — then a k-row-partition argmax
+    window and a k^2-group final aggregate. No Python, no collect;
+    scores stay integers end to end."""
+    tok, model, tl, vv = _nb_spark_model(spark, sf_dir)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+    )
+    dl = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("d_l"))
+    dd = dl.agg(F.sum("d_l").cast("bigint").alias("d"))
+    cls = (
+        dl.crossJoin(F.broadcast(dd))
+        .join(tl, "lang")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "lang",
+            F.floor(
+                F.log(F.col("d_l").cast("double") / F.col("d")) * 1000000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("prior"),
+            F.floor(
+                F.log(1.0 / (F.col("t_l") + F.col("v"))) * 1000000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("dflt"),
+        )
+    )
+    dt = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("c"))
+    nt = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    base = (
+        d.select("doc_id", F.col("lang").alias("actual"))
+        .join(nt, "doc_id", "left")
+        .select(
+            "doc_id", "actual", F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok")
+        )
+    )
+    matched = (
+        dt.join(model.select("term", "lang", "llp"), "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("c") * F.col("llp")).cast("bigint").alias("sm"),
+            F.sum("c").cast("bigint").alias("mc"),
+        )
+    )
+    scores = (
+        base.crossJoin(F.broadcast(cls))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            (
+                F.col("prior")
+                + F.coalesce("sm", F.lit(0))
+                + (F.col("n_tok") - F.coalesce("mc", F.lit(0))) * F.col("dflt")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("actual", F.col("lang").alias("predicted"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# --- Heaps' law --------------------------------------------------------------
+# Vocabulary-growth fit V(N) ~ k N^beta: natural corpora land beta in
+# ~[0.4, 0.6]; a deduplicate-starved crawl (vocab grows too slowly) or
+# a synthetic/garbage corpus (too fast) bends away — the companion
+# corpus-health diagnostic to text_zipf_slope, fitted the same way
+# (per-point 1e12-lattice OLS moments, exact integer sums, closed-form
+# slope from identical doubles). Growth checkpoints are the ten
+# doc_id-RANGE deciles — an id-range cut, not a rank cut, so the
+# checkpoint assignment is a pure map-side expression from a broadcast
+# 1-row bounds aggregate (no corpus-sized rank window at any scale).
+# Cumulative token mass and cumulative first-occurrence vocabulary
+# ride 10-row windows over the decile relation.
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH b AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi
+      FROM documents WHERE text IS NOT NULL
+    ),
+    toks AS (
+      SELECT least(9, CAST((10 * (d.doc_id - b.lo)) // (b.hi - b.lo + 1)
+                           AS BIGINT)) AS dec,
+             u.tok
+      FROM documents d, b,
+           LATERAL (SELECT unnest(list_filter(string_split(d.text, ' '),
+                                              t -> t <> '')) AS tok) u
+      WHERE d.text IS NOT NULL
+    ),
+    tc AS (SELECT dec, CAST(count(*) AS BIGINT) AS toks FROM toks GROUP BY dec),
+    vc AS (
+      SELECT dec, CAST(count(*) AS BIGINT) AS vnew
+      FROM (SELECT tok, min(dec) AS dec FROM toks GROUP BY tok)
+      GROUP BY dec
+    ),
+    cum AS (
+      SELECT tc.dec,
+             CAST(sum(tc.toks) OVER (ORDER BY tc.dec) AS BIGINT) AS n_cum,
+             CAST(sum(COALESCE(vc.vnew, 0)) OVER (ORDER BY tc.dec) AS BIGINT)
+               AS v_cum
+      FROM tc LEFT JOIN vc USING (dec)
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(n_cum) * 1000000000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(v_cum) * 1000000000000 + 0.5) AS BIGINT) AS y,
+             CAST(floor(ln(n_cum) * ln(v_cum) * 1000000000000 + 0.5) AS BIGINT)
+               AS xy,
+             CAST(floor(ln(n_cum) * ln(n_cum) * 1000000000000 + 0.5) AS BIGINT)
+               AS xx
+      FROM cum WHERE n_cum > 0 AND v_cum > 0
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) / 1000000000000 AS sx,
+             CAST(sum(y) AS DOUBLE) / 1000000000000 AS sy,
+             CAST(sum(xy) AS DOUBLE) / 1000000000000 AS sxy,
+             CAST(sum(xx) AS DOUBLE) / 1000000000000 AS sxx
+      FROM pts
+    )
+    SELECT n AS n_checkpoints,
+           (SELECT max(n_cum) FROM cum) AS total_tokens,
+           (SELECT max(v_cum) FROM cum) AS vocab_size,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN
+             floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   * 1000000 + 0.5) / 1000000 END AS heaps_beta,
+           CASE WHEN n > 1 AND n * sxx - sx * sx > 0 THEN
+             floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   * 1000000 + 0.5) / 1000000 END AS heaps_lnk
+    FROM sums
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over doc_id-range decile
+    checkpoints — see the block comment. Plan: ONE token-explode
+    shuffle into (decile, token) space collapses to (a) per-decile
+    token mass and (b) per-term first decile (both map-side combined,
+    term being the natural key of the second); everything after lives
+    on a <= 10-row relation."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    b = d.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    toks = (
+        d.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.lit(9),
+                F.expr("(10 * (doc_id - lo)) div (hi - lo + 1)"),
+            )
+            .cast("bigint")
+            .alias("dec"),
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "tok"
+            ),
+        )
+        .transform(pin_cache)
+    )
+    tc = toks.groupBy("dec").agg(F.count("*").cast("bigint").alias("toks"))
+    vc = (
+        toks.groupBy("tok")
+        .agg(F.min("dec").alias("dec"))
+        .groupBy("dec")
+        .agg(F.count("*").cast("bigint").alias("vnew"))
+    )
+    wc = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        tc.join(vc, "dec", "left")
+        .select(
+            "dec",
+            F.sum("toks").over(wc).cast("bigint").alias("n_cum"),
+            F.sum(F.coalesce("vnew", F.lit(0))).over(wc).cast("bigint").alias("v_cum"),
+        )
+        .transform(pin_cache)
+    )
+    q = F.lit(1000000000000)
+    lnn, lnv = F.log(F.col("n_cum")), F.log(F.col("v_cum"))
+    pts = cum.where((F.col("n_cum") > 0) & (F.col("v_cum") > 0)).select(
+        F.floor(lnn * q + F.lit(0.5)).alias("x"),
+        F.floor(lnv * q + F.lit(0.5)).alias("y"),
+        F.floor(lnn * lnv * q + F.lit(0.5)).alias("xy"),
+        F.floor(lnn * lnn * q + F.lit(0.5)).alias("xx"),
+    )
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        (F.sum("x").cast("double") / q).alias("sx"),
+        (F.sum("y").cast("double") / q).alias("sy"),
+        (F.sum("xy").cast("double") / q).alias("sxy"),
+        (F.sum("xx").cast("double") / q).alias("sxx"),
+    )
+    tots = cum.agg(
+        F.max("n_cum").alias("total_tokens"), F.max("v_cum").alias("vocab_size")
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    ok = (F.col("n") > 1) & (den > 0)
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return sums.crossJoin(F.broadcast(tots)).select(
+        F.col("n").alias("n_checkpoints"),
+        "total_tokens",
+        "vocab_size",
+        F.when(ok, q6(beta)).alias("heaps_beta"),
+        F.when(ok, q6((F.col("sy") - beta * F.col("sx")) / F.col("n"))).alias(
+            "heaps_lnk"
+        ),
+    )

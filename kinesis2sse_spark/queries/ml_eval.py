@@ -2242,3 +2242,77 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_jq")
     )
+
+
+# --- log loss ----------------------------------------------------------------
+# Mean negative log-likelihood of the deterministic linear probe under a
+# fixed logistic link, sliced by raw label — the model-eval ladder's
+# proper-scoring-rule rung next to ml_brier_ece. The probe score s is an
+# exact int64 lattice value (the _SCORE_SPARK convention); z = s / 1e10
+# lands the logits in ~[-3.2, 3.2] so the link never saturates. Per-row
+# losses ln(1+exp(-+z)) quantize to the 1e12 lattice as int64 (the
+# text_perplexity convention) so the per-slice SUM is order-independent
+# exact integer arithmetic; only the final mean divides in float,
+# floor-quantized 1e6.
+LOGLOSS_Z_DIV = 10000000000.0  # 1e10: lattice score -> logit scale
+
+
+@register(
+    "ml_log_loss",
+    oracle=f"""
+    WITH {_SCORED_CTE.replace("FROM embeddings", ", label FROM embeddings", 1)},
+    t AS (
+      SELECT label, pos,
+             CAST(s AS DOUBLE) / {LOGLOSS_Z_DIV} AS z
+      FROM scored
+    ),
+    q AS (
+      SELECT label,
+             CAST(floor(CASE WHEN pos = 1 THEN ln(1 + exp(-z))
+                             ELSE ln(1 + exp(z)) END
+                        * 1000000000000 + 0.5) AS BIGINT) AS c,
+             pos
+      FROM t
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           floor(CAST(sum(c) AS DOUBLE) / 1000000000000 / count(*)
+                 * 1000000 + 0.5) / 1000000 AS mean_log_loss
+    FROM q GROUP BY label ORDER BY label
+    """,
+)
+def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean logistic log loss of the deterministic linear
+    probe — the proper scoring rule that (unlike AUC) punishes
+    confident wrong probabilities, sliced by the raw 0-9 label so
+    calibration failures localize to the label band causing them.
+    Plan: the probe score projects map-side, each row's loss quantizes
+    to an exact 1e12-lattice int64, and ONE hash aggregate (10 groups,
+    map-side combined) finishes; no joins, no windows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    z = F.expr(_SCORE_SPARK).cast("double") / F.lit(LOGLOSS_Z_DIV)
+    pos = (F.col("label") >= EVAL_POS_LABEL_MIN).cast("int")
+    loss = F.when(
+        pos == 1, F.log(F.lit(1.0) + F.exp(-z))
+    ).otherwise(F.log(F.lit(1.0) + F.exp(z)))
+    q = e.select(
+        "label",
+        pos.alias("pos"),
+        F.floor(loss * 1000000000000 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (
+                F.floor(
+                    F.sum("c").cast("double") / 1000000000000 / F.count("*") * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).alias("mean_log_loss"),
+        )
+        .orderBy("label")
+    )

@@ -2173,3 +2173,152 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("ccf"),
     )
+
+
+# --- permutation entropy -----------------------------------------------------
+# Ordinal-pattern complexity (Bandt & Pompe 2002) of each event type's
+# dense daily-volume series at embedding order 3: every consecutive
+# triple maps to its comparison pattern code 4*(a<b) + 2*(b<c) + (a<c)
+# (strict "<" makes ties deterministic and extends the 6 permutations
+# to 8 tie-aware codes), the code histogram is Shannon-summarized, and
+# a white-noise series scores near ln(6) while a monotone trend scores
+# near 0 — the cheap "is this metric structured or noise?" probe.
+# Exactness: pattern counts are exact int64; each histogram term
+# -(c/N) ln(c/N) quantizes to the 1e12 lattice as int64 so the <= 8
+# term sum is order-independent exact integer arithmetic; final
+# entropy floor-quantizes 1e6. Plan: corpus -> (type, day) map-side
+# aggregate, dense spine from a broadcast bounds row (absent days are
+# true zeros, the CCF convention), per-type lag-2 window over the
+# days-bounded partition, then two tiny hash aggregates.
+@register(
+    "timeseries_permutation_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day, COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d
+        ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    tr AS (
+      SELECT event_type,
+             lag(x, 2) OVER w AS a, lag(x, 1) OVER w AS b, x AS c
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    codes AS (
+      SELECT event_type,
+             4 * (CASE WHEN a < b THEN 1 ELSE 0 END)
+               + 2 * (CASE WHEN b < c THEN 1 ELSE 0 END)
+               + (CASE WHEN a < c THEN 1 ELSE 0 END) AS code,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM tr WHERE a IS NOT NULL
+      GROUP BY event_type, code
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_codes
+      FROM codes GROUP BY event_type
+    ),
+    terms AS (
+      SELECT c.event_type,
+             CAST(floor(-(CAST(c.cnt AS DOUBLE) / t.n)
+                        * ln(CAST(c.cnt AS DOUBLE) / t.n)
+                        * 1000000000000 + 0.5) AS BIGINT) AS q
+      FROM codes c JOIN tot t USING (event_type)
+    )
+    SELECT t.event_type, t.n AS n_triples, t.n_codes,
+           floor(CAST(s.sq AS DOUBLE) / 1000000000000 * 1000000 + 0.5)
+             / 1000000 AS perm_entropy
+    FROM tot t
+    JOIN (SELECT event_type, CAST(sum(q) AS BIGINT) AS sq
+          FROM terms GROUP BY event_type) s USING (event_type)
+    """,
+)
+def timeseries_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of each event type's dense daily
+    volume series — tie-aware ordinal codes, exact int64 histogram,
+    1e12-lattice entropy terms. See the block comment for the plan
+    shape (map-side collapse -> broadcast spine -> days-bounded lag
+    window -> two tiny aggregates)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .transform(pin_cache)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    dense = spine.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    tr = dense.select(
+        "event_type",
+        F.lag("x", 2).over(w).alias("a"),
+        F.lag("x", 1).over(w).alias("b"),
+        F.col("x").alias("c"),
+    ).where(F.col("a").isNotNull())
+    codes = (
+        tr.select(
+            "event_type",
+            (
+                4 * (F.col("a") < F.col("b")).cast("int")
+                + 2 * (F.col("b") < F.col("c")).cast("int")
+                + (F.col("a") < F.col("c")).cast("int")
+            ).alias("code"),
+        )
+        .groupBy("event_type", "code")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .transform(pin_cache)
+    )
+    tot = codes.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_codes"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    terms = (
+        codes.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            F.floor(-p * F.log(p) * 1000000000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("q").cast("bigint").alias("sq"))
+    )
+    return tot.join(terms, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_triples"),
+        "n_codes",
+        (
+            F.floor(F.col("sq").cast("double") / 1000000000000 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("perm_entropy"),
+    )

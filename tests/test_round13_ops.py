@@ -567,3 +567,225 @@ def test_phash_properties_and_locality(spark):
 
 def test_round13d_phash_smoke(spark):
     assert all_queries()["mm_image_phash"](spark, SF_SMOKE).count() >= 0
+
+
+# ---- third round-13 batch: anova / mcnemar / friedman / srm / NB / etc. ----
+
+
+def test_anova_vs_numpy(spark):
+    """F statistic must match a direct numpy computation on the same
+    milli-quantized values."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna()]
+    v = np.floor(pdf["value"].to_numpy() * 1000 + 0.5)
+    g = pdf["event_type"].to_numpy()
+    groups = [v[g == t] for t in np.unique(g)]
+    k, n = len(groups), len(v)
+    gm = v.mean()
+    ssb = sum(len(x) * (x.mean() - gm) ** 2 for x in groups)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    r = all_queries()["stats_anova_oneway"](spark, SF).collect()[0]
+    assert r["n_rows"] == n and r["n_groups"] == k
+    assert r["df_between"] == k - 1 and r["df_within"] == n - k
+    assert abs(r["f_stat"] - f_ref) < 1e-4
+
+
+def test_mcnemar_model(spark):
+    """Contingency counts and both chi-square forms replay from pandas."""
+    import json
+
+    import numpy as np
+
+    from kinesis2sse_spark.queries.aggregates import MCNEMAR_VALUE_T
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna() & pdf["props"].notna()]
+    a = (pdf["value"] > MCNEMAR_VALUE_T).to_numpy()
+    b = pdf["props"].map(lambda s: json.loads(s).get("k", None) is not None
+                         and json.loads(s)["k"] >= 50).to_numpy()
+    n01 = int((~a & b).sum())
+    n10 = int((a & ~b).sum())
+    r = all_queries()["stats_mcnemar"](spark, SF).collect()[0]
+    assert (r["n01"], r["n10"]) == (n01, n10)
+    assert r["n00"] + r["n01"] + r["n10"] + r["n11"] == len(pdf)
+    if n01 + n10 > 0:
+        assert abs(r["chi2"] - (n01 - n10) ** 2 / (n01 + n10)) < 1e-5
+        cc = max(abs(n01 - n10) - 1, 0) ** 2 / (n01 + n10)
+        assert abs(r["chi2_cc"] - cc) < 1e-5
+
+
+def test_friedman_vs_model(spark):
+    """Tie-corrected Friedman statistic must match a direct
+    average-rank computation over complete blocks."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["v"] = np.floor(pdf["value"] * 1000 + 0.5).astype("int64")
+    m = pdf.groupby(["user_id", "event_type"])["v"].sum().reset_index()
+    k = m["event_type"].nunique()
+    cnt = m.groupby("user_id")["event_type"].count()
+    complete = cnt[cnt == k].index
+    m = m[m["user_id"].isin(complete)]
+    # average ranks within block
+    m["rnk"] = m.groupby("user_id")["v"].rank(method="average")
+    n = m["user_id"].nunique()
+    rj = m.groupby("event_type")["rnk"].sum()
+    a_mom = (m["rnk"] ** 2).sum()
+    c_mom = n * k * (k + 1) ** 2 / 4.0
+    num = (k - 1) * ((rj - n * (k + 1) / 2.0) ** 2).sum()
+    ref = num / (a_mom - c_mom)
+    r = all_queries()["stats_friedman"](spark, SF).collect()[0]
+    assert r["n_blocks"] == n and r["n_treatments"] == k and r["df"] == k - 1
+    assert abs(r["friedman_stat"] - ref) < 1e-4
+
+
+def test_srm_identities(spark):
+    """Arms partition the user set; chi2 is the exact 2-arm form; the
+    hash assignment replays in python (overflow-free int math)."""
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    users = pdf["user_id"].unique()
+    arms = [((int(u) + 1) * 2654435761) % 1000000007 % 2 for u in users]
+    n0, n1 = arms.count(0), arms.count(1)
+    r = all_queries()["stats_srm_check"](spark, SF).collect()[0]
+    assert (r["users_arm0"], r["users_arm1"]) == (n0, n1)
+    assert r["events_arm0"] + r["events_arm1"] == int(pdf["value"].notna().sum())
+    chi = (n0 - n1) ** 2 / (n0 + n1)
+    assert abs(r["srm_chi2"] - chi) < 1e-5
+    assert r["srm_detected"] == (chi > 3.841459)
+
+
+def test_log_loss_vs_numpy(spark):
+    """Per-label mean log loss must match numpy's stable formulation
+    on the exact lattice scores."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.ml_eval import (
+        EVAL_POS_LABEL_MIN,
+        LOGLOSS_Z_DIV,
+    )
+
+    pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    emb = np.stack(pdf["embedding"].to_numpy())
+    wq = np.floor(emb.astype("float64") * 1e6 + 0.5).astype("int64")
+    w = ((np.arange(1, emb.shape[1] + 1, dtype="int64") * 2654435761)
+         % 1000000007) % 2001 - 1000
+    s = (wq * w).sum(axis=1)
+    z = s / LOGLOSS_Z_DIV
+    y = (pdf["label"].to_numpy() >= EVAL_POS_LABEL_MIN).astype("int64")
+    loss = np.where(y == 1, np.log1p(np.exp(-z)), np.log1p(np.exp(z)))
+    out = {r["label"]: r for r in all_queries()["ml_log_loss"](spark, SF).collect()}
+    for lab in np.unique(pdf["label"].to_numpy()):
+        sel = pdf["label"].to_numpy() == lab
+        assert out[lab]["n"] == int(sel.sum())
+        assert abs(out[lab]["mean_log_loss"] - loss[sel].mean()) < 1e-4
+
+
+def test_naive_bayes_train_model(spark):
+    """Smoothed log-likelihoods replay from raw counts; exactly <= 50
+    terms per language, ordered by count."""
+    import math as _m
+
+    rows = all_queries()["ml_naive_bayes_train"](spark, SF).collect()
+    pdf = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    pdf = pdf[pdf["text"].notna() & pdf["lang"].notna()]
+    toks = pdf.assign(term=pdf["text"].str.split(" ")).explode("term")
+    toks = toks[toks["term"] != ""]
+    nlt = toks.groupby(["lang", "term"]).size()
+    tl = toks.groupby("lang").size()
+    v = toks["term"].nunique()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+        want = _m.floor(
+            _m.log((nlt[(r["lang"], r["term"])] + 1.0) / (tl[r["lang"]] + v))
+            * 1e12 + 0.5
+        )
+        assert r["llp"] == want
+        assert r["n_term"] == nlt[(r["lang"], r["term"])]
+    for lang, rs in per_lang.items():
+        assert len(rs) <= 50
+        cnts = sorted((r["n_term"] for r in rs), reverse=True)
+        assert cnts == [r["n_term"] for r in sorted(rs, key=lambda r: (-r["n_term"], r["term"]))]
+
+
+def test_naive_bayes_confusion_totals(spark):
+    """The confusion matrix partitions the labeled docs, and
+    self-classification beats the majority-class baseline (the model
+    actually learned something separable)."""
+    rows = all_queries()["ml_naive_bayes_confusion"](spark, SF).collect()
+    pdf = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    pdf = pdf[pdf["text"].notna() & pdf["lang"].notna()]
+    assert sum(r["n_docs"] for r in rows) == len(pdf)
+    langs = set(pdf["lang"].unique())
+    assert {r["actual"] for r in rows} <= langs
+    assert {r["predicted"] for r in rows} <= langs
+    correct = sum(r["n_docs"] for r in rows if r["actual"] == r["predicted"])
+    majority = pdf["lang"].value_counts().max()
+    assert correct >= majority
+
+
+def test_perm_entropy_bounds(spark):
+    """Entropy within [0, ln 8]; triple count = dense day span - 2 for
+    every type (the spine densifies all of them identically)."""
+    import math as _m
+
+    rows = all_queries()["timeseries_permutation_entropy"](spark, SF).collect()
+    assert len(rows) > 0
+    spans = {r["n_triples"] for r in rows}
+    assert len(spans) == 1  # shared dense spine
+    for r in rows:
+        assert 0.0 <= r["perm_entropy"] <= _m.log(8) + 1e-9
+        assert 1 <= r["n_codes"] <= 8
+
+
+def test_heaps_law_consistency(spark):
+    """Totals match direct counts, and beta matches a numpy OLS over
+    the same id-range decile growth curve. (On this fixture the
+    whitespace vocab saturates in decile 0 — beta == 0 — which is
+    precisely the synthetic-corpus signal the diagnostic exists to
+    raise; natural corpora land in ~[0.4, 0.6].)"""
+    import numpy as np
+
+    r = all_queries()["text_heaps_law"](spark, SF).collect()[0]
+    pdf = pd.read_parquet(os.path.join(SF, "documents.parquet"))
+    pdf = pdf[pdf["text"].notna()].copy()
+    lo, hi = pdf["doc_id"].min(), pdf["doc_id"].max()
+    pdf["dec"] = np.minimum(9, (10 * (pdf["doc_id"] - lo)) // (hi - lo + 1))
+    toks = pdf.assign(tok=pdf["text"].str.split(" ")).explode("tok")
+    toks = toks[toks["tok"] != ""]
+    assert r["total_tokens"] == len(toks)
+    assert r["vocab_size"] == toks["tok"].nunique()
+    assert r["n_checkpoints"] == 10
+    n_cum = toks.groupby("dec").size().sort_index().cumsum().to_numpy()
+    first = toks.groupby("tok")["dec"].min()
+    v_new = first.value_counts().reindex(range(10), fill_value=0)
+    v_cum = v_new.sort_index().cumsum().reindex(
+        sorted(toks["dec"].unique())
+    ).to_numpy()
+    x, y = np.log(n_cum), np.log(v_cum)
+    beta = np.polyfit(x, y, 1)[0]
+    assert abs(r["heaps_beta"] - beta) < 1e-4
+    assert 0.0 <= r["heaps_beta"] < 1.0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_anova_oneway",
+        "stats_mcnemar",
+        "stats_friedman",
+        "stats_srm_check",
+        "ml_log_loss",
+        "ml_naive_bayes_train",
+        "ml_naive_bayes_confusion",
+        "timeseries_permutation_entropy",
+        "text_heaps_law",
+    ],
+)
+def test_round13_batch3_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
