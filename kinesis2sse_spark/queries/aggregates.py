@@ -3789,3 +3789,270 @@ def stats_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1") > 0, q6(F.col("s1").cast("double") / 1000 / F.col("e1"))
         ).alias("mean_value_arm1"),
     )
+
+
+# --- Cramér–von Mises two-sample test ---------------------------------------
+# The integral companion of stats_ks_test on the same click-vs-view
+# contrast: where KS reads only the single worst CDF gap, CvM sums the
+# squared gap over the whole support, so it sees broad mild drift KS
+# misses. Rank form (Anderson 1962): with pooled ranks r_i of sample A
+# (own positions i) and s_j of sample B (positions j),
+#   U = n * sum_i (r_i - i)^2 + m * sum_j (s_j - j)^2
+#   T = U / (n m (n+m)) - (4 m n - 1) / (6 (m+n)).
+# Tie handling: within a tied value group every member shares the
+# pooled average rank while own positions run lessOwn+1..lessOwn+c, so
+# the group's contribution has the closed form (doubled ranks keep it
+# integral): sum_{i=P+1}^{P+c} (dr - 2i)^2 with dr = 2L + ct + 1 —
+# expanded via the square-pyramidal formula, per-group exact int64,
+# accumulated in DECIMAL(38,0) (U grows ~n N^2, past int64 at corpus
+# scale but nowhere near 38 digits; identical exact decimal on both
+# engines -> identical final double). The group relation is the
+# VALUE-DOMAIN histogram with a domain-bounded CDF window — the
+# stats_ks_test machinery, never a corpus-sized partition.
+@register(
+    "stats_cvm_two_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT value,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS a,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS b
+      FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT value, a, b,
+             sum(a + b) OVER w - (a + b) AS lp,
+             sum(a) OVER w - a AS la,
+             sum(b) OVER w - b AS lb
+      FROM counts
+      WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+      SELECT
+        CAST(a AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * la AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * la AS DECIMAL(38, 0))
+        - CAST(2 * a * (a - 1) AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * la AS DECIMAL(38, 0))
+        + CAST(2 * (a * (a - 1) * (2 * a - 1) // 3) AS DECIMAL(38, 0)) AS ta,
+        CAST(b AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * lb AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * lb AS DECIMAL(38, 0))
+        - CAST(2 * b * (b - 1) AS DECIMAL(38, 0))
+          * CAST(2 * lp + a + b - 1 - 2 * lb AS DECIMAL(38, 0))
+        + CAST(2 * (b * (b - 1) * (2 * b - 1) // 3) AS DECIMAL(38, 0)) AS tb
+      FROM cum
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(a) AS BIGINT) FROM counts) AS n,
+             (SELECT CAST(sum(b) AS BIGINT) FROM counts) AS m,
+             CAST(sum(ta) AS DECIMAL(38, 0)) AS sa,
+             CAST(sum(tb) AS DECIMAL(38, 0)) AS sb
+      FROM terms
+    )
+    SELECT n AS n_a, m AS n_b,
+           CASE WHEN n > 0 AND m > 0 THEN
+             floor(((CAST(n AS DOUBLE) * CAST(sa AS DOUBLE) / 4
+                     + CAST(m AS DOUBLE) * CAST(sb AS DOUBLE) / 4)
+                    / (CAST(n AS DOUBLE) * m * (n + m))
+                    - (4.0 * n * m - 1) / (6.0 * (n + m)))
+                   * 1000000 + 0.5) / 1000000
+           END AS cvm_t
+    FROM tot
+    """,
+)
+def stats_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware two-sample Cramér–von Mises T between the click and
+    view value distributions — see the block comment for the rank
+    closed form, the DECIMAL(38,0) accumulation, and the value-domain
+    window shape shared with stats_ks_test."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    counts = (
+        ev.groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("a"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("bigint")
+            .alias("b"),
+        )
+        .transform(pin_cache)
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "a",
+        "b",
+        (F.sum(F.col("a") + F.col("b")).over(w) - (F.col("a") + F.col("b"))).alias(
+            "lp"
+        ),
+        (F.sum("a").over(w) - F.col("a")).alias("la"),
+        (F.sum("b").over(w) - F.col("b")).alias("lb"),
+    )
+
+    def _term(cn, lon):
+        # x0 = first doubled-rank gap dr - 2(lo+1); the c-term arithmetic
+        # sequence sums to c*x0^2 - 2c(c-1)*x0 + 2*(c(c-1)(2c-1) div 3).
+        # Small factors (c is a tie-group size) stay int64; x0 can be
+        # corpus-sized so its square runs in DECIMAL(38,0).
+        c, lo = F.col(cn), F.col(lon)
+        x0 = (2 * F.col("lp") + F.col("a") + F.col("b") - 1 - 2 * lo).cast(
+            "decimal(38,0)"
+        )
+        cd = c.cast("decimal(38,0)")
+        l1 = (2 * c * (c - 1)).cast("decimal(38,0)")
+        l2 = (
+            2 * F.expr(f"({cn} * ({cn} - 1) * (2 * {cn} - 1)) div 3")
+        ).cast("decimal(38,0)")
+        return cd * x0 * x0 - l1 * x0 + l2
+
+    terms = cum.select(
+        _term("a", "la").alias("ta"),
+        _term("b", "lb").alias("tb"),
+    )
+    nm = counts.agg(
+        F.sum("a").cast("bigint").alias("n"), F.sum("b").cast("bigint").alias("m")
+    )
+    tot = terms.agg(
+        F.sum("ta").cast("decimal(38,0)").alias("sa"),
+        F.sum("tb").cast("decimal(38,0)").alias("sb"),
+    ).crossJoin(F.broadcast(nm))
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    u = nd * F.col("sa").cast("double") / 4 + md * F.col("sb").cast("double") / 4
+    t = u / (nd * md * (nd + md)) - (4.0 * nd * md - 1) / (6.0 * (nd + md))
+    return tot.select(
+        F.col("n").alias("n_a"),
+        F.col("m").alias("n_b"),
+        F.when(
+            (F.col("n") > 0) & (F.col("m") > 0),
+            F.floor(t * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("cvm_t"),
+    )
+
+
+# --- Gwet's AC1 --------------------------------------------------------------
+# The paradox-resistant twin of stats_fleiss_kappa on the SAME rater
+# matrix (units = complete-panel users, raters = the FLEISS_M event
+# types, categories = the 4 KRIPP_BAND value bands): Fleiss' kappa
+# collapses toward 0 when category prevalence is skewed even at high
+# raw agreement (the kappa paradox); Gwet's chance model
+# p_e = sum_q pi_q (1 - pi_q) / (Q - 1) stays calibrated. Same exact
+# int64 moments (sum of squared per-unit category counts; per-category
+# totals), one extra constant Q = 4 (the band DOMAIN, fixed by the
+# quantization design, not data-dependent). Everything after the
+# (user, category) aggregate is a handful of rows.
+GWET_Q = 4  # category domain size: the KRIPP_BAND quantization's 4 bands
+
+
+@register(
+    "stats_gwet_ac1",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             least(3, CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                           // ({KRIPP_BAND} * count(*)) AS BIGINT)) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, c, CAST(count(*) AS BIGINT) AS n_uc,
+             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) AS m_u
+      FROM r GROUP BY user_id, c
+    ),
+    k AS (SELECT * FROM u WHERE m_u = {FLEISS_M}),
+    mom AS (
+      SELECT CAST(sum(n_uc * n_uc) AS BIGINT) AS sum_sq,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+      FROM k
+    ),
+    pe AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(s AS DOUBLE) / (mom.n_units * {FLEISS_M}))
+               * (1.0 - CAST(s AS DOUBLE) / (mom.n_units * {FLEISS_M}))
+               * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS peq
+      FROM (SELECT c, CAST(sum(n_uc) AS BIGINT) AS s FROM k GROUP BY c), mom
+      GROUP BY ALL
+    )
+    SELECT mom.n_units, mom.sum_sq,
+           CASE WHEN mom.n_units > 0 THEN
+             floor((CAST(mom.sum_sq - mom.n_units * {FLEISS_M} AS DOUBLE)
+                    / CAST(mom.n_units * {FLEISS_M} * ({FLEISS_M} - 1) AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS p_a,
+           CASE WHEN mom.n_units > 0 THEN
+             floor(CAST(pe.peq AS DOUBLE) / 1000000000000 / ({GWET_Q} - 1)
+                   * 1000000 + 0.5) / 1000000
+           END AS p_e_gamma,
+           CASE WHEN mom.n_units > 0
+                 AND CAST(pe.peq AS DOUBLE) / 1000000000000 / ({GWET_Q} - 1)
+                     < 1.0 THEN
+             floor(((CAST(mom.sum_sq - mom.n_units * {FLEISS_M} AS DOUBLE)
+                     / CAST(mom.n_units * {FLEISS_M} * ({FLEISS_M} - 1) AS DOUBLE))
+                    - CAST(pe.peq AS DOUBLE) / 1000000000000 / ({GWET_Q} - 1))
+                   / (1.0 - CAST(pe.peq AS DOUBLE) / 1000000000000
+                            / ({GWET_Q} - 1))
+                   * 1000000 + 0.5) / 1000000
+           END AS ac1
+    FROM mom, pe
+    """,
+)
+def stats_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 chance-corrected agreement over the Fleiss rater
+    matrix — the prevalence-robust alternative reported alongside
+    kappa in every serious annotation-quality audit. Same plan shape
+    as stats_fleiss_kappa (one (user, band) aggregate, then
+    constant-size arithmetic); the chance terms pi_q(1-pi_q) quantize
+    to the 1e12 lattice per category before the 4-term sum."""
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.least(
+            F.lit(3),
+            F.expr(
+                f"sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))"
+                f" div ({KRIPP_BAND} * count(*))"
+            ),
+        )
+        .cast("bigint")
+        .alias("c")
+    )
+    u = (
+        r.groupBy("user_id", "c")
+        .agg(F.count("*").cast("bigint").alias("n_uc"))
+        .withColumn(
+            "m_u",
+            F.sum("n_uc").over(Window.partitionBy("user_id")).cast("bigint"),
+        )
+        .where(F.col("m_u") == FLEISS_M)
+        .transform(pin_cache)
+    )
+    mom = u.agg(
+        F.sum(F.col("n_uc") * F.col("n_uc")).cast("bigint").alias("sum_sq"),
+        F.countDistinct("user_id").cast("bigint").alias("n_units"),
+    )
+    sq = u.groupBy("c").agg(F.sum("n_uc").cast("bigint").alias("s"))
+    pi = F.col("s").cast("double") / (F.col("n_units") * FLEISS_M)
+    pe = (
+        sq.crossJoin(F.broadcast(mom))
+        .select(
+            F.floor(pi * (1.0 - pi) * 1000000000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("bigint").alias("peq"))
+    )
+    j = mom.crossJoin(F.broadcast(pe))
+    p_a = (F.col("sum_sq") - F.col("n_units") * FLEISS_M).cast("double") / (
+        F.col("n_units") * FLEISS_M * (FLEISS_M - 1)
+    ).cast("double")
+    p_e = F.col("peq").cast("double") / 1000000000000 / (GWET_Q - 1)
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ok = F.col("n_units") > 0
+    return j.select(
+        "n_units",
+        "sum_sq",
+        F.when(ok, q6(p_a)).alias("p_a"),
+        F.when(ok, q6(p_e)).alias("p_e_gamma"),
+        F.when(ok & (p_e < 1.0), q6((p_a - p_e) / (F.lit(1.0) - p_e))).alias("ac1"),
+    )

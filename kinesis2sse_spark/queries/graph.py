@@ -2245,3 +2245,132 @@ def dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("edit_sim"),
         (F.col("lev") * EDIT_NEAR_EXACT_DEN <= F.col("mx")).alias("near_exact"),
     )
+
+
+# --- closeness / harmonic centrality ----------------------------------------
+# Per-seed distance profile over the PREBUILT near-dup edge artifact:
+# classic closeness (reached-1)/sum-of-distances and harmonic
+# centrality sum(1/d) — the "how central is this document inside its
+# duplicate neighborhood" rank that picks canonical representatives
+# better than raw degree when clusters are chains. Exact traversal is
+# per-SEED level-synchronous BFS (the bfs_hops frontier discipline with
+# a seed label riding along: per-round shuffle is frontier x degree,
+# never settled x degree), horizon-bounded at BFS_MAX_HOPS like every
+# traversal here so the recursion is finite on cyclic components and
+# the oracle's recursive CTE replays it state-for-state. Exactness:
+# distances and hop histograms are int64; harmonic terms cnt/d
+# floor-quantize to the 1e12 lattice per (seed, hop) — <= MAX_HOPS
+# terms per seed, summed as integers.
+@register(
+    "graph_closeness_centrality",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS x FROM edges),
+    seeds AS (SELECT x FROM nodes ORDER BY x LIMIT {BFS_N_SEEDS}),
+    bfs(seed, node, d) AS (
+      SELECT x, x, 0 FROM seeds
+      UNION
+      SELECT bfs.seed, e.b, bfs.d + 1
+      FROM bfs JOIN edges e ON e.a = bfs.node
+      WHERE bfs.d < {BFS_MAX_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, CAST(min(d) AS BIGINT) AS d
+      FROM bfs GROUP BY seed, node
+    ),
+    hh AS (
+      SELECT seed, d, CAST(count(*) AS BIGINT) AS cnt
+      FROM dist WHERE d > 0 GROUP BY seed, d
+    ),
+    agg AS (
+      SELECT seed,
+             CAST(sum(cnt) AS BIGINT) AS n_reached,
+             CAST(sum(cnt * d) AS BIGINT) AS sum_dist,
+             CAST(sum(CAST(floor(CAST(cnt AS DOUBLE) / d
+                                 * 1000000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS hq
+      FROM hh GROUP BY seed
+    )
+    SELECT seed AS doc_id, n_reached, sum_dist,
+           floor(CAST(n_reached AS DOUBLE) / sum_dist * 1000000 + 0.5)
+             / 1000000 AS closeness,
+           floor(CAST(hq AS DOUBLE) / 1000000 + 0.5) / 1000000 AS harmonic
+    FROM agg
+    """,
+)
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality of the BFS_N_SEEDS lowest node
+    ids over the prebuilt edge artifact — per-seed labeled frontier
+    BFS, horizon-bounded; see the block comment for the exactness and
+    plan shape. Same-oracle-as-inline guarantee: the artifact's
+    content is provably the _PAIRS_CTES relation."""
+    from pyspark import StorageLevel
+
+    pairs = (
+        spark.read.schema(_GRAPH_EDGES_SCHEMA)
+        .parquet(_ensure_graph_edges(spark, sf_dir))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    und = (
+        pairs.unionByName(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und.count()
+    seeds = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_N_SEEDS)
+        .select(F.col("node").alias("seed"), F.col("node"), F.lit(0).cast("long").alias("d"))
+    )
+    dist = seeds.localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.a)
+            .select("seed", F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    und.unpersist()
+    hh = (
+        dist.where(F.col("d") > 0)
+        .groupBy("seed", "d")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    agg = hh.groupBy("seed").agg(
+        F.sum("cnt").cast("bigint").alias("n_reached"),
+        F.sum(F.col("cnt") * F.col("d")).cast("bigint").alias("sum_dist"),
+        F.sum(
+            F.floor(F.col("cnt").cast("double") / F.col("d") * 1000000000000 + F.lit(0.5))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hq"),
+    )
+    return agg.select(
+        F.col("seed").alias("doc_id"),
+        "n_reached",
+        "sum_dist",
+        (
+            F.floor(
+                F.col("n_reached").cast("double") / F.col("sum_dist") * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("closeness"),
+        (F.floor(F.col("hq").cast("double") / 1000000 + F.lit(0.5)) / 1000000).alias(
+            "harmonic"
+        ),
+    )

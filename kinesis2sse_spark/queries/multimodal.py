@@ -713,3 +713,87 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         phash_batches, schema="doc_id long, phash long, n_bits long"
     )
+
+
+# --- payload byte entropy ----------------------------------------------------
+# Shannon entropy of each payload's byte-value distribution — the
+# standard cheap corruption/compressibility probe a multimodal intake
+# runs before decode: ~log2(256) bits/byte means already-compressed or
+# encrypted content (don't recompress, maybe don't trust the declared
+# codec), very low entropy means padding/stuck frames. On the fixture
+# the payload is the UTF-8 text (the module-wide convention), so
+# symbols are its codepoints. Exactness: per-(doc, symbol) counts are
+# exact int64; each histogram term -(c/n) ln(c/n) quantizes to the
+# 1e12 lattice before the per-doc integer sum (order-independent);
+# final entropy floor-quantizes 1e6. Plan: ONE symbol-explode shuffle
+# keyed on doc_id (the natural key), two hash aggregates back down to
+# doc rows — linear in corpus bytes, embarrassingly parallel.
+@register(
+    "mm_payload_entropy",
+    oracle="""
+    WITH sym AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id, ascii(ch) AS byte, CAST(count(*) AS BIGINT) AS c
+      FROM sym WHERE ch <> '' GROUP BY doc_id, byte
+    ),
+    n AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM h GROUP BY doc_id
+    ),
+    t AS (
+      SELECT h.doc_id,
+             CAST(sum(CAST(floor(-(CAST(h.c AS DOUBLE) / n.n)
+                                 * ln(CAST(h.c AS DOUBLE) / n.n)
+                                 * 1000000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sq
+      FROM h JOIN n USING (doc_id) GROUP BY h.doc_id
+    )
+    SELECT n.doc_id, n.n AS n_symbols, n.n_distinct,
+           floor(CAST(t.sq AS DOUBLE) / 1000000000000 * 1000000 + 0.5)
+             / 1000000 AS byte_entropy
+    FROM n JOIN t USING (doc_id)
+    """,
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-payload byte-value Shannon entropy (nats) with symbol
+    counts — the pre-decode corruption/compressibility probe. See the
+    block comment for the 1e12-lattice exactness and the single
+    doc-keyed shuffle plan."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sym = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    h = (
+        sym.groupBy("doc_id", F.ascii("ch").alias("byte"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(pin_cache)
+    )
+    n = h.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    t = (
+        h.join(n.select("doc_id", "n"), "doc_id")
+        .select(
+            "doc_id",
+            F.floor(-p * F.log(p) * 1000000000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("q").cast("bigint").alias("sq"))
+    )
+    return n.join(t, "doc_id").select(
+        "doc_id",
+        F.col("n").alias("n_symbols"),
+        "n_distinct",
+        (
+            F.floor(F.col("sq").cast("double") / 1000000000000 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("byte_entropy"),
+    )

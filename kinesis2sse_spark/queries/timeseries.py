@@ -2322,3 +2322,262 @@ def timeseries_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFram
             / 1000000
         ).alias("perm_entropy"),
     )
+
+
+# --- SAX symbolization -------------------------------------------------------
+# Symbolic Aggregate approXimation (Lin et al. 2003) of each event
+# type's dense daily-volume series: z-normalize, piecewise-aggregate
+# into SAX_SEGMENTS equal index ranges, map each segment mean to a
+# 4-letter alphabet by the standard Gaussian breakpoints
+# (-0.6745, 0, 0.6745), and emit the word — the discretization that
+# turns numeric series into joinable/groupable motif strings (the
+# standard preprocessing for motif discovery and series indexing).
+# Determinism: per-type mean/std and per-segment sums reduce from
+# exact int64 moments, so both engines feed IDENTICAL doubles into the
+# same fixed breakpoint comparisons (IEEE sqrt/divide are correctly
+# rounded — no summation-order freedom anywhere); the word assembles
+# with an ordered aggregation over the <= SAX_SEGMENTS rows. Plan:
+# (type, day) map-side collapse, broadcast spine densify, segment
+# index from pure arithmetic (day rank via the day-domain window),
+# two tiny aggregates.
+SAX_SEGMENTS = 8
+SAX_BP = (-0.6745, 0.0, 0.6745)  # N(0,1) quartile breakpoints, alphabet abcd
+
+
+@register(
+    "timeseries_sax",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day - b.lo AS i,
+             COALESCE(d.x, 0) AS x, b.hi - b.lo + 1 AS len
+      FROM spine
+      LEFT JOIN d ON d.event_type = spine.event_type AND d.day = spine.day
+      CROSS JOIN bounds b
+    ),
+    mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      FROM dense GROUP BY event_type
+    ),
+    seg AS (
+      SELECT event_type, CAST(({SAX_SEGMENTS} * i) // len AS BIGINT) AS g,
+             CAST(sum(x) AS BIGINT) AS ss, CAST(count(*) AS BIGINT) AS sc
+      FROM dense GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT seg.event_type, seg.g,
+             CASE WHEN mom.n * mom.q - mom.s * mom.s > 0 THEN
+               (CAST(seg.ss AS DOUBLE) / seg.sc - CAST(mom.s AS DOUBLE) / mom.n)
+               / sqrt((CAST(mom.q AS DOUBLE) - CAST(mom.s AS DOUBLE) * mom.s
+                       / mom.n) / mom.n)
+             ELSE 0.0 END AS zv
+      FROM seg JOIN mom USING (event_type)
+    ),
+    sym AS (
+      SELECT event_type, g,
+             CASE WHEN zv < {SAX_BP[0]} THEN 'a'
+                  WHEN zv < {SAX_BP[1]} THEN 'b'
+                  WHEN zv < {SAX_BP[2]} THEN 'c'
+                  ELSE 'd' END AS s
+      FROM z
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(s, '' ORDER BY g) AS sax_word
+    FROM sym GROUP BY event_type
+    """,
+)
+def timeseries_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX word per event type over the dense daily-volume series —
+    z-normalized PAA into SAX_SEGMENTS index ranges, Gaussian-breakpoint
+    alphabet abcd. See the block comment for the exactness argument
+    (int64 moments feed identical doubles to fixed comparisons)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .transform(pin_cache)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+            (F.col("hi") - F.col("lo") + 1).alias("len"),
+            F.col("lo"),
+        )
+    )
+    dense = (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            (F.col("day") - F.col("lo")).alias("i"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+            "len",
+        )
+        .transform(pin_cache)
+    )
+    mom = dense.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    seg = dense.groupBy(
+        "event_type", F.expr(f"({SAX_SEGMENTS} * i) div len").alias("g")
+    ).agg(
+        F.sum("x").cast("bigint").alias("ss"),
+        F.count("*").cast("bigint").alias("sc"),
+    )
+    var_ok = F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0
+    zv = F.when(
+        var_ok,
+        (
+            F.col("ss").cast("double") / F.col("sc")
+            - F.col("s").cast("double") / F.col("n")
+        )
+        / F.sqrt(
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / F.col("n")
+        ),
+    ).otherwise(F.lit(0.0))
+    sym = seg.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "g",
+        F.when(zv < SAX_BP[0], F.lit("a"))
+        .when(zv < SAX_BP[1], F.lit("b"))
+        .when(zv < SAX_BP[2], F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("s"),
+    )
+    return sym.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "s"))), lambda x: x.s
+            ),
+        ).alias("sax_word"),
+    )
+
+
+# --- peak detection ----------------------------------------------------------
+# Strict local maxima of the dense daily-volume series with a
+# PEAK_WINDOW-neighbor dominance test and exact integer prominence
+# proxies (height above the highest neighbor on each side) — the
+# release-spike / incident-spike finder that pairs with the MAD and
+# CUSUM anomaly rungs: those flag level shifts, this pinpoints the
+# spike days themselves. Entirely integer-exact (counts and
+# differences of counts); the only machinery is lag/lead over the
+# days-bounded per-type partition.
+PEAK_WINDOW = 2  # neighbors per side a peak must strictly dominate
+
+
+@register(
+    "timeseries_peak_detection",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day, COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d
+        ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    nb AS (
+      SELECT event_type, day, x,
+             greatest(COALESCE(lag(x, 1) OVER w, -1),
+                      COALESCE(lag(x, 2) OVER w, -1)) AS lmax,
+             greatest(COALESCE(lead(x, 1) OVER w, -1),
+                      COALESCE(lead(x, 2) OVER w, -1)) AS rmax
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, x AS height,
+           CAST(x - lmax AS BIGINT) AS left_excess,
+           CAST(x - rmax AS BIGINT) AS right_excess
+    FROM nb WHERE x > lmax AND x > rmax
+    """,
+)
+def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima (dominating PEAK_WINDOW neighbors per side)
+    of each type's dense daily volume, with integer left/right excess
+    heights. Boundary days treat missing neighbors as -1 so a
+    spine-edge spike still qualifies (the convention is explicit in
+    both engines). Days-bounded windows only."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .transform(pin_cache)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    dense = spine.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lmax = F.greatest(
+        F.coalesce(F.lag("x", 1).over(w), F.lit(-1)),
+        F.coalesce(F.lag("x", 2).over(w), F.lit(-1)),
+    )
+    rmax = F.greatest(
+        F.coalesce(F.lead("x", 1).over(w), F.lit(-1)),
+        F.coalesce(F.lead("x", 2).over(w), F.lit(-1)),
+    )
+    nb = dense.select(
+        "event_type", "day", "x", lmax.alias("lmax"), rmax.alias("rmax")
+    )
+    return nb.where((F.col("x") > F.col("lmax")) & (F.col("x") > F.col("rmax"))).select(
+        "event_type",
+        "day",
+        F.col("x").alias("height"),
+        (F.col("x") - F.col("lmax")).cast("bigint").alias("left_excess"),
+        (F.col("x") - F.col("rmax")).cast("bigint").alias("right_excess"),
+    )

@@ -789,3 +789,142 @@ def test_heaps_law_consistency(spark):
 def test_round13_batch3_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---- fourth round-13 batch: closeness / CvM / AC1 / SAX / peaks / entropy ---
+
+
+def test_closeness_invariants(spark):
+    """Seeds are the lowest artifact node ids; closeness <= 1;
+    harmonic <= n_reached <= harmonic * max_hops (d in [1, 16])."""
+    rows = all_queries()["graph_closeness_centrality"](spark, SF).collect()
+    assert 0 < len(rows) <= 5
+    for r in rows:
+        assert r["sum_dist"] >= r["n_reached"]
+        assert r["closeness"] <= 1.0 + 1e-9
+        assert r["harmonic"] <= r["n_reached"] + 1e-6
+        assert r["harmonic"] >= r["n_reached"] / 16 - 1e-6
+
+
+def test_cvm_vs_numpy(spark):
+    """T must match the rank-form computation with average pooled
+    ranks and per-sample position indices."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["event_type"].isin(["click", "view"]) & pdf["value"].notna()]
+    pooled = pdf["value"].rank(method="average")
+    a = np.sort(pooled[pdf["event_type"] == "click"].to_numpy())
+    b = np.sort(pooled[pdf["event_type"] == "view"].to_numpy())
+    n, m = len(a), len(b)
+    u = n * ((a - np.arange(1, n + 1)) ** 2).sum() + m * (
+        (b - np.arange(1, m + 1)) ** 2
+    ).sum()
+    t_ref = u / (n * m * (n + m)) - (4.0 * n * m - 1) / (6.0 * (n + m))
+    r = all_queries()["stats_cvm_two_sample"](spark, SF).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n, m)
+    assert abs(r["cvm_t"] - t_ref) < 1e-4
+
+
+def test_gwet_ac1_vs_model(spark):
+    """p_a must equal Fleiss' p_bar on the shared rater matrix, and
+    AC1 must replay from the python chance model."""
+    qs = all_queries()
+    g = qs["stats_gwet_ac1"](spark, SF).collect()[0]
+    f = qs["stats_fleiss_kappa"](spark, SF).collect()[0]
+    assert g["n_units"] == f["n_units"] and g["sum_sq"] == f["sum_sq"]
+    assert abs(g["p_a"] - f["p_bar"]) < 1e-9
+    ac1 = (g["p_a"] - g["p_e_gamma"]) / (1.0 - g["p_e_gamma"])
+    assert abs(g["ac1"] - ac1) < 2e-6
+
+
+def test_sax_vs_pandas_model(spark):
+    """The SAX word replays from a full pandas reimplementation of
+    z-normalize -> PAA -> Gaussian-breakpoint binning."""
+    import numpy as np
+
+    rows = {
+        r["event_type"]: r
+        for r in all_queries()["timeseries_sax"](spark, SF).collect()
+    }
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["day"] = pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    lo, hi = pdf["day"].min(), pdf["day"].max()
+    length = hi - lo + 1
+    for et, g in pdf.groupby("event_type"):
+        x = np.zeros(length)
+        cnt = g.groupby("day").size()
+        x[cnt.index.to_numpy() - lo] = cnt.to_numpy()
+        z = (x - x.mean()) / np.sqrt(((x - x.mean()) ** 2).mean())
+        segs = (8 * np.arange(length)) // length
+        word = ""
+        for s in range(8):
+            zv = z[segs == s].mean()
+            word += "abcd"[int(np.searchsorted([-0.6745, 0.0, 0.6745], zv, "right"))]
+        assert rows[et]["sax_word"] == word, (et, rows[et]["sax_word"], word)
+        assert rows[et]["n_segments"] == 8
+
+
+def test_peak_detection_vs_pandas(spark):
+    """Peak set and excess heights replay from the dense series."""
+    import numpy as np
+
+    rows = all_queries()["timeseries_peak_detection"](spark, SF).collect()
+    got = {(r["event_type"], r["day"]): (r["height"], r["left_excess"], r["right_excess"]) for r in rows}
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["day"] = pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    lo, hi = pdf["day"].min(), pdf["day"].max()
+    length = hi - lo + 1
+    want = {}
+    for et, g in pdf.groupby("event_type"):
+        x = np.full(length, 0, dtype="int64")
+        cnt = g.groupby("day").size()
+        x[cnt.index.to_numpy() - lo] = cnt.to_numpy()
+        pad = np.concatenate([[-1, -1], x, [-1, -1]])
+        for i in range(length):
+            lmax = max(pad[i], pad[i + 1])
+            rmax = max(pad[i + 3], pad[i + 4])
+            if x[i] > lmax and x[i] > rmax:
+                want[(et, lo + i)] = (x[i], x[i] - lmax, x[i] - rmax)
+    assert got == want
+
+
+def test_payload_entropy_vs_numpy(spark):
+    """Per-doc entropy matches numpy on a sample; uniform upper bound
+    ln(n_distinct) holds everywhere."""
+    import math as _m
+
+    import numpy as np
+
+    rows = all_queries()["mm_payload_entropy"](spark, SF).collect()
+    pdf = pd.read_parquet(os.path.join(SF, "documents.parquet")).set_index("doc_id")
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == int(pdf["text"].notna().sum())
+    for doc_id in list(by_id)[:25]:
+        txt = pdf.loc[doc_id, "text"]
+        vals, cnts = np.unique(list(txt), return_counts=True)
+        p = cnts / cnts.sum()
+        ref = float(-(p * np.log(p)).sum())
+        r = by_id[doc_id]
+        assert r["n_symbols"] == len(txt)
+        assert r["n_distinct"] == len(vals)
+        assert abs(r["byte_entropy"] - ref) < 1e-4
+        assert r["byte_entropy"] <= _m.log(r["n_distinct"]) + 1e-6
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_closeness_centrality",
+        "stats_cvm_two_sample",
+        "stats_gwet_ac1",
+        "timeseries_sax",
+        "timeseries_peak_detection",
+        "mm_payload_entropy",
+    ],
+)
+def test_round13_batch4_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
