@@ -4056,3 +4056,257 @@ def stats_gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, q6(p_e)).alias("p_e_gamma"),
         F.when(ok & (p_e < 1.0), q6((p_a - p_e) / (F.lit(1.0) - p_e))).alias("ac1"),
     )
+
+
+# --- Dunn's post-hoc test ----------------------------------------------------
+# The pairwise follow-up stats_kruskal_wallis needs: KW says "SOME
+# group differs", Dunn says WHICH pairs, via rank-mean z-statistics
+# with the tie-corrected pooled variance
+#   z_ij = (Rbar_i - Rbar_j)
+#          / sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j)).
+# Rides the identical pooled-histogram machinery (doubled rank sums s2
+# and tie moment T are exact int64 — kruskal's plan, one extra k x k
+# self-join over the k-row group relation). Released unadjusted; pair
+# count m = k(k-1)/2 rides along so any caller can Bonferroni at
+# alpha/m (the normal quantile is the caller's constant, not data).
+@register(
+    "stats_dunn_posthoc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    hg AS (
+      SELECT event_type, v, CAST(count(*) AS BIGINT) AS cg
+      FROM ev GROUP BY event_type, v
+    ),
+    hp AS (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM hg GROUP BY v),
+    rk AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS less
+      FROM hp
+    ),
+    g AS (
+      SELECT hg.event_type,
+             CAST(sum(hg.cg) AS BIGINT) AS nj,
+             CAST(sum(hg.cg * (2 * rk.less + rk.c + 1)) AS BIGINT) AS s2
+      FROM hg JOIN rk ON rk.v = hg.v GROUP BY hg.event_type
+    ),
+    tt AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM hp
+    ),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM g)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.nj AS n_a, b.nj AS n_b,
+           CAST(kk.k * (kk.k - 1) // 2 AS BIGINT) AS n_comparisons,
+           CASE WHEN tt.n > 1
+                 AND (CAST(tt.n AS DOUBLE) * (tt.n + 1) / 12.0
+                      - CAST(tt.t AS DOUBLE) / (12.0 * (tt.n - 1))) > 0 THEN
+             floor((CAST(a.s2 AS DOUBLE) / (2.0 * a.nj)
+                    - CAST(b.s2 AS DOUBLE) / (2.0 * b.nj))
+                   / sqrt((CAST(tt.n AS DOUBLE) * (tt.n + 1) / 12.0
+                           - CAST(tt.t AS DOUBLE) / (12.0 * (tt.n - 1)))
+                          * (1.0 / a.nj + 1.0 / b.nj))
+                   * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM g a JOIN g b ON a.event_type < b.event_type, tt, kk
+    """,
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's pairwise rank-mean z for every event-type pair — the
+    post-hoc companion of stats_kruskal_wallis on the same exact
+    integer rank machinery; see the block comment. Plan: the KW
+    histogram prefix plan plus a k x k broadcast self-join of the
+    k-row group relation."""
+    from kinesis2sse_spark.queries.ml_eval import _with_prefix_counts
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    hg = ev.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("cg")
+    )
+    hp = (
+        hg.groupBy("v")
+        .agg(F.sum("cg").cast("bigint").alias("c"))
+        .select(F.col("v").alias("s"), "c", F.lit(0).cast("bigint").alias("cp"))
+        .transform(pin_cache)
+    )
+    rk = _with_prefix_counts(hp, keys=(), keep_value=True).select(
+        F.col("s").alias("v"), "c", "less"
+    )
+    g = (
+        hg.join(rk, "v")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cg").cast("bigint").alias("nj"),
+            F.sum(F.col("cg") * (2 * F.col("less") + F.col("c") + 1))
+            .cast("bigint")
+            .alias("s2"),
+        )
+        .transform(pin_cache)
+    )
+    tt = hp.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("t"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    kk = g.agg(F.count("*").cast("bigint").alias("k"))
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("nj").alias("n_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("nj").alias("n_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(kk))
+    )
+    nd = F.col("n").cast("double")
+    varp = nd * (F.col("n") + 1) / 12.0 - F.col("t").cast("double") / (
+        12.0 * (F.col("n") - 1)
+    )
+    z = (
+        F.col("s2_a").cast("double") / (2.0 * F.col("n_a"))
+        - F.col("s2_b").cast("double") / (2.0 * F.col("n_b"))
+    ) / F.sqrt(varp * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return j.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        F.expr("k * (k - 1) div 2").cast("bigint").alias("n_comparisons"),
+        F.when(
+            (F.col("n") > 1) & (varp > 0),
+            F.floor(z * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("z_stat"),
+    )
+
+
+# --- Cochran's Q -------------------------------------------------------------
+# The binary repeated-measures test completing the block-design ladder
+# (Friedman = ordinal response, Cochran = binary): blocks = complete-
+# panel users, treatments = event types, response = "did the user's
+# total milli-value in that type clear COCHRAN_T". ENTIRELY integer:
+#   Q = (k-1) (k * sum_j C_j^2 - S^2) / (k * S - sum_u R_u^2)
+# with column totals C_j, row totals R_u, grand total S — one exact
+# rational, df = k-1. Rows-constant blocks (R_u in 0..k) keep every
+# moment int64 at any corpus size. Plan: (user, type) aggregate,
+# complete-block filter, two map-side moment aggregates, 1-row fold.
+COCHRAN_T = 1500000  # milli-lattice threshold: ~1.5k total value per type
+
+
+@register(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, event_type,
+             CASE WHEN sum(CAST(floor(value * 1000 + 0.5) AS BIGINT))
+                  > {COCHRAN_T} THEN 1 ELSE 0 END AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ),
+    kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM m),
+    cb AS (
+      SELECT user_id FROM m, kk
+      GROUP BY user_id, kk.k HAVING count(*) = any_value(kk.k)
+    ),
+    f AS (SELECT m.* FROM m JOIN cb USING (user_id)),
+    cj AS (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS c FROM f GROUP BY event_type
+    ),
+    ru AS (
+      SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM f GROUP BY user_id
+    ),
+    mom AS (
+      SELECT (SELECT CAST(sum(c * c) AS BIGINT) FROM cj) AS sc2,
+             (SELECT CAST(sum(c) AS BIGINT) FROM cj) AS s,
+             (SELECT CAST(sum(r * r) AS BIGINT) FROM ru) AS sr2,
+             (SELECT CAST(count(*) AS BIGINT) FROM ru) AS n,
+             (SELECT k FROM kk) AS k
+    )
+    SELECT n AS n_blocks, k AS n_treatments,
+           CAST(k - 1 AS BIGINT) AS df,
+           CASE WHEN k * s - sr2 > 0 THEN
+             floor(CAST((k - 1) * (k * sc2 - s * s) AS DOUBLE)
+                   / (k * s - sr2) * 1000000 + 0.5) / 1000000
+           END AS cochran_q
+    FROM mom
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across event types on the binary cleared-threshold
+    response over complete user blocks — exact integer statistic; see
+    the block comment for formula and plan shape."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    m = (
+        ev.groupBy("user_id", "event_type")
+        .agg((F.sum("v") > COCHRAN_T).cast("int").alias("x"))
+        .transform(pin_cache)
+    )
+    kk = m.agg(F.countDistinct("event_type").cast("bigint").alias("k"))
+    cb = (
+        m.crossJoin(F.broadcast(kk))
+        .groupBy("user_id", "k")
+        .agg(F.count("*").alias("ct"))
+        .where(F.col("ct") == F.col("k"))
+        .select("user_id")
+    )
+    f = m.join(cb, "user_id").transform(pin_cache)
+    cj = f.groupBy("event_type").agg(F.sum("x").cast("bigint").alias("c"))
+    ru = f.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("r"))
+    mom = (
+        cj.agg(
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+            F.sum("c").cast("bigint").alias("s"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ru.agg(
+                    F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+                    F.count("*").cast("bigint").alias("n"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(kk))
+    )
+    den = F.col("k") * F.col("s") - F.col("sr2")
+    return mom.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.when(
+            den > 0,
+            F.floor(
+                (
+                    (F.col("k") - 1)
+                    * (F.col("k") * F.col("sc2") - F.col("s") * F.col("s"))
+                ).cast("double")
+                / den
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000,
+        ).alias("cochran_q"),
+    )

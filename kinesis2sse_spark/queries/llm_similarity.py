@@ -3962,3 +3962,109 @@ def sim_rbo_ivf_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rbo"),
         )
     )
+
+
+# --- cosine-similarity histogram --------------------------------------------
+# Embedding-space geometry diagnostic: the distribution of cosine
+# similarity between deterministically sampled vector pairs — the
+# cheap "is this embedding space collapsing?" probe (anisotropy /
+# modal collapse shows up as the mass piling into the top buckets;
+# healthy spaces spread around their mean). One partner per vector via
+# the overflow-safe multiplicative hash modulo the corpus size, so the
+# sample is LINEAR in the corpus (never all-pairs), unbiased across
+# id ranges, and replayable: partner(v) = (v * 2654435761 mod
+# 1000000007) mod n. Pairs where the hash lands on the vector itself
+# drop (documented, counted). The cosine is the corpus-wide fold
+# convention (double-cast, sequential fold — order fixed, engine-
+# identical) rounded 1e6, so bucket edges cut identically; buckets are
+# the 20 width-0.1 cells of [-1, 1]. Plan: 1-row count broadcast, one
+# equi-join on the hashed partner id (shuffle keyed on vec_id), one
+# 20-group aggregate.
+@register(
+    "emb_cosine_histogram",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id,
+             (a.vec_id * 2654435761) % 1000000007 % n.n AS pid
+      FROM embeddings a, n
+    ),
+    scored AS (
+      SELECT round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cs
+      FROM pairs p
+      JOIN embeddings a ON a.vec_id = p.vec_id
+      JOIN embeddings b ON b.vec_id = p.pid
+      WHERE p.pid <> p.vec_id
+    ),
+    b AS (
+      SELECT least(19, greatest(0, CAST(floor((cs + 1.0) * 10) AS BIGINT)))
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM scored GROUP BY 1
+    )
+    SELECT bucket,
+           floor((CAST(bucket AS DOUBLE) / 10 - 1.0) * 1000000 + 0.5)
+             / 1000000 AS cos_lo,
+           n_pairs,
+           floor(CAST(n_pairs AS DOUBLE)
+                 / (SELECT sum(n_pairs) FROM b) * 1000000 + 0.5)
+             / 1000000 AS frac
+    FROM b
+    """,
+)
+def emb_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket cosine-similarity histogram over hash-sampled vector
+    pairs (one partner per vector — linear, never all-pairs); the
+    embedding-space collapse diagnostic. See the block comment."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.agg(F.count("*").cast("bigint").alias("n"))
+    corpus = _with_norm(e).transform(pin_cache)
+    pairs = (
+        corpus.crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            ((F.col("vec_id") * 2654435761) % 1000000007 % F.col("n")).alias("pid"),
+        )
+        .where(F.col("pid") != F.col("vec_id"))
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("pid"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bnorm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "bv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cs = F.round(dot / (F.col("norm") * F.col("bnorm")), 6)
+    scored = pairs.join(b, "pid").select(cs.alias("cs"))
+    h = (
+        scored.groupBy(
+            F.least(
+                F.lit(19),
+                F.greatest(F.lit(0), F.floor((F.col("cs") + 1.0) * 10)),
+            )
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .transform(pin_cache)
+    )
+    tot = h.agg(F.sum("n_pairs").cast("bigint").alias("tp"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.floor((F.col("bucket").cast("double") / 10 - 1.0) * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("cos_lo"),
+        "n_pairs",
+        (
+            F.floor(
+                F.col("n_pairs").cast("double") / F.col("tp") * 1000000 + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("frac"),
+    )

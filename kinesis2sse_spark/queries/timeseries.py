@@ -2581,3 +2581,169 @@ def timeseries_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") - F.col("lmax")).cast("bigint").alias("left_excess"),
         (F.col("x") - F.col("rmax")).cast("bigint").alias("right_excess"),
     )
+
+
+# --- Granger-style lead test -------------------------------------------------
+# The parametric answer to the question timeseries_cross_correlation
+# only hints at: does type A's daily volume LEAD type B's, beyond what
+# B's own history explains? Order-1 Granger F: restricted model
+# y_t ~ 1 + y_{t-1} vs full y_t ~ 1 + y_{t-1} + x_{t-1}, on the dense
+# shared day spine; F = (SSE_r - SSE_f) / (SSE_f / (T - 3)).
+# Exactness: the ten raw moments over the (pair, day) relation are
+# exact int64; the scaled centered moments A_pq = T*S_pq - S_p*S_q
+# stay exact int64 (CCF's convention), and every SSE is a fixed-shape
+# double expression of those ints — identical on both engines, 1/T
+# factors cancelling inside F. Plan: corpus collapses once to the
+# (type, day) dense relation (broadcast-spine densify), a per-type lag
+# window over days-bounded partitions, one day-equi join against the
+# lagged cause series, and a k(k-1)-group moment aggregate — nothing
+# downstream of the first collapse scales with the corpus.
+@register(
+    "timeseries_granger_lead",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day, COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d
+        ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    yl AS (
+      SELECT event_type AS eb, day, x AS z,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS u
+      FROM dense
+    ),
+    p AS (
+      SELECT a.event_type AS ea, yl.eb, yl.z, yl.u, a.x AS w
+      FROM yl JOIN dense a ON a.day = yl.day - 1
+      WHERE yl.u IS NOT NULL AND a.event_type <> yl.eb
+    ),
+    m AS (
+      SELECT ea, eb,
+             CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(u) AS BIGINT) AS su, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(sum(u * u) AS BIGINT) AS suu,
+             CAST(sum(w * w) AS BIGINT) AS sww,
+             CAST(sum(u * w) AS BIGINT) AS suw,
+             CAST(sum(u * z) AS BIGINT) AS suz,
+             CAST(sum(w * z) AS BIGINT) AS swz,
+             CAST(sum(z * z) AS BIGINT) AS szz
+      FROM p GROUP BY ea, eb
+    ),
+    a AS (
+      SELECT ea, eb, t,
+             CAST(t * suu - su * su AS DOUBLE) AS auu,
+             CAST(t * sww - sw * sw AS DOUBLE) AS aww,
+             CAST(t * suw - su * sw AS DOUBLE) AS auw,
+             CAST(t * suz - su * sz AS DOUBLE) AS auz,
+             CAST(t * swz - sw * sz AS DOUBLE) AS awz,
+             CAST(t * szz - sz * sz AS DOUBLE) AS azz
+      FROM m
+    ),
+    f AS (
+      SELECT ea, eb, t, auu, azz,
+             auu * aww - auw * auw AS det,
+             azz - auz * auz / auu AS sser,
+             azz - (aww * auz * auz - 2 * auw * auz * awz + auu * awz * awz)
+                   / (auu * aww - auw * auw) AS ssef
+      FROM a WHERE auu > 0
+    )
+    SELECT ea AS cause_type, eb AS effect_type,
+           t AS n_samples, CAST(t - 3 AS BIGINT) AS df_resid,
+           CASE WHEN det > 0 AND ssef > 0 AND t > 3 THEN
+             floor((sser - ssef) / (ssef / (t - 3)) * 1000000 + 0.5) / 1000000
+           END AS f_stat
+    FROM f
+    """,
+)
+def timeseries_granger_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-1 Granger lead F for every directed event-type pair over
+    the dense daily series — see the block comment for the exact-int
+    moment ladder and the domain-bounded plan."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .transform(pin_cache)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    dense = (
+        spine.join(d, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .transform(pin_cache)
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    yl = dense.select(
+        F.col("event_type").alias("eb"),
+        "day",
+        F.col("x").alias("z"),
+        F.lag("x", 1).over(w).alias("u"),
+    ).where(F.col("u").isNotNull())
+    a_side = dense.select(
+        F.col("event_type").alias("ea"),
+        (F.col("day") + 1).alias("day"),
+        F.col("x").alias("w"),
+    )
+    p = yl.join(a_side, "day").where(F.col("ea") != F.col("eb"))
+    m = p.groupBy("ea", "eb").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum(F.col("u") * F.col("w")).cast("bigint").alias("suw"),
+        F.sum(F.col("u") * F.col("z")).cast("bigint").alias("suz"),
+        F.sum(F.col("w") * F.col("z")).cast("bigint").alias("swz"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+    )
+    t = F.col("t")
+    auu = (t * F.col("suu") - F.col("su") * F.col("su")).cast("double")
+    aww = (t * F.col("sww") - F.col("sw") * F.col("sw")).cast("double")
+    auw = (t * F.col("suw") - F.col("su") * F.col("sw")).cast("double")
+    auz = (t * F.col("suz") - F.col("su") * F.col("sz")).cast("double")
+    awz = (t * F.col("swz") - F.col("sw") * F.col("sz")).cast("double")
+    azz = (t * F.col("szz") - F.col("sz") * F.col("sz")).cast("double")
+    det = auu * aww - auw * auw
+    sser = azz - auz * auz / auu
+    ssef = azz - (aww * auz * auz - 2 * auw * auz * awz + auu * awz * awz) / det
+    fstat = (sser - ssef) / (ssef / (t - 3))
+    return m.where(auu > 0).select(
+        F.col("ea").alias("cause_type"),
+        F.col("eb").alias("effect_type"),
+        t.alias("n_samples"),
+        (t - 3).cast("bigint").alias("df_resid"),
+        F.when(
+            (det > 0) & (ssef > 0) & (t > 3),
+            F.floor(fstat * 1000000 + F.lit(0.5)) / 1000000,
+        ).alias("f_stat"),
+    )

@@ -928,3 +928,122 @@ def test_payload_entropy_vs_numpy(spark):
 def test_round13_batch4_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---- fifth round-13 batch: dunn / cochran / granger / cosine histogram -----
+
+
+def test_dunn_vs_model(spark):
+    """Every pairwise z replays from pandas average ranks with the
+    tie-corrected pooled variance."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["v"] = np.floor(pdf["value"] * 1000 + 0.5).astype("int64")
+    pdf["rnk"] = pdf["v"].rank(method="average")
+    n = len(pdf)
+    vc = pdf["v"].value_counts()
+    tie = float((vc**3 - vc).sum())
+    varp = n * (n + 1) / 12.0 - tie / (12.0 * (n - 1))
+    mean_rank = pdf.groupby("event_type")["rnk"].mean()
+    sizes = pdf.groupby("event_type").size()
+    rows = all_queries()["stats_dunn_posthoc"](spark, SF).collect()
+    k = len(sizes)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        za = (mean_rank[r["type_a"]] - mean_rank[r["type_b"]]) / math.sqrt(
+            varp * (1.0 / sizes[r["type_a"]] + 1.0 / sizes[r["type_b"]])
+        )
+        assert abs(r["z_stat"] - za) < 1e-4
+        assert r["n_comparisons"] == k * (k - 1) // 2
+        assert (r["n_a"], r["n_b"]) == (sizes[r["type_a"]], sizes[r["type_b"]])
+
+
+def test_cochran_q_vs_model(spark):
+    """Q replays from the pandas binary block matrix."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.aggregates import COCHRAN_T
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["v"] = np.floor(pdf["value"] * 1000 + 0.5).astype("int64")
+    m = (pdf.groupby(["user_id", "event_type"])["v"].sum() > COCHRAN_T).unstack()
+    m = m.dropna()  # complete blocks only
+    x = m.to_numpy().astype("int64")
+    n, k = x.shape
+    cj, ru, s = x.sum(axis=0), x.sum(axis=1), x.sum()
+    q_ref = (k - 1) * (k * (cj**2).sum() - s**2) / (k * s - (ru**2).sum())
+    r = all_queries()["stats_cochran_q"](spark, SF).collect()[0]
+    assert (r["n_blocks"], r["n_treatments"], r["df"]) == (n, k, k - 1)
+    assert abs(r["cochran_q"] - q_ref) < 1e-4
+
+
+def test_granger_vs_numpy(spark):
+    """The F statistic replays from numpy least squares for every
+    directed pair (restricted vs full SSE)."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["day"] = pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    lo, hi = pdf["day"].min(), pdf["day"].max()
+    length = hi - lo + 1
+    series = {}
+    for et, g in pdf.groupby("event_type"):
+        x = np.zeros(length)
+        cnt = g.groupby("day").size()
+        x[cnt.index.to_numpy() - lo] = cnt.to_numpy()
+        series[et] = x
+    rows = all_queries()["timeseries_granger_lead"](spark, SF).collect()
+    assert len(rows) == len(series) * (len(series) - 1)
+    for r in rows:
+        xa, xb = series[r["cause_type"]], series[r["effect_type"]]
+        z, u, w = xb[1:], xb[:-1], xa[:-1]
+        t = len(z)
+        xr = np.column_stack([np.ones(t), u])
+        xf = np.column_stack([np.ones(t), u, w])
+        sser = ((z - xr @ np.linalg.lstsq(xr, z, rcond=None)[0]) ** 2).sum()
+        ssef = ((z - xf @ np.linalg.lstsq(xf, z, rcond=None)[0]) ** 2).sum()
+        f_ref = (sser - ssef) / (ssef / (t - 3))
+        assert r["n_samples"] == t and r["df_resid"] == t - 3
+        assert abs(r["f_stat"] - f_ref) < 1e-3, (r, f_ref)
+
+
+def test_cosine_histogram_model(spark):
+    """Bucket fractions sum to ~1; pair count = vectors whose hash
+    partner differs; a spot pair's cosine lands in its bucket."""
+    import numpy as np
+
+    rows = all_queries()["emb_cosine_histogram"](spark, SF).collect()
+    pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    n = len(pdf)
+    pid = (pdf["vec_id"].to_numpy() * 2654435761) % 1000000007 % n
+    valid = pid != pdf["vec_id"].to_numpy()
+    assert sum(r["n_pairs"] for r in rows) == int(valid.sum())
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 <= r["bucket"] <= 19
+    # spot-check: the first valid pair's cosine lands in a reported bucket
+    i = int(np.argmax(valid))
+    a = pdf.set_index("vec_id")
+    va = np.array(a.loc[pdf["vec_id"].iloc[i], "embedding"], dtype="float64")
+    vb = np.array(a.loc[int(pid[i]), "embedding"], dtype="float64")
+    cs = round(float(va @ vb / np.sqrt((va @ va) * (vb @ vb))), 6)
+    bucket = min(19, max(0, int(math.floor((cs + 1.0) * 10))))
+    assert bucket in {r["bucket"] for r in rows}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stats_dunn_posthoc",
+        "stats_cochran_q",
+        "timeseries_granger_lead",
+        "emb_cosine_histogram",
+    ],
+)
+def test_round13_batch5_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
