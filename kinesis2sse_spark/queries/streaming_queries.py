@@ -1464,3 +1464,71 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=8,
     )
     return out.select("event_id", "user_id", "win_start", "is_admitted")
+
+
+# --- streaming SRM monitor ---------------------------------------------------
+# The streaming twin of stats_srm_check: as events arrive, the first
+# occurrence of each user flows through a streaming dropDuplicates
+# (ONE stateful operator — update/append chaining limits don't apply),
+# and the enrollment balance between the two hash arms is read off the
+# sink with the exact 2-arm chi-square (n0-n1)^2/N. This is the
+# guardrail shape every experimentation pipeline runs live: SRM is
+# detected DURING enrollment, not at analysis time. State = one
+# 8-byte-keyed seen marker per user (exact; at extreme keyspaces the
+# production variant swaps in a sketch, trading exactness — the
+# documented contract here is exact-first like streaming_dedup, whose
+# state discipline this rides). The final counts must equal the batch
+# distinct-user split — that equivalence is the oracle.
+@register(
+    "streaming_srm_monitor",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ((user_id + 1) * 2654435761) % 1000000007 % 2 AS arm
+      FROM events GROUP BY user_id
+    ),
+    ua AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM u
+    )
+    SELECT n0 AS users_arm0, n1 AS users_arm1,
+           CASE WHEN n0 + n1 > 0 THEN
+             floor(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)
+                   * 1000000 + 0.5) / 1000000
+           END AS srm_chi2,
+           CASE WHEN n0 + n1 > 0 THEN
+             CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.841459
+           END AS srm_detected
+    FROM ua
+    """,
+)
+def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live sample-ratio-mismatch guardrail: streaming first-seen user
+    dedup (exact keyed state) -> hash-arm split -> exact 2-arm
+    chi-square over the sink. See the block comment."""
+    s = events_stream(spark, sf_dir).select("user_id").dropDuplicates(["user_id"])
+    out = run_to_memory(
+        s,
+        _qname("srm_monitor"),
+        output_mode="append",
+        shuffle_partitions=8,
+        no_data_batches=False,
+    )
+    arm = ((F.col("user_id") + 1) * 2654435761) % 1000000007 % 2
+    ua = out.agg(
+        F.sum((arm == 0).cast("int")).cast("bigint").alias("n0"),
+        F.sum((arm == 1).cast("int")).cast("bigint").alias("n1"),
+    )
+    nn = F.col("n0") + F.col("n1")
+    chi = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / nn
+    return ua.select(
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.when(nn > 0, F.floor(chi * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "srm_chi2"
+        ),
+        F.when(nn > 0, chi > 3.841459).alias("srm_detected"),
+    )

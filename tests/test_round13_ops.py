@@ -1047,3 +1047,22 @@ def test_cosine_histogram_model(spark):
 def test_round13_batch5_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_streaming_srm_matches_batch(spark):
+    """The streaming monitor's final counts and chi2 must equal the
+    batch stats_srm_check user columns exactly."""
+    qs = all_queries()
+    s = qs["streaming_srm_monitor"](spark, SF).collect()[0]
+    b = qs["stats_srm_check"](spark, SF).collect()[0]
+    assert (s["users_arm0"], s["users_arm1"]) == (
+        b["users_arm0"],
+        b["users_arm1"],
+    )
+    assert s["srm_chi2"] == b["srm_chi2"]
+    assert s["srm_detected"] == b["srm_detected"]
+
+
+def test_streaming_srm_smoke_sf0001(spark):
+    df = all_queries()["streaming_srm_monitor"](spark, SF_SMOKE)
+    assert df.count() >= 0
