@@ -293,6 +293,56 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("aggregates.py", "stats_jackknife_variance", "tot"): "constant",
     ("aggregates.py", "stats_jackknife_variance", "mbar"): "constant",
     ("aggregates.py", "stats_jackknife_variance", "dev"): "constant",
+    # agreement suite: per-category totals (4 fixed value bands)
+    ("aggregates.py", "stats_krippendorff_alpha", "nc"): "domain-bounded",
+    ("aggregates.py", "stats_fleiss_kappa", "nc"): "domain-bounded",
+    ("aggregates.py", "stats_gwet_ac1", "mom"): "constant",  # 1-row moments
+    ("aggregates.py", "stats_gwet_ac1", "pe"): "constant",  # 1-row chance term
+    # block-design tests: 1-row treatment-count / moment folds
+    ("aggregates.py", "stats_friedman", "kk"): "constant",
+    ("aggregates.py", "stats_friedman", "mom"): "constant",
+    ("aggregates.py", "stats_srm_check", "ea"): "constant",  # 1-row arm sums
+    ("aggregates.py", "stats_cvm_two_sample", "nm"): "constant",  # 1-row n/m
+    # Dunn: k-row group relation, 1-row tie moment, 1-row k
+    ("aggregates.py", "stats_dunn_posthoc", "b"): "domain-bounded",
+    ("aggregates.py", "stats_dunn_posthoc", "tt"): "constant",
+    ("aggregates.py", "stats_dunn_posthoc", "kk"): "constant",
+    ("aggregates.py", "stats_cochran_q", "kk"): "constant",
+    (
+        "aggregates.py",
+        "stats_cochran_q",
+        "ru.agg(F.sum(F.col('r') * F.col('r')).cast('bigint').alias('sr2'), "
+        "F.count('*').cast('bigint').alias('n'))",
+    ): "constant",  # 1-row row-total moments
+    # cosine histogram: 1-row corpus count, 1-row pair total
+    ("llm_similarity.py", "emb_cosine_histogram", "n"): "constant",
+    ("llm_similarity.py", "emb_cosine_histogram", "tot"): "constant",
+    # class-balance cap: 1-row minority count
+    ("llm_text.py", "sample_class_balance", "cap"): "constant",
+    # naive Bayes: per-lang totals (language domain), 1-row vocab size /
+    # doc total, lang-row prior/default table
+    ("llm_text.py", "_nb_spark_model", "tl"): "domain-bounded",
+    ("llm_text.py", "_nb_spark_model", "vv"): "constant",
+    ("llm_text.py", "ml_naive_bayes_confusion", "dd"): "constant",
+    ("llm_text.py", "ml_naive_bayes_confusion", "vv"): "constant",
+    ("llm_text.py", "ml_naive_bayes_confusion", "cls"): "domain-bounded",
+    # Heaps: 1-row id bounds, 1-row final totals
+    ("llm_text.py", "text_heaps_law", "b"): "constant",
+    ("llm_text.py", "text_heaps_law", "tots"): "constant",
+    # survival / stump: duration-domain hazard table, 1-row score total
+    ("ml_eval.py", "ml_kaplan_meier", "h"): "domain-bounded",
+    ("ml_eval.py", "ml_decision_stump", "tot"): "constant",
+    # DP quantile: 101-cell lattice counts, 1-row total
+    ("privacy.py", "privacy_dp_quantile", "cells"): "constant",
+    ("privacy.py", "privacy_dp_quantile", "n1"): "constant",
+    # daily-series suite: 1-row day bounds / per-type moment tables
+    ("timeseries.py", "timeseries_cross_correlation", "bounds"): "constant",
+    ("timeseries.py", "timeseries_permutation_entropy", "bounds"): "constant",
+    ("timeseries.py", "timeseries_permutation_entropy", "tot"): "domain-bounded",
+    ("timeseries.py", "timeseries_sax", "bounds"): "constant",
+    ("timeseries.py", "timeseries_sax", "mom"): "domain-bounded",
+    ("timeseries.py", "timeseries_peak_detection", "bounds"): "constant",
+    ("timeseries.py", "timeseries_granger_lead", "bounds"): "constant",
     # --- privacy: t-closeness grid sides — sensitive-bucket relation
     # (bounded by max doc length / SENSITIVE_BUCKET) and 1-row totals
     ("privacy.py", "privacy_t_closeness", "buckets"): "domain-bounded",
