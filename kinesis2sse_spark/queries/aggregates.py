@@ -4310,3 +4310,72 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000,
         ).alias("cochran_q"),
     )
+
+
+# --- mode --------------------------------------------------------------------
+# Deterministic per-group mode (most frequent milli-quantized value,
+# smallest value on ties) with its support count and share — the one
+# descriptive statistic the agg_stats battery lacked; mode-vs-median
+# divergence is the quick skew probe on operational metrics. Exact:
+# histogram counts are int64 and the argmax rides a histogram-sized
+# (value-domain-bounded) window per group, never a corpus partition.
+@register(
+    "agg_mode",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, v
+    ),
+    t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY event_type),
+    r AS (
+      SELECT event_type, v, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, v) AS rn
+      FROM h
+    )
+    SELECT r.event_type,
+           floor(CAST(r.v AS DOUBLE) / 1000 * 1000000 + 0.5) / 1000000
+             AS mode_value,
+           r.c AS mode_count,
+           floor(CAST(r.c AS DOUBLE) / t.n * 1000000 + 0.5) / 1000000
+             AS mode_share
+    FROM r JOIN t USING (event_type) WHERE r.rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type deterministic mode of the milli-quantized value with
+    support count and share; see the block comment."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("v"),
+        )
+    )
+    h = (
+        ev.groupBy("event_type", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .transform(pin_cache)
+    )
+    t = h.groupBy("event_type").agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("c").desc(), "v")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            (
+                F.floor(F.col("v").cast("double") / 1000 * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("mode_value"),
+            F.col("c").alias("mode_count"),
+            (
+                F.floor(F.col("c").cast("double") / F.col("n") * 1000000 + F.lit(0.5))
+                / 1000000
+            ).alias("mode_share"),
+        )
+    )

@@ -2316,3 +2316,267 @@ def ml_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- Platt scaling -----------------------------------------------------------
+# The parametric calibration rung next to ml_isotonic_calibration:
+# fit p = sigmoid(a z + b) to the binary label by PLATT_ITERS unrolled
+# Newton steps on the cross-entropy with Platt's smoothed targets
+# t+ = (n+ + 1)/(n+ + 2), t- = 1/(n- + 2) (the out-of-sample trick
+# from Platt 1999), starting at a = 1, b = ln((n- + 1)/(n+ + 1)).
+# Determinism: each step's gradient/Hessian entries quantize per row
+# to the 1e12 lattice and sum as exact int64, so the (a, b) entering
+# the NEXT step are identical doubles on both engines and the whole
+# unrolled ladder replays exactly (the same argument as one lattice
+# aggregate, applied PLATT_ITERS times). Plan: the scored relation
+# pins once; each step is one map-side-combined 5-term aggregate plus
+# 1-row 2x2 Newton arithmetic — PLATT_ITERS linear passes, no windows,
+# no joins.
+PLATT_ITERS = 4
+_PLATT_Q = 1000000000000
+
+
+def _platt_step_sql(i: int) -> str:
+    """One unrolled Newton step as a pair of CTEs reading params p{i}
+    -> params p{i+1}."""
+    return f"""
+    g{i + 1} AS (
+      SELECT
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b)))
+                             - t.tgt) * t.z * {_PLATT_Q} + 0.5) AS BIGINT))
+             AS BIGINT) AS gx,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b)))
+                             - t.tgt) * {_PLATT_Q} + 0.5) AS BIGINT))
+             AS BIGINT) AS gb,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * t.z * t.z * {_PLATT_Q} + 0.5) AS BIGINT))
+             AS BIGINT) AS hxx,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * t.z * {_PLATT_Q} + 0.5) AS BIGINT))
+             AS BIGINT) AS hxb,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * (1.0 - 1.0 / (1.0 + exp(-(p{i}.a * t.z + p{i}.b))))
+                            * {_PLATT_Q} + 0.5) AS BIGINT))
+             AS BIGINT) AS hbb
+      FROM t, p{i}
+    ),
+    p{i + 1} AS (
+      SELECT
+        p{i}.a - (CAST(g{i + 1}.hbb AS DOUBLE) * g{i + 1}.gx
+                  - CAST(g{i + 1}.hxb AS DOUBLE) * g{i + 1}.gb)
+                 / (CAST(g{i + 1}.hxx AS DOUBLE) * g{i + 1}.hbb
+                    - CAST(g{i + 1}.hxb AS DOUBLE) * g{i + 1}.hxb) AS a,
+        p{i}.b - (CAST(g{i + 1}.hxx AS DOUBLE) * g{i + 1}.gb
+                  - CAST(g{i + 1}.hxb AS DOUBLE) * g{i + 1}.gx)
+                 / (CAST(g{i + 1}.hxx AS DOUBLE) * g{i + 1}.hbb
+                    - CAST(g{i + 1}.hxb AS DOUBLE) * g{i + 1}.hxb) AS b
+      FROM p{i}, g{i + 1}
+    )"""
+
+
+@register(
+    "ml_platt_scaling",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    nn AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM scored
+    ),
+    t AS (
+      SELECT CAST(s AS DOUBLE) / {LOGLOSS_Z_DIV} AS z,
+             CASE WHEN pos = 1
+                  THEN (CAST(nn.np AS DOUBLE) + 1) / (nn.np + 2)
+                  ELSE 1.0 / (nn.nn + 2) END AS tgt
+      FROM scored, nn
+    ),
+    p0 AS (
+      SELECT CAST(1.0 AS DOUBLE) AS a,
+             ln((CAST(nn.nn AS DOUBLE) + 1) / (nn.np + 1)) AS b
+      FROM nn
+    ),
+    {",".join(_platt_step_sql(i).strip().lstrip() for i in range(PLATT_ITERS))}
+    SELECT nn.np AS n_pos, nn.nn AS n_neg,
+           floor(p{PLATT_ITERS}.a * 1000000 + 0.5) / 1000000 AS platt_a,
+           floor(p{PLATT_ITERS}.b * 1000000 + 0.5) / 1000000 AS platt_b
+    FROM p{PLATT_ITERS}, nn
+    """,
+)
+def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt sigmoid calibration of the linear probe: PLATT_ITERS
+    unrolled Newton steps with 1e12-lattice gradient/Hessian sums —
+    exact-replay iterative optimization as pure dataflow; see the
+    block comment. Each step is one map-side aggregate over the pinned
+    scored relation plus 1-row 2x2 arithmetic."""
+    scored = _scored(spark, sf_dir).transform(pin_cache)
+    nn = scored.agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    t = (
+        scored.crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("s").cast("double") / LOGLOSS_Z_DIV).alias("z"),
+            F.when(
+                F.col("pos") == 1,
+                (F.col("np").cast("double") + 1) / (F.col("np") + 2),
+            )
+            .otherwise(1.0 / (F.col("nn") + 2))
+            .alias("tgt"),
+        )
+        .transform(pin_cache)
+    )
+    params = nn.select(
+        F.lit(1.0).alias("a"),
+        F.log((F.col("nn").cast("double") + 1) / (F.col("np") + 1)).alias("b"),
+    )
+    q = F.lit(float(_PLATT_Q))
+    for _ in range(PLATT_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.col("a") * F.col("z") + F.col("b"))))
+        gsum = (
+            t.crossJoin(F.broadcast(params))
+            .select(
+                F.floor((p - F.col("tgt")) * F.col("z") * q + F.lit(0.5))
+                .cast("bigint")
+                .alias("gx"),
+                F.floor((p - F.col("tgt")) * q + F.lit(0.5))
+                .cast("bigint")
+                .alias("gb"),
+                F.floor(p * (1.0 - p) * F.col("z") * F.col("z") * q + F.lit(0.5))
+                .cast("bigint")
+                .alias("hxx"),
+                F.floor(p * (1.0 - p) * F.col("z") * q + F.lit(0.5))
+                .cast("bigint")
+                .alias("hxb"),
+                F.floor(p * (1.0 - p) * q + F.lit(0.5)).cast("bigint").alias("hbb"),
+                F.lit(1).alias("one"),
+            )
+            .groupBy("one")
+            .agg(
+                F.sum("gx").cast("bigint").alias("gx"),
+                F.sum("gb").cast("bigint").alias("gb"),
+                F.sum("hxx").cast("bigint").alias("hxx"),
+                F.sum("hxb").cast("bigint").alias("hxb"),
+                F.sum("hbb").cast("bigint").alias("hbb"),
+            )
+        )
+        det = (
+            F.col("hxx").cast("double") * F.col("hbb")
+            - F.col("hxb").cast("double") * F.col("hxb")
+        )
+        params = params.crossJoin(F.broadcast(gsum)).select(
+            (
+                F.col("a")
+                - (
+                    F.col("hbb").cast("double") * F.col("gx")
+                    - F.col("hxb").cast("double") * F.col("gb")
+                )
+                / det
+            ).alias("a"),
+            (
+                F.col("b")
+                - (
+                    F.col("hxx").cast("double") * F.col("gb")
+                    - F.col("hxb").cast("double") * F.col("gx")
+                )
+                / det
+            ).alias("b"),
+        )
+    return params.crossJoin(F.broadcast(nn)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (F.floor(F.col("a") * 1000000 + F.lit(0.5)) / 1000000).alias("platt_a"),
+        (F.floor(F.col("b") * 1000000 + F.lit(0.5)) / 1000000).alias("platt_b"),
+    )
+
+
+# --- KS score separation -----------------------------------------------------
+# The credit-scoring / ranking-power headline metric: the maximum gap
+# between the positive and negative score CDFs of the linear probe —
+# "how separable are the classes at the best single threshold",
+# reported next to AUC in every scorecard. Rides the stats_ks_test
+# shape on the SCORE histogram: exact (c, cp) per distinct score, CDF
+# fractions are exact-int/exact-int IEEE divisions, max over identical
+# doubles is order-free. The score histogram is corpus-derived but the
+# window is the two-level-prefix-free simple cumulative over it — the
+# same domain-bounded-by-quantization argument as the AUC machinery's
+# bucketed ranks does not apply here, so the cumulative rides the
+# AUC bucket machinery (_with_prefix_counts) instead of a global
+# single-partition window.
+@register(
+    "ml_ks_separation",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    h AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(pos) AS BIGINT) AS cp
+      FROM scored GROUP BY s
+    ),
+    tot AS (
+      SELECT CAST(sum(cp) AS BIGINT) AS n1,
+             CAST(sum(c - cp) AS BIGINT) AS n0
+      FROM h
+    ),
+    cum AS (
+      SELECT sum(cp) OVER w AS ca, sum(c - cp) OVER w AS cb
+      FROM h
+      WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT tot.n1 AS n_pos, tot.n0 AS n_neg,
+           floor(max(abs(CAST(ca AS DOUBLE) / tot.n1
+                         - CAST(cb AS DOUBLE) / tot.n0))
+                 * 1000000 + 0.5) / 1000000 AS ks_stat
+    FROM cum, tot
+    GROUP BY tot.n1, tot.n0
+    """,
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max CDF gap between positive and negative probe scores (the
+    scorecard KS) — exact integer histogram, bucketed two-level prefix
+    cumulative (no corpus-sized window), 1-row max."""
+    from pyspark import StorageLevel
+
+    h = (
+        _scored(spark, sf_dir)
+        .groupBy("s")
+        .agg(F.count("*").alias("c"), F.sum("pos").cast("bigint").alias("cp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # cumulative-inclusive per class: per-class prefixes via the bucketed
+    # two-level machinery on each class's own histogram column
+    hp = h.select(
+        "s",
+        F.col("cp").alias("c"),
+        F.lit(0).cast("bigint").alias("cp"),
+    ).transform(pin_cache)
+    hn = h.select(
+        "s",
+        (F.col("c") - F.col("cp")).cast("bigint").alias("c"),
+        F.lit(0).cast("bigint").alias("cp"),
+    ).transform(pin_cache)
+    rp = _with_prefix_counts(hp, keep_value=True).select(
+        "s", (F.col("less") + F.col("c")).alias("ca")
+    )
+    rn = _with_prefix_counts(hn, keep_value=True).select(
+        "s", (F.col("less") + F.col("c")).alias("cb")
+    )
+    tot = h.agg(
+        F.sum("cp").cast("bigint").alias("n1"),
+        F.sum(F.col("c") - F.col("cp")).cast("bigint").alias("n0"),
+    )
+    j = rp.join(rn, "s").crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("n1")
+        - F.col("cb").cast("double") / F.col("n0")
+    )
+    return (
+        j.groupBy("n1", "n0")
+        .agg(F.max(gap).alias("mg"))
+        .select(
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            (F.floor(F.col("mg") * 1000000 + F.lit(0.5)) / 1000000).alias("ks_stat"),
+        )
+    )

@@ -1066,3 +1066,94 @@ def test_streaming_srm_matches_batch(spark):
 def test_streaming_srm_smoke_sf0001(spark):
     df = all_queries()["streaming_srm_monitor"](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---- sixth round-13 batch: platt / ks separation / mode --------------------
+
+
+def test_platt_vs_numpy(spark):
+    """The unrolled Newton ladder replays in numpy (same targets, same
+    iteration count) and the fitted sigmoid calibrates: higher scores
+    -> higher p, and the fit reduces loss vs the initial params."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.ml_eval import (
+        EVAL_POS_LABEL_MIN,
+        LOGLOSS_Z_DIV,
+        PLATT_ITERS,
+    )
+
+    pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    emb = np.stack(pdf["embedding"].to_numpy())
+    wq = np.floor(emb.astype("float64") * 1e6 + 0.5).astype("int64")
+    wv = ((np.arange(1, emb.shape[1] + 1, dtype="int64") * 2654435761)
+          % 1000000007) % 2001 - 1000
+    z = (wq * wv).sum(axis=1) / LOGLOSS_Z_DIV
+    y = (pdf["label"].to_numpy() >= EVAL_POS_LABEL_MIN).astype("float64")
+    np_, nn_ = y.sum(), (1 - y).sum()
+    tgt = np.where(y == 1, (np_ + 1) / (np_ + 2), 1.0 / (nn_ + 2))
+    a, b = 1.0, math.log((nn_ + 1) / (np_ + 1))
+    for _ in range(PLATT_ITERS):
+        p = 1.0 / (1.0 + np.exp(-(a * z + b)))
+        gx, gb = ((p - tgt) * z).sum(), (p - tgt).sum()
+        hxx = (p * (1 - p) * z * z).sum()
+        hxb = (p * (1 - p) * z).sum()
+        hbb = (p * (1 - p)).sum()
+        det = hxx * hbb - hxb * hxb
+        a, b = a - (hbb * gx - hxb * gb) / det, b - (hxx * gb - hxb * gx) / det
+    r = all_queries()["ml_platt_scaling"](spark, SF).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (int(np_), int(nn_))
+    assert abs(r["platt_a"] - a) < 1e-3 and abs(r["platt_b"] - b) < 1e-3
+    assert r["platt_a"] > 0  # calibration preserves score direction
+
+
+def test_ks_separation_vs_numpy(spark):
+    """KS = max CDF gap replayed from numpy; bounded by [0, 1] and
+    consistent with AUC direction (AUC > 0.5 iff positives rank high)."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.ml_eval import EVAL_POS_LABEL_MIN
+
+    pdf = pd.read_parquet(os.path.join(SF, "embeddings.parquet"))
+    emb = np.stack(pdf["embedding"].to_numpy())
+    wq = np.floor(emb.astype("float64") * 1e6 + 0.5).astype("int64")
+    wv = ((np.arange(1, emb.shape[1] + 1, dtype="int64") * 2654435761)
+          % 1000000007) % 2001 - 1000
+    s = (wq * wv).sum(axis=1)
+    y = pdf["label"].to_numpy() >= EVAL_POS_LABEL_MIN
+    grid = np.unique(s)
+    ca = np.searchsorted(np.sort(s[y]), grid, "right") / y.sum()
+    cb = np.searchsorted(np.sort(s[~y]), grid, "right") / (~y).sum()
+    ks_ref = np.abs(ca - cb).max()
+    r = all_queries()["ml_ks_separation"](spark, SF).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (int(y.sum()), int((~y).sum()))
+    assert abs(r["ks_stat"] - ks_ref) < 1e-5
+    assert 0.0 <= r["ks_stat"] <= 1.0
+
+
+def test_agg_mode_vs_pandas(spark):
+    """Mode value/count/share replay per type with the smallest-value
+    tie-break."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["v"] = np.floor(pdf["value"] * 1000 + 0.5).astype("int64")
+    rows = {r["event_type"]: r for r in all_queries()["agg_mode"](spark, SF).collect()}
+    for et, g in pdf.groupby("event_type"):
+        vc = g["v"].value_counts()
+        top = vc.max()
+        mode_v = min(vc[vc == top].index)
+        r = rows[et]
+        assert r["mode_count"] == top
+        assert abs(r["mode_value"] - mode_v / 1000) < 1e-6
+        assert abs(r["mode_share"] - top / len(g)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ml_platt_scaling", "ml_ks_separation", "agg_mode"],
+)
+def test_round13_batch6_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
