@@ -314,6 +314,13 @@ CENSUS: dict[tuple[str, str, str], str] = {
         "ru.agg(F.sum(F.col('r') * F.col('r')).cast('bigint').alias('sr2'), "
         "F.count('*').cast('bigint').alias('n'))",
     ): "constant",  # 1-row row-total moments
+    # mode: per-type totals (event-type domain)
+    ("aggregates.py", "agg_mode", "t"): "domain-bounded",
+    # Platt: 1-row class counts / per-step params / per-step moment fold
+    ("ml_eval.py", "ml_platt_scaling", "nn"): "constant",
+    ("ml_eval.py", "ml_platt_scaling", "params"): "constant",
+    ("ml_eval.py", "ml_platt_scaling", "gsum"): "constant",
+    ("ml_eval.py", "ml_ks_separation", "tot"): "constant",  # 1-row class totals
     # cosine histogram: 1-row corpus count, 1-row pair total
     ("llm_similarity.py", "emb_cosine_histogram", "n"): "constant",
     ("llm_similarity.py", "emb_cosine_histogram", "tot"): "constant",
