@@ -55,6 +55,12 @@ SHOW = [
     "pipeline_split_leakage",
     "text_bpe_pair_counts",
     "sample_weighted_pps",
+    # round-13 additions
+    "ml_naive_bayes_confusion",
+    "timeseries_granger_lead",
+    "stats_cvm_two_sample",
+    "text_heaps_law",
+    "emb_cosine_histogram",
     "timeseries_ewma",
     "funnel_conversion",
     "retention_cohort",
