@@ -5004,3 +5004,103 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_lnk"
         ),
     )
+
+
+# --- preference-pair construction -------------------------------------------
+# The RLHF/DPO data-prep primitive: within each source (the "prompt
+# group" stand-in), pair the i-th highest-quality document with the
+# i-th lowest as (chosen, rejected), keeping at most PREF_PAIRS_PER
+# pairs per group and only pairs whose quality margin clears
+# PREF_MIN_MARGIN — the standard "build preference pairs from a scalar
+# reward" recipe, expressed as two rank windows and a rank equi-join.
+# Scores are text_quality_score's q6-quantized composite (shared
+# implementation, so the ranking can't drift from the released
+# score). Deterministic tie-breaks: best ranks (quality DESC, doc_id),
+# worst ranks (quality ASC, doc_id DESC) — a doc can appear in both
+# rankings but never pairs with itself (explicit guard). Plan: the
+# quality relation joins source (doc-keyed), two source-partitioned
+# rank windows (WindowGroupLimit prunes beyond PREF_PAIRS_PER), one
+# rank equi-join on the tiny per-group heads.
+PREF_PAIRS_PER = 5
+PREF_MIN_MARGIN = 0.05
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.4
+                    + (len(list_filter(string_split(text, ' '),
+                                       t -> t IN ({{stops}}))) * 1.0
+                       / len(string_split(text, ' '))) * 0.3
+                    + (length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                       / length(text)) * 0.3) * 1000000 + 0.5) / 1000000
+               AS quality,
+             source
+      FROM documents
+    ),
+    best AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM q
+    ),
+    worst AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality ASC, doc_id DESC) AS rn
+      FROM q
+    )
+    SELECT b.source, b.rn AS pair_rank,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           floor((b.quality - w.quality) * 1000000 + 0.5) / 1000000 AS margin
+    FROM best b JOIN worst w ON b.source = w.source AND b.rn = w.rn
+    WHERE b.rn <= {PREF_PAIRS_PER}
+      AND b.doc_id <> w.doc_id
+      AND b.quality - w.quality >= {PREF_MIN_MARGIN}
+    """.replace("{stops}", _sql_list(EN_STOP)),
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(chosen, rejected) preference pairs per source from the shared
+    quality score — rank-i-best vs rank-i-worst with a minimum margin;
+    see the block comment for determinism and plan shape."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = (
+        text_quality_score(spark, sf_dir)
+        .select("doc_id", "quality")
+        .join(d, "doc_id")
+        .transform(pin_cache)
+    )
+    wb = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    ww = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").desc()
+    )
+    best = q.select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("qb"),
+        F.row_number().over(wb).alias("rn"),
+    ).where(F.col("rn") <= PREF_PAIRS_PER)
+    worst = q.select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("qw"),
+        F.row_number().over(ww).alias("rn"),
+    )
+    j = best.join(worst, ["source", "rn"])
+    return (
+        j.where(
+            (F.col("chosen_doc") != F.col("rejected_doc"))
+            & (F.col("qb") - F.col("qw") >= PREF_MIN_MARGIN)
+        )
+        .select(
+            "source",
+            F.col("rn").alias("pair_rank"),
+            "chosen_doc",
+            "rejected_doc",
+            (
+                F.floor((F.col("qb") - F.col("qw")) * 1000000 + F.lit(0.5)) / 1000000
+            ).alias("margin"),
+        )
+    )

@@ -2580,3 +2580,97 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("mg") * 1000000 + F.lit(0.5)) / 1000000).alias("ks_stat"),
         )
     )
+
+
+# --- regression metrics ------------------------------------------------------
+# The regression half of the eval surface (everything else grades
+# classifiers/rankers): MAE, RMSE, R^2 and MAPE of a FIXED linear
+# predictor yhat = REG_A * props.k + REG_B against the event value —
+# the baseline-model scorecard every "predict the metric" pipeline
+# starts from. Exactness: y and yhat live on the milli lattice
+# (yhat's integer form 1000*yhat = REG_A_MILLI*k + REG_B_MILLI is
+# exact), so the error moments (sum |e|, sum e^2, and the y moments
+# for R^2's total sum of squares) are exact int64; MAPE's per-row
+# ratio quantizes to the 1e12 lattice before its exact integer sum.
+# ONE map-side-combined corpus aggregate, 1-row arithmetic.
+REG_A_MILLI = 500  # yhat = 0.5 * k + 10  (milli: 500 * k + 10000)
+REG_B_MILLI = 10000
+
+
+@register(
+    "ml_regression_metrics",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS ym,
+             {REG_A_MILLI} * CAST(json_extract(props, '$.k') AS BIGINT)
+               + {REG_B_MILLI} AS fm
+      FROM events
+      WHERE value IS NOT NULL AND props IS NOT NULL AND json_valid(props)
+        AND json_extract(props, '$.k') IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(ym - fm)) AS BIGINT) AS sae,
+             CAST(sum((ym - fm) * (ym - fm)) AS BIGINT) AS sse,
+             CAST(sum(ym) AS BIGINT) AS sy,
+             CAST(sum(ym * ym) AS BIGINT) AS syy,
+             CAST(sum(CAST(floor(CAST(abs(ym - fm) AS DOUBLE) / ym
+                                 * 1000000000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sap
+      FROM p WHERE ym > 0
+    )
+    SELECT n,
+           floor(CAST(sae AS DOUBLE) / n / 1000 * 1000000 + 0.5) / 1000000
+             AS mae,
+           floor(sqrt(CAST(sse AS DOUBLE) / n) / 1000 * 1000000 + 0.5)
+             / 1000000 AS rmse,
+           CASE WHEN n * syy - sy * sy > 0 THEN
+             floor((1.0 - CAST(sse AS DOUBLE) * n
+                          / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   * 1000000 + 0.5) / 1000000
+           END AS r2,
+           floor(CAST(sap AS DOUBLE) / 1000000000000 / n * 1000000 + 0.5)
+             / 1000000 AS mape
+    FROM m
+    """,
+)
+def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE / RMSE / R^2 / MAPE of the fixed linear baseline predictor
+    on the milli lattice — exact integer error moments, one map-side
+    aggregate; see the block comment."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    p = e.where(
+        F.col("value").isNotNull() & F.col("props").isNotNull() & k.isNotNull()
+    ).select(
+        F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long").alias("ym"),
+        (REG_A_MILLI * k + REG_B_MILLI).alias("fm"),
+    ).where(F.col("ym") > 0)
+    er = F.col("ym") - F.col("fm")
+    m = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.abs(er)).cast("bigint").alias("sae"),
+        F.sum(er * er).cast("bigint").alias("sse"),
+        F.sum("ym").cast("bigint").alias("sy"),
+        F.sum(F.col("ym") * F.col("ym")).cast("bigint").alias("syy"),
+        F.sum(
+            F.floor(
+                F.abs(er).cast("double") / F.col("ym") * 1000000000000 + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sap"),
+    )
+    nd = F.col("n").cast("double")
+    tss = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return m.select(
+        "n",
+        q6(F.col("sae").cast("double") / F.col("n") / 1000).alias("mae"),
+        q6(F.sqrt(F.col("sse").cast("double") / F.col("n")) / 1000).alias("rmse"),
+        F.when(
+            F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0,
+            q6(1.0 - F.col("sse").cast("double") * nd / tss),
+        ).alias("r2"),
+        q6(F.col("sap").cast("double") / 1000000000000 / F.col("n")).alias("mape"),
+    )

@@ -1157,3 +1157,71 @@ def test_agg_mode_vs_pandas(spark):
 def test_round13_batch6_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+# ---- seventh round-13 batch: preference pairs / regression metrics ---------
+
+
+def test_preference_pairs_properties(spark):
+    """Pairs respect margin, rank bounds, chosen-quality dominance, and
+    per-group cardinality; chosen/rejected replay from the released
+    quality relation."""
+    from kinesis2sse_spark.queries.llm_text import (
+        PREF_MIN_MARGIN,
+        PREF_PAIRS_PER,
+        text_quality_score,
+    )
+
+    qdf = {
+        r["doc_id"]: r["quality"]
+        for r in text_quality_score(spark, SF).collect()
+    }
+    rows = all_queries()["pipeline_preference_pairs"](spark, SF).collect()
+    assert rows
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["source"], []).append(r)
+        assert 1 <= r["pair_rank"] <= PREF_PAIRS_PER
+        assert r["chosen_doc"] != r["rejected_doc"]
+        got_margin = qdf[r["chosen_doc"]] - qdf[r["rejected_doc"]]
+        assert got_margin >= PREF_MIN_MARGIN - 1e-9
+        assert abs(r["margin"] - got_margin) < 2e-6
+    for g, rs in per_group.items():
+        assert len(rs) <= PREF_PAIRS_PER
+        # rank-1 pair has the widest margin in its group
+        m1 = [r["margin"] for r in rs if r["pair_rank"] == 1]
+        if m1:
+            assert m1[0] >= max(r["margin"] for r in rs) - 1e-9
+
+
+def test_regression_metrics_vs_numpy(spark):
+    """MAE/RMSE/R2/MAPE replay from numpy on the lattice values."""
+    import json
+
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["value"].notna() & pdf["props"].notna()]
+    k = pdf["props"].map(lambda s: json.loads(s).get("k"))
+    pdf = pdf[k.notna()]
+    k = k[k.notna()].astype("int64")
+    ym = np.floor(pdf["value"].to_numpy() * 1000 + 0.5).astype("int64")
+    fm = 500 * k.to_numpy() + 10000
+    sel = ym > 0
+    ym, fm = ym[sel], fm[sel]
+    e = ym - fm
+    r = all_queries()["ml_regression_metrics"](spark, SF).collect()[0]
+    assert r["n"] == len(ym)
+    assert abs(r["mae"] - np.abs(e).mean() / 1000) < 1e-4
+    assert abs(r["rmse"] - np.sqrt((e.astype("float64") ** 2).mean()) / 1000) < 1e-4
+    r2_ref = 1.0 - (e.astype("float64") ** 2).sum() / ((ym - ym.mean()) ** 2).sum()
+    assert abs(r["r2"] - r2_ref) < 1e-4
+    assert abs(r["mape"] - (np.abs(e) / ym).mean()) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "name", ["pipeline_preference_pairs", "ml_regression_metrics"]
+)
+def test_round13_batch7_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
