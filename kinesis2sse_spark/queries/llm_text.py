@@ -5087,7 +5087,7 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("rejected_doc"),
         F.col("quality").alias("qw"),
         F.row_number().over(ww).alias("rn"),
-    )
+    ).where(F.col("rn") <= PREF_PAIRS_PER)  # WindowGroupLimit prunes map-side
     j = best.join(worst, ["source", "rn"])
     return (
         j.where(
