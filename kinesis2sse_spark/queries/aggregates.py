@@ -2591,10 +2591,13 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("s2").cast("double") - F.col("nj").cast("double") * (F.col("n") + 1))
         / (4.0 * F.col("nj"))
     )
+    # global (not keyed) fold: a keyed groupBy over an empty group
+    # relation emits ZERO rows while the oracle's ungrouped aggregate
+    # emits one — the empty-fixture divergence class; n/t re-join from
+    # the 1-row tt aggregate instead of riding the grouping key.
     fold = (
         g.crossJoin(F.broadcast(tt))
-        .select("event_type", "n", "t", term.alias("term"))
-        .groupBy("n", "t")
+        .select("event_type", term.alias("term"))
         .agg(
             F.count("*").cast("bigint").alias("k"),
             F.aggregate(
@@ -2606,6 +2609,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, x: a + x,
             ).alias("asum"),
         )
+        .crossJoin(F.broadcast(tt))
     )
     corr = 1.0 - F.col("t").cast("double") / (nd * nd * nd - nd)
     return fold.select(
@@ -3661,10 +3665,11 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n"),
     )
     tj = r.groupBy("event_type").agg(F.sum("d").cast("bigint").alias("dj"))
+    # global aggregate (same empty-row reasoning as the KW fold): the
+    # moment columns re-join from their 1-row aggregates afterwards.
     num = (
         tj.crossJoin(F.broadcast(mom))
         .crossJoin(F.broadcast(kk))
-        .groupBy("a4", "n", "k")
         .agg(
             F.sum(
                 (F.col("dj") - F.col("n") * (F.col("k") + 1))
@@ -3673,6 +3678,8 @@ def stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sq")
         )
+        .crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(kk))
     )
     den = F.col("a4") - F.col("n") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)
     return num.select(

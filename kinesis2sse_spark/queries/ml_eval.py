@@ -2451,9 +2451,7 @@ def ml_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("hxb"),
                 F.floor(p * (1.0 - p) * q + F.lit(0.5)).cast("bigint").alias("hbb"),
-                F.lit(1).alias("one"),
             )
-            .groupBy("one")
             .agg(
                 F.sum("gx").cast("bigint").alias("gx"),
                 F.sum("gb").cast("bigint").alias("gb"),

@@ -1225,3 +1225,22 @@ def test_regression_metrics_vs_numpy(spark):
 def test_round13_batch7_smoke_sf0001(spark, name):
     df = all_queries()[name](spark, SF_SMOKE)
     assert df.count() >= 0
+
+
+def test_global_stat_folds_emit_on_empty(spark):
+    """Kruskal-Wallis / Friedman / Platt must emit their single
+    summary row on EMPTY input exactly like their oracles' ungrouped
+    aggregates do (the keyed-groupBy-over-empty divergence class
+    caught by the round-13 empty audit)."""
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    d = _tf.mkdtemp(prefix="k2s_empty_stats_")
+    for t in ("events", "embeddings"):
+        tbl = _pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 0)
+        _pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
+    qs = all_queries()
+    for name in ("stats_kruskal_wallis", "stats_friedman", "ml_platt_scaling"):
+        rows = qs[name](spark, d).collect()
+        assert len(rows) == 1, (name, rows)

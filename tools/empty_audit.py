@@ -14,7 +14,8 @@ input contract requires the corpus to contain the codebook/centroid
 seed vectors (vec_id < 32), so a sub-codebook corpus violates their
 preconditions rather than exposing a defect.
 
-Usage: python tools/empty_audit.py [rows-per-table]  (default 0)
+Usage: python tools/empty_audit.py [rows-per-table] [name-substring ...]
+(default 0 rows, all oracle-backed queries)
 """
 
 from __future__ import annotations
@@ -49,6 +50,9 @@ def main() -> None:
         tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, rows)
         pq.write_table(tbl, os.path.join(d, f"{t}.parquet"))
     qs, osql = all_queries(), all_oracles()
+    subs = sys.argv[2:]
+    if subs:
+        osql = {n: o for n, o in osql.items() if any(s in n for s in subs)}
     skip = KNOWN_MODEL_INPUT if 0 < rows < 32 else set()
     mismatch, crash = [], []
     for name in sorted(osql):
