@@ -2588,8 +2588,10 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # starts from. Exactness: y and yhat live on the milli lattice
 # (yhat's integer form 1000*yhat = REG_A_MILLI*k + REG_B_MILLI is
 # exact), so the error moments (sum |e|, sum e^2, and the y moments
-# for R^2's total sum of squares) are exact int64; MAPE's per-row
-# ratio quantizes to the 1e12 lattice before its exact integer sum.
+# for R^2's total sum of squares) are exact int64; the TSS product
+# n*syy runs in double (it passes int64 at ~1e5 rows by magnitude, and
+# both engines cast the same exact ints); MAPE's per-row ratio
+# quantizes to the 1e12 lattice before its exact integer sum.
 # ONE map-side-combined corpus aggregate, 1-row arithmetic.
 REG_A_MILLI = 500  # yhat = 0.5 * k + 10  (milli: 500 * k + 10000)
 REG_B_MILLI = 10000
@@ -2622,7 +2624,7 @@ REG_B_MILLI = 10000
              AS mae,
            floor(sqrt(CAST(sse AS DOUBLE) / n) / 1000 * 1000000 + 0.5)
              / 1000000 AS rmse,
-           CASE WHEN n * syy - sy * sy > 0 THEN
+           CASE WHEN CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
              floor((1.0 - CAST(sse AS DOUBLE) * n
                           / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
                    * 1000000 + 0.5) / 1000000
@@ -2666,9 +2668,8 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         q6(F.col("sae").cast("double") / F.col("n") / 1000).alias("mae"),
         q6(F.sqrt(F.col("sse").cast("double") / F.col("n")) / 1000).alias("rmse"),
-        F.when(
-            F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0,
-            q6(1.0 - F.col("sse").cast("double") * nd / tss),
-        ).alias("r2"),
+        F.when(tss > 0, q6(1.0 - F.col("sse").cast("double") * nd / tss)).alias(
+            "r2"
+        ),
         q6(F.col("sap").cast("double") / 1000000000000 / F.col("n")).alias("mape"),
     )
