@@ -2588,10 +2588,13 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # starts from. Exactness: y and yhat live on the milli lattice
 # (yhat's integer form 1000*yhat = REG_A_MILLI*k + REG_B_MILLI is
 # exact), so the error moments (sum |e|, sum e^2, and the y moments
-# for R^2's total sum of squares) are exact int64; the TSS product
-# n*syy runs in double (it passes int64 at ~1e5 rows by magnitude, and
-# both engines cast the same exact ints); MAPE's per-row ratio
-# quantizes to the 1e12 lattice before its exact integer sum.
+# for R^2's total sum of squares) are exact: the linear moments stay
+# int64, while the squared moments (sse, syy) and the MAPE lattice sum
+# (per-row ratio quantized 1e12) accumulate in DECIMAL(38,0) — their
+# per-row terms pass int64 per-term but the corpus SUM does not (the
+# 100x curve leg caught the int64 accumulator overflowing under ANSI
+# mode); the TSS product n*syy then runs in double from the same exact
+# decimal on both engines.
 # ONE map-side-combined corpus aggregate, 1-row arithmetic.
 REG_A_MILLI = 500  # yhat = 0.5 * k + 10  (milli: 500 * k + 10000)
 REG_B_MILLI = 10000
@@ -2611,12 +2614,13 @@ REG_B_MILLI = 10000
     m AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(abs(ym - fm)) AS BIGINT) AS sae,
-             CAST(sum((ym - fm) * (ym - fm)) AS BIGINT) AS sse,
+             CAST(sum(CAST((ym - fm) * (ym - fm) AS DECIMAL(38, 0)))
+                  AS DECIMAL(38, 0)) AS sse,
              CAST(sum(ym) AS BIGINT) AS sy,
-             CAST(sum(ym * ym) AS BIGINT) AS syy,
-             CAST(sum(CAST(floor(CAST(abs(ym - fm) AS DOUBLE) / ym
-                                 * 1000000000000 + 0.5) AS BIGINT))
-                  AS BIGINT) AS sap
+             CAST(sum(CAST(ym * ym AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS syy,
+             CAST(sum(CAST(CAST(floor(CAST(abs(ym - fm) AS DOUBLE) / ym
+                                      * 1000000000000 + 0.5) AS BIGINT)
+                           AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sap
       FROM p WHERE ym > 0
     )
     SELECT n,
@@ -2650,19 +2654,25 @@ def ml_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = p.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.abs(er)).cast("bigint").alias("sae"),
-        F.sum(er * er).cast("bigint").alias("sse"),
+        F.sum((er * er).cast("decimal(38,0)")).cast("decimal(38,0)").alias("sse"),
         F.sum("ym").cast("bigint").alias("sy"),
-        F.sum(F.col("ym") * F.col("ym")).cast("bigint").alias("syy"),
+        F.sum((F.col("ym") * F.col("ym")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
         F.sum(
             F.floor(
                 F.abs(er).cast("double") / F.col("ym") * 1000000000000 + F.lit(0.5)
-            ).cast("bigint")
+            )
+            .cast("bigint")
+            .cast("decimal(38,0)")
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("sap"),
     )
     nd = F.col("n").cast("double")
-    tss = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    tss = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    )
     q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return m.select(
         "n",
