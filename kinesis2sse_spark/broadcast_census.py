@@ -350,6 +350,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("timeseries.py", "timeseries_sax", "mom"): "domain-bounded",
     ("timeseries.py", "timeseries_peak_detection", "bounds"): "constant",
     ("timeseries.py", "timeseries_granger_lead", "bounds"): "constant",
+    ("timeseries.py", "timeseries_page_hinkley", "bounds"): "constant",
     # --- privacy: t-closeness grid sides — sensitive-bucket relation
     # (bounded by max doc length / SENSITIVE_BUCKET) and 1-row totals
     ("privacy.py", "privacy_t_closeness", "buckets"): "domain-bounded",

@@ -4386,3 +4386,107 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mode_share"),
         )
     )
+
+
+# --- two-proportion z-test ---------------------------------------------------
+# The conversion-rate A/B significance test completing the experiment
+# trio (stats_srm_check guards enrollment, streaming_srm_monitor
+# guards it live, this tests the outcome): users hash into the same
+# two arms, "converted" = has at least one HIGH-VALUE purchase
+# (value > TWO_PROP_VALUE_T — bare "any purchase" saturates to a 100%
+# conversion rate at realistic activity levels, the degenerate-
+# predicate trap), and the pooled two-proportion z
+#   z = (p0 - p1) / sqrt(p_pool (1 - p_pool) (1/n0 + 1/n1))
+# is a fixed-shape double expression over four exact int64 counts.
+# ONE user-level aggregate (map-side combined), 1-row arithmetic.
+TWO_PROP_VALUE_T = 150.0  # conversion = purchase with value above this
+
+
+@register(
+    "stats_two_proportion_z",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             ((user_id + 1) * 2654435761) % 1000000007 % 2 AS arm,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                            AND value > {TWO_PROP_VALUE_T}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      FROM u
+    )
+    SELECT n0 AS users_arm0, n1 AS users_arm1,
+           c0 AS conv_arm0, c1 AS conv_arm1,
+           CASE WHEN n0 > 0 THEN
+             floor(CAST(c0 AS DOUBLE) / n0 * 1000000 + 0.5) / 1000000
+           END AS rate_arm0,
+           CASE WHEN n1 > 0 THEN
+             floor(CAST(c1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000
+           END AS rate_arm1,
+           CASE WHEN n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+                 AND c0 + c1 < n0 + n1 THEN
+             floor((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                   / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                          * (1.0 / n0 + 1.0 / n1))
+                   * 1000000 + 0.5) / 1000000
+           END AS z_stat
+    FROM c
+    """,
+)
+def stats_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z on purchase conversion between the hash
+    arms — the outcome test of the experiment trio; exact integer
+    counts, one user-level aggregate. See the block comment."""
+    e = load_table(spark, sf_dir, "events")
+    arm = ((F.col("user_id") + 1) * 2654435761) % 1000000007 % 2
+    u = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > TWO_PROP_VALUE_T)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("conv")
+    ).select(arm.alias("arm"), "conv")
+    c = u.agg(
+        F.sum((F.col("arm") == 0).cast("int")).cast("bigint").alias("n0"),
+        F.sum((F.col("arm") == 1).cast("int")).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (F.col("c0").cast("double") / n0d - F.col("c1").cast("double") / n1d) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / n0d + 1.0 / n1d)
+    )
+    q6 = lambda c_: F.floor(c_ * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    ok = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+    )
+    return c.select(
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.col("c0").alias("conv_arm0"),
+        F.col("c1").alias("conv_arm1"),
+        F.when(F.col("n0") > 0, q6(F.col("c0").cast("double") / n0d)).alias(
+            "rate_arm0"
+        ),
+        F.when(F.col("n1") > 0, q6(F.col("c1").cast("double") / n1d)).alias(
+            "rate_arm1"
+        ),
+        F.when(ok, q6(z)).alias("z_stat"),
+    )

@@ -2747,3 +2747,149 @@ def timeseries_granger_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(fstat * 1000000 + F.lit(0.5)) / 1000000,
         ).alias("f_stat"),
     )
+
+
+# --- Page-Hinkley changepoint detector --------------------------------------
+# The sequential drift detector (Page 1954, Hinkley 1971) replayed in
+# batch over each type's dense daily series — the online companion to
+# timeseries_cusum_changepoint (which tests against a FIXED reference
+# mean; Page-Hinkley tracks the RUNNING mean, so it is the form
+# monitoring stacks actually deploy): m_t = sum_{i<=t} (x_i - xbar_i
+# - PH_DELTA) with xbar_i the running mean through i, and the alarm
+# statistic PH_t = m_t - min_{s<=t} m_s crossing PH_LAMBDA. Exactness:
+# xbar_i = prefix_i / i from exact int64 prefixes, each deviation term
+# quantizes to the 1e12 lattice, and m_t / its running min are exact
+# integer window sums — both engines walk identical integers, so the
+# alarm day cannot differ by an ulp. All windows live on the
+# days-bounded per-type partition.
+PH_DELTA = 2.0  # per-day tolerated drift in the deviation term
+PH_LAMBDA = 100.0  # alarm threshold on the PH statistic
+
+
+@register(
+    "timeseries_page_hinkley",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+      SELECT t.event_type, s.day
+      FROM (SELECT DISTINCT event_type FROM d) t,
+           (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                          (SELECT hi FROM bounds))) AS day) s
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.day, COALESCE(d.x, 0) AS x
+      FROM spine LEFT JOIN d
+        ON d.event_type = spine.event_type AND d.day = spine.day
+    ),
+    pf AS (
+      SELECT event_type, day, x,
+             sum(x) OVER w AS pre,
+             row_number() OVER w AS i
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    q AS (
+      SELECT event_type, day, i,
+             CAST(floor((x - CAST(pre AS DOUBLE) / i - {PH_DELTA})
+                        * 1000000000000 + 0.5) AS BIGINT) AS dev
+      FROM pf
+    ),
+    m1 AS (
+      SELECT event_type, day,
+             sum(dev) OVER (PARTITION BY event_type ORDER BY day) AS mt
+      FROM q
+    ),
+    ph AS (
+      SELECT event_type, day,
+             CAST(mt - min(mt) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS phq
+      FROM m1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           floor(CAST(max(phq) AS DOUBLE) / 1000000000000 * 1000000 + 0.5)
+             / 1000000 AS max_ph,
+           CAST(min(CASE WHEN CAST(phq AS DOUBLE) / 1000000000000
+                              > {PH_LAMBDA} THEN day END) AS BIGINT)
+             AS alarm_day,
+           max(CAST(phq AS DOUBLE) / 1000000000000 > {PH_LAMBDA}) AS drift_detected
+    FROM ph GROUP BY event_type
+    """,
+)
+def timeseries_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley running-mean drift detector per event type over the
+    dense daily series — exact lattice deviations, integer cumulative/
+    running-min windows, first alarm day released; see the block
+    comment."""
+    e = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    d = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        )
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .transform(pin_cache)
+    )
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        d.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    dense = spine.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    pf = dense.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(wcum).alias("pre"),
+        F.row_number().over(w).alias("i"),
+    )
+    q = pf.select(
+        "event_type",
+        "day",
+        F.floor(
+            (F.col("x") - F.col("pre").cast("double") / F.col("i") - PH_DELTA)
+            * 1000000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("dev"),
+    )
+    m = q.select(
+        "event_type",
+        "day",
+        F.sum("dev").over(wcum).alias("mt"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("mt") - F.min("mt").over(wcum)).cast("bigint").alias("phq"),
+    )
+    phd = F.col("phq").cast("double") / 1000000000000
+    return m.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (
+            F.floor(F.max("phq").cast("double") / 1000000000000 * 1000000 + F.lit(0.5))
+            / 1000000
+        ).alias("max_ph"),
+        F.min(F.when(phd > PH_LAMBDA, F.col("day")))
+        .cast("bigint")
+        .alias("alarm_day"),
+        F.max(phd > PH_LAMBDA).alias("drift_detected"),
+    )

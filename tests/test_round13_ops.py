@@ -1244,3 +1244,76 @@ def test_global_stat_folds_emit_on_empty(spark):
     for name in ("stats_kruskal_wallis", "stats_friedman", "ml_platt_scaling"):
         rows = qs[name](spark, d).collect()
         assert len(rows) == 1, (name, rows)
+
+
+# ---- eighth round-13 batch: two-proportion z / Page-Hinkley ----------------
+
+
+def test_two_proportion_z_vs_model(spark):
+    """Counts and z replay from pandas with the pooled-variance form;
+    arms consistent with stats_srm_check."""
+    import numpy as np
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    from kinesis2sse_spark.queries.aggregates import TWO_PROP_VALUE_T
+
+    pdf["hit"] = (pdf["event_type"] == "purchase") & (
+        pdf["value"] > TWO_PROP_VALUE_T
+    )
+    u = pdf.groupby("user_id")["hit"].any()
+    arms = ((u.index.to_numpy() + 1) * 2654435761) % 1000000007 % 2
+    conv = u.to_numpy()
+    n0, n1 = int((arms == 0).sum()), int((arms == 1).sum())
+    c0 = int(conv[arms == 0].sum())
+    c1 = int(conv[arms == 1].sum())
+    r = all_queries()["stats_two_proportion_z"](spark, SF).collect()[0]
+    assert (r["users_arm0"], r["users_arm1"]) == (n0, n1)
+    assert (r["conv_arm0"], r["conv_arm1"]) == (c0, c1)
+    pp = (c0 + c1) / (n0 + n1)
+    z = (c0 / n0 - c1 / n1) / math.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert abs(r["z_stat"] - z) < 1e-5
+    srm = all_queries()["stats_srm_check"](spark, SF).collect()[0]
+    assert (srm["users_arm0"], srm["users_arm1"]) == (n0, n1)
+
+
+def test_page_hinkley_vs_model(spark):
+    """max PH and alarm day replay from a sequential python walk of
+    the same lattice-quantized deviations."""
+    import numpy as np
+
+    from kinesis2sse_spark.queries.timeseries import PH_DELTA, PH_LAMBDA
+
+    pdf = pd.read_parquet(os.path.join(SF, "events.parquet"))
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["day"] = pdf["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    lo, hi = pdf["day"].min(), pdf["day"].max()
+    length = hi - lo + 1
+    rows = {r["event_type"]: r for r in
+            all_queries()["timeseries_page_hinkley"](spark, SF).collect()}
+    for et, g in pdf.groupby("event_type"):
+        x = np.zeros(length, dtype="int64")
+        cnt = g.groupby("day").size()
+        x[cnt.index.to_numpy() - lo] = cnt.to_numpy()
+        pre, m, mmin, max_ph, alarm = 0, 0, 0, 0, None
+        for i in range(length):
+            pre += int(x[i])
+            dev = math.floor((x[i] - pre / (i + 1) - PH_DELTA) * 1e12 + 0.5)
+            m += dev
+            mmin = min(mmin, m)
+            ph = m - mmin
+            max_ph = max(max_ph, ph)
+            if alarm is None and ph / 1e12 > PH_LAMBDA:
+                alarm = lo + i
+        r = rows[et]
+        assert r["n_days"] == length
+        assert abs(r["max_ph"] - max_ph / 1e12) < 1e-5
+        assert r["alarm_day"] == alarm
+        assert r["drift_detected"] == (alarm is not None)
+
+
+@pytest.mark.parametrize(
+    "name", ["stats_two_proportion_z", "timeseries_page_hinkley"]
+)
+def test_round13_batch8_smoke_sf0001(spark, name):
+    df = all_queries()[name](spark, SF_SMOKE)
+    assert df.count() >= 0
