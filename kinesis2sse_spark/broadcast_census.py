@@ -193,7 +193,9 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # LI_QUERIES rows x <= LI_QUERY_TOKENS token vectors each
     ("llm_similarity.py", "search_maxsim_late_interaction", "qarr"): "constant",
     # 1-row array of <= KCG_K selected centers
-    ("llm_similarity.py", "sample_kcenter_greedy", "carr"): "constant",
+    # running-min k-center: the seed and each step's argmax are 1-row
+    ("llm_similarity.py", "sample_kcenter_greedy", "seed"): "constant",
+    ("llm_similarity.py", "sample_kcenter_greedy", "nxt"): "constant",
     # --- text pipeline ---
     ("llm_text.py", "text_tfidf_top_terms", "n"): "constant",  # 1-row N
     # 1-row each: distinct-vocab count and (n1pt, v) totals — the KN

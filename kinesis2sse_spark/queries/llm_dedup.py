@@ -1517,7 +1517,6 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is NO recall cap to calibrate."""
     d = load_table(spark, sf_dir, "documents")
     sh = _doc_shingle_hashes(d)
-    sz = sh.select("doc_id", F.size("shs").alias("s"))
     ex = (
         sh.select("doc_id", F.explode("shs").alias("h"))
         .transform(pin_cache)
@@ -1529,6 +1528,14 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("doc_id").orderBy(F.col("dfc").asc(), F.col("h").asc())
     )
+    # s = |distinct shingle set| = exact row count of ex per doc (shs is
+    # array_distinct'd before the explode), computed as a COUNT WINDOW
+    # over the SAME doc_id partitioning the rank window establishes — it
+    # rides the existing exchange+sort for free. The earlier form joined
+    # a separate size relation whose lineage re-ran the whole shingle
+    # pipeline (split/slice/hash/distinct) over a second corpus scan
+    # just to produce size(shs) (guide §2.4: two ops keyed the same way
+    # share one exchange; plans/r13/dedup_jaccard_prefix_filter_*.txt).
     prefix_len = (F.col("s") - F.ceil(F.lit(PF_THRESHOLD) * F.col("s")) + 1)
     # pinned: prefix feeds BOTH sides of the candidate self-join, and
     # its lineage (df-join + per-doc rank window, two corpus-scale
@@ -1537,7 +1544,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ex.join(dfreq, "h")
         .withColumn("rn", rn)
-        .join(sz, "doc_id")
+        .withColumn("s", F.count("*").over(W.partitionBy("doc_id")))
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "h", "s", "rn")
         .transform(pin_cache)

@@ -3428,32 +3428,29 @@ def _kcg_oracle() -> str:
 
 @register("sample_kcenter_greedy", oracle=_kcg_oracle())
 def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-center greedy coreset selection (see block comment). Scale
-    shape: each of the {KCG_K} steps is ONE corpus scan with the
-    current center set (<= k rows, collected into a broadcast array)
-    compared map-side — min-distance via a JVM fold over the center
-    array — followed by a map-side-combining max_by argmax (the
-    SemDeDup rule: never a row_number window over the corpus for an
-    argmax). Each selected center pins eagerly: every later step
-    consumes it, and an unpinned 1-row aggregate would re-run its
-    whole upstream scan per consumer. Total cost k scans, each
-    corpus x k map work — linear in the corpus for fixed k."""
+    """k-center greedy coreset selection (see block comment), as the
+    RUNNING-MIN recurrence: the state relation carries each point's
+    min squared distance to the centers selected so far, and each of
+    the {KCG_K} steps is (a) one map-side-combining max_by argmax over
+    the cached state (the SemDeDup rule: never a row_number window
+    over the corpus for an argmax) and (b) one map-side update
+    ``radius' = least(radius, round(d2(v, new_center), 6))`` against
+    the 1-row broadcast of the new center. Identical output to the
+    recompute-from-all-centers form (min over rounded per-center
+    distances == running min of the same rounded values; taken-flag,
+    ties and the empty-corpus gate unchanged — pinned oracle), but:
+    per-step map work is O(dim) instead of O(k*dim) (k*n*dim total,
+    not k^2*n*dim), and every step's plan has the SAME fixed shape
+    over an InMemoryRelation, so codegen/planning is paid once instead
+    of growing with the union of all prior steps (the before plan
+    unioned k nested subplans — 7 MB of explain text at k=8; the
+    after plan is flat). Only two corpus-size states are ever pinned
+    at once: the previous state unpersists as soon as the next is
+    populated."""
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    seed = (
-        ev.agg(
-            F.min_by(F.struct("vec_id", "v"), F.col("vec_id")).alias("s")
-        )
-        .select(
-            F.lit(1).cast("long").alias("step"),
-            F.col("s.vec_id").alias("vec_id"),
-            F.col("s.v").alias("v"),
-            F.lit(None).cast("double").alias("radius"),
-        )
-        .transform(pin_cache)
     )
 
     def sqdist(a, b):
@@ -3463,28 +3460,34 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    centers = [seed]
-    for i in range(2, KCG_K + 1):
-        cur = centers[0]
-        for c in centers[1:]:
-            cur = cur.unionByName(c)
-        carr = cur.agg(
-            F.collect_list(F.struct("vec_id", "v")).alias("cs")
+    seed = (
+        ev.agg(F.min_by(F.struct("vec_id", "v"), F.col("vec_id")).alias("s"))
+        .select(
+            F.col("s.vec_id").alias("c_id"),
+            F.col("s.v").alias("cv"),
+            F.lit(None).cast("double").alias("cr"),
         )
-        scored = ev.crossJoin(F.broadcast(carr)).select(
+        .transform(pin_cache)
+    )
+    # state after seeding: per-point min distance to the center set so
+    # far (= distance to the seed), plus the taken flag. Rounding per
+    # center BEFORE the running min is exactly the before-form's
+    # array_min over rounded distances.
+    state = (
+        ev.crossJoin(F.broadcast(seed))
+        .select(
             "vec_id",
             "v",
-            F.array_min(
-                F.transform(
-                    F.col("cs"), lambda c: F.round(sqdist(F.col("v"), c["v"]), 6)
-                )
-            ).alias("radius"),
-            F.exists(
-                F.col("cs"), lambda c: c["vec_id"] == F.col("vec_id")
-            ).alias("taken"),
+            F.round(sqdist(F.col("v"), F.col("cv")), 6).alias("radius"),
+            (F.col("vec_id") == F.col("c_id")).alias("taken"),
         )
+        .transform(pin_cache)
+    )
+
+    picked = [seed]
+    for _ in range(2, KCG_K + 1):
         nxt = (
-            scored.filter(~F.col("taken"))
+            state.filter(~F.col("taken"))
             .agg(
                 F.max_by(
                     F.struct("vec_id", "v", "radius"),
@@ -3492,18 +3495,40 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .select(
-                F.lit(i).cast("long").alias("step"),
-                F.col("p.vec_id").alias("vec_id"),
-                F.col("p.v").alias("v"),
-                F.col("p.radius").alias("radius"),
+                F.col("p.vec_id").alias("c_id"),
+                F.col("p.v").alias("cv"),
+                F.col("p.radius").alias("cr"),
             )
             .transform(pin_cache)
         )
-        centers.append(nxt)
+        picked.append(nxt)
+        if len(picked) < KCG_K:
+            new_state = (
+                state.crossJoin(F.broadcast(nxt))
+                .select(
+                    "vec_id",
+                    "v",
+                    F.least(
+                        F.col("radius"),
+                        F.round(sqdist(F.col("v"), F.col("cv")), 6),
+                    ).alias("radius"),
+                    (F.col("taken") | (F.col("vec_id") == F.col("c_id"))).alias(
+                        "taken"
+                    ),
+                )
+                .transform(pin_cache)
+            )
+            state.unpersist()
+            state = new_state
 
-    out = centers[0]
-    for c in centers[1:]:
-        out = out.unionByName(c)
+    out = None
+    for i, c in enumerate(picked, start=1):
+        row = c.select(
+            F.lit(i).cast("long").alias("step"),
+            F.col("c_id").alias("vec_id"),
+            F.col("cr").alias("radius"),
+        )
+        out = row if out is None else out.unionByName(row)
     # empty-corpus gate: a Spark global min_by/max_by emits one
     # NULL-struct row where the oracle's LIMIT 1 emits nothing — drop
     # the placeholder rows so an empty corpus selects an empty coreset
