@@ -3444,9 +3444,17 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     over an InMemoryRelation, so codegen/planning is paid once instead
     of growing with the union of all prior steps (the before plan
     unioned k nested subplans — 7 MB of explain text at k=8; the
-    after plan is flat). Only two corpus-size states are ever pinned
-    at once: the previous state unpersists as soon as the next is
-    populated."""
+    after plan is flat). Only two corpus-size states are ever held
+    at once: the previous state is released as soon as the next is
+    populated. Each step's state and argmax are EAGER localCheckpoints,
+    not cache pins: the recurrence references the previous state twice
+    per step (directly and inside the broadcast argmax), so a cache pin
+    leaves a logical plan that DOUBLES per step and Catalyst
+    re-analysis goes exponential by ~step 5 (the connected_components
+    rule, graph.py's pointer-jump loop; measured here: 245 s with pins
+    vs ~2 s with checkpoints at sf0.1). localCheckpoint materializes
+    the same rows AND truncates the plan to a leaf; on a real cluster
+    prefer setCheckpointDir + .checkpoint() for fault tolerance."""
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.select(
         "vec_id",
@@ -3467,7 +3475,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.v").alias("cv"),
             F.lit(None).cast("double").alias("cr"),
         )
-        .transform(pin_cache)
+        .localCheckpoint(eager=True)
     )
     # state after seeding: per-point min distance to the center set so
     # far (= distance to the seed), plus the taken flag. Rounding per
@@ -3481,7 +3489,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sqdist(F.col("v"), F.col("cv")), 6).alias("radius"),
             (F.col("vec_id") == F.col("c_id")).alias("taken"),
         )
-        .transform(pin_cache)
+        .localCheckpoint(eager=True)
     )
 
     picked = [seed]
@@ -3499,7 +3507,7 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p.v").alias("cv"),
                 F.col("p.radius").alias("cr"),
             )
-            .transform(pin_cache)
+            .localCheckpoint(eager=True)
         )
         picked.append(nxt)
         if len(picked) < KCG_K:
@@ -3516,9 +3524,11 @@ def sample_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "taken"
                     ),
                 )
-                .transform(pin_cache)
+                .localCheckpoint(eager=True)
             )
-            state.unpersist()
+            # the superseded state's checkpoint RDD is released by the
+            # ContextCleaner once this reference drops (nothing else
+            # holds it: nxt is already materialized)
             state = new_state
 
     out = None
