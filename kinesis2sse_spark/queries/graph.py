@@ -79,38 +79,54 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e.count()
+    # No distinct() on the mirror union: min-label propagation is
+    # duplicate-edge-insensitive (a repeated edge contributes the same
+    # value to the same min), so the dedup exchange bought nothing —
+    # one full shuffle of the edge relation removed (guide §2.4,
+    # "a distinct on data that is already unique"; pairs are unique
+    # (doc_a < doc_b) tuples, so the mirrored relation has no dupes
+    # anyway).
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
         .cache()
     )
-    labels = (
-        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).cache()
-    # eager pin: round 1's single eager ckpt action reads labels TWICE
-    # (the propagated join's left side AND inside neighbor_min) — two
-    # independent branches racing a lazy cache is the
-    # text_heavy_hitters/pagerank class the sweep gate polices. und
-    # stays lazy: every per-round action references it exactly once,
-    # so its cache populates without competition.
-    labels.count()
-    prev = labels
-    for _ in range(max_rounds):
+    labels = None
+    prev = None
+    for rnd in range(max_rounds):
         # (1) propagate: each node adopts the min label among itself
         # and its neighbors. The round-start label rides along as
         # ``old`` so convergence detection needs no join afterwards.
-        neighbor_min = (
-            und.join(labels, und.a == labels.node)
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.node2, "left"
-        ).select(
-            "node",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-        )
+        if rnd == 0:
+            # Fused first round: labels start as node ids, so the
+            # neighbor-min join against the identity label relation is
+            # algebraically ONE aggregation over the mirrored edges —
+            # min(node, min(neighbor ids)) — and the node set is its
+            # grouping key (every node appears as src in und). This
+            # removes the separate distinct+pin of the initial label
+            # relation and round 0's two joins (one exchange + one
+            # eager action fewer; output byte-identical).
+            propagated = (
+                und.groupBy("a")
+                .agg(F.min("b").alias("nlabel"))
+                .select(
+                    F.col("a").alias("node"),
+                    F.col("a").alias("old"),
+                    F.least(F.col("a"), F.col("nlabel")).alias("label"),
+                )
+            )
+        else:
+            neighbor_min = (
+                und.join(labels, und.a == labels.node)
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("label").alias("nlabel"))
+            )
+            propagated = labels.join(
+                neighbor_min, labels.node == neighbor_min.node2, "left"
+            ).select(
+                "node",
+                F.col("label").alias("old"),
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
         # (2) shortcut: follow one hop up the label tree. Labels only
         # ever decrease, so label(label(n)) <= label(n); combined with
         # (1) this is pointer doubling and depth halves every round.
@@ -144,7 +160,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
         # to the previous round's — one full shuffle per round spent
         # only on bookkeeping)
         changed = ckpt.filter(F.col("label") != F.col("old")).count()
-        prev.unpersist()
+        if prev is not None:
+            prev.unpersist()
         prev = ckpt
         labels = ckpt.select("node", "label")
         if changed == 0:

@@ -3593,6 +3593,12 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components rule)."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # Pinned: A/B-measured at sf0.1 (r13 opt round) — dropping this pin
+    # and recomputing the explode in the scored pass was 0.3-0.4 s
+    # SLOWER (2.93 vs 2.63 s best-of-4), because the scored pass's
+    # three joins re-pay the split+explode on their probe side. The
+    # pin's two consumers are separate actions (cab's pin, then the
+    # scored pass), so there is no population race.
     pairs_all = (
         d.where(F.size(toks) >= 2)
         .select(
@@ -3616,9 +3622,13 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n1pa"),
     )
     cont = cab.groupBy("b").agg(F.count("*").cast("bigint").alias("n1pb"))
+    # vocab from the PINNED bigram-type relation, not the raw training
+    # stream: every training term appears as a key of cab, so the
+    # distinct-term count is identical, over a far smaller cached input
+    # (bigram TYPES, not occurrences).
     vocab = (
-        pairs_train.select(F.col("a").alias("term"))
-        .unionByName(pairs_train.select(F.col("b").alias("term")))
+        cab.select(F.col("a").alias("term"))
+        .unionByName(cab.select(F.col("b").alias("term")))
         .agg(F.countDistinct("term").cast("bigint").alias("v"))
     )
     totals = cab.agg(F.count("*").cast("bigint").alias("n1pt")).crossJoin(
