@@ -240,23 +240,16 @@ def _ngram_pair_counts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     top."""
     clusters = _exact_clusters(spark, sf_dir)
     d = clusters.select(F.col("rep_id").alias("doc_id"), "text")
-    toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
     # Single pass: distinct-shingle array once per doc, per-doc count rides
     # along with every exploded row, and shingles shuffle as 8-byte
     # xxhash64 keys instead of ~25-byte strings (collision odds over ~10M
-    # distinct shingles ~ 1e-6 — far below FP noise).
-    sh = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.array_distinct(shingles).alias("shs"))
-        .select(
-            "doc_id",
-            F.size("shs").alias("n"),
-            F.explode(F.transform("shs", lambda s: F.xxhash64(s))).alias("sh"),
-        )
+    # distinct shingles ~ 1e-6 — far below FP noise). Shingle ids come
+    # from _shingle_hash_arr's token-hash combine — see its docstring for
+    # why that is 6x cheaper and output-identical here.
+    sh = _shingle_hash_arr(d).select(
+        "doc_id",
+        F.size("shs").alias("n"),
+        F.explode("shs").alias("sh"),
     )
     postings = sh.groupBy("sh").agg(
         F.collect_list(F.struct("doc_id", "n")).alias("docs")
@@ -353,7 +346,13 @@ MINHASH_B = MINHASH_H // MINHASH_R
 
 def _doc_shingle_hashes(d: DataFrame) -> DataFrame:
     """(doc_id, shs): distinct word-3-shingles per doc as xxhash64 longs
-    — the shared front end of the exact and MinHash dedup paths."""
+    of the shingle STRINGS — kept exclusively for dedup_minhash_lsh,
+    whose banded signatures are min-hashes OF these values: changing
+    the shingle-id function changes its candidate set and therefore its
+    declared output rows. Every hash-value-INVARIANT consumer (the
+    exact Jaccard ladder, where ids only ever feed equality/distinct-
+    ness and the oracle verifies over strings) uses _shingle_hash_arr
+    instead."""
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
@@ -364,6 +363,34 @@ def _doc_shingle_hashes(d: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s))).alias("shs"),
+        )
+    )
+
+
+def _shingle_hash_arr(d: DataFrame) -> DataFrame:
+    """(doc_id, shs): distinct word-3-shingle ids per doc, via a
+    token-hash combine — xxhash64 each TOKEN once, then one
+    xxhash64(long, long, long) per shingle position — instead of
+    building a shingle string (slice + concat_ws allocation) and
+    hashing it per position. A/B at sf0.1: 1.5 s -> 0.24 s for the
+    corpus map stage (guide §1.2 "per-task work"). Safe ONLY where
+    shingle ids feed equality/distinctness (exact-Jaccard ladder):
+    ids are a different 64-bit space than _doc_shingle_hashes', so
+    anything whose OUTPUT depends on id values (MinHash signatures)
+    must not switch. Collision story unchanged: one xxhash64 output
+    per distinct shingle, ~s^2/2^65 within-doc."""
+    toks = F.split("text", " ")
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(th) - 3),"
+                    " i -> xxhash64(th[i], th[i+1], th[i+2]))"
+                )
+            ).alias("shs"),
         )
     )
 
@@ -1516,11 +1543,15 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness is the prefix pigeonhole, so unlike the MAX_DF index
     there is NO recall cap to calibrate."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _doc_shingle_hashes(d)
-    ex = (
-        sh.select("doc_id", F.explode("shs").alias("h"))
-        .transform(pin_cache)
-    )
+    # Pin the per-doc ARRAY relation, not the exploded occurrence
+    # relation: same shingle-hash payload, one cached row per DOC
+    # instead of one per occurrence. Profiled at sf0.1: the old
+    # occurrence-level pin was 3.1-4.0 s of the operator's 5.6-7.8 s —
+    # the cache write itself dominated (guide §5: caching competes with
+    # execution; cache the narrowest reusable form). The explode below
+    # is a map over the cache, recomputed per consumer for free.
+    sh = _shingle_hash_arr(d).transform(pin_cache)
+    ex = sh.select("doc_id", F.explode("shs").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count("*").alias("dfc"))
 
     from pyspark.sql import Window as W
@@ -1594,16 +1625,26 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "sa", "sb")
     )
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "h")
-    eb = ex.select(F.col("doc_id").alias("eb_doc"), F.col("h").alias("hb"))
+    # Verify against the per-doc ARRAYS: c = |A∩B| as a map-side
+    # array_intersect size. The earlier occurrence-level form joined
+    # cand to the exploded relation twice — join 1 fanned every
+    # candidate out to its s_a occurrence rows and shipped THAT through
+    # join 2's (doc, h) exchange (candidates × avg set size rows);
+    # here each candidate carries exactly two array cells, and with
+    # cand small AQE broadcasts it so the corpus-sized side never
+    # shuffles at all. Same result by construction: ex rows are the
+    # distinct (doc, h) pairs of shs, so counting equi-matches equals
+    # intersecting the distinct-hash arrays.
     inter = (
-        cand.join(ea, "doc_a")
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("eb_doc")) & (F.col("h") == F.col("hb")),
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("c"),
         )
-        .groupBy("doc_a", "doc_b", "sa", "sb")
-        .agg(F.count("*").alias("c"))
     )
     jac = F.col("c") * 1.0 / (F.col("sa") + F.col("sb") - F.col("c"))
     return inter.filter(jac >= PF_THRESHOLD).select(
