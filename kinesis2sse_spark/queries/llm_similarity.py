@@ -3243,14 +3243,6 @@ def _li_tok_hash(tok):
     )
 
 
-def _li_emb(h):
-    """Project a token hash into LI_DIM integer components in
-    [-1000, 1000] — ((h*a + b) mod p) mod 2001 - 1000, pure BIGINT."""
-    return F.array(
-        *[(((h * a + b) % LI_P) % 2001 - 1000).cast("long") for a, b in LI_PARAMS]
-    )
-
-
 def _li_maxsim_oracle() -> str:
     from kinesis2sse_spark.queries.llm_text import _tok_rolling_hash_sql
 
@@ -3302,6 +3294,70 @@ def _li_maxsim_oracle() -> str:
     """
 
 
+def _li_score_batches(it):
+    """mapInArrow kernel for search_maxsim_late_interaction: per batch,
+    project the padded token-hash matrix to embeddings and run the
+    whole MaxSim double loop as ONE int64 einsum + masked max + segment
+    sum (guide §4.2 — batches to vectorized native code). Exact: every
+    intermediate is int64 (|component| <= 1000, dot <= LI_DIM * 10^6,
+    score <= nq * dot — far inside int64), and numpy's % matches the
+    JVM's on the all-positive operands here. Emits LI_QUERIES rows per
+    doc. The query set arrives as the broadcast one-row `qs` column
+    (constant-size by construction), decoded once per task."""
+    import numpy as np
+    import pyarrow as pa
+
+    A = np.array([a for a, _ in LI_PARAMS], dtype=np.int64)
+    B = np.array([b for _, b in LI_PARAMS], dtype=np.int64)
+    neg = np.int64(-(2**62))
+    qmat = qids_u = qseg = None
+    for batch in it:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        if qmat is None:
+            qs = batch.column("qs")[0].as_py()
+            if not qs:  # degenerate corpus: no query docs -> no output
+                return
+            qids_u = np.array([q["query_id"] for q in qs], dtype=np.int64)
+            qmat = np.concatenate(
+                [
+                    ((np.asarray(q["qths"], dtype=np.int64)[:, None] * A + B) % LI_P)
+                    % 2001
+                    - 1000
+                    for q in qs
+                ]
+            )
+            qseg = np.concatenate(
+                [np.full(len(q["qths"]), i) for i, q in enumerate(qs)]
+            )
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ths_col = batch.column("ths")
+        if isinstance(ths_col, pa.ChunkedArray):
+            ths_col = ths_col.combine_chunks()
+        flat = ths_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(ths_col.offsets.to_numpy(zero_copy_only=False))
+        m = int(lens.max())
+        th = np.zeros((n, m), dtype=np.int64)
+        mask = np.arange(m)[None, :] < lens[:, None]
+        th[mask] = flat
+        demb = ((th[..., None] * A + B) % LI_P) % 2001 - 1000  # (n, m, dim)
+        dots = np.einsum("nmd,qd->nmq", demb, qmat)  # (n, m, nq_total)
+        dots[~mask] = neg  # padding must never win the max
+        mx = dots.max(axis=1)  # (n, nq_total)
+        scores = np.stack(
+            [mx[:, qseg == qi].sum(axis=1) for qi in range(len(qids_u))], axis=1
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.tile(qids_u, n), type=pa.int64()),
+                pa.array(np.repeat(doc_ids, len(qids_u)), type=pa.int64()),
+                pa.array(scores.reshape(-1), type=pa.int64()),
+            ],
+            names=["query_id", "neighbor_id", "li_score"],
+        )
+
+
 @register("search_maxsim_late_interaction", oracle=_li_maxsim_oracle())
 def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction (multi-vector) retrieval: per-query top-k by
@@ -3309,14 +3365,19 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
     token vectors of the max dot product against the document's first
     {LI_DOC_TOKENS} token vectors).
 
-    Plan shape (the 100 TB story): the corpus relation carries each
-    document's token-embedding BAG as one array column built map-side
-    (split -> slice -> hash -> project, all JVM HOFs, no explode); the
-    query side is queries x <= {LI_QUERY_TOKENS} distinct token vectors
-    collapsed to {LI_QUERIES} rows and BROADCAST, so the MaxSim double
-    loop (aggregate over query tokens of array_max over doc tokens)
-    runs entirely inside one projection over one corpus scan. The only
-    exchange in the plan is the final per-query top-k window
+    Plan shape (the 100 TB story): one corpus scan computes the capped
+    per-doc token-hash array map-side (JVM HOFs — measured 0.25 s of
+    the operator at sf0.1); the query side is collapsed to ONE row of
+    constant size and broadcast; the MaxSim double loop runs in a
+    mapInArrow kernel as a single int64 einsum per batch. This is the
+    r13 optimization-round change (guide §4.2): the previous all-JVM
+    HOF form (aggregate x array_max x transform per row) was
+    interpreted per element and cost 2.9-3.1 s at sf0.1 vs 1.2-1.4 s
+    for the vectorized kernel — outputs verified identical row-for-row
+    (plans/r13/search_maxsim_late_interaction_*.txt; the deliberate
+    PythonMapInArrow node is the §4.2 "batches to native code" sweet
+    spot, and only the three needed columns cross the boundary). The
+    only exchange in the plan is the final per-query top-k window
     (WindowGroupLimit-pruned, rows = corpus x n_queries). Doc-token
     count is CAPPED at {LI_DOC_TOKENS} (ColBERT caps at 180), so the
     per-row work and the array payload are constants, not
@@ -3326,37 +3387,21 @@ def search_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFram
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
-
-    dembs = F.transform(
-        F.slice(toks, 1, LI_DOC_TOKENS), lambda t: _li_emb(_li_tok_hash(t))
-    )
-    corpus = d.select("doc_id", dembs.alias("dembs")).filter(F.size("dembs") > 0)
-
-    qarr = (
-        d.filter(F.col("doc_id") < LI_QUERIES)
+    ths = F.transform(F.slice(toks, 1, LI_DOC_TOKENS), lambda t: _li_tok_hash(t))
+    ha = d.select("doc_id", ths.alias("ths")).filter(F.size("ths") > 0)
+    qall = (
+        ha.filter(F.col("doc_id") < LI_QUERIES)
         .select(
             F.col("doc_id").alias("query_id"),
-            F.explode(F.slice(toks, 1, LI_QUERY_TOKENS)).alias("tok"),
+            F.explode(F.slice("ths", 1, LI_QUERY_TOKENS)).alias("qth"),
         )
-        .select("query_id", _li_tok_hash(F.col("tok")).alias("qth"))
         .distinct()
         .groupBy("query_id")
-        .agg(F.collect_list(_li_emb(F.col("qth"))).alias("qembs"))
+        .agg(F.collect_list("qth").alias("qths"))
+        .agg(F.sort_array(F.collect_list(F.struct("query_id", "qths"))).alias("qs"))
     )
-
-    def _dot(qt, dt):
-        return sum(qt[i] * dt[i] for i in range(LI_DIM))
-
-    score = F.aggregate(
-        F.col("qembs"),
-        F.lit(0).cast("long"),
-        lambda acc, qt: acc
-        + F.array_max(F.transform(F.col("dembs"), lambda dt: _dot(qt, dt))),
-    )
-    scored = corpus.crossJoin(F.broadcast(qarr)).select(
-        "query_id",
-        F.col("doc_id").alias("neighbor_id"),
-        score.alias("li_score"),
+    scored = ha.crossJoin(F.broadcast(qall)).mapInArrow(
+        _li_score_batches, "query_id bigint, neighbor_id bigint, li_score bigint"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("li_score").desc(), "neighbor_id")
     return (
