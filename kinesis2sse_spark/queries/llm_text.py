@@ -1686,16 +1686,22 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # Tokens enter as xxhash64 LONGS (the shingle-ladder trick,
+    # llm_dedup._shingle_hash_arr): identity only ever feeds equality
+    # (count groupBys, scoring joins, the vocab count), so the pinned
+    # stream caches two 8-byte ids per bigram instead of two strings
+    # and every downstream exchange keys on longs. Exact up to 64-bit
+    # collisions — the string-side oracle would surface one as a hash
+    # mismatch.
     pairs = (
         d.where(F.size(toks) >= 2)
+        .select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
-            ).alias("i", "a"),
-            toks.alias("t"),
+            F.posexplode(F.expr("slice(th, 1, size(th) - 1)")).alias("i", "a"),
+            F.col("th"),
         )
-        .select("doc_id", "a", F.expr("t[i + 1]").alias("b"))
+        .select("doc_id", "a", F.expr("th[i + 1]").alias("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Eager pins (the connected_components rule): pairs feeds the
@@ -1706,7 +1712,7 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.count()
     cab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
     uni = (
-        d.select(F.explode(toks).alias("term"))
+        d.select(F.explode(F.transform(toks, lambda t: F.xxhash64(t))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_t"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -3599,16 +3605,23 @@ def text_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three joins re-pay the split+explode on their probe side. The
     # pin's two consumers are separate actions (cab's pin, then the
     # scored pass), so there is no population race.
+    #
+    # Bigrams are (doc_id, xxhash64(token), xxhash64(token)) LONGS, not
+    # strings: token identity only ever feeds equality (model-count
+    # groupBys, the three scored-pass joins, the vocab countDistinct),
+    # so hashed ids cache fewer bytes and shuffle/join on 8-byte keys —
+    # the shingle-ladder trick (llm_dedup._shingle_hash_arr). Exact up
+    # to 64-bit collisions, which the string-side oracle would surface
+    # as a hash mismatch.
     pairs_all = (
         d.where(F.size(toks) >= 2)
+        .select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr("slice(split(text, ' '), 1, size(split(text, ' ')) - 1)")
-            ).alias("i", "a"),
-            toks.alias("t"),
+            F.posexplode(F.expr("slice(th, 1, size(th) - 1)")).alias("i", "a"),
+            F.col("th"),
         )
-        .select("doc_id", "a", F.expr("t[i + 1]").alias("b"))
+        .select("doc_id", "a", F.expr("th[i + 1]").alias("b"))
         .transform(pin_cache)
     )
     pairs_train = pairs_all.where(F.col("doc_id") % 2 == 0)
