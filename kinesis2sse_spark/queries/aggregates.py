@@ -1783,17 +1783,46 @@ def _perm_family_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").cast("bigint").alias("s"),
     )
-    reps = spark.range(FDR_REPLICAS).select(F.col("id").cast("bigint").alias("b"))
     u = (
         f"((event_id % {BOOT_P} + (b * 64 + li + {_FDR_OFFSET}) * 7919)"
         f" * 2654435761) % {BOOT_P}"
     )
+    # ONE broadcast nested-loop join (events x the 7-row hypothesis
+    # relation with the 1-row totals fused in), then the replica axis
+    # as a codegen'd explode(sequence(...)) generator. The former shape
+    # chained THREE BNLJs (reps, tot, li), so all |events| x B x |hyp|
+    # ~ 90M fan rows at sf0.1 were materialized row-at-a-time through
+    # interpreted join machinery; now only |events| x |hyp| rows cross
+    # a join and the x B expansion happens inside WholeStageCodegen
+    # (guide §1.2 per-task work / §3.3 accidental-product shapes).
+    # Identical sums (same u expression per (event, b, li) triple).
+    # spread(): the single-file events scan yields 2-4 partitions, which
+    # would pin the x B x |hyp| fan onto as many cores (guide §2.5 input
+    # parallelism) — one 100k-row shuffle buys 32-way map parallelism
+    # for the 90M-row expression stage. Both fixes together measured
+    # 13.9 -> 2.15 s best (stats_fdr_bh) / 12.1 -> 2.36 s
+    # (stats_holm_bonferroni).
+    from kinesis2sse_spark.catalog import spread
+
     fan = (
-        ev.crossJoin(F.broadcast(reps))
-        .crossJoin(F.broadcast(tot))
-        .join(
-            F.broadcast(li.select(F.col("hypothesis").alias("hyp_t"), "li", "n1")),
+        spread(ev, spark).join(
+            F.broadcast(
+                li.select(F.col("hypothesis").alias("hyp_t"), "li", "n1").crossJoin(
+                    tot
+                )
+            ),
             F.lit(True),
+        )
+        .select(
+            "hyp_t",
+            "li",
+            "n1",
+            "n",
+            "v",
+            "event_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(FDR_REPLICAS - 1).cast("bigint"))
+            ).alias("b"),
         )
         .select(
             "hyp_t",

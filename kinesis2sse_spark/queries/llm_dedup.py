@@ -951,12 +951,24 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy(blk).orderBy("p_name", "p_partkey"))
         .alias("rn"),
     ).transform(pin_cache)
+    # Neighbor offset as an EQUI-join key (r13 opt round): the former
+    # range-condition join (rn_b in (rn_a, rn_a + W]) hash-joined on blk
+    # alone — the part fixture has only 8 distinct first tokens, so the
+    # residual condition evaluated on ~n²/2 per-block row pairs, and
+    # Catalyst had folded the levenshtein filter INTO that residual:
+    # ~25M edit-distance evaluations at sf0.1 (the 15 s was all there).
+    # Exploding each left record into its W target ranks turns the join
+    # into exact (blk, rn) hash lookups — W·n candidate rows — and the
+    # edit distance runs only on those. Identical pairs: for a pair at
+    # rank gap g in (0, W], exactly k = g matches (measured 14.0 ->
+    # 1.0 s best; plans/r13/er_sorted_neighborhood_*.txt).
     a = recs.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         "blk",
         F.col("rn").alias("rn_a"),
-    )
+        F.explode(F.sequence(F.lit(1), F.lit(ER_WINDOW))).alias("k"),
+    ).withColumn("rn_t", F.col("rn_a") + F.col("k"))
     b = recs.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
@@ -966,9 +978,7 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("blk") == F.col("blk_b"))
-            & (F.col("rn_b") > F.col("rn_a"))
-            & (F.col("rn_b") <= F.col("rn_a") + ER_WINDOW),
+            (F.col("blk") == F.col("blk_b")) & (F.col("rn_t") == F.col("rn_b")),
         )
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .where(F.col("dist") <= ER_MAX_DIST)
@@ -1084,6 +1094,13 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         stats = stats.crossJoin(num)
 
+    # NOT converted to er_sorted_neighborhood's neighbor-offset
+    # equi-join (r13 opt round A/B): this join's residual is only the
+    # cheap rank-range comparison (no levenshtein), and the codegen'd
+    # blk-hash join over it measured 1.31 s best vs 2.62-3.10 s for the
+    # exploded equi-join form — the extra explode + wider build side
+    # cost more than the residual saves when the residual is integer
+    # compares.
     a = recs.select(
         F.col("p_partkey").alias("key_a"),
         "blk",

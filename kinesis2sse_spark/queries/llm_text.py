@@ -1132,8 +1132,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
     not the data, becomes the bottleneck). Returns the learned merge
     rules in order."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(F.explode(F.split("text", " ")).alias("w")).where(F.length("w") >= 2)
-    syms = words.select(F.split("w", "").alias("s"))
+    # Train over the WORD-FREQUENCY table, not word occurrences — the
+    # standard BPE trick (r13 opt round): duplicate words contribute
+    # identical pair multisets, so weighting each distinct word's pair
+    # counts by its corpus frequency yields byte-identical counts (and
+    # therefore identical argmax rules) while the per-iteration fold
+    # re-tokenizes |vocabulary| rows instead of |occurrences| (guide
+    # §1.2 — don't compute things you throw away; measured 13.7 -> see
+    # OPTIMIZATION_r13.md). The groupBy also spreads the fold across
+    # cores where the raw explode inherited the scan's few partitions.
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    syms = words.select(F.split("w", "").alias("s"), "cnt")
     empty_pairs = F.array().cast("array<struct<a:string,b:string>>")
     rules: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -1148,9 +1162,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
             ),
         ).otherwise(empty_pairs)
         top = (
-            syms.select(F.explode(pair_col).alias("p"))
+            syms.select(F.explode(pair_col).alias("p"), "cnt")
             .groupBy("p.a", "p.b")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("cnt").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
             .first()
         )
@@ -1170,7 +1184,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> lis
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        syms = syms.select(merged.alias("s")).localCheckpoint(eager=True)
+        syms = syms.select(merged.alias("s"), "cnt").localCheckpoint(eager=True)
     return rules
 
 
@@ -1537,16 +1551,32 @@ def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             col = merge_pass(col, a, b)
         return col
 
-    encs = d.select(
-        "doc_id", F.transform(F.split("text", " "), encode).alias("e")
+    # Encode each DISTINCT word once and join the encodings back to the
+    # word-occurrence stream (r13 opt round): the 14-rule fold is an
+    # interpreted HOF chain with O(len^2) array-concat accumulators, and
+    # running it per OCCURRENCE re-paid it for every duplicate word —
+    # |vocabulary| folds instead of |occurrences| is a ~50x CPU cut
+    # (measured 20.1 -> see OPTIMIZATION_r13.md). Per-word encodings are
+    # identical, so per-doc aggregates are identical: n_syms =
+    # sum(|enc(w)|) over the doc's words, n_words = the word count,
+    # first_enc = the pos-0 word's encoding (min_by on the posexplode
+    # index). No forced broadcast hint on the vocab join: vocabulary
+    # grows with corpus (Heaps' law), so AQE must keep the size-based
+    # fallback. The per-doc groupBy partial-aggregates map-side (a doc's
+    # words stay in one scan partition), so the exchange carries ~one
+    # row per doc.
+    occ = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )
-    return encs.select(
-        "doc_id",
-        F.aggregate(
-            F.transform("e", F.size), F.lit(0), lambda acc, x: acc + x
-        ).cast("bigint").alias("n_syms"),
-        F.size("e").cast("bigint").alias("n_words"),
-        F.concat_ws("|", F.element_at("e", 1)).alias("first_enc"),
+    venc = occ.select("w").distinct().select("w", encode(F.col("w")).alias("enc"))
+    return (
+        occ.join(venc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("enc")).cast("bigint").alias("n_syms"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.concat_ws("|", F.min_by("enc", "pos")).alias("first_enc"),
+        )
     )
 
 

@@ -652,17 +652,37 @@ def _rate_limit_fn(cap: int, win_s: int):
         (admitted,) = state.get if state.exists else (0,)
         chunks = [pdf for pdf in pdfs]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True)
+            import numpy as np
+
+            batch = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            )
+            n = len(batch)
+            take = max(0, min(cap - admitted, n))
             # admit-first-by-event-time within the batch (nulls FIRST,
             # the repo's pinned order); across batches the carried
             # counter makes admission arrival-ordered — the same online
-            # reading as with_contribution_cap
-            batch = batch.sort_values(
-                ["ts", "event_id"], na_position="first"
-            ).reset_index(drop=True)
-            n = len(batch)
-            take = max(0, min(cap - admitted, n))
-            batch["is_admitted"] = [i < take for i in range(n)]
+            # reading as with_contribution_cap. Vectorized (r13 profile:
+            # ~1 ms/key x 40k keys at sf0.1 was this operator's entire
+            # cost): the datetime64 int64 view makes NaT the MOST
+            # NEGATIVE value, so a plain lexsort is already nulls-first,
+            # and the admitted set is marked by positional mask instead
+            # of physically reordering the frame (row order within the
+            # appended micro-batch output carries no semantics).
+            if take >= n:
+                mask = np.ones(n, dtype=bool)
+            elif take == 0:
+                mask = np.zeros(n, dtype=bool)
+            else:
+                order = np.lexsort(
+                    (
+                        batch["event_id"].to_numpy(),
+                        batch["ts"].to_numpy(dtype="datetime64[ns]").view("int64"),
+                    )
+                )
+                mask = np.zeros(n, dtype=bool)
+                mask[order[:take]] = True
+            batch["is_admitted"] = mask
             admitted += take
             yield batch
         state.update((admitted,))

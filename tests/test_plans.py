@@ -432,12 +432,24 @@ def test_equi_depth_window_is_value_domain_sized(spark):
     assert "HashAggregate" in rest, plan
 
 
-def test_bpe_encode_is_pure_map(spark):
-    """Tokenizer application must be a scan+project map stage: zero
-    exchanges, zero joins, zero aggregates, no Python in the plan."""
+def test_bpe_encode_folds_vocabulary_not_occurrences(spark):
+    """Tokenizer application encodes each DISTINCT word once and joins
+    the encodings back to the occurrence stream (r13 optimization: the
+    14-rule interpreted fold per occurrence was ~12x slower than per
+    vocabulary entry). Pin the shape: the merge fold (aggregate over
+    split symbols) must appear on exactly ONE side — above the
+    distinct-word aggregate — never on the occurrence stream; the
+    vocab join has no forced broadcast (AQE picks); still no Python."""
+    import re
+
     plan = _plan(spark, "pipeline_bpe_encode")
-    assert "Exchange" not in plan, plan
-    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    # two word generators (the occurrence stream and the vocab branch's
+    # own scan); encodings live on the distinct-word aggregate
+    # (HashAggregate keyed on the word column), which joins back to the
+    # occurrences; still no Python
+    assert plan.count("Generate posexplode") == 2, plan
+    assert re.search(r"HashAggregate\(keys=\[w#\d+\]", plan), plan
+    assert "Join" in plan, plan
     assert "Python" not in plan and "MapInPandas" not in plan, plan
 
 
