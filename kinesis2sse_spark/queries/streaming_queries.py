@@ -870,7 +870,21 @@ def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pinned in tests/test_streaming.py with controlled arrival."""
     s = embeddings_stream(spark, sf_dir).select("vec_id", "embedding", "ts")
     probed = streaming_near_dedup(s)
-    out = run_to_memory(probed, _qname("nddedup"), "append", shuffle_partitions=8)
+    # 32 state partitions, not 8: the probe's per-key work is a Python
+    # batch (matmul + exact verify), so with ~505 live buckets the 8-way
+    # layout starved the cores (addBatch 6.2 s; 32-way measured in
+    # OPTIMIZATION_r13.md). Store-per-batch overhead argument (the r12
+    # tumbling finding) applies to cheap JVM window aggs, not here.
+    out = run_to_memory(
+        probed,
+        _qname("nddedup"),
+        "append",
+        shuffle_partitions=32,
+        # emits only on data batches (NoTimeout; horizon eviction drops
+        # state silently) -> the trailing no-data batch is output-
+        # invariant and skipping it saves one store checkpoint cycle
+        no_data_batches=False,
+    )
     return (
         out.groupBy("vec_id")
         .agg(F.min("match_id").alias("dup_of"))
@@ -977,7 +991,14 @@ def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     s = documents_stream(spark, sf_dir).select("doc_id", "text", "ts")
     probed = streaming_minhash_dedup(s)
-    out = run_to_memory(probed, _qname("mhdedup"), "append", shuffle_partitions=8)
+    # 32 state partitions for the same reason as streaming_dedup_embedding
+    out = run_to_memory(
+        probed,
+        _qname("mhdedup"),
+        "append",
+        shuffle_partitions=32,
+        no_data_batches=False,
+    )
     return (
         out.groupBy("doc_id")
         .agg(F.min("match_id").alias("dup_of"))
@@ -1462,6 +1483,9 @@ def streaming_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _qname("ratelimit"),
         "append",
         shuffle_partitions=8,
+        # emits per update; the event-time timeout only PURGES counters
+        # (documented output-invariant case) -> skip the no-data batch
+        no_data_batches=False,
     )
     return out.select("event_id", "user_id", "win_start", "is_admitted")
 

@@ -110,12 +110,17 @@ def with_dedup_buckets(df: DataFrame) -> DataFrame:
     )
 
 
+# iqs as ONE packed little-endian int64 blob (members x DEDUP_DIM), not
+# an array of arrays: the per-batch state roundtrip serializes every
+# retained member's vector, and a flat binary column is a memcpy where
+# the nested-array form pickled ~1M Python ints per batch at sf0.1
+# (r13 opt round; layout is process-internal state, never an output)
 DEDUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("vids", T.ArrayType(T.LongType())),
         T.StructField("tss", T.ArrayType(T.LongType())),
         T.StructField("n2s", T.ArrayType(T.LongType())),
-        T.StructField("iqs", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("iqs", T.BinaryType()),
     ]
 )
 
@@ -133,59 +138,85 @@ def _dedup_probe_fn(horizon_s: int):
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        # Vectorized probe (r13 opt round): the former per-event Python
+        # loop rebuilt the member list and issued one small numpy dot
+        # PER (event, member) pair (~5-10 µs each — ~11 s at sf0.1 over
+        # the 512-bucket keyspace). Now all candidate dots for the
+        # bucket compute as ONE int64 matmul (dot ≤ 64·10¹² fits int64),
+        # eviction/earlier-than masks are numpy boolean ops, and only
+        # the pairs that pass dot > 0 reach the exact bigint threshold
+        # 25·dot² ≥ 4·n2x·mn2 (≈10²⁹ — per-pair Python ints, as
+        # before). Verdicts are byte-identical: same candidate set,
+        # same ordering rule, same horizon boundary, same final member
+        # retention (every batch row appends; everything older than
+        # last_ts - horizon drops)."""
         if state.exists:
             vids, tss, n2s, iqs = state.get
-            members = [
-                (int(v), int(s), int(n2), np.asarray(q, dtype=np.int64))
-                for v, s, n2, q in zip(vids, tss, n2s, iqs)
-            ]
+            m_ids = np.asarray(vids, dtype=np.int64)
+            m_ts = np.asarray(tss, dtype=np.int64)
+            m_n2 = np.asarray(n2s, dtype=np.int64)
+            m_iq = np.frombuffer(iqs, dtype="<i8").reshape(-1, DEDUP_DIM)
         else:
-            members = []
+            m_ids = np.zeros(0, dtype=np.int64)
+            m_ts = np.zeros(0, dtype=np.int64)
+            m_n2 = np.zeros(0, dtype=np.int64)
+            m_iq = np.zeros((0, DEDUP_DIM), dtype=np.int64)
         chunks = [p for p in pdfs]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts_s", "vec_id"]
             )
-            out_v: list[int] = []
+            b_ids = batch["vec_id"].to_numpy(dtype=np.int64)
+            b_ts = batch["ts_s"].to_numpy(dtype=np.int64)
+            q_mat = np.array([list(q) for q in batch["iq"]], dtype=np.int64)
+            n = len(b_ids)
+            b_n2 = np.einsum("nd,nd->n", q_mat, q_mat)
+            m = len(m_ids)
+            all_ids = np.concatenate([m_ids, b_ids])
+            all_ts = np.concatenate([m_ts, b_ts])
+            all_n2 = np.concatenate([m_n2, b_n2])
+            cand = np.concatenate([m_iq, q_mat]) if m else q_mat
+            dots = q_mat @ cand.T  # (n, m + n) int64, overflow-safe
             out_m: list[int | None] = []
-            for vec_id, ts_s, iq in zip(
-                batch["vec_id"], batch["ts_s"], batch["iq"]
-            ):
-                vec_id, ts_s = int(vec_id), int(ts_s)
-                q = np.asarray(iq, dtype=np.int64)
-                # dot ≤ 64·10¹² and n2 ≤ 64·10¹² fit int64; the
-                # squared-threshold comparison (≈10²⁹) runs in Python
-                # bigints — overflow-free by construction
-                n2x = int(q.astype(object) @ q.astype(object))
-                members = [m for m in members if m[1] >= ts_s - horizon_s]
+            for i in range(n):
+                hi = m + i  # members + strictly-earlier batch rows
+                # earlier-(ts, id): batch rows j < i are earlier by the
+                # sort; state members need the explicit lex check
+                lex = (m_ts < b_ts[i]) | ((m_ts == b_ts[i]) & (m_ids < b_ids[i]))
+                ok = np.concatenate([lex, np.ones(i, dtype=bool)])
+                ok &= all_ts[:hi] >= b_ts[i] - horizon_s
+                ok &= dots[i, :hi] > 0
                 best: int | None = None
-                for mv, ms, mn2, mq in members:
-                    # only EARLIER event time counts as the original
-                    # (guards the verdict against out-of-order arrival
-                    # across micro-batches; within a batch the sort
-                    # already enforces it)
-                    if (ms, mv) >= (ts_s, vec_id):
-                        continue
-                    dot = int(mq @ q)
-                    if dot > 0 and 25 * dot * dot >= 4 * n2x * mn2:
+                for j in np.flatnonzero(ok):
+                    d = int(dots[i, j])
+                    if 25 * d * d >= 4 * int(b_n2[i]) * int(all_n2[j]):
+                        mv = int(all_ids[j])
                         best = mv if best is None else min(best, mv)
-                out_v.append(vec_id)
                 out_m.append(best)
-                members.append((vec_id, ts_s, n2x, q))
             yield pd.DataFrame(
                 {
-                    "vec_id": pd.array(out_v, dtype="Int64"),
+                    "vec_id": pd.array([int(v) for v in b_ids], dtype="Int64"),
                     "match_id": pd.array(out_m, dtype="Int64"),
                 }
             )
-        state.update(
-            (
-                [m[0] for m in members],
-                [m[1] for m in members],
-                [m[2] for m in members],
-                [[int(x) for x in m[3]] for m in members],
+            keep = all_ts >= (b_ts[-1] - horizon_s if n else 0)
+            state.update(
+                (
+                    [int(v) for v in all_ids[keep]],
+                    [int(s) for s in all_ts[keep]],
+                    [int(x) for x in all_n2[keep]],
+                    cand[keep].astype("<i8").tobytes(),
+                )
             )
-        )
+        else:
+            state.update(
+                (
+                    [int(v) for v in m_ids],
+                    [int(s) for s in m_ts],
+                    [int(x) for x in m_n2],
+                    np.ascontiguousarray(m_iq, dtype="<i8").tobytes(),
+                )
+            )
 
     return probe
 

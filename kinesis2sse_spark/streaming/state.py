@@ -636,20 +636,48 @@ def with_contribution_cap(df: DataFrame, cap: int, key_col: str = "user_id") -> 
 
 # --- streaming per-key windowed rate limit ---------------------------------
 
-RATE_STATE_SCHEMA = T.StructType([T.StructField("admitted", T.LongType())])
+RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("wins", T.ArrayType(T.LongType(), containsNull=True)),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
 
 
 def _rate_limit_fn(cap: int, win_s: int):
+    def _purge(wins, counts, wm_ms):
+        """Drop windows the watermark has passed (end <= wm) — the same
+        eviction boundary the per-(key, window) form's event-time
+        timeout enforced. A null window (null ts rows) never expires."""
+        keep = [
+            (w, c)
+            for w, c in zip(wins, counts)
+            if w is None or (w + win_s) * 1000 > wm_ms
+        ]
+        return [w for w, _ in keep], [c for _, c in keep]
+
+    def _arm(state, wins, wm_ms):
+        ends = [(w + win_s) * 1000 for w in wins if w is not None]
+        if ends:
+            state.setTimeoutTimestamp(max(min(ends), wm_ms + 1))
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            # the watermark passed this window's end: no more admissible
-            # events can arrive for it (late rows are below the
-            # watermark), so the counter is garbage — drop it
-            state.remove()
+            # purge expired windows; keep the entry (re-armed at the
+            # next open window's end) only if any window is still open
+            wins, counts = state.get
+            wins, counts = _purge(wins, counts, wm_ms)
+            if wins:
+                state.update((wins, counts))
+                _arm(state, wins, wm_ms)
+            else:
+                state.remove()
             return
-        (admitted,) = state.get if state.exists else (0,)
+        wins, counts = state.get if state.exists else ([], [])
+        open_w = dict(zip(wins, counts))
         chunks = [pdf for pdf in pdfs]
         if chunks:
             import numpy as np
@@ -658,40 +686,47 @@ def _rate_limit_fn(cap: int, win_s: int):
                 chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             )
             n = len(batch)
-            take = max(0, min(cap - admitted, n))
-            # admit-first-by-event-time within the batch (nulls FIRST,
-            # the repo's pinned order); across batches the carried
-            # counter makes admission arrival-ordered — the same online
-            # reading as with_contribution_cap. Vectorized (r13 profile:
-            # ~1 ms/key x 40k keys at sf0.1 was this operator's entire
-            # cost): the datetime64 int64 view makes NaT the MOST
-            # NEGATIVE value, so a plain lexsort is already nulls-first,
-            # and the admitted set is marked by positional mask instead
-            # of physically reordering the frame (row order within the
-            # appended micro-batch output carries no semantics).
-            if take >= n:
-                mask = np.ones(n, dtype=bool)
-            elif take == 0:
-                mask = np.zeros(n, dtype=bool)
-            else:
-                order = np.lexsort(
-                    (
-                        batch["event_id"].to_numpy(),
-                        batch["ts"].to_numpy(dtype="datetime64[ns]").view("int64"),
-                    )
+            # admit-first-by-event-time within the batch per window
+            # (nulls FIRST, the repo's pinned order); across batches the
+            # carried counters make admission arrival-ordered — the same
+            # online reading as with_contribution_cap. The state is
+            # keyed by user alone with the open windows as a small map
+            # (r13 opt round): the per-(user, window) form paid the
+            # applyInPandasWithState per-key overhead (~1 ms) for every
+            # (user, window) pair — 40k keys at sf0.1, 37.5 s, nearly
+            # all framework — where windows-per-user is small (the days
+            # a user was active inside the watermark horizon), so
+            # per-user keying divides the key count by exactly that
+            # factor. Admission decisions are unchanged: each window's
+            # counter, its cap, its (ts NULLS FIRST, event_id) intake
+            # order and its eviction boundary are identical.
+            ts_i = batch["ts"].to_numpy(dtype="datetime64[ns]").view("int64")
+            eid = batch["event_id"].to_numpy()
+            wcol = batch["win_start"]
+            mask = np.zeros(n, dtype=bool)
+            # iterate the batch's distinct windows (few per user)
+            wvals = wcol.to_numpy(dtype=object)
+            for w in pd.unique(wcol):
+                wkey = None if pd.isna(w) else int(w)
+                idx = np.flatnonzero(
+                    pd.isna(wvals) if wkey is None else (wvals == w)
                 )
-                mask = np.zeros(n, dtype=bool)
-                mask[order[:take]] = True
+                used = open_w.get(wkey, 0)
+                take = max(0, min(cap - used, len(idx)))
+                if take >= len(idx):
+                    mask[idx] = True
+                elif take > 0:
+                    sub = idx[np.lexsort((eid[idx], ts_i[idx]))]
+                    mask[sub[:take]] = True
+                open_w[wkey] = used + take
             batch["is_admitted"] = mask
-            admitted += take
             yield batch
-        state.update((admitted,))
-        # evict once the watermark passes the window end (clamped above
-        # the current watermark — setTimeoutTimestamp rejects <= wm)
-        win_start_s = int(key[1])
-        state.setTimeoutTimestamp(
-            max((win_start_s + win_s) * 1000, state.getCurrentWatermarkMs() + 1)
-        )
+        wins, counts = _purge(list(open_w.keys()), list(open_w.values()), wm_ms)
+        if wins:
+            state.update((wins, counts))
+            _arm(state, wins, wm_ms)
+        else:
+            state.remove()
 
     return update
 
@@ -705,14 +740,21 @@ def with_rate_limit(
     ingest-side rate limiter / quota gate a multi-tenant pipeline runs
     before expensive downstream stages. Requires a ``win_start``
     column (epoch seconds, win_s-aligned) and a watermark on ``ts``.
-    State is ONE 8-byte counter per open (key, window), EVICTED by
-    event-time timeout when the watermark passes the window end — so
-    state cardinality is |active keys per window|, not stream length.
+    State is one (window -> counter) map per active key — each entry an
+    8-byte pair, windows EVICTED when the watermark passes their end
+    (the key's event-time timeout chains along its open windows'
+    min end) — so state mass is |open (key, window) pairs| exactly as
+    before, while the pandas-state GROUPING key is the key alone:
+    applyInPandasWithState pays ~1 ms of framework overhead per KEY per
+    batch, and (key, window) keying multiplied that by the number of
+    windows (40k keys / 37.5 s at sf0.1 vs 1.5k keys / ~3 s re-keyed —
+    r13 opt round; admission decisions byte-identical, pinned by
+    test_rate_limit_carries_across_batches_and_windows).
     Output schema = input + ``is_admitted: boolean``."""
     out_fields = [T.StructField(f.name, f.dataType) for f in df.schema.fields] + [
         T.StructField("is_admitted", T.BooleanType())
     ]
-    return df.groupBy(key_col, "win_start").applyInPandasWithState(
+    return df.groupBy(key_col).applyInPandasWithState(
         _rate_limit_fn(cap, win_s),
         outputStructType=T.StructType(out_fields),
         stateStructType=RATE_STATE_SCHEMA,
