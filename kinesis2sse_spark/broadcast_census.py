@@ -79,13 +79,15 @@ CENSUS: dict[tuple[str, str, str], str] = {
     # the permutation p-value family (shared by stats_fdr_bh and
     # stats_holm_bonferroni since r12): B replicas, 1-row totals, and
     # the |hypotheses|-row label relation (event types + 2 controls)
-    ("aggregates.py", "_perm_family_ranked", "reps"): "constant",
-    ("aggregates.py", "_perm_family_ranked", "tot"): "constant",
+    ("aggregates.py", "_perm_family_ranked", "tot"): "constant",  # aob's 1-row totals
+    # (r13 opt round: reps became a codegen explode and tot is fused
+    # into the one broadcast hypothesis relation — domain-bounded x
+    # 1-row = domain-bounded)
     (
         "aggregates.py",
         "_perm_family_ranked",
-        "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1')",
-    ): "constant",
+        "li.select(F.col('hypothesis').alias('hyp_t'), 'li', 'n1').crossJoin(tot)",
+    ): "domain-bounded",
     # association rules: per-type counts (domain-bounded) + 1-row total
     (
         "timeseries.py",
@@ -191,7 +193,8 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_similarity.py", "decontaminate_embedding", "evalset"): "constant",
     ("llm_similarity.py", "sim_topk_binary_rerank", "queries"): "constant",
     # LI_QUERIES rows x <= LI_QUERY_TOKENS token vectors each
-    ("llm_similarity.py", "search_maxsim_late_interaction", "qarr"): "constant",
+    # qall = the fixed query set collapsed to ONE row (r13 opt round)
+    ("llm_similarity.py", "search_maxsim_late_interaction", "qall"): "constant",
     # 1-row array of <= KCG_K selected centers
     # running-min k-center: the seed and each step's argmax are 1-row
     ("llm_similarity.py", "sample_kcenter_greedy", "seed"): "constant",

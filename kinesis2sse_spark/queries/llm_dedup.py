@@ -380,6 +380,12 @@ def _shingle_hash_arr(d: DataFrame) -> DataFrame:
     must not switch. Collision story unchanged: one xxhash64 output
     per distinct shingle, ~s^2/2^65 within-doc."""
     toks = F.split("text", " ")
+    # get(), not th[i]: Catalyst may push a downstream predicate that
+    # embeds this whole expression BELOW the size(toks) >= 3 filter
+    # (conjunct reordering), where ANSI array indexing throws on
+    # sub-shingle docs (caught by test_dedup_edge_corpora). get()
+    # returns NULL out of bounds — identical values in bounds, total
+    # everywhere; garbage rows still drop at the size filter.
     return (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
@@ -388,7 +394,7 @@ def _shingle_hash_arr(d: DataFrame) -> DataFrame:
             F.array_distinct(
                 F.expr(
                     "transform(sequence(0, size(th) - 3),"
-                    " i -> xxhash64(th[i], th[i+1], th[i+2]))"
+                    " i -> xxhash64(get(th, i), get(th, i+1), get(th, i+2)))"
                 )
             ).alias("shs"),
         )
