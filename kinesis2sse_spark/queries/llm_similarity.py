@@ -106,7 +106,16 @@ LSH_TABLES = 8  # OR-construction: candidate = same bucket in ANY table
 def _lsh_signature(vcol, table: int, n_planes: int):
     """Sign pattern of projections onto ``n_planes`` pseudo-random
     hyperplanes (components in [-1,1) derived from xxhash64(table,
-    plane, dim) — no RNG, same plan every run), packed into an int."""
+    plane, dim) — no RNG, same plan every run), packed into an int.
+
+    REFERENCE implementation (interpreted JVM higher-order functions):
+    kept as the semantic definition of the bucket ids and as the
+    equivalence yardstick for the vectorized ``_lsh_sign`` stage below
+    (test_lsh_arrow_signatures_match_hof). The query path uses
+    ``_lsh_sign`` — per corpus vector this form evaluates
+    tables × planes × dim interpreted xxhash64 calls (~3k per row),
+    which was the registry's last big row-at-a-time hot path
+    (6.1 s at sf0.1; guide §4.2)."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -130,6 +139,150 @@ def _lsh_signature(vcol, table: int, n_planes: int):
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# --- Vectorized LSH signatures (guide §4.2) ---------------------------
+#
+# The hyperplane components depend ONLY on the constants (table, plane,
+# dim) — xxhash64(t, p, d) over int32 literals with Spark's fixed seed
+# 42 — so the whole tables × planes × dim hyperplane tensor is a
+# compile-time constant. Evaluating it per ROW through interpreted HOFs
+# (the reference form above) costs ~3k interpreted hash calls per
+# vector; folding it into ~3k-literal array expressions defeats codegen
+# (A/B-measured 10x SLOWER in r13). The fast form: reimplement Spark's
+# xxhash64 for the int32-literal case in Python (public spec,
+# value-identity asserted against F.xxhash64 by
+# test_lsh_python_xxhash64_matches_spark), build the hyperplane matrix
+# ONCE per Python worker, and compute all tables × planes projections
+# per batch in NumPy inside mapInArrow.
+#
+# Bit-exactness: the JVM fold accumulates proj = ((0.0 + x0*h0) + x1*h1)
+# + ... in document order; the NumPy stage accumulates acc += V[:, d] *
+# H[:, d] over d in the same order — the identical sequence of IEEE-754
+# double multiply-then-add ops (NumPy ufuncs do not fuse), so every
+# projection, sign bit and bucket id is byte-identical to the reference.
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P5 = 0x27D4EB2F165667C5
+_XXH_MASK = (1 << 64) - 1
+
+
+def _xxhash64_ints(vals, seed: int = 42) -> int:
+    """Spark's XxHash64 over a tuple of INT columns (catalyst XXH64
+    hashInt chained across children, default seed 42), returned as the
+    signed int64 Spark produces. Covers exactly the literal-int case the
+    LSH hyperplanes use; value-identity vs F.xxhash64 is pinned by
+    test_lsh_python_xxhash64_matches_spark."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _XXH_MASK
+
+    def fmix(h: int) -> int:
+        h ^= h >> 33
+        h = (h * _XXH_P2) & _XXH_MASK
+        h ^= h >> 29
+        h = (h * _XXH_P3) & _XXH_MASK
+        h ^= h >> 32
+        return h
+
+    h = seed
+    for v in vals:
+        # XXH64.hashInt: the int is widened to an unsigned 32-bit long
+        acc = (h + _XXH_P5 + 4) & _XXH_MASK
+        acc ^= ((v & 0xFFFFFFFF) * _XXH_P1) & _XXH_MASK
+        acc = (rotl(acc, 23) * _XXH_P2 + _XXH_P3) & _XXH_MASK
+        h = fmix(acc)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# Hyperplane tensors are pure functions of (n_tables, n_planes, dim) —
+# cached per Python worker (spark.python.worker.reuse keeps the module
+# alive across tasks; guide §4.5). NOT data-derived: nothing here reads
+# or depends on fixture content.
+_LSH_PLANE_CACHE: dict = {}
+
+
+def _lsh_plane_matrix(n_tables: int, n_planes: int, dim: int):
+    """(n_tables * n_planes, dim) float64 hyperplane matrix; row
+    t * n_planes + p, component d = (pmod(xxhash64(t, p, d), 2000)
+    - 1000) / 1000.0 — exactly the reference expression's constants
+    (integer in [-1000, 1000) divided by 1000.0: both engines produce
+    the identical double)."""
+    import numpy as np
+
+    key = (n_tables, n_planes, dim)
+    m = _LSH_PLANE_CACHE.get(key)
+    if m is None:
+        m = np.empty((n_tables * n_planes, dim), dtype=np.float64)
+        for t in range(n_tables):
+            for p in range(n_planes):
+                row = t * n_planes + p
+                for d in range(dim):
+                    m[row, d] = (_xxhash64_ints((t, p, d)) % 2000 - 1000) / 1000.0
+        _LSH_PLANE_CACHE[key] = m
+    return m
+
+
+def _lsh_sign(df):
+    """mapInArrow signature stage: (vec_id, v, norm) → (vec_id, v, norm,
+    sigs) where sigs[t] is table t's bucket id — byte-identical to
+    explode-of-_lsh_signature (see the exactness note above; pinned by
+    test_lsh_arrow_signatures_match_hof). Only the columns the kernel
+    needs cross the boundary (§4.1), v/norm pass through untouched so
+    the exact rerank downstream scores the same doubles."""
+    n_tables, n_planes = LSH_TABLES, LSH_PLANES
+
+    def sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            v = batch.column("v")
+            if v.null_count:
+                raise ValueError("null embedding in LSH signature stage")
+            n = batch.num_rows
+            lens = np.asarray(pa.compute.list_value_length(v), dtype=np.int64)
+            vals = np.asarray(v.flatten(), dtype=np.float64)
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            # fixture vectors are uniform-dim; group by length anyway so
+            # a mixed batch stays correct (each group runs the same
+            # sequential-order accumulation)
+            for dim in np.unique(lens):
+                rows = np.nonzero(lens == dim)[0]
+                if dim == 0:
+                    # empty vector: proj = 0.0 >= 0 → every bit set
+                    buckets[rows, :] = (1 << n_planes) - 1
+                    continue
+                starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                idx = starts[rows][:, None] + np.arange(dim)[None, :]
+                V = vals[idx]  # (len(rows), dim)
+                H = _lsh_plane_matrix(n_tables, n_planes, int(dim))
+                acc = np.zeros((len(rows), n_tables * n_planes))
+                for d in range(int(dim)):
+                    # same IEEE op order as the JVM fold: multiply, add
+                    acc += V[:, d, None] * H[None, :, d]
+                bits = acc >= 0.0
+                b = np.zeros((len(rows), n_tables), dtype=np.int64)
+                for t in range(n_tables):
+                    for p in range(n_planes):
+                        b[:, t] |= bits[:, t * n_planes + p].astype(np.int64) << p
+                buckets[rows] = b
+            sigs = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int32)
+                ),
+                pa.array(buckets.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), v, batch.column("norm"), sigs],
+                ["vec_id", "v", "norm", "sigs"],
+            )
+
+    return df.select("vec_id", "v", "norm").mapInArrow(
+        sig_batches, "vec_id long, v array<double>, norm double, sigs array<long>"
+    )
 
 
 # Probe-budget policy: below this corpus size, bucket occupancy is so
@@ -174,53 +327,38 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             2**a | 2**b for a, b in itertools.combinations(range(LSH_PLANES), 2)
         ]
 
-    # corpus index: one row per (table, bucket) — L postings
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _lsh_signature(F.col("v"), t, LSH_PLANES).alias("bucket"),
-            )
-            for t in range(LSH_TABLES)
-        ]
+    # corpus index: one row per (table, bucket) — L postings. Signatures
+    # come from the vectorized _lsh_sign stage (sigs[t] = table t's
+    # bucket, so posexplode's pos IS the table id — same 0..L-1 mapping
+    # the old struct-array explode produced).
+    indexed = _lsh_sign(corpus).select(
+        "vec_id", "v", "norm", F.posexplode("sigs").alias("table", "bucket")
     )
-    indexed = corpus.select(
-        "vec_id", "v", "norm", F.explode(sigs).alias("tb")
-    ).select("vec_id", "v", "norm", "tb.table", "tb.bucket")
 
     # query probes: own bucket + every radius-1 bit flip, per table
-    # (explode twice — tables, then probe buckets)
-    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
+    # (explode twice — tables, then probe buckets). The signature stage
+    # runs on the FILTERED query relation so the vec_id predicate still
+    # pushes to the scan (an opaque-stage-then-filter would ship the
+    # whole corpus through Python at scale; guide §4.2 caveat).
     probes = (
-        queries.select(
-            "query_id",
-            "qv",
-            "qnorm",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            _lsh_signature(F.col("qv"), t, LSH_PLANES).alias("sig"),
-                        )
-                        for t in range(LSH_TABLES)
-                    ]
-                )
-            ).alias("tb"),
+        _lsh_sign(
+            corpus.filter(F.col("vec_id") < N_QUERIES)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.posexplode("sigs").alias("table", "sig"),
         )
         .select(
             "query_id",
             "qv",
             "qnorm",
-            F.col("tb.table").alias("table"),
+            "table",
             F.explode(
                 F.array_distinct(
                     F.array(
-                        *[F.col("tb.sig").bitwiseXOR(F.lit(fl)) for fl in flips]
+                        *[F.col("sig").bitwiseXOR(F.lit(fl)) for fl in flips]
                     )
                 )
             ).alias("bucket"),
