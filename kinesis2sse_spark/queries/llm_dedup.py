@@ -378,25 +378,43 @@ def _shingle_hash_arr(d: DataFrame) -> DataFrame:
     ids are a different 64-bit space than _doc_shingle_hashes', so
     anything whose OUTPUT depends on id values (MinHash signatures)
     must not switch. Collision story unchanged: one xxhash64 output
-    per distinct shingle, ~s^2/2^65 within-doc."""
+    per distinct shingle, ~s^2/2^65 within-doc.
+
+    r14 opt — combine via nested zip_with over SHIFTED SLICES, not a
+    transform-over-positions lambda indexing into th: when a consumer
+    EXPLODES shs, the Project+Generate rewrite inlines the th
+    expression into the position lambda's three index sites, and
+    because higher-order-function lambdas are interpreted (no
+    codegen subexpression elimination) the token-hash array was
+    re-evaluated PER POSITION — O(tokens x shingles) per doc. Hidden
+    in the collapsed-rep jaccard path (few reps), quadratic-visible on
+    the raw corpus (dedup_ngram_novelty: the explode stage alone was
+    5.1 s at sf0.1; this form is 0.5 s — 10x). In the zip_with form th
+    is referenced only OUTSIDE lambdas, so worst-case inlining
+    re-evaluates it a constant number of times per ROW. Identical id
+    VALUES: the combine is still xxhash64(th[i], th[i+1], th[i+2]).
+    Slice lengths clamp at 0 (the get()-era totality rule: Catalyst
+    may push a downstream predicate embedding this expression BELOW
+    the size filter, where a negative slice length throws on
+    sub-shingle docs — caught by test_dedup_edge_corpora; empty
+    slices make the whole expression total)."""
     toks = F.split("text", " ")
-    # get(), not th[i]: Catalyst may push a downstream predicate that
-    # embeds this whole expression BELOW the size(toks) >= 3 filter
-    # (conjunct reordering), where ANSI array indexing throws on
-    # sub-shingle docs (caught by test_dedup_edge_corpora). get()
-    # returns NULL out of bounds — identical values in bounds, total
-    # everywhere; garbage rows still drop at the size filter.
+    n2 = lambda c: F.greatest(F.size(c) - 2, F.lit(0))  # noqa: E731
+    combined = F.zip_with(
+        F.zip_with(
+            F.slice(F.col("th"), 1, n2("th")),
+            F.slice(F.col("th"), 2, n2("th")),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+        F.slice(F.col("th"), 3, n2("th")),
+        lambda s, c: F.xxhash64(s["a"], s["b"], c),
+    )
     return (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
         .select(
             "doc_id",
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(th) - 3),"
-                    " i -> xxhash64(get(th, i), get(th, i+1), get(th, i+2)))"
-                )
-            ).alias("shs"),
+            F.array_distinct(combined).alias("shs"),
         )
     )
 
@@ -1184,31 +1202,26 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation stacks threshold on BEFORE pairwise dedup is worth
     running (cheap: no pair explosion at all, unlike jaccard).
 
-    Plan: distinct (doc, shingle) → per-shingle min doc_id as a window
-    over the shingle partition (one shuffle keyed on the shingle, no
-    self-join) → per-doc fraction (second shuffle on doc_id). Both
-    shuffles are linear in the shingle count. At 100 TB the shingle
-    key would be xxhash64-compressed to 8 bytes exactly as the jaccard
-    inverted index does (kept as the raw string here so the oracle can
-    replay bucket membership; a 64-bit collision merges two shingles'
-    first-doc, noise-level for the metric). Ratio floor-quantizes at
-    1e6 on the identical IEEE double both sides (ladder step 2)."""
+    Plan (r14 opt): per-doc distinct shingle-id arrays via the shared
+    _shingle_hash_arr front end (token-hash combine, 8-byte ids — the
+    r13 6x map-stage win; ids only feed equality/distinctness here, the
+    hash-value-invariant class its docstring defines, and the oracle
+    verifies the fractions over strings so a collision would surface
+    as a value mismatch), exploded to (doc_id, sh) rows that are
+    ALREADY distinct (array_distinct ran per doc), so the global
+    distinct() exchange the string form paid is gone outright (guide
+    §2.4 "a distinct on data that is already unique"); per-shingle
+    first_doc stays the window over the shingle partition, then the
+    per-doc fraction (second shuffle, doc_id). Two linear shuffles on
+    8-byte keys where there were three carrying ~25-byte strings. (A
+    collect_set-per-shingle shape that also folded the window into the
+    first aggregation was A/B-REJECTED: 5.6 s vs 2.4 s before — the
+    set build + re-explode cost more than the window it saved.) Ratio
+    floor-quantizes at 1e6 on the identical IEEE double both sides
+    (ladder step 2)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    sh = (
-        d.where(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    first = Window.partitionBy("shingle")
+    sh = _shingle_hash_arr(d).select("doc_id", F.explode("shs").alias("sh"))
+    first = Window.partitionBy("sh")
     fs = sh.select("doc_id", F.min("doc_id").over(first).alias("first_doc"))
     return fs.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
