@@ -4842,12 +4842,23 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores against every language (log-prior + matched-token
     likelihoods + unseen-token smoothing mass, all exact int64 on the
     1e12 log lattice), argmax with lang tie-break, then a k x k
-    confusion aggregate. Plan: doc-term counts join the vocabulary-
-    bounded model on term (shuffle keyed on term, both sides partition
-    there), regroup on (doc, lang) — the k-fold row blowup is the
-    algorithm's work, not overhead — then a k-row-partition argmax
-    window and a k^2-group final aggregate. No Python, no collect;
-    scores stay integers end to end."""
+    confusion aggregate.
+
+    Plan (r14 opt, guide §2.3/§2.4): doc-term counts join the
+    vocabulary-bounded model on xxhash64(term) — 8-byte shuffle keys,
+    term strings never cross an exchange (hash-value-invariant: ids
+    only feed join equality, the oracle verifies the lattice scores
+    over strings, so a vocab collision would surface as a value
+    mismatch); n_tok derives from dt (sum of c) instead of a third
+    token-explode scan; and the per-doc argmax runs IN-ROW — the
+    per-(doc, lang) sums fold into a map, the k-row class relation
+    collapses to a single broadcast array, and predicted =
+    array_min(transform(classes, struct(-score, lang))).lang, exactly
+    row_number's (score DESC, lang ASC) pick on exact int64 scores
+    (negation exact, string tie-break binary in both forms). This
+    removes the docs x langs fan through the (doc, lang) exchange and
+    the doc-partitioned window sort that dominated the old tail.
+    No Python, no collect; scores stay integers end to end."""
     tok, model, tl, vv = _nb_spark_model(spark, sf_dir)
     d = (
         load_table(spark, sf_dir, "documents")
@@ -4875,8 +4886,18 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dflt"),
         )
     )
-    dt = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("c"))
-    nt = tok.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_tok"))
+    # 1-row broadcast of the whole class relation (k rows, k small by
+    # construction — languages), sorted so the in-row argmin's input
+    # order is deterministic
+    cls_arr = cls.agg(
+        F.array_sort(
+            F.collect_list(F.struct("lang", "prior", "dflt"))
+        ).alias("cs")
+    )
+    dt = tok.groupBy(
+        "doc_id", F.xxhash64("term").alias("th")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    nt = dt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n_tok"))
     base = (
         d.select("doc_id", F.col("lang").alias("actual"))
         .join(nt, "doc_id", "left")
@@ -4885,33 +4906,54 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     matched = (
-        dt.join(model.select("term", "lang", "llp"), "term")
+        dt.join(
+            model.select(F.xxhash64("term").alias("th"), "lang", "llp"), "th"
+        )
         .groupBy("doc_id", "lang")
         .agg(
             F.sum(F.col("c") * F.col("llp")).cast("bigint").alias("sm"),
             F.sum("c").cast("bigint").alias("mc"),
         )
-    )
-    scores = (
-        base.crossJoin(F.broadcast(cls))
-        .join(matched, ["doc_id", "lang"], "left")
-        .select(
-            "doc_id",
-            "actual",
-            "lang",
-            (
-                F.col("prior")
-                + F.coalesce("sm", F.lit(0))
-                + (F.col("n_tok") - F.coalesce("mc", F.lit(0))) * F.col("dflt")
-            ).alias("score"),
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("lang", F.struct("sm", "mc")))
+            ).alias("m")
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("actual", F.col("lang").alias("predicted"))
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        base.join(matched, "doc_id", "left")
+        .crossJoin(F.broadcast(cls_arr))
+        .select(
+            "actual",
+            F.array_min(
+                F.transform(
+                    "cs",
+                    lambda c: F.struct(
+                        (
+                            -(
+                                c["prior"]
+                                + F.coalesce(
+                                    F.element_at("m", c["lang"])["sm"], F.lit(0)
+                                )
+                                + (
+                                    F.col("n_tok")
+                                    - F.coalesce(
+                                        F.element_at("m", c["lang"])["mc"],
+                                        F.lit(0),
+                                    )
+                                )
+                                * c["dflt"]
+                            ).alias("ns")
+                        ),
+                        c["lang"].alias("lang"),
+                    ),
+                )
+            )["lang"].alias("predicted"),
+        )
+    )
+    return scored.groupBy("actual", "predicted").agg(
+        F.count("*").cast("bigint").alias("n_docs")
     )
 
 
