@@ -1148,28 +1148,56 @@ def _pq_parts(sf_dir, spark):
             F.transform(seq_m, lambda m: F.transform(F.col("s"), lambda st: sub(st["vn"], m))).alias("cb")
         )
     )
-    # Encode: per-row argmin over the broadcast codebook (array_sort on
-    # (dist, k) structs → deterministic low-k tie-break). 64 doubles
+    # Encode: per-row argmin over the broadcast codebook. 64 doubles
     # become PQ_M small ints — the 32x compression that lets a 100 TB
     # embedding corpus's scan table live in memory.
-    encoded = corpus.crossJoin(F.broadcast(cbrow)).select(
-        "vec_id",
-        "vn",
-        F.transform(
-            seq_m,
-            lambda m: F.element_at(
-                F.array_sort(
-                    F.transform(
-                        seq_k,
-                        lambda k: F.struct(
-                            sqdist(sub(F.col("vn"), m), F.element_at(F.element_at("cb", m + 1), k + 1)).alias("d"),
-                            k.alias("k"),
-                        ),
-                    )
-                ),
-                1,
-            )["k"],
-        ).alias("code"),
+    #
+    # r14 opt (guide §4.2): the argmin ran as interpreted HOFs —
+    # PQ_M x PQ_K x PQ_SUB = 2048 (x-y)^2 evaluations plus 8 struct
+    # sorts PER ROW (~0.8 ms/row, 1.6 s at sf0.1). The mapInArrow
+    # kernel computes the identical doubles: each subspace distance
+    # accumulates (x-y)*(x-y) over the 8 dims IN ORDER (the same IEEE
+    # multiply-then-add sequence as the fold — NumPy ufuncs don't
+    # fuse), and np.argmin's first-minimum rule IS array_sort's
+    # (d, k) low-k tie-break on exact-equal doubles, so codes are
+    # byte-identical (the PQ oracle replays the full encode and
+    # verifies it). The codebook column is constant per row (the
+    # broadcast crossJoin) — the kernel reads it once per batch; only
+    # (vec_id, vn, cb) cross the boundary.
+    def _encode_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vn = batch.column("vn")
+            V = np.asarray(vn.flatten(), dtype=np.float64).reshape(
+                n, PQ_M * PQ_SUB
+            )
+            C = np.array(batch.column("cb")[0].as_py(), dtype=np.float64)
+            codes = np.empty((n, PQ_M), dtype=np.int32)
+            for m in range(PQ_M):
+                acc = np.zeros((n, PQ_K))
+                for i in range(PQ_SUB):
+                    d = V[:, m * PQ_SUB + i, None] - C[m, :, i][None, :]
+                    acc += d * d
+                codes[:, m] = np.argmin(acc, axis=1)
+            code = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * PQ_M, PQ_M, dtype=np.int32)),
+                pa.array(codes.ravel()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), vn, code], ["vec_id", "vn", "code"]
+            )
+
+    encoded = (
+        corpus.crossJoin(F.broadcast(cbrow))
+        .select("vec_id", "vn", "cb")
+        .mapInArrow(
+            _encode_batches, "vec_id long, vn array<double>, code array<int>"
+        )
     )
     # Per-query lookup table: lut[m][k] = ||sub_m(q) - cb[m][k]||², so
     # scoring a corpus vector is PQ_M array lookups instead of a 64-dim
@@ -1189,7 +1217,7 @@ def _pq_parts(sf_dir, spark):
             ).alias("lut"),
         )
     )
-    return encoded, queries
+    return encoded, queries, corpus
 
 
 # The PQ pipeline is deterministic arithmetic end to end, so unlike the
@@ -1321,7 +1349,7 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, so it carries a FULL byte-exact DuckDB oracle (identical
     fold orders and tie-breaks); sim_recall_pq additionally holds the
     recall floor vs exact."""
-    encoded, queries = _pq_parts(sf_dir, spark)
+    encoded, queries, _ = _pq_parts(sf_dir, spark)
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
     scored = encoded.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id")).select(
         "query_id",
@@ -1364,10 +1392,16 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic arithmetic, so like sim_topk_pq it carries a FULL
     byte-exact DuckDB oracle; sim_recall_ivfpq additionally holds the
     recall floor vs exact."""
-    encoded, queries = _pq_parts(sf_dir, spark)
+    encoded, queries, corpus = _pq_parts(sf_dir, spark)
     seq_m = F.sequence(F.lit(0), F.lit(PQ_M - 1))
-    # coarse quantizer over the same unit vectors: centroid = seed vn
-    centroids = encoded.filter(F.col("vec_id") < IVF_K).select(
+    # coarse quantizer over the same unit vectors: centroid = seed vn.
+    # Derived from the PINNED pre-encode corpus, not from `encoded`:
+    # the vec_id < IVF_K filter cannot push below the encode kernel's
+    # opaque mapInArrow boundary, so an encoded-side derivation would
+    # re-encode the whole corpus just to read 16 vn values (guide §4.2
+    # pruning caveat). Identical values — encode passes vn through
+    # untouched.
+    centroids = corpus.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("vn").alias("cv")
     )
     cdot = F.aggregate(

@@ -288,7 +288,7 @@ def test_pq_codes_compress_and_recall(spark):
         sim_topk_pq,
     )
 
-    encoded, _ = _pq_parts(SF_SMOKE, spark)
+    encoded, _, _ = _pq_parts(SF_SMOKE, spark)
     codes = encoded.select("vec_id", "code").collect()
     assert all(len(r.code) == PQ_M for r in codes)
     assert all(0 <= c < PQ_K for r in codes for c in r.code)
