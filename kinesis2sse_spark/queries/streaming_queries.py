@@ -861,8 +861,9 @@ def streaming_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the smallest earlier near-duplicate — the per-ingest twin of
     the batch SemDeDup/LSH rungs and of dedup_incremental_probe (whose
     batch-vs-batch shape this extends to continuous arrival). Bucketing
-    runs JVM-side (integer codegen); only the per-bucket probe is
-    pandas state (kinesis2sse_spark/streaming/dedup.py — bounded
+    runs as one int64 matmul per Arrow batch; the stateful probe keys
+    on coarse (table, bucket mod DEDUP_COARSE) groups with exact-bucket
+    matching inside (kinesis2sse_spark/streaming/dedup.py — bounded
     keyspace AND horizon-evicted members, see module docstring). The
     single-file fixture yields one micro-batch, so the event-time
     replay is deterministic and the integer-exact batch oracle checks

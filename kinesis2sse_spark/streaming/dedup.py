@@ -5,17 +5,22 @@ document probes the recent corpus for near-duplicates and is tagged
 in-flight).
 
 Design: sign-random-projection LSH banding keyed into
-``applyInPandasWithState``. JVM-side (stateless, whole-stage codegen):
-quantize the embedding to integers and compute ``DEDUP_TABLES`` bucket
-ids of ``DEDUP_BITS`` sign bits each, explode to one row per (table,
-bucket). Stateful side: each (table, bucket) group's state holds the
-(vec_id, ts, quantized-vector, norm²) of arrivals within the event-time
-horizon; a new row probes the retained members with an exact
-integer-arithmetic cosine test and emits the smallest matching earlier
+``applyInPandasWithState``. Stateless side (a mapInArrow kernel since
+r14 — one int64 matmul per batch; the r13 JVM-HOF form cost ~0.6 s of
+interpreted fold steps per micro-batch): quantize the embedding to
+integers and compute ``DEDUP_TABLES`` bucket ids of ``DEDUP_BITS``
+sign bits each, one row per (table, bucket). Stateful side: groups key
+on the COARSE (table, bucket % DEDUP_COARSE) — per-key framework
+overhead is the dominant stateful cost, so the keyspace is capped at
+64 groups — while state rows carry their exact bucket and the probe
+matches on exact bucket equality; each bucket's members are the
+(vec_id, ts, quantized-vector, norm², bucket) of arrivals within the
+event-time horizon, and a new row probes them with an exact
+integer-arithmetic cosine test, emitting the smallest matching earlier
 vec_id (or null).
 
-State is bounded on BOTH axes: the keyspace is at most
-DEDUP_TABLES × 2^DEDUP_BITS buckets (512 here), and each bucket retains
+State is bounded on BOTH axes: exact buckets number at most
+DEDUP_TABLES × 2^DEDUP_BITS (512 here), and each bucket retains
 only members whose event time is within DEDUP_HORIZON_S of the newest
 arrival — older members are evicted as rows flow, so state size is
 O(arrival rate × horizon / 2^bits) per bucket regardless of stream
@@ -78,35 +83,72 @@ _WEIGHTS = dedup_weights()
 
 
 def with_dedup_buckets(df: DataFrame) -> DataFrame:
-    """JVM-side bucketing: (vec_id, embedding, ts) →
+    """Bucketing stage: (vec_id, embedding, ts) →
     (vec_id, ts, ts_s, iq, t, bucket) with one row per LSH table.
-    All arithmetic is integer inside whole-stage codegen; the explode
-    multiplies rows by DEDUP_TABLES (a constant), never by data."""
-    iq = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long"),
-    )
-    df = df.withColumn("iq", iq)
-    tables = []
-    for t in range(DEDUP_TABLES):
-        bucket = None
-        for p in range(DEDUP_BITS):
-            w = F.array(*[F.lit(wv).cast("long") for wv in _WEIGHTS[t][p]])
-            proj = F.aggregate(
-                F.zip_with("iq", w, lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
+
+    r14 opt (guide §4.2): the JVM form evaluated
+    DEDUP_TABLES x DEDUP_BITS x DEDUP_DIM interpreted fold steps per
+    vector (HOF lambdas don't codegen; ~0.6 s/batch at sf0.1). The
+    mapInArrow kernel computes the identical integers — quantization
+    floor(x·10⁶ + 0.5) on the exactly-widened double, then ONE int64
+    matmul against the precomputed weight matrix (|iq·w| ≤ ~5e14·64
+    < 2^63, overflow-safe; integer sums are order-independent, so
+    matmul ≡ the fold) — and emits the 8 table rows per vector via
+    take() indices. ts passes through untouched; ts_s is computed
+    JVM-side before the stage so timestamp semantics stay Spark's."""
+
+    def bucket_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        W = np.array(_WEIGHTS, dtype=np.int64).reshape(
+            DEDUP_TABLES * DEDUP_BITS, DEDUP_DIM
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            emb = batch.column("embedding")
+            X = np.asarray(emb.flatten(), dtype=np.float64).reshape(
+                n, DEDUP_DIM
             )
-            bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
-    return df.withColumn("tb", F.explode(F.array(*tables))).select(
-        "vec_id",
-        "ts",
-        F.unix_timestamp("ts").alias("ts_s"),
-        "iq",
-        F.col("tb.t").alias("t"),
-        F.col("tb.bucket").alias("bucket"),
+            iq = np.floor(X * 1000000.0 + 0.5).astype(np.int64)
+            proj = iq @ W.T  # (n, TABLES*BITS) int64, overflow-safe
+            bits = proj >= 0
+            buckets = np.zeros((n, DEDUP_TABLES), dtype=np.int64)
+            for t in range(DEDUP_TABLES):
+                for p in range(DEDUP_BITS):
+                    buckets[:, t] |= (
+                        bits[:, t * DEDUP_BITS + p].astype(np.int64) << p
+                    )
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), DEDUP_TABLES))
+            iq_flat = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n + 1) * DEDUP_DIM, DEDUP_DIM, dtype=np.int32)
+                ),
+                pa.array(iq.ravel()),
+            )
+            tcol = pa.array(
+                np.tile(np.arange(DEDUP_TABLES, dtype=np.int32), n)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id").take(idx),
+                    batch.column("ts").take(idx),
+                    batch.column("ts_s").take(idx),
+                    iq_flat.take(idx),
+                    tcol,
+                    pa.array(buckets.ravel()),
+                ],
+                ["vec_id", "ts", "ts_s", "iq", "t", "bucket"],
+            )
+
+    return df.select(
+        "vec_id", "embedding", "ts", F.unix_timestamp("ts").alias("ts_s")
+    ).mapInArrow(
+        bucket_batches,
+        "vec_id long, ts timestamp, ts_s long, iq array<long>, "
+        "t int, bucket long",
     )
 
 
@@ -114,15 +156,30 @@ def with_dedup_buckets(df: DataFrame) -> DataFrame:
 # an array of arrays: the per-batch state roundtrip serializes every
 # retained member's vector, and a flat binary column is a memcpy where
 # the nested-array form pickled ~1M Python ints per batch at sf0.1
-# (r13 opt round; layout is process-internal state, never an output)
+# (r13 opt round; layout is process-internal state, never an output).
+# bks carries each member's exact bucket id (r14: the state key is the
+# COARSE (t, bucket % DEDUP_COARSE) group, so exact-bucket candidacy is
+# checked inside the probe).
 DEDUP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("vids", T.ArrayType(T.LongType())),
         T.StructField("tss", T.ArrayType(T.LongType())),
         T.StructField("n2s", T.ArrayType(T.LongType())),
+        T.StructField("bks", T.ArrayType(T.LongType())),
         T.StructField("iqs", T.BinaryType()),
     ]
 )
+
+# Coarse state-key modulus: the pandas-with-state framework pays a
+# per-KEY overhead (arrow framing + state roundtrip, ~5-10 ms with this
+# state schema), so ~505 live (t, bucket) keys cost several seconds per
+# micro-batch while the probe math itself is milliseconds. Keying by
+# (t, bucket % 8) caps the keyspace at DEDUP_TABLES x 8 = 64 groups;
+# the MATCH rule is still exact bucket equality, checked inside the
+# probe (the r12/r13 minhash-probe pattern — physical grouping only,
+# never a verdict). State MASS is unchanged; retention stays per exact
+# bucket (see probe).
+DEDUP_COARSE = 8
 
 DEDUP_PROBE_SCHEMA = T.StructType(
     [
@@ -138,73 +195,110 @@ def _dedup_probe_fn(horizon_s: int):
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # Vectorized probe (r13 opt round): the former per-event Python
-        # loop rebuilt the member list and issued one small numpy dot
-        # PER (event, member) pair (~5-10 µs each — ~11 s at sf0.1 over
-        # the 512-bucket keyspace). Now all candidate dots for the
-        # bucket compute as ONE int64 matmul (dot ≤ 64·10¹² fits int64),
-        # eviction/earlier-than masks are numpy boolean ops, and only
-        # the pairs that pass dot > 0 reach the exact bigint threshold
-        # 25·dot² ≥ 4·n2x·mn2 (≈10²⁹ — per-pair Python ints, as
-        # before). Verdicts are byte-identical: same candidate set,
-        # same ordering rule, same horizon boundary, same final member
-        # retention (every batch row appends; everything older than
-        # last_ts - horizon drops)."""
+        # Fully-matrix probe (r14 opt; supersedes the r13 half-vector
+        # form whose per-row Python loop still cost ~5 ms/group): all
+        # candidate masks — earlier-(ts, id) lex, horizon, EXACT bucket
+        # equality (the state key is coarse), dot > 0 — and the match
+        # argmin compute as (n x m+n) boolean matrices; the exact
+        # integer threshold 25·dot² ≥ 4·n2x·n2y (≈10³¹, beyond int64)
+        # runs as a float64 SCREEN with a ±1e18 dead band (abs FP error
+        # of the screened expression is ≤ ~1e16 at the fixture's value
+        # bounds, so outside the band the float sign is provably the
+        # integer sign) and only near-tie pairs fall through to exact
+        # Python bigints. Verdicts are byte-identical to the per-pair
+        # form: same candidate set, same (min id) match rule, same
+        # horizon boundary, retention per EXACT bucket (each bucket
+        # evicts against ITS latest batch ts; buckets silent this batch
+        # keep their members — exactly the old per-bucket-group
+        # behavior).
         if state.exists:
-            vids, tss, n2s, iqs = state.get
+            vids, tss, n2s, bks, iqs = state.get
             m_ids = np.asarray(vids, dtype=np.int64)
             m_ts = np.asarray(tss, dtype=np.int64)
             m_n2 = np.asarray(n2s, dtype=np.int64)
+            m_bk = np.asarray(bks, dtype=np.int64)
             m_iq = np.frombuffer(iqs, dtype="<i8").reshape(-1, DEDUP_DIM)
         else:
             m_ids = np.zeros(0, dtype=np.int64)
             m_ts = np.zeros(0, dtype=np.int64)
             m_n2 = np.zeros(0, dtype=np.int64)
+            m_bk = np.zeros(0, dtype=np.int64)
             m_iq = np.zeros((0, DEDUP_DIM), dtype=np.int64)
         chunks = [p for p in pdfs]
         if chunks:
-            batch = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts_s", "vec_id"]
-            )
+            batch = pd.concat(chunks, ignore_index=True)
             b_ids = batch["vec_id"].to_numpy(dtype=np.int64)
             b_ts = batch["ts_s"].to_numpy(dtype=np.int64)
-            q_mat = np.array([list(q) for q in batch["iq"]], dtype=np.int64)
+            b_bk = batch["bucket"].to_numpy(dtype=np.int64)
+            q_mat = np.array(batch["iq"].tolist(), dtype=np.int64)
+            order = np.lexsort((b_ids, b_ts))
+            b_ids, b_ts, b_bk = b_ids[order], b_ts[order], b_bk[order]
+            q_mat = q_mat[order]
             n = len(b_ids)
-            b_n2 = np.einsum("nd,nd->n", q_mat, q_mat)
             m = len(m_ids)
+            if n and np.abs(q_mat).max() > 11_000_000:
+                # dead-band validity domain: dot must stay float64-exact
+                # (< 2^53) for the screen's error bound to hold
+                raise ValueError("quantized embedding out of screen domain")
+            b_n2 = np.einsum("nd,nd->n", q_mat, q_mat)
             all_ids = np.concatenate([m_ids, b_ids])
             all_ts = np.concatenate([m_ts, b_ts])
             all_n2 = np.concatenate([m_n2, b_n2])
+            all_bk = np.concatenate([m_bk, b_bk])
             cand = np.concatenate([m_iq, q_mat]) if m else q_mat
             dots = q_mat @ cand.T  # (n, m + n) int64, overflow-safe
-            out_m: list[int | None] = []
-            for i in range(n):
-                hi = m + i  # members + strictly-earlier batch rows
-                # earlier-(ts, id): batch rows j < i are earlier by the
-                # sort; state members need the explicit lex check
-                lex = (m_ts < b_ts[i]) | ((m_ts == b_ts[i]) & (m_ids < b_ids[i]))
-                ok = np.concatenate([lex, np.ones(i, dtype=bool)])
-                ok &= all_ts[:hi] >= b_ts[i] - horizon_s
-                ok &= dots[i, :hi] > 0
-                best: int | None = None
-                for j in np.flatnonzero(ok):
-                    d = int(dots[i, j])
-                    if 25 * d * d >= 4 * int(b_n2[i]) * int(all_n2[j]):
-                        mv = int(all_ids[j])
-                        best = mv if best is None else min(best, mv)
-                out_m.append(best)
+            # earlier-(ts, id): explicit lex for state members, strict
+            # lower triangle for same-batch rows (sorted by (ts, id))
+            ok = np.concatenate(
+                [
+                    (m_ts[None, :] < b_ts[:, None])
+                    | (
+                        (m_ts[None, :] == b_ts[:, None])
+                        & (m_ids[None, :] < b_ids[:, None])
+                    ),
+                    np.tri(n, n, -1, dtype=bool),
+                ],
+                axis=1,
+            )
+            ok &= all_ts[None, :] >= (b_ts - horizon_s)[:, None]
+            ok &= all_bk[None, :] == b_bk[:, None]
+            ok &= dots > 0
+            # exact threshold via float screen + bigint dead band
+            lhs = 25.0 * dots.astype(np.float64) ** 2
+            rhs = 4.0 * (
+                b_n2.astype(np.float64)[:, None]
+                * all_n2.astype(np.float64)[None, :]
+            )
+            diff = lhs - rhs
+            passed = ok & (diff > 1e18)
+            for i, j in zip(*np.nonzero(ok & (np.abs(diff) <= 1e18))):
+                d = int(dots[i, j])
+                if 25 * d * d >= 4 * int(b_n2[i]) * int(all_n2[j]):
+                    passed[i, j] = True
+            sentinel = np.iinfo(np.int64).max
+            best = np.where(passed, all_ids[None, :], sentinel).min(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pd.array([int(v) for v in b_ids], dtype="Int64"),
-                    "match_id": pd.array(out_m, dtype="Int64"),
+                    "match_id": pd.array(
+                        [None if v == sentinel else int(v) for v in best],
+                        dtype="Int64",
+                    ),
                 }
             )
-            keep = all_ts >= (b_ts[-1] - horizon_s if n else 0)
+            # retention per exact bucket: evict against that bucket's
+            # latest batch ts (sorted, so the last row per bucket is
+            # its max); buckets with no rows this batch keep members
+            keep = np.ones(m + n, dtype=bool)
+            for bk in np.unique(b_bk):
+                bound = b_ts[b_bk == bk][-1] - horizon_s
+                keep &= ~((all_bk == bk) & (all_ts < bound))
             state.update(
                 (
                     [int(v) for v in all_ids[keep]],
                     [int(s) for s in all_ts[keep]],
                     [int(x) for x in all_n2[keep]],
+                    [int(x) for x in all_bk[keep]],
                     cand[keep].astype("<i8").tobytes(),
                 )
             )
@@ -214,6 +308,7 @@ def _dedup_probe_fn(horizon_s: int):
                     [int(v) for v in m_ids],
                     [int(s) for s in m_ts],
                     [int(x) for x in m_n2],
+                    [int(x) for x in m_bk],
                     np.ascontiguousarray(m_iq, dtype="<i8").tobytes(),
                 )
             )
@@ -229,9 +324,16 @@ def streaming_near_dedup(
     one row per (doc, table) with the smallest matching earlier vec_id
     (null if none); aggregate min(match_id) per vec_id downstream for
     the per-doc verdict (min over the union of tables == min over
-    per-table minima)."""
-    bucketed = with_dedup_buckets(stream).withWatermark("ts", "10 minutes")
-    return bucketed.groupBy("t", "bucket").applyInPandasWithState(
+    per-table minima). The STATE key is the coarse
+    (t, bucket % DEDUP_COARSE) group — bounded keyspace, per-key
+    framework overhead capped — while the match rule inside the probe
+    is exact bucket equality (see DEDUP_COARSE)."""
+    bucketed = (
+        with_dedup_buckets(stream)
+        .withColumn("bkey", F.col("bucket") % DEDUP_COARSE)
+        .withWatermark("ts", "10 minutes")
+    )
+    return bucketed.groupBy("t", "bkey").applyInPandasWithState(
         _dedup_probe_fn(horizon_s),
         outputStructType=DEDUP_PROBE_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,

@@ -79,3 +79,70 @@ def test_lsh_plan_has_no_python_hash_hof(spark):
     )
     assert "MapInArrow" in plan
     assert "xxhash64" not in plan
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the probe directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+
+
+def test_dedup_probe_exact_bucket_match_inside_coarse_group():
+    """The r14 coarse state key groups several exact buckets together;
+    the probe must match ONLY same-bucket earlier rows (identical
+    vectors in different buckets of one group stay clean), and the
+    exact integer threshold must agree with the old per-pair bigint
+    rule (identical vectors pass, orthogonal-ish ones don't)."""
+    import numpy as np
+    import pandas as pd
+
+    from kinesis2sse_spark.streaming.dedup import DEDUP_DIM, _dedup_probe_fn
+
+    probe = _dedup_probe_fn(600)
+    iq = [500000] * DEDUP_DIM
+    batch = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "ts_s": [100, 110, 120],
+            "bucket": [5, 13, 5],  # 5 % 8 == 13 % 8: same coarse group
+            "iq": [iq, iq, iq],
+        }
+    )
+    st = _FakeState()
+    (out,) = list(probe((0, 5), iter([batch]), st))
+    got = dict(zip(out["vec_id"], out["match_id"]))
+    assert got[1] is pd.NA  # first sight
+    assert got[2] is pd.NA  # identical vector, DIFFERENT bucket
+    assert got[3] == 1      # identical vector, same bucket, in horizon
+    # state keeps exact buckets for the next batch
+    vids, tss, n2s, bks, iqs = st.updated
+    assert bks == [5, 13, 5] and vids == [1, 2, 3]
+
+    # next batch: carry-over match against state, horizon eviction per
+    # exact bucket
+    batch2 = pd.DataFrame(
+        {
+            "vec_id": [4, 5],
+            "ts_s": [400, 1000],
+            "bucket": [13, 5],
+            "iq": [iq, iq],
+        }
+    )
+    st2 = _FakeState((vids, tss, n2s, bks, iqs))
+    (out2,) = list(probe((0, 5), iter([batch2]), st2))
+    got2 = dict(zip(out2["vec_id"], out2["match_id"]))
+    assert got2[4] == 2       # state member, same bucket 13, within 600s
+    assert got2[5] is pd.NA   # bucket-5 members are 880-900s old
