@@ -360,6 +360,7 @@ MINHASH_BANDS = 6
 MINHASH_ROWS = 3  # rows per band -> 18 permutations; P(flag) = j^3 per band
 MINHASH_P = 1000000007
 MINHASH_HORIZON_S = 600
+MINHASH_BKEYS = 64  # state-key buckets per band (see with_minhash_bands)
 
 
 def minhash_perms() -> list[tuple[int, int]]:
@@ -420,21 +421,25 @@ def with_minhash_bands(df: DataFrame) -> DataFrame:
     for bnd in range(MINHASH_BANDS):
         raw = sigs[bnd * MINHASH_ROWS : (bnd + 1) * MINHASH_ROWS]
         parts = [s.cast("string") for s in raw]
-        # bounded STATE key: hashing the signature into 2^12 buckets
-        # caps the pandas-group count at BANDS x 4096 regardless of
-        # corpus size (an unbucketed (band, sig) key means one pandas
-        # invocation per distinct signature — per-group overhead made
-        # the 10x curve superlinear; measured 161 s -> see PERF.md).
-        # The MATCH rule is still exact sig equality, checked inside
-        # the probe — bucketing changes the physical grouping only,
-        # never a verdict.
+        # bounded STATE key: hashing the signature into MINHASH_BKEYS
+        # buckets caps the pandas-group count at BANDS x MINHASH_BKEYS
+        # regardless of corpus size (an unbucketed (band, sig) key
+        # means one pandas invocation per distinct signature —
+        # per-group overhead made the 10x curve superlinear; measured
+        # 161 s -> see PERF.md). r14: 4096 -> 64 buckets — at sf0.1 the
+        # live (band, bkey) group count, not state mass, dominated the
+        # micro-batch (the same per-key framing overhead the embedding
+        # probe's coarse keys attack); 64 keeps each group's member
+        # scan short while cutting keys ~20x. The MATCH rule is still
+        # exact sig equality, checked inside the probe — bucketing
+        # changes the physical grouping only, never a verdict.
         bkey = raw[0]
         for s in raw[1:]:
             bkey = (bkey * 8191 + s) % MINHASH_P
         bands.append(
             F.struct(
                 F.lit(bnd).alias("band"),
-                (bkey % 4096).alias("bkey"),
+                (bkey % MINHASH_BKEYS).alias("bkey"),
                 F.concat_ws("-", *parts).alias("sig"),
             )
         )
@@ -523,7 +528,7 @@ def streaming_minhash_dedup(
 ) -> DataFrame:
     """Wire a (doc_id, text, ts) stream through MinHash banding + the
     per-band stateful probe. The STATE key is (band, sig-hash-bucket)
-    — a bounded BANDS x 4096 keyspace, so the per-group pandas
+    — a bounded BANDS x MINHASH_BKEYS keyspace, so the per-group pandas
     invocation count is capped regardless of corpus size — while the
     match rule inside the probe is exact signature equality. Members
     are horizon-evicted, so state mass is the arrival mass inside the
