@@ -948,6 +948,7 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    state_sum = state.agg(F.sum("c")).first()[0]
     hindex = F.array_max(
         F.transform(
             F.col("cs"),
@@ -964,13 +965,15 @@ def coreness(edges: DataFrame, iters: int) -> DataFrame:
             .select("node", hindex.cast("bigint").alias("c"))
             .localCheckpoint(eager=True)
         )
-        # fixpoint check on the two node-sized checkpointed relations:
-        # the h-operator is pointwise nonincreasing, so total c strictly
-        # drops until convergence — a 1-row sum compare detects it
-        changed = (
-            nxt.agg(F.sum("c")).first()[0] != state.agg(F.sum("c")).first()[0]
-        )
-        state = nxt
+        # fixpoint check on the node-sized checkpointed relation: the
+        # h-operator is pointwise nonincreasing, so total c strictly
+        # drops until convergence — a 1-row sum compare detects it.
+        # The previous round's sum is carried forward (r14: the old
+        # form re-aggregated BOTH relations, two driver actions per
+        # round for one number that was already known)
+        nxt_sum = nxt.agg(F.sum("c")).first()[0]
+        changed = nxt_sum != state_sum
+        state, state_sum = nxt, nxt_sum
         if not changed:
             break
     und.unpersist()
