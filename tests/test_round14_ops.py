@@ -146,3 +146,47 @@ def test_dedup_probe_exact_bucket_match_inside_coarse_group():
     got2 = dict(zip(out2["vec_id"], out2["match_id"]))
     assert got2[4] == 2       # state member, same bucket 13, within 600s
     assert got2[5] is pd.NA   # bucket-5 members are 880-900s old
+
+
+def test_minhash_arrow_bands_match_reference(spark):
+    """The vectorized minhash banding kernel must be row-identical to
+    the retained JVM reference pipeline — including the pinned edge
+    semantics (empty text, empty tokens, <3-token docs, BMP unicode)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2sse_spark.catalog import load_table
+    from kinesis2sse_spark.streaming.dedup import (
+        DEDUP_TS_BASE,
+        _minhash_bands_reference,
+        with_minhash_bands,
+    )
+
+    def src():
+        return load_table(spark, SF, "documents").select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(DEDUP_TS_BASE) + F.col("doc_id")
+            ).alias("ts"),
+        )
+
+    a, b = _minhash_bands_reference(src()), with_minhash_bands(src())
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "a b"),
+            (3, "a b c"),
+            (4, "a  b  c"),
+            (5, "héllo wörld tést"),
+            (6, " a b c "),
+        ],
+        "doc_id long, text string",
+    ).withColumn(
+        "ts", F.timestamp_seconds(F.lit(DEDUP_TS_BASE) + F.col("doc_id"))
+    )
+    ea, eb = _minhash_bands_reference(edge), with_minhash_bands(edge)
+    assert ea.exceptAll(eb).count() == 0
+    assert eb.exceptAll(ea).count() == 0
