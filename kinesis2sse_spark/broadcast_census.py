@@ -337,7 +337,7 @@ CENSUS: dict[tuple[str, str, str], str] = {
     ("llm_text.py", "_nb_spark_model", "vv"): "constant",
     ("llm_text.py", "ml_naive_bayes_confusion", "dd"): "constant",
     ("llm_text.py", "ml_naive_bayes_confusion", "vv"): "constant",
-    ("llm_text.py", "ml_naive_bayes_confusion", "cls"): "domain-bounded",
+    ("llm_text.py", "ml_naive_bayes_confusion", "cls_arr"): "domain-bounded",
     # Heaps: 1-row id bounds, 1-row final totals
     ("llm_text.py", "text_heaps_law", "b"): "constant",
     ("llm_text.py", "text_heaps_law", "tots"): "constant",
